@@ -1,6 +1,9 @@
 package graft
 
+import graft.core.{Merge, TableStore}
+import graft.curation.Scd2
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -16,6 +19,8 @@ import org.apache.spark.sql.types._
 object SparkEntry {
 
   private def dec(c: Column, scale: Int): Column = c.cast(DecimalType(18, scale))
+  private def tmpStore(s: SparkSession): TableStore =
+    new TableStore(s, java.nio.file.Files.createTempDirectory("graft_wh").toString)
   /** Order-independent exact sum: cast each row value to decimal, sum, re-cast. */
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(dec(c, scale)).cast(DecimalType(18, scale))
@@ -99,6 +104,69 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // §2A A10+A12: full SCD2 lifecycle through TableStore — bulk insert of
+    // the earliest event per user, then scd2Complex over the remaining CDC
+    // stream rebuilds every user's version chain.
+    "q20_scd2_history" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val withRn = ev.withColumn("__rn", row_number().over(w))
+      val full = withRn.filter(col("__rn") === 1).drop("__rn")
+      val delta = withRn.filter(col("__rn") > 1).drop("__rn")
+      val store = tmpStore(s)
+      Scd2.bulkInsert(store, "ev", full, tsCol = "ts")
+      Scd2.scd2Complex(store, "ev", delta, pkCol = "user_id", tsCol = "ts")
+      store.read("ev")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("start_datetime"), col("end_datetime"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("start_datetime"))
+    }),
+
+    // §2A A13: 3-branch CDC merge (update / delete / insert) with
+    // latest-per-key dedup, through Merge + TableStore.
+    "q21_merge_upsert" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("record_deleted", col("event_type") === "error")
+      val cutoff = lit("2024-01-20")
+      val store = tmpStore(s)
+      val target = Scd2.latestPerKey(
+        ev.filter(col("ts") < cutoff), Seq("user_id"), "ts")
+      store.commit("users", target, "create")
+      val delta = ev.filter(col("ts") >= cutoff)
+      Scd2.applyCdcDeltas(store, "users", delta, Seq("user_id"), "ts")
+      store.read("users")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // §2A A14+A15: time travel + $history metadata.
+    "q22_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val store = tmpStore(s)
+      store.commit("ev", ev.filter(col("ts") < lit("2024-01-15")), "create")
+      store.append("ev", ev.filter(col("ts") >= lit("2024-01-15")))
+      val v1CommitMs = store.manifests("ev").head.timestampMs
+      val v1Rows = store.readAsOf("ev", v1CommitMs).count()
+      val v2Rows = store.read("ev").count()
+      val nVersions = store.history("ev").count()
+      Seq((v1Rows, v2Rows, nVersions))
+        .toDF("v1_n_rows", "v2_n_rows", "n_versions")
+    }),
+
+    // §2A A16: bin-pack compaction preserves rows while packing files.
+    "q23_compaction" -> ((s, dir) => {
+      import s.implicits._
+      val store = tmpStore(s)
+      store.commit("ev", Tables.load(s, dir, "events").repartition(16), "create")
+      val before = store.manifests("ev").last.files.size.toLong
+      store.compact("ev", targetFileBytes = 1024L * 1024 * 1024)
+      val after = store.manifests("ev").last.files.size.toLong
+      val rows = store.read("ev").count()
+      Seq((before, after, rows)).toDF("files_before", "files_after", "n_rows")
     })
   )
 
@@ -151,6 +219,43 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment""".stripMargin
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q20_scd2_history" ->
+      """SELECT user_id, event_id, event_type, value,
+        | ts AS start_datetime,
+        | coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+        |          TIMESTAMP '2250-01-01') AS end_datetime,
+        | (lead(ts) OVER (PARTITION BY user_id ORDER BY ts)) IS NULL AS is_current
+        |FROM events
+        |ORDER BY user_id, start_datetime""".stripMargin,
+
+    "q21_merge_upsert" ->
+      """WITH tgt AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+        |                 FROM events WHERE ts < TIMESTAMP '2024-01-20') WHERE rn = 1
+        |), src AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+        |                 FROM events WHERE ts >= TIMESTAMP '2024-01-20') WHERE rn = 1
+        |)
+        |SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value FROM src WHERE event_type <> 'error'
+        |  UNION ALL
+        |  SELECT t.user_id, t.event_id, t.event_type, t.value FROM tgt t
+        |  WHERE t.user_id NOT IN (SELECT user_id FROM src)
+        |)
+        |ORDER BY user_id""".stripMargin,
+
+    "q22_time_travel" ->
+      """SELECT
+        | (SELECT count(*) FROM events WHERE ts < TIMESTAMP '2024-01-15') AS v1_n_rows,
+        | count(*) AS v2_n_rows,
+        | CAST(2 AS BIGINT) AS n_versions
+        |FROM events""".stripMargin,
+
+    "q23_compaction" ->
+      """SELECT CAST(16 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after,
+        | count(*) AS n_rows
+        |FROM events""".stripMargin
   )
 }

