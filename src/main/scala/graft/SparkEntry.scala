@@ -167,8 +167,278 @@ object SparkEntry {
       val after = store.manifests("ev").last.files.size.toLong
       val rows = store.read("ev").count()
       Seq((before, after, rows)).toDF("files_before", "files_after", "n_rows")
+    }),
+
+    // §2B correlated scalar subquery in predicate (TPC-DS q1 shape) —
+    // through spark.sql so Catalyst's subquery decorrelation is exercised.
+    "q06_corr_scalar_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(SharedSql.corrScalarSubquery)
+    }),
+
+    // §2B uncorrelated scalar subqueries cross-joined into one row (q88).
+    "q07_scalar_subqueries" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(SharedSql.scalarSubqueries)
+    }),
+
+    // §2B RANK() over partition + rank-based top-k (q67 shape).
+    "q08_window_rank" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+      val rev = li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_partkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("revenue").desc, col("p_partkey"))
+      rev.withColumn("rk", rank().over(w).cast(LongType))
+        .filter(col("rk") <= 3)
+        .orderBy(col("p_brand"), col("rk"), col("p_partkey"))
+    }),
+
+    // §2B cumulative frame ROWS UNBOUNDED PRECEDING..CURRENT ROW (q51).
+    "q09_window_cumulative" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val daily = li
+        .groupBy(col("l_returnflag"), col("l_shipdate").cast(DateType).as("ship_day"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("day_rev"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("ship_day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("cume_rev", sum(col("day_rev")).over(w).cast(DecimalType(18, 4)))
+        .orderBy(col("l_returnflag"), col("ship_day"))
+    }),
+
+    // §2B analytic AVG over partition + deviation filter (q47/q53/q89
+    // shape). The partition average is exact-sum::double / count so it is
+    // bit-identical across engines.
+    "q10_window_avg_deviation" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+      val monthly = li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          date_trunc("month", col("l_shipdate")).cast(DateType).as("ship_month"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("rev"))
+      val w = Window.partitionBy(col("p_brand"))
+      monthly
+        .withColumn("brand_avg",
+          sum(col("rev")).over(w).cast(DoubleType) / count(col("rev")).over(w))
+        .filter(col("rev").cast(DoubleType) > lit(1.3) * col("brand_avg"))
+        .select(col("p_brand"), col("ship_month"), col("rev"))
+        .orderBy(col("p_brand"), col("ship_month"))
+    }),
+
+    // §2B ROLLUP + GROUPING() flags (q5/q27/q67 shape).
+    "q11_rollup_grouping" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n_orders"),
+          grouping(col("o_orderstatus")).as("g_s"),
+          grouping(col("o_orderpriority")).as("g_p"))
+        .select(
+          when(col("g_s") === 1, lit("ALL")).otherwise(col("o_orderstatus"))
+            .as("order_status"),
+          when(col("g_p") === 1, lit("ALL")).otherwise(col("o_orderpriority"))
+            .as("order_priority"),
+          col("total"), col("n_orders"))
+        .orderBy(col("order_status"), col("order_priority"))
+    }),
+
+    // §2B COUNT(DISTINCT) (q16/q28/q94 shape).
+    "q12_count_distinct" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      o.groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // §2B STDDEV_SAMP (q17/q39 shape) — computed from exact decimal sums
+    // (sqrt((Σx² − (Σx)²/n)/(n−1))) so the value is deterministic across
+    // engines, unlike a streaming double accumulation.
+    "q13_stats_stddev" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec(col("l_quantity"), 2)).as("s1"),
+          sum(dec(col("l_quantity") * col("l_quantity"), 2)).as("s2"))
+        .select(col("l_returnflag"), col("n_items"),
+          (col("s1").cast(DoubleType) / col("n_items")).as("mean_qty"),
+          sqrt((col("s2").cast(DoubleType)
+            - col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / col("n_items"))
+            / (col("n_items") - 1)).as("stddev_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // §2B INTERSECT + EXCEPT (q8/q14/q38/q87 shape).
+    "q14_setops" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      def custs(from: String, until: String) =
+        o.filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+          .select(col("o_custkey"))
+      val flagged = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+      custs("1996-01-01", "1997-01-01")
+        .intersect(custs("1997-01-01", "1998-01-01"))
+        .except(flagged)
+        .orderBy(col("o_custkey"))
+    }),
+
+    // §2B CASE WHEN conditional-agg bucketing (q50/q62/q99 shape).
+    "q15_case_buckets" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val d = datediff(col("l_shipdate").cast(DateType), col("o_orderdate").cast(DateType))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(d <= 30, 1).otherwise(0)).as("d30"),
+          sum(when(d > 30 && d <= 60, 1).otherwise(0)).as("d60"),
+          sum(when(d > 60 && d <= 90, 1).otherwise(0)).as("d90"),
+          sum(when(d > 90, 1).otherwise(0)).as("d_over"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // §2B FULL OUTER JOIN + COALESCE null handling (q51/q97 shape).
+    "q16_full_outer_join" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      def monthly(flag: String, out: String) =
+        li.filter(col("l_returnflag") === flag)
+          .groupBy(date_trunc("month", col("l_shipdate")).cast(DateType).as("ship_month"))
+          .agg(dsum(col("l_extendedprice"), 2).as(out))
+      val zero = lit(0).cast(DecimalType(18, 2))
+      monthly("A", "rev_a").join(monthly("R", "rev_r"), Seq("ship_month"), "full_outer")
+        .select(col("ship_month"),
+          coalesce(col("rev_a"), zero).as("rev_a"),
+          coalesce(col("rev_r"), zero).as("rev_r"))
+        .orderBy(col("ship_month"))
+    }),
+
+    // §2B LEFT OUTER JOIN + agg over nullable side (q93 shape).
+    "q17_left_join_returns" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val ret = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val zero = lit(0).cast(DecimalType(18, 2))
+      o.join(ret, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          coalesce(dsum(col("l_extendedprice")), zero).as("returned_value"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // §2B HAVING vs uncorrelated scalar subquery (q23a/q44 shape).
+    "q18_having_scalar" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val counts = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_items"))
+      val thr = counts.agg(
+        (lit(1.5) * sum(col("n_items")).cast(DoubleType) / count(lit(1))).as("thr"))
+      counts.crossJoin(thr).filter(col("n_items") > col("thr"))
+        .select(col("l_partkey"), col("n_items"))
+        .orderBy(col("l_partkey"))
+    }),
+
+    // §2B cross join of ascending × descending rank tables (q44 shape).
+    "q19_crossjoin_rank" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val rev = li.groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("rev"))
+      val asc = rev.select(col("l_suppkey").as("supp_worst"),
+        rank().over(Window.orderBy(col("rev").asc, col("l_suppkey").asc))
+          .cast(LongType).as("rnk"))
+      val desc = rev.select(col("l_suppkey").as("supp_best"),
+        rank().over(Window.orderBy(col("rev").desc, col("l_suppkey").desc))
+          .cast(LongType).as("rnk"))
+      asc.join(desc, Seq("rnk")).filter(col("rnk") <= 5)
+        .select(col("rnk"), col("supp_best"), col("supp_worst"))
+        .orderBy(col("rnk"))
+    }),
+
+    // §2B string expressions: SUBSTR, ||, LIKE, UPPER, IN-list (q8/q23/
+    // q84/q91 shape) over the documents table.
+    "q24_string_funcs" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      d.filter(col("lang").isin("en", "de", "fr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(when(col("text").like("%the%"), 1).otherwise(0)).as("n_like_the"),
+          min(substring(col("text"), 1, 12)).as("min_prefix"),
+          max(upper(col("source"))).as("max_source"))
+        .withColumn("label", concat(col("lang"), lit(":"), col("max_source")))
+        .orderBy(col("lang"))
+    }),
+
+    // §2B date ± INTERVAL join predicate (q32/q94 shape).
+    "q25_date_interval" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      li.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAY"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_shipped_30d"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // §2B manual lag via rn self-join of a CTE (q47/q57 shape).
+    "q26_selfjoin_lag" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+      val monthly = li.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"),
+          date_trunc("month", col("l_shipdate")).cast(DateType).as("ship_month"))
+        .agg(dsum(col("l_extendedprice"), 2).as("rev"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("p_brand")).orderBy(col("ship_month"))).cast(LongType))
+      val lagged = monthly.select(col("p_brand").as("b2"), col("rn").as("rn2"),
+        col("rev").as("prev_rev"))
+      monthly.join(lagged,
+          col("p_brand") === col("b2") && col("rn") === col("rn2") + 1)
+        .select(col("p_brand"), col("ship_month"), col("rev"), col("prev_rev"))
+        .orderBy(col("p_brand"), col("ship_month"))
+    }),
+
+    // §2B UNION ALL channel combination (q5/q71/q75/q76 shape).
+    "q27_union_all_channels" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      def channel(status: String, name: String) =
+        o.filter(col("o_orderstatus") === status)
+          .select(lit(name).as("channel"),
+            date_trunc("year", col("o_orderdate")).cast(DateType).as("order_year"),
+            col("o_totalprice"))
+      channel("F", "fulfilled").unionAll(channel("O", "open"))
+        .groupBy(col("channel"), col("order_year"))
+        .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n_orders"))
+        .orderBy(col("channel"), col("order_year"))
     })
   )
+
+  /** SQL texts valid in BOTH Spark SQL and DuckDB, run verbatim on each
+    * engine — the two-engine differential exactly mirrors the reference's
+    * Spark-vs-Athena consistency check (SURVEY.md §5). */
+  private object SharedSql {
+    val corrScalarSubquery: String =
+      """WITH ctr AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spent
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY c_custkey, c_nationkey)
+        |SELECT ctr1.c_custkey, ctr1.total_spent
+        |FROM ctr ctr1
+        |WHERE CAST(ctr1.total_spent AS DOUBLE) > (
+        |  SELECT 1.2 * CAST(SUM(CAST(ctr2.total_spent AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM ctr ctr2 WHERE ctr2.c_nationkey = ctr1.c_nationkey)
+        |ORDER BY ctr1.c_custkey""".stripMargin
+
+    val scalarSubqueries: String =
+      """SELECT s1.cnt AS n_q1_10, s2.cnt AS n_q11_20, s3.cnt AS n_q21_30, s4.cnt AS n_q31_40
+        |FROM (SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) s1,
+        |     (SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) s2,
+        |     (SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) s3,
+        |     (SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) s4""".stripMargin
+  }
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -256,6 +526,186 @@ object SparkEntry {
     "q23_compaction" ->
       """SELECT CAST(16 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after,
         | count(*) AS n_rows
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "q06_corr_scalar_subquery" -> SharedSql.corrScalarSubquery,
+    "q07_scalar_subqueries" -> SharedSql.scalarSubqueries,
+
+    "q08_window_rank" ->
+      """WITH rev AS (
+        |  SELECT p_brand, p_partkey,
+        |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, p_partkey)
+        |SELECT p_brand, p_partkey, revenue, rk FROM (
+        |  SELECT p_brand, p_partkey, revenue,
+        |    CAST(rank() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS BIGINT) AS rk
+        |  FROM rev) t
+        |WHERE rk <= 3
+        |ORDER BY p_brand, rk, p_partkey""".stripMargin,
+
+    "q09_window_cumulative" ->
+      """WITH daily AS (
+        |  SELECT l_returnflag, CAST(l_shipdate AS DATE) AS ship_day,
+        |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS day_rev
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, ship_day, day_rev,
+        |  CAST(SUM(day_rev) OVER (PARTITION BY l_returnflag ORDER BY ship_day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS cume_rev
+        |FROM daily
+        |ORDER BY l_returnflag, ship_day""".stripMargin,
+
+    "q10_window_avg_deviation" ->
+      """WITH monthly AS (
+        |  SELECT p_brand, CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+        |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT p_brand, ship_month, rev FROM (
+        |  SELECT p_brand, ship_month, rev,
+        |    CAST(SUM(rev) OVER (PARTITION BY p_brand) AS DOUBLE)
+        |      / COUNT(rev) OVER (PARTITION BY p_brand) AS brand_avg
+        |  FROM monthly) t
+        |WHERE CAST(rev AS DOUBLE) > 1.3 * brand_avg
+        |ORDER BY p_brand, ship_month""".stripMargin,
+
+    "q11_rollup_grouping" ->
+      """SELECT
+        |  CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS order_status,
+        |  CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS order_priority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY order_status, order_priority""".stripMargin,
+
+    "q12_count_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q13_stats_stddev" ->
+      """SELECT l_returnflag, n_items,
+        |  CAST(s1 AS DOUBLE) / n_items AS mean_qty,
+        |  sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/n_items)
+        |       / (n_items - 1)) AS stddev_qty
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n_items,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+        |    SUM(CAST(l_quantity*l_quantity AS DECIMAL(18,2))) AS s2
+        |  FROM lineitem GROUP BY l_returnflag) t
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q14_setops" ->
+      """SELECT o_custkey FROM (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |) t ORDER BY o_custkey""".stripMargin,
+
+    "q15_case_buckets" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN d <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+        |  CAST(SUM(CASE WHEN d > 30 AND d <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+        |  CAST(SUM(CASE WHEN d > 60 AND d <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+        |  CAST(SUM(CASE WHEN d > 90 THEN 1 ELSE 0 END) AS BIGINT) AS d_over,
+        |  COUNT(*) AS n_items
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey) t
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q16_full_outer_join" ->
+      """WITH a AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev_a
+        |  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1),
+        |r AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev_r
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+        |SELECT coalesce(a.ship_month, r.ship_month) AS ship_month,
+        |  coalesce(rev_a, CAST(0 AS DECIMAL(18,2))) AS rev_a,
+        |  coalesce(rev_r, CAST(0 AS DECIMAL(18,2))) AS rev_r
+        |FROM a FULL OUTER JOIN r ON a.ship_month = r.ship_month
+        |ORDER BY ship_month""".stripMargin,
+
+    "q17_left_join_returns" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_orderkey) AS n_orders,
+        |  coalesce(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)),
+        |           CAST(0 AS DECIMAL(18,2))) AS returned_value
+        |FROM orders LEFT OUTER JOIN (SELECT * FROM lineitem WHERE l_returnflag = 'R') r
+        |  ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q18_having_scalar" ->
+      """WITH counts AS (
+        |  SELECT l_partkey, COUNT(*) AS n_items FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, n_items FROM counts
+        |WHERE n_items > (SELECT 1.5 * CAST(SUM(n_items) AS DOUBLE) / COUNT(*) FROM counts)
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q19_crossjoin_rank" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev
+        |  FROM lineitem GROUP BY l_suppkey),
+        |asc_r AS (SELECT l_suppkey AS supp_worst,
+        |    CAST(rank() OVER (ORDER BY rev ASC, l_suppkey ASC) AS BIGINT) AS rnk FROM rev),
+        |desc_r AS (SELECT l_suppkey AS supp_best,
+        |    CAST(rank() OVER (ORDER BY rev DESC, l_suppkey DESC) AS BIGINT) AS rnk FROM rev)
+        |SELECT asc_r.rnk AS rnk, supp_best, supp_worst
+        |FROM asc_r JOIN desc_r ON asc_r.rnk = desc_r.rnk
+        |WHERE asc_r.rnk <= 5 ORDER BY asc_r.rnk""".stripMargin,
+
+    "q24_string_funcs" ->
+      """SELECT lang, n_docs, total_chars, n_like_the, min_prefix, max_source,
+        |  lang || ':' || max_source AS label
+        |FROM (
+        |  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(SUM(CASE WHEN text LIKE '%the%' THEN 1 ELSE 0 END) AS BIGINT) AS n_like_the,
+        |    MIN(substring(text, 1, 12)) AS min_prefix,
+        |    MAX(upper(source)) AS max_source
+        |  FROM documents WHERE lang IN ('en', 'de', 'fr')
+        |  GROUP BY lang) t
+        |ORDER BY lang""".stripMargin,
+
+    "q25_date_interval" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_shipped_30d
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q26_selfjoin_lag" ->
+      """WITH monthly AS (
+        |  SELECT p_brand, CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev,
+        |    CAST(row_number() OVER (PARTITION BY p_brand
+        |      ORDER BY CAST(date_trunc('month', l_shipdate) AS DATE)) AS BIGINT) AS rn
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand, CAST(date_trunc('month', l_shipdate) AS DATE))
+        |SELECT v1.p_brand, v1.ship_month, v1.rev, v2.rev AS prev_rev
+        |FROM monthly v1 JOIN monthly v2
+        |  ON v1.p_brand = v2.p_brand AND v1.rn = v2.rn + 1
+        |ORDER BY v1.p_brand, v1.ship_month""".stripMargin,
+
+    "q27_union_all_channels" ->
+      """SELECT channel, order_year,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+        |  COUNT(*) AS n_orders
+        |FROM (
+        |  SELECT 'fulfilled' AS channel, CAST(date_trunc('year', o_orderdate) AS DATE) AS order_year,
+        |    o_totalprice FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT 'open' AS channel, CAST(date_trunc('year', o_orderdate) AS DATE) AS order_year,
+        |    o_totalprice FROM orders WHERE o_orderstatus = 'O'
+        |) t
+        |GROUP BY channel, order_year
+        |ORDER BY channel, order_year""".stripMargin
   )
 }
