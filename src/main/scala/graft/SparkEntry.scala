@@ -2,6 +2,7 @@ package graft
 
 import graft.core.{Merge, TableStore}
 import graft.curation.Scd2
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -412,6 +413,132 @@ object SparkEntry {
         .groupBy(col("channel"), col("order_year"))
         .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n_orders"))
         .orderBy(col("channel"), col("order_year"))
+    }),
+
+    // ext: exact dedup (hash-groupBy on normalized-content fingerprint).
+    "q30_dedup_exact" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.exact(docs, "doc_id", "text")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_unique"))
+        .orderBy(col("source"))
+    }),
+
+    // ext: n-gram Jaccard near-dup pairs (shingle-join candidates, exact
+    // verify) — finds the fixture's planted ~0.99-Jaccard near-dups.
+    "q31_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ext: MinHash+LSH near-dup pairs (banded signatures → candidates →
+    // exact Jaccard verify). Hash-dependent candidate recall ⇒ rows-only
+    // driver check; ExtSpec asserts the result ⊆ q31's exact pairs.
+    "q32_minhash_lsh" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ext: SimHash near-dup pairs (16-bit chunk banding + bit_count
+    // verify). Hash-dependent ⇒ rows-only driver check.
+    "q33_simhash" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ext: embedding-cosine near-dup, exact (the LSH-accelerated variant is
+    // q35). Ids only — cosine internals differ across engines at ulp level.
+    "q34_embedding_neardup" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val a = e.select(col("vec_id").as("id_a"), v.as("__va"))
+      val b = e.select(col("vec_id").as("id_b"), v.as("__vb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .filter(Similarity.cosine(col("__va"), col("__vb")) >= 0.45)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ext: hyperplane-LSH-accelerated embedding near-dup (approximate
+    // candidates, exact verify) — rows-only driver check; ExtSpec asserts
+    // ⊆ q34.
+    "q35_embedding_neardup_lsh" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", threshold = 0.45)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ext: brute-force cosine top-k similarity search (ANN baseline).
+    "q36_similarity_topk" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") % 100 === 0)
+      Similarity.bruteForceTopK(e, queries, k = 10)
+        .select(col("query_id"), col("rk"), col("vec_id"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // ext: n-gram-heuristic language ID distribution.
+    "q37_text_langid" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.withColumn("lang_guess", TextAnalysis.langId(col("text")))
+        .groupBy(col("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang_guess"))
+    }),
+
+    // ext: quality scoring — bucketed counts per labeled lang (counts are
+    // exact; the per-doc score itself is deterministic double arithmetic).
+    "q38_text_quality" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      TextAnalysis.qualityFeatures(docs)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(when(col("quality_score") > 0.8, 1L).otherwise(0L)).as("n_high"),
+          sum(when(col("quality_score") < 0.3, 1L).otherwise(0L)).as("n_low"))
+        .orderBy(col("lang"))
+    }),
+
+    // ext: token counting + vocabulary statistics.
+    "q39_token_stats" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("source"), col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("total_tokens"),
+          countDistinct(col("tok")).as("vocab_size"))
+        .orderBy(col("source"))
+    }),
+
+    // ext: document fingerprinting (normalized content hash), bucketed.
+    "q40_fingerprint_buckets" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .groupBy(substring(col("fp"), 1, 1).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ext: multimodal pipeline — binary payload + typed metadata through
+    // the real mapPartitions decode path (decoder stubbed; metadata math
+    // is oracle-checkable).
+    "q41_multimodal_features" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = Multimodal.ingestFromDocuments(Tables.load(s, dir, "documents"))
+      Multimodal.decodeAndFeaturize(media, dim = 16).toDF()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("n_frames").cast(LongType)).as("total_frames"),
+          sum(col("thumb_w").cast(LongType)).as("total_thumb_w"))
+        .orderBy(col("kind"))
     })
   )
 
@@ -706,6 +833,132 @@ object SparkEntry {
         |    o_totalprice FROM orders WHERE o_orderstatus = 'O'
         |) t
         |GROUP BY channel, order_year
-        |ORDER BY channel, order_year""".stripMargin
+        |ORDER BY channel, order_year""".stripMargin,
+
+    // DuckDB equivalent of the normalized-content fingerprint:
+    // md5 over the space-joined, lowercased, non-word-split token stream.
+    "q30_dedup_exact" ->
+      """WITH fp AS (
+        |  SELECT *, md5(array_to_string(
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> ''), ' ')) AS f
+        |  FROM documents),
+        |deduped AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp)
+        |  WHERE rn = 1)
+        |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT f) AS n_unique
+        |FROM deduped GROUP BY source ORDER BY source""".stripMargin,
+
+    "q31_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> array_to_string(t[i:i+2], ' ')))) AS s
+        |  FROM toks),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+        |FROM pairs JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q34_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q36_similarity_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings)
+        |SELECT query_id, rk, vec_id FROM (
+        |  SELECT q.qid AS query_id, c.vec_id,
+        |    CAST(row_number() OVER (PARTITION BY q.qid
+        |      ORDER BY list_cosine_similarity(qv, cv) DESC, c.vec_id) AS BIGINT) AS rk
+        |  FROM q, c WHERE c.vec_id <> q.qid) t
+        |WHERE rk <= 10
+        |ORDER BY query_id, rk""".stripMargin,
+
+    "q37_text_langid" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    len(list_intersect(t, ['the','a','and','of','to','in','is','on','for','with'])) AS s_en,
+        |    len(list_intersect(t, ['der','die','das','und','ist','nicht','mit','ein','zu','den'])) AS s_de,
+        |    len(list_intersect(t, ['le','la','les','et','est','une','dans','pour','que','au'])) AS s_fr,
+        |    len(list_intersect(t, ['el','los','las','y','es','una','por','con','para','como'])) AS s_es
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |        FROM documents) tt)
+        |SELECT lang_guess, COUNT(*) AS n_docs FROM (
+        |  SELECT CASE
+        |    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |    WHEN s_fr >= s_es THEN 'fr'
+        |    ELSE 'es' END AS lang_guess
+        |  FROM scored) t
+        |GROUP BY lang_guess ORDER BY lang_guess""".stripMargin,
+
+    "q38_text_quality" ->
+      """WITH feat AS (
+        |  SELECT lang,
+        |    len(t) AS n_tokens,
+        |    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+        |      / greatest(len(t), 1) AS avg_token_len,
+        |    CAST(len(list_filter(t, x -> list_contains(
+        |      ['the','a','and','of','to','in','is','on','for','with'], x))) AS DOUBLE)
+        |      / greatest(len(t), 1) AS stopword_ratio,
+        |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS noise_ratio
+        |  FROM (SELECT lang, text,
+        |          list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |        FROM documents) tt),
+        |q AS (
+        |  SELECT lang, n_tokens,
+        |    CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+        |      1.0 - abs(avg_token_len - 5.0) / 10.0 - noise_ratio
+        |        + CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END
+        |    END AS quality_score
+        |  FROM feat)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(CASE WHEN quality_score > 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST(SUM(CASE WHEN quality_score < 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q39_token_stats" ->
+      """SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS total_tokens,
+        |  COUNT(DISTINCT tok) AS vocab_size
+        |FROM (SELECT source, doc_id,
+        |        unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS tok
+        |      FROM documents) t
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q40_fingerprint_buckets" ->
+      """SELECT substring(f, 1, 1) AS bucket, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT f) AS n_unique
+        |FROM (SELECT md5(array_to_string(
+        |        list_filter(string_split_regex(lower(text), '\W+'), x -> x <> ''), ' ')) AS f
+        |      FROM documents) t
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q41_multimodal_features" ->
+      """SELECT kind, COUNT(*) AS n_media,
+        |  CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+        |  CAST(SUM(thumb_w) AS BIGINT) AS total_thumb_w
+        |FROM (
+        |  SELECT
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS kind,
+        |    CASE WHEN doc_id % 3 = 2 THEN greatest(1, n_chars // 10) ELSE 1 END AS n_frames,
+        |    CASE WHEN doc_id % 3 = 0 THEN greatest(1, ((n_chars % 1920) + 1) // 8)
+        |      ELSE 0 END AS thumb_w
+        |  FROM documents) t
+        |GROUP BY kind ORDER BY kind""".stripMargin
   )
 }

@@ -1,0 +1,190 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design (the 100 TB contract):
+  *  - Nothing here ever builds an O(N²) plan. Candidate generation is
+  *    always an equi-join on a short key (shingle, LSH band bucket, SimHash
+  *    chunk, hyperplane bucket), i.e. one hash shuffle; only in-bucket
+  *    pairs are verified exactly.
+  *  - Hot keys are the skew hazard: [[jaccardPairs]] takes `maxShingleDf`
+  *    to drop stop-shingles whose buckets would explode (the standard
+  *    suffix-filtering trick); AQE skew-join splitting covers the rest.
+  *  - All similarity arithmetic is exact-integer counts or deterministic
+  *    double division, so results are reproducible across engines.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of the normalized token stream.
+    * `slice` truncates at the tail exactly like the oracle's list slicing,
+    * so documents shorter than `n` still produce one (short) shingle. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Exact dedup: keep the lowest id per normalized-content fingerprint.
+    * One hash aggregate — the cheapest possible dedup at any scale. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val w = Window.partitionBy(fp).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** (id, shingle) posting list, distinct. */
+  private def postings(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    df.select(col(idCol).as("__id"),
+      explode(shingles(col(textCol), n)).as("__sh"))
+
+  /** All pairs with n-gram Jaccard ≥ `threshold`.
+    *
+    * Plan: postings self-join on shingle → per-pair intersection count →
+    * join per-doc set sizes → Jaccard = |∩| / (|A|+|B|−|∩|). Shingles with
+    * document frequency > `maxShingleDf` are dropped before the self-join
+    * (bucket-explosion guard; exact for thresholds where a dropped shingle
+    * cannot flip the verdict — at 100 TB this is the difference between a
+    * bounded shuffle and a cross join). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    val post = postings(df, idCol, textCol, n)
+    val filtered =
+      if (maxShingleDf == Long.MaxValue) post
+      else {
+        val hot = post.groupBy(col("__sh")).count()
+          .filter(col("count") > maxShingleDf).select(col("__sh"))
+        post.join(hot, Seq("__sh"), "left_anti")
+      }
+    val sizes = filtered.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
+    val a = filtered.select(col("__id").as("id_a"), col("__sh"))
+    val b = filtered.select(col("__id").as("id_b"), col("__sh"))
+    val inter = a.join(b, Seq("__sh")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"), "id_a")
+      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"), "id_b")
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (col("__sza") + col("__szb") - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: for each of `numHashes` seeded hash functions,
+    * the minimum hash over the document's shingle set. One aggregate. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32): DataFrame = {
+    val post = postings(df, idCol, textCol, n)
+    val mins = (0 until numHashes).map(i => min(hash(col("__sh"), lit(i))).as(s"__h$i"))
+    post.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
+      .select(col("__id"),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).as("__sig"))
+  }
+
+  /** MinHash+LSH near-dup pairs: signatures → `bands` band buckets →
+    * equi-join on (band, band hash) → candidates → exact Jaccard verify.
+    * Approximate-recall candidate generation, exact final verdict. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val banded = sig.select(col("__id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        j => struct(j.as("band"),
+          hash(slice(col("__sig"), j * lit(rows) + 1, lit(rows))).as("bh")))).as("b"))
+      .select(col("__id"), col("b.band").as("__band"), col("b.bh").as("__bh"))
+    val l = banded.select(col("__id").as("id_a"), col("__band"), col("__bh"))
+    val r = banded.select(col("__id").as("id_b"), col("__band"), col("__bh"))
+    val cand = l.join(r, Seq("__band", "__bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // exact verify only on candidates: semi-join restricts the posting lists
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("__cid"))
+      .distinct()
+    val restricted = df.join(candIds, col(idCol) === col("__cid"), "left_semi")
+    jaccardPairs(restricted, idCol, textCol, n, threshold)
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
+  }
+
+  /** 64-bit SimHash over token hashes: per bit, sign of Σ(±1) across the
+    * document's tokens. Implemented as 64 conditional sums in ONE hash
+    * aggregate (map-side combinable — no per-doc state on the driver). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("__id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftrightunsigned(col("__h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__b$b")
+    }
+    val agg = tok.groupBy(col("__id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(b =>
+      when(col(s"__b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col("__id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found by
+    * banding the 64-bit signature into four 16-bit chunks (pigeonhole: any
+    * pair within Hamming ≤ 3 shares at least one exact chunk; for larger
+    * budgets recall is approximate) and verifying with `bit_count(a^b)`. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(df, idCol, textCol)
+    val chunked = sig.select(col("__id"), col("simhash"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("c"),
+          shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("v"))): _*))
+        .as("ch"))
+      .select(col("__id"), col("simhash"), col("ch.c").as("__c"), col("ch.v").as("__v"))
+    val l = chunked.select(col("__id").as("id_a"), col("simhash").as("__sa"),
+      col("__c"), col("__v"))
+    val r = chunked.select(col("__id").as("id_b"), col("simhash").as("__sb"),
+      col("__c"), col("__v"))
+    l.join(r, Seq("__c", "__v")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs with cosine ≥ `threshold`, exact O(N²/buckets)
+    * via random-hyperplane LSH candidate generation + exact verify.
+    * `tables × planesPerTable` sign-bit buckets; a 0.5-cosine pair collides
+    * in ≥1 of 16 four-plane tables w.p. ≈0.99. Hyperplanes are generated
+    * from a fixed seed so runs are reproducible. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 16, planesPerTable: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val planes: Seq[Seq[Seq[Double]]] = Seq.fill(tables)(
+      Seq.fill(planesPerTable)(Seq.fill(dim)(rnd.nextGaussian())))
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val bucketed = df.select(col(idCol).as("__id"), v.as("__v"),
+      explode(array(planes.zipWithIndex.map { case (tbl, ti) =>
+        struct(lit(ti).as("t"),
+          concat_ws("", tbl.map(p =>
+            when(Similarity.dot(v, lit(p.toArray)) >= 0, "1").otherwise("0")): _*)
+            .as("b"))
+      }: _*)).as("tb"))
+      .select(col("__id"), col("__v"), col("tb.t").as("__t"), col("tb.b").as("__b"))
+    val l = bucketed.select(col("__id").as("id_a"), col("__v").as("__va"),
+      col("__t"), col("__b"))
+    val r = bucketed.select(col("__id").as("id_b"), col("__v").as("__vb"),
+      col("__t"), col("__b"))
+    l.join(r, Seq("__t", "__b")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("__va"), col("__vb")).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+  }
+}

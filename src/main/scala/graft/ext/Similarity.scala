@@ -1,0 +1,87 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Vector arithmetic uses `zip_with`/`aggregate` column expressions over
+  * `array<double>` — a strict left-to-right fold, so results are
+  * bit-deterministic (and engine-portable), unlike a parallel reduction.
+  *
+  * Scale path: [[bruteForceTopK]] is the exact baseline (one broadcast of
+  * the query set, no corpus shuffle — the corpus side streams through a
+  * single projection). [[ivfTopK]] is the 100 TB path: k-means-style
+  * centroids → inverted lists partitioned by centroid id → probe only
+  * `nprobe` lists per query, cutting the scanned fraction to nprobe/nlist.
+  */
+object Similarity {
+
+  /** Exact dot product as a deterministic sequential fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Exact top-k by cosine for every query vector: broadcast queries ×
+    * corpus projection → per-query rank. The corpus never shuffles until
+    * the final (tiny) top-k aggregation. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: assign corpus vectors to their
+    * nearest of `nlist` centroids once, then probe the `nprobe` closest
+    * lists per query. Centroids are a deterministic stride sample of the
+    * corpus (a k-means iteration can refine them later without changing
+    * the query path). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("__cv"))
+    // deterministic stride sample as centroid seeds
+    val n = corpus.count()
+    val stride = math.max(1L, n / nlist)
+    val centroids = c.withColumn("__rn",
+        row_number().over(Window.orderBy(col("vec_id"))).cast("long"))
+      .filter(col("__rn") % stride === 1).limit(nlist)
+      .select(col("vec_id").as("cid"), col("__cv").as("__cent"))
+    // one pass: nearest centroid per corpus vector (broadcast centroids)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("__d").desc, col("cid"))
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("__d", cosine(col("__cv"), col("__cent")))
+      .withColumn("__r", row_number().over(wAssign))
+      .filter(col("__r") === 1)
+      .select(col("vec_id"), col("__cv"), col("cid"))
+    // probe the nprobe closest lists per query
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("__d").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("__d", cosine(col("__qv"), col("__cent")))
+      .withColumn("__r", row_number().over(wProbe))
+      .filter(col("__r") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("cid"))
+    val scored = probes.join(assigned, Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("sim"))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def docs: DataFrame = graft.Tables.load(spark, sfDir, "documents")
+  private def embs: DataFrame = graft.Tables.load(spark, sfDir, "embeddings")
+
+  test("exact dedup keeps the lowest id per duplicated content") {
+    val df = Seq(
+      (1L, "Hello,  WORLD!"), (2L, "hello world"), (3L, "different text here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 3L)) // 1 and 2 normalize identically; keep 1
+  }
+
+  test("jaccardPairs finds planted near-identical docs and is symmetric-safe") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), // identical
+      (3L, "a b c d e f g x"),                          // near-dup of 1/2
+      (4L, "totally different words here now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhashLshPairs ⊆ exact jaccardPairs on fixture docs") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 32, 8, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-exact pairs: ${lsh -- exact}")
+    assert(lsh.nonEmpty, "LSH should recover at least one planted near-dup")
+  }
+
+  test("simhash: identical docs share a signature; hamming is 0 for them") {
+    val df = Seq((1L, "spark merge join table"), (2L, "spark merge join table"),
+      (3L, "completely other content stream")).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("embedding LSH near-dup ⊆ brute-force near-dup on fixture embeddings") {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val a = embs.select(col("vec_id").as("id_a"), v.as("__va"))
+    val b = embs.select(col("vec_id").as("id_b"), v.as("__vb"))
+    val brute = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("__va"), col("__vb")) >= 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute), s"LSH invented pairs: ${lsh -- brute}")
+  }
+
+  test("bruteForceTopK returns k neighbors per query, self excluded, ranked") {
+    val queries = embs.filter(col("vec_id") % 100 === 0)
+    val out = Similarity.bruteForceTopK(embs, queries, k = 5)
+    val grouped = out.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(grouped.values.forall(_ == 5))
+    assert(out.filter(col("query_id") === col("vec_id")).count() == 0)
+    // sims are non-increasing within each query
+    val bad = out.withColumn("prev", lag(col("sim"), 1).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("query_id").orderBy("rk")))
+      .filter(col("prev").isNotNull && col("sim") > col("prev")).count()
+    assert(bad == 0)
+  }
+
+  test("ivfTopK recall vs exact top-k is reasonable on fixture embeddings") {
+    val queries = embs.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(embs, queries, 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(embs, queries, 5, nlist = 8, nprobe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall") // nprobe/nlist=0.5 scan
+  }
+
+  test("langId picks the language with the best stopword overlap") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze mit den"),
+      (3L, "le chat et la maison dans les rues"),
+      (4L, "los gatos y las casas por la ciudad como")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextAnalysis.langId(col("text")).as("g"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es"))
+  }
+
+  test("quality features: clean mid-length text scores above noisy text") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs on for a while"),
+      (2L, "@@@@ ### $$$$$ %%% ^^^^ &&&& **** (((( )))) !!!! ????")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFeatures(df)
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(2L))
+  }
+
+  test("fingerprint is invariant to case/whitespace/punctuation jitter") {
+    val df = Seq((1L, "Spark  merge, JOIN!"), (2L, "spark merge join"))
+      .toDF("doc_id", "text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("multimodal decode keeps ids/kinds and emits fixed-dim features") {
+    implicit val s: SparkSession = spark
+    val media = Multimodal.ingestFromDocuments(docs)
+    val feats = Multimodal.decodeAndFeaturize(media, dim = 16)
+    assert(feats.count() == docs.count())
+    val bad = feats.filter(size(col("feature")) =!= 16).count()
+    assert(bad == 0)
+    val kinds = feats.select("kind").distinct().as[String].collect().toSet
+    assert(kinds == Set("image", "audio", "video"))
+    // decode is deterministic: same input → same features
+    val f1 = Multimodal.decodeAndFeaturize(media, 16)
+      .filter(col("media_id") === 1).select("feature").as[Array[Float]].head()
+    val f2 = Multimodal.decodeAndFeaturize(media, 16)
+      .filter(col("media_id") === 1).select("feature").as[Array[Float]].head()
+    assert(f1.sameElements(f2))
+  }
+
+  test("repartitionForDecode bounds rows per partition") {
+    implicit val s: SparkSession = spark
+    val media = Multimodal.ingestFromDocuments(docs)
+    val parts = Multimodal.repartitionForDecode(media, rowsPerPartition = 10)
+      .rdd.glom().map(_.length).collect()
+    assert(parts.length >= docs.count() / 10 - 1)
+  }
+}
