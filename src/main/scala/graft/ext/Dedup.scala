@@ -169,22 +169,26 @@ object Dedup {
     val planes: Seq[Seq[Seq[Double]]] = Seq.fill(tables)(
       Seq.fill(planesPerTable)(Seq.fill(dim)(rnd.nextGaussian())))
     val v = transform(col(vecCol), x => x.cast("double"))
-    val bucketed = df.select(col(idCol).as("__id"), v.as("__v"),
+    // Buckets carry only (id, table, signature): the 64-dim vectors never
+    // enter the candidate shuffle — they are joined back once per UNIQUE
+    // candidate pair for the exact verify.
+    val bucketed = df.select(col(idCol).as("__id"),
       explode(array(planes.zipWithIndex.map { case (tbl, ti) =>
         struct(lit(ti).as("t"),
           concat_ws("", tbl.map(p =>
             when(Similarity.dot(v, lit(p.toArray)) >= 0, "1").otherwise("0")): _*)
             .as("b"))
       }: _*)).as("tb"))
-      .select(col("__id"), col("__v"), col("tb.t").as("__t"), col("tb.b").as("__b"))
-    val l = bucketed.select(col("__id").as("id_a"), col("__v").as("__va"),
-      col("__t"), col("__b"))
-    val r = bucketed.select(col("__id").as("id_b"), col("__v").as("__vb"),
-      col("__t"), col("__b"))
-    l.join(r, Seq("__t", "__b")).filter(col("id_a") < col("id_b"))
+      .select(col("__id"), col("tb.t").as("__t"), col("tb.b").as("__b"))
+    val l = bucketed.select(col("__id").as("id_a"), col("__t"), col("__b"))
+    val r = bucketed.select(col("__id").as("id_b"), col("__t"), col("__b"))
+    val cand = l.join(r, Seq("__t", "__b")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val va = df.select(col(idCol).as("id_a"), v.as("__va"))
+    val vb = df.select(col(idCol).as("id_b"), v.as("__vb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.cosine(col("__va"), col("__vb")).as("cosine"))
-      .distinct()
       .filter(col("cosine") >= threshold)
   }
 }

@@ -18,13 +18,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact dot product as a deterministic sequential fold. */
+  /** Native codegen'd dot product (see [[graft.functions.VectorDot]]);
+    * bit-identical to the sequential fold [[foldDot]]. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native codegen'd one-pass cosine; bit-identical to [[foldCosine]]. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vecCosine(a, b)
+
+  /** Reference implementations via higher-order functions — interpreted,
+    * ~20× slower; kept for differential testing of the native expressions. */
+  def foldDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def foldCosine(a: Column, b: Column): Column =
+    foldDot(a, b) / (sqrt(foldDot(a, a)) * sqrt(foldDot(b, b)))
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 

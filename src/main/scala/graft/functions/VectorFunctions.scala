@@ -1,0 +1,15 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.VectorBridge
+
+/** Public entry points for the native codegen'd vector expressions
+  * (implementation in org.apache.spark.sql.graft — the expressions need
+  * sql-package-private Catalyst types like AbstractDataType). */
+object VectorFunctions {
+  /** One-pass codegen'd dot product over two array<double> columns. */
+  def vecDot(a: Column, b: Column): Column = VectorBridge.vecDot(a, b)
+
+  /** One-pass codegen'd cosine similarity over two array<double> columns. */
+  def vecCosine(a: Column, b: Column): Column = VectorBridge.vecCosine(a, b)
+}

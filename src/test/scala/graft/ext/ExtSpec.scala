@@ -134,6 +134,20 @@ class ExtSpec extends SparkSpec {
     assert(f1.sameElements(f2))
   }
 
+  test("native codegen'd dot/cosine are bit-identical to the fold versions") {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val a = embs.select(col("vec_id").as("id_a"), v.as("va"))
+    val b = embs.select(col("vec_id").as("id_b"), v.as("vb"))
+    val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b")).limit(500)
+    val diff = pairs.select(
+      Similarity.dot(col("va"), col("vb")).as("nd"),
+      Similarity.foldDot(col("va"), col("vb")).as("fd"),
+      Similarity.cosine(col("va"), col("vb")).as("nc"),
+      Similarity.foldCosine(col("va"), col("vb")).as("fc"))
+      .filter(col("nd") =!= col("fd") || col("nc") =!= col("fc")).count()
+    assert(diff == 0, "native expressions must match the fold formulation exactly")
+  }
+
   test("repartitionForDecode bounds rows per partition") {
     implicit val s: SparkSession = spark
     val media = Multimodal.ingestFromDocuments(docs)
