@@ -158,6 +158,26 @@ object SparkEntry {
         .toDF("v1_n_rows", "v2_n_rows", "n_versions")
     }),
 
+    // §2A/§4: manifest min/max file skipping (Iceberg-style) — a
+    // range-partitioned commit is re-read through readWhere; the driver
+    // check proves pruned results stay exact, the files_scanned column
+    // proves files were actually skipped.
+    "q28_file_pruning" -> ((s, dir) => {
+      import s.implicits._
+      val store = tmpStore(s)
+      store.commit("li",
+        Tables.load(s, dir, "lineitem")
+          .repartitionByRange(8, col("l_orderkey")), "create")
+      val lo = 100L
+      val hi = 500L
+      val (kept, total) = store.prunedFileCount("li", "l_orderkey", lo, hi)
+      val agg = store.readWhere("li", "l_orderkey", lo, hi)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("l_quantity"), 2)).cast(DecimalType(18, 2)).as("sum_qty"))
+        .withColumn("pruning_effective", lit(kept < total))
+      agg
+    }),
+
     // §2A A16: bin-pack compaction preserves rows while packing files.
     "q23_compaction" -> ((s, dir) => {
       import s.implicits._
@@ -527,6 +547,18 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // ext: the native vector expressions exposed through plain SQL text —
+    // proves the SparkSessionExtensions / FunctionRegistry surface.
+    "q42_vector_sql" -> ((s, dir) => {
+      graft.functions.VectorFunctions.registerSql(s)
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT COUNT(*) AS n_neardup_pairs
+          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |WHERE vector_cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
+          |                    CAST(b.embedding AS ARRAY<DOUBLE>)) >= 0.45""".stripMargin)
+    }),
+
     // ext: multimodal pipeline — binary payload + typed metadata through
     // the real mapPartitions decode path (decoder stubbed; metadata math
     // is oracle-checkable).
@@ -654,6 +686,12 @@ object SparkEntry {
       """SELECT CAST(16 AS BIGINT) AS files_before, CAST(1 AS BIGINT) AS files_after,
         | count(*) AS n_rows
         |FROM events""".stripMargin,
+
+    "q28_file_pruning" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        | CAST(TRUE AS BOOLEAN) AS pruning_effective
+        |FROM lineitem WHERE l_orderkey >= 100 AND l_orderkey <= 500""".stripMargin,
 
     "q06_corr_scalar_subquery" -> SharedSql.corrScalarSubquery,
     "q07_scalar_subqueries" -> SharedSql.scalarSubqueries,
@@ -946,6 +984,12 @@ object SparkEntry {
         |        list_filter(string_split_regex(lower(text), '\W+'), x -> x <> ''), ' ')) AS f
         |      FROM documents) t
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q42_vector_sql" ->
+      """SELECT COUNT(*) AS n_neardup_pairs
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
 
     "q41_multimodal_features" ->
       """SELECT kind, COUNT(*) AS n_media,

@@ -2,9 +2,14 @@ package graft.core
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
 
 /** Versioned Parquet table layer — the engine's Iceberg stand-in.
   *
@@ -71,6 +76,14 @@ class TableStore(spark: SparkSession, val warehouse: String) {
   /** Commit `df` as the next version of `table` (full snapshot).
     * A4/A5: `createOrReplace` and append both land here — append is
     * expressed by the caller unioning with `read(table)` (see [[append]]).
+    *
+    * Per-file row counts and column min/max are harvested from the parquet
+    * FOOTERS just written (no data re-read); they power `$history` counts
+    * and [[readWhere]] file skipping — the Iceberg-metadata capability the
+    * reference measured as its main scan win
+    * (reference/docs/README.md:123-129). Footers are read where the commit
+    * runs; on a cluster this is a tiny metadata task per file, mergeable
+    * into the write job via a commit protocol later.
     */
   def commit(table: String, df: DataFrame, operation: String): Long = {
     val v = currentVersion(table) + 1
@@ -78,12 +91,115 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     df.write.mode("overwrite").parquet(dataDir.toString)
     val f = fs(dataDir)
     val parts = f.listStatus(dataDir).filter(_.getPath.getName.startsWith("part-"))
-    val files = parts.map(s => FileEntry(s.getPath.getName, s.getLen)).toSeq
-    val rows = spark.read.parquet(dataDir.toString).count()
+    val files = parts.map { s =>
+      val (rows, stats) = footerStats(s.getPath)
+      FileEntry(s.getPath.getName, s.getLen, rows, stats)
+    }.toSeq
     writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
-      rows, files, df.schema.json))
+      files.map(_.rowCount).sum, files, df.schema.json))
     swapPointer(table, v)
     v
+  }
+
+  /** Row count + per-column min/max from a parquet footer (metadata only).
+    * Stats kept for primitive orderable types; strings via UTF-8 bytes. */
+  private def footerStats(p: Path): (Long, Map[String, ColStats]) = {
+    val in = HadoopInputFile.fromPath(p, spark.sparkContext.hadoopConfiguration)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val acc = scala.collection.mutable.Map[String, (Any, Any)]()
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val st = c.getStatistics
+        if (st != null && st.hasNonNullValue && c.getPath.size() == 1) {
+          val name = c.getPath.toDotString
+          val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+            case (a: Binary, b2: Binary) => (a.toStringUsingUTF8, b2.toStringUsingUTF8)
+            case (a, b2) => (a, b2)
+          }
+          (mn, mx) match {
+            case (cmn: Comparable[_], _) =>
+              val prev = acc.get(name)
+              val newMin = prev.map(_._1).map(p0 =>
+                if (cmp(mn, p0) < 0) mn else p0).getOrElse(mn)
+              val newMax = prev.map(_._2).map(p0 =>
+                if (cmp(mx, p0) > 0) mx else p0).getOrElse(mx)
+              acc(name) = (newMin, newMax)
+            case _ =>
+          }
+        }
+      }
+      (rows, acc.map { case (k, (mn, mx)) =>
+        k -> ColStats(mn.toString, mx.toString, kindOf(mn))
+      }.toMap)
+    } finally reader.close()
+  }
+
+  private def cmp(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  private def kindOf(v: Any): String = v match {
+    case _: java.lang.Long | _: java.lang.Integer => "long"
+    case _: java.lang.Double | _: java.lang.Float => "double"
+    case _ => "string"
+  }
+
+  /** Read the latest snapshot scanning ONLY files whose [min,max] range for
+    * `column` intersects [lower, upper] (file skipping, Iceberg-style);
+    * the residual filter is still applied, so results are exact. Files
+    * without stats for the column are conservatively kept. */
+  def readWhere(table: String, column: String, lower: Any, upper: Any): DataFrame = {
+    val v = currentVersion(table)
+    val m = manifests(table).find(_.version == v).get
+    val dir = versionDir(table, v)
+    val keep = m.files.filter { fe =>
+      fe.stats.get(column) match {
+        case Some(s) => overlaps(s, lower, upper)
+        case None => true
+      }
+    }
+    val paths = keep.map(fe => new Path(dir, fe.name).toString)
+    val base =
+      if (paths.isEmpty)
+        spark.read.schema(
+          org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .parquet(dir.toString).limit(0)
+      else spark.read.parquet(paths: _*)
+    base.filter(col(column) >= lit(lower) && col(column) <= lit(upper))
+  }
+
+  private def lit(v: Any): Column = org.apache.spark.sql.functions.lit(v)
+
+  /** How many files [[readWhere]] would scan — exposed for tests/metrics. */
+  def prunedFileCount(table: String, column: String, lower: Any, upper: Any): (Int, Int) = {
+    val m = manifests(table).maxBy(_.version)
+    val keep = m.files.count(fe => fe.stats.get(column).forall(overlaps(_, lower, upper)))
+    (keep, m.files.size)
+  }
+
+  private def overlaps(s: ColStats, lower: Any, upper: Any): Boolean = s.kind match {
+    case "long" =>
+      val (mn, mx) = (s.min.toLong, s.max.toLong)
+      val (lo, hi) = (toLong(lower), toLong(upper))
+      mx >= lo && mn <= hi
+    case "double" =>
+      val (mn, mx) = (s.min.toDouble, s.max.toDouble)
+      val (lo, hi) = (toDouble(lower), toDouble(upper))
+      mx >= lo && mn <= hi
+    case _ =>
+      val (lo, hi) = (lower.toString, upper.toString)
+      s.max >= lo && s.min <= hi
+  }
+
+  private def toLong(v: Any): Long = v match {
+    case n: Number => n.longValue()
+    case s: String => s.toLong
+  }
+  private def toDouble(v: Any): Double = v match {
+    case n: Number => n.doubleValue()
+    case s: String => s.toDouble
   }
 
   /** Append = read-current ∪ batch, committed as one new snapshot (A5). */
@@ -167,8 +283,17 @@ class TableStore(spark: SparkSession, val warehouse: String) {
   private def parseManifest(txt: String): Manifest = {
     val n = mapper.readTree(txt)
     val files = ArrayBuffer[FileEntry]()
-    n.get("files").forEach(fn =>
-      files += FileEntry(fn.get("name").asText(), fn.get("sizeBytes").asLong()))
+    n.get("files").forEach { fn =>
+      val stats = scala.collection.mutable.Map[String, ColStats]()
+      val sn = fn.get("stats")
+      if (sn != null) sn.properties().asScala.foreach { e =>
+        stats(e.getKey) = ColStats(e.getValue.get("min").asText(),
+          e.getValue.get("max").asText(), e.getValue.get("kind").asText())
+      }
+      files += FileEntry(fn.get("name").asText(), fn.get("sizeBytes").asLong(),
+        if (fn.has("rowCount")) fn.get("rowCount").asLong() else 0L,
+        stats.toMap)
+    }
     Manifest(n.get("version").asLong(), n.get("timestampMs").asLong(),
       n.get("operation").asText(), n.get("rowCount").asLong(), files.toSeq,
       n.get("schemaJson").asText())
@@ -186,8 +311,13 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     } + "\""
 
   private def writeManifest(table: String, m: Manifest): Unit = {
-    val filesJson = m.files.map(fe =>
-      s"""{"name":${jsonStr(fe.name)},"sizeBytes":${fe.sizeBytes}}""").mkString("[", ",", "]")
+    val filesJson = m.files.map { fe =>
+      val statsJson = fe.stats.toSeq.sortBy(_._1).map { case (c, s) =>
+        s"""${jsonStr(c)}:{"min":${jsonStr(s.min)},"max":${jsonStr(s.max)},"kind":${jsonStr(s.kind)}}"""
+      }.mkString("{", ",", "}")
+      s"""{"name":${jsonStr(fe.name)},"sizeBytes":${fe.sizeBytes},""" +
+        s""""rowCount":${fe.rowCount},"stats":$statsJson}"""
+    }.mkString("[", ",", "]")
     val json =
       s"""{"version":${m.version},"timestampMs":${m.timestampMs},
          |"operation":${jsonStr(m.operation)},"rowCount":${m.rowCount},
@@ -209,7 +339,11 @@ class TableStore(spark: SparkSession, val warehouse: String) {
 }
 
 object TableStore {
-  case class FileEntry(name: String, sizeBytes: Long)
+  /** Per-column min/max harvested from parquet footers, stringly-stored
+    * with a kind tag so pruning compares in the right domain. */
+  case class ColStats(min: String, max: String, kind: String)
+  case class FileEntry(name: String, sizeBytes: Long, rowCount: Long = 0L,
+    stats: Map[String, ColStats] = Map.empty)
   case class Manifest(version: Long, timestampMs: Long, operation: String,
     rowCount: Long, files: Seq[FileEntry], schemaJson: String)
 }

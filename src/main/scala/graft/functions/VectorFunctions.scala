@@ -12,4 +12,8 @@ object VectorFunctions {
 
   /** One-pass codegen'd cosine similarity over two array<double> columns. */
   def vecCosine(a: Column, b: Column): Column = VectorBridge.vecCosine(a, b)
+
+  /** Register `vector_dot`/`vector_cosine` as SQL functions on a session. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    VectorBridge.registerSqlFunctions(spark)
 }

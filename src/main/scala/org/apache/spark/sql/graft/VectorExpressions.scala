@@ -120,4 +120,15 @@ object VectorBridge {
   def vecCosine(a: Column, b: Column): Column =
     ExpressionUtils.column(VectorCosine(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Expose the expressions as SQL functions (`vector_dot`, `vector_cosine`)
+    * on an already-built session — complements [[graft.GraftExtensions]]
+    * which injects them at session-build time. */
+  def registerSqlFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vector_dot",
+      (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("vector_cosine",
+      (exprs: Seq[Expression]) => VectorCosine(exprs(0), exprs(1)), "built-in")
+  }
 }

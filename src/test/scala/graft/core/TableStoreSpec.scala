@@ -61,6 +61,30 @@ class TableStoreSpec extends SparkSpec {
     assert(!store.exists("t") && store.tables.isEmpty)
   }
 
+  test("manifest stats: per-file row counts and min/max harvested from footers") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("id")), "create")
+    val m = store.manifests("t").last
+    assert(m.files.size == 4)
+    assert(m.files.map(_.rowCount).sum == 100)
+    assert(m.rowCount == 100)
+    val idStats = m.files.flatMap(_.stats.get("id"))
+    assert(idStats.size == 4 && idStats.forall(_.kind == "long"))
+    assert(idStats.map(_.min.toLong).min == 1 && idStats.map(_.max.toLong).max == 100)
+  }
+
+  test("readWhere skips files outside the predicate range, result stays exact") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+      .repartitionByRange(8, org.apache.spark.sql.functions.col("id")), "create")
+    val (kept, total) = store.prunedFileCount("t", "id", 100L, 150L)
+    assert(total == 8 && kept < total, s"expected pruning, kept $kept/$total")
+    val pruned = store.readWhere("t", "id", 100L, 150L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(pruned == (100L to 150L).toSeq)
+  }
+
   test("expireSnapshots keeps time travel bounded") {
     val store = new TableStore(spark, tmpDir("ts"))
     store.commit("t", Seq(1).toDF("id"), "create")
