@@ -61,6 +61,7 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
   private var matchedClauses = Vector.empty[Clause]
   private var insertClauses = Vector.empty[Insert]
   private var cardinalityCheck = true
+  private var fileRewrite = true
 
   def using(source: DataFrame): this.type = { src = source; this }
 
@@ -99,11 +100,22 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
     cardinalityCheck = enabled; this
   }
 
+  /** File-level copy-on-write (default on): only target files whose
+    * [min,max] range for the first merge key overlaps the source's key
+    * bounds are rewritten; the rest carry into the new snapshot untouched.
+    * Effective when the table is clustered on the merge key (the standard
+    * layout for CDC targets); conservatively falls back to full rewrite
+    * when stats are missing. */
+  def withFileLevelRewrite(enabled: Boolean): this.type = {
+    fileRewrite = enabled; this
+  }
+
   /** Build the merged snapshot without committing (plan inspection/tests). */
-  def plan(): DataFrame = {
+  def plan(): DataFrame = planAgainst(store.read(table))
+
+  private def planAgainst(target: DataFrame): DataFrame = {
     require(src != null, "MERGE requires using(source)")
     require(keys.nonEmpty, "MERGE requires on(keys)")
-    val target = store.read(table)
     val tSchema = target.schema
 
     if (cardinalityCheck) {
@@ -169,6 +181,25 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
     kept.select(outCols.toSeq: _*)
   }
 
-  /** Execute the merge and commit the new snapshot; returns the version. */
-  def run(): Long = store.commit(table, plan(), "merge")
+  /** Execute the merge and commit the new snapshot; returns the version.
+    * With file-level rewrite on, the commit writes only the files the
+    * source's key range can touch (SURVEY.md §4 "MERGE physical strategy",
+    * mirroring Iceberg's copy-on-write file scoping —
+    * reference/docs/README.md:300-302). */
+  def run(): Long = {
+    val pruned =
+      if (fileRewrite && keys.nonEmpty) {
+        val (tk, sk) = keys.head
+        val (hit, untouched) =
+          store.filesHitByKeys(table, tk, src.select(col(sk)).na.drop())
+        if (untouched.nonEmpty) Some((hit, untouched)) else None
+      } else None
+    pruned match {
+      case Some((hit, untouched)) =>
+        val merged = planAgainst(store.readFiles(table, hit))
+        store.commitFiles(table, untouched, Some(merged), "merge")
+      case None =>
+        store.commit(table, plan(), "merge")
+    }
+  }
 }

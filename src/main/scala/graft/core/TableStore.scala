@@ -85,18 +85,45 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * runs; on a cluster this is a tiny metadata task per file, mergeable
     * into the write job via a commit protocol later.
     */
-  def commit(table: String, df: DataFrame, operation: String): Long = {
+  def commit(table: String, df: DataFrame, operation: String): Long =
+    commitFiles(table, Seq.empty, Some(df), operation)
+
+  /** Copy-on-write commit: the new snapshot = `keptFiles` (entries carried
+    * over from a previous manifest — file paths are version-qualified, so
+    * nothing is copied) ∪ the freshly-written `newData`. This is what makes
+    * file-level MERGE rewrite possible (SURVEY.md §4 "MERGE physical
+    * strategy"): untouched files cost zero I/O in the commit. */
+  def commitFiles(table: String, keptFiles: Seq[FileEntry],
+      newData: Option[DataFrame], operation: String): Long = {
     val v = currentVersion(table) + 1
-    val dataDir = versionDir(table, v)
-    df.write.mode("overwrite").parquet(dataDir.toString)
-    val f = fs(dataDir)
-    val parts = f.listStatus(dataDir).filter(_.getPath.getName.startsWith("part-"))
-    val files = parts.map { s =>
-      val (rows, stats) = footerStats(s.getPath)
-      FileEntry(s.getPath.getName, s.getLen, rows, stats)
-    }.toSeq
+    val newEntries = newData match {
+      case Some(df) =>
+        val dataDir = versionDir(table, v)
+        // Write timestamps as TIMESTAMP_MICROS *for store files only*:
+        // INT96 (Spark's session default) has no orderable footer stats.
+        // Scoped set-and-restore so the session's own writes are untouched.
+        val key = "spark.sql.parquet.outputTimestampType"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        try df.write.mode("overwrite").parquet(dataDir.toString)
+        finally prev match {
+          case Some(p) => spark.conf.set(key, p)
+          case None => spark.conf.unset(key)
+        }
+        val f = fs(dataDir)
+        f.listStatus(dataDir).filter(_.getPath.getName.startsWith("part-"))
+          .map { s =>
+            val (rows, stats) = footerStats(s.getPath)
+            FileEntry(s"v=$v/${s.getPath.getName}", s.getLen, rows, stats)
+          }.toSeq
+      case None => Seq.empty
+    }
+    val files = keptFiles ++ newEntries
+    val schemaJson = newData.map(_.schema.json)
+      .orElse(manifests(table).lastOption.map(_.schemaJson))
+      .getOrElse("{}")
     writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
-      files.map(_.rowCount).sum, files, df.schema.json))
+      files.map(_.rowCount).sum, files, schemaJson))
     swapPointer(table, v)
     v
   }
@@ -112,7 +139,19 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       val acc = scala.collection.mutable.Map[String, (Any, Any)]()
       for (b <- blocks; c <- b.getColumns.asScala) {
         val st = c.getStatistics
-        if (st != null && st.hasNonNullValue && c.getPath.size() == 1) {
+        val ptype = c.getPrimitiveType
+        // Only primitive types with a total order we can prune on: INT96
+        // (12-byte legacy timestamps) and fixed/decimal binaries are skipped;
+        // BINARY is kept only when annotated as a UTF-8 string.
+        val prunable = ptype.getPrimitiveTypeName match {
+          case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT96 => false
+          case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY => false
+          case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.BINARY =>
+            ptype.getLogicalTypeAnnotation.isInstanceOf[
+              org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+          case _ => true
+        }
+        if (prunable && st != null && st.hasNonNullValue && c.getPath.size() == 1) {
           val name = c.getPath.toDotString
           val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
             case (a: Binary, b2: Binary) => (a.toStringUsingUTF8, b2.toStringUsingUTF8)
@@ -152,22 +191,10 @@ class TableStore(spark: SparkSession, val warehouse: String) {
   def readWhere(table: String, column: String, lower: Any, upper: Any): DataFrame = {
     val v = currentVersion(table)
     val m = manifests(table).find(_.version == v).get
-    val dir = versionDir(table, v)
-    val keep = m.files.filter { fe =>
-      fe.stats.get(column) match {
-        case Some(s) => overlaps(s, lower, upper)
-        case None => true
-      }
-    }
-    val paths = keep.map(fe => new Path(dir, fe.name).toString)
-    val base =
-      if (paths.isEmpty)
-        spark.read.schema(
-          org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
-            .asInstanceOf[org.apache.spark.sql.types.StructType])
-          .parquet(dir.toString).limit(0)
-      else spark.read.parquet(paths: _*)
-    base.filter(col(column) >= lit(lower) && col(column) <= lit(upper))
+    val keep = m.files.filter(fe =>
+      fe.stats.get(column).forall(overlaps(_, lower, upper)))
+    readManifest(table, m.copy(files = keep))
+      .filter(col(column) >= lit(lower) && col(column) <= lit(upper))
   }
 
   private def lit(v: Any): Column = org.apache.spark.sql.functions.lit(v)
@@ -177,6 +204,68 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val m = manifests(table).maxBy(_.version)
     val keep = m.files.count(fe => fe.stats.get(column).forall(overlaps(_, lower, upper)))
     (keep, m.files.size)
+  }
+
+  /** Split the current snapshot's files into (hit, untouched) for a key
+    * range — the planning primitive of file-level copy-on-write MERGE.
+    * Files without stats are conservatively "hit"; null bounds (empty
+    * source) hit nothing. */
+  def filesOverlapping(table: String, column: String, lower: Any, upper: Any)
+      : (Seq[FileEntry], Seq[FileEntry]) = {
+    val m = manifests(table).maxBy(_.version)
+    if (lower == null || upper == null) (Seq.empty, m.files)
+    else m.files.partition(fe =>
+      fe.stats.get(column).forall(overlaps(_, lower, upper)))
+  }
+
+  /** Read an explicit subset of the current snapshot's files. */
+  def readFiles(table: String, files: Seq[FileEntry]): DataFrame =
+    readManifest(table, manifests(table).maxBy(_.version).copy(files = files))
+
+  /** Split the current snapshot's files into (hit, untouched) by joining
+    * the DISTINCT source keys against the per-file [min,max] ranges — a
+    * broadcast range join over the (tiny) file-range table, so a wide but
+    * sparse key set (e.g. one update + one far-away insert) does not smear
+    * into "every file is hit" the way whole-range bounds would. Files
+    * without stats for the column are conservatively hit. */
+  def filesHitByKeys(table: String, column: String, keys: DataFrame)
+      : (Seq[FileEntry], Seq[FileEntry]) = {
+    import org.apache.spark.sql.functions.{broadcast, unix_micros, datediff, to_date}
+    val m = manifests(table).maxBy(_.version)
+    val (statFiles, noStat) = m.files.partition(_.stats.contains(column))
+    if (statFiles.isEmpty) return (m.files, Seq.empty)
+    val kind = statFiles.head.stats(column).kind
+    val keyRaw = col(keys.columns.head)
+    val keyType = keys.schema.fields.head.dataType
+    import org.apache.spark.sql.types.{TimestampType, DateType}
+    val keyExpr = (kind, keyType) match {
+      case ("long", TimestampType) => unix_micros(keyRaw)
+      case ("long", DateType) => datediff(keyRaw, to_date(lit("1970-01-01")))
+        .cast("long")
+      case ("long", _) => keyRaw.cast("long")
+      case ("double", _) => keyRaw.cast("double")
+      case _ => keyRaw.cast("string")
+    }
+    val castType = kind match {
+      case "long" => "long"
+      case "double" => "double"
+      case _ => "string"
+    }
+    val ranges = statFiles.zipWithIndex.map { case (fe, i) =>
+      (i, fe.stats(column).min, fe.stats(column).max)
+    }
+    val rangesDf = {
+      import spark.implicits._
+      ranges.toDF("__idx", "__mn", "__mx")
+        .select(col("__idx"), col("__mn").cast(castType).as("__mn"),
+          col("__mx").cast(castType).as("__mx"))
+    }
+    val hitIdx = keys.select(keyExpr.as("__k")).distinct()
+      .join(broadcast(rangesDf),
+        col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+      .select(col("__idx")).distinct().collect().map(_.getInt(0)).toSet
+    val (hit, untouched) = statFiles.zipWithIndex.partition(p => hitIdx(p._2))
+    (hit.map(_._1) ++ noStat, untouched.map(_._1))
   }
 
   private def overlaps(s: ColStats, lower: Any, upper: Any): Boolean = s.kind match {
@@ -195,6 +284,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
 
   private def toLong(v: Any): Long = v match {
     case n: Number => n.longValue()
+    case t: java.sql.Timestamp => t.getTime * 1000L // parquet TIMESTAMP_MICROS
+    case d: java.sql.Date => d.toLocalDate.toEpochDay // parquet DATE (days)
     case s: String => s.toLong
   }
   private def toDouble(v: Any): Double = v match {
@@ -210,11 +301,22 @@ class TableStore(spark: SparkSession, val warehouse: String) {
   /** Read the latest snapshot. */
   def read(table: String): DataFrame = readVersion(table, currentVersion(table))
 
-  /** Read a specific version (`VERSION AS OF`). */
+  /** Read a specific version (`VERSION AS OF`) — by the manifest's explicit
+    * file list, never by directory listing (a snapshot may reference files
+    * from several version directories after copy-on-write commits). */
   def readVersion(table: String, v: Long): DataFrame = {
     require(v > 0 && fs(manifestPath(table, v)).exists(manifestPath(table, v)),
       s"table $table has no version $v")
-    spark.read.parquet(versionDir(table, v).toString)
+    val m = manifests(table).find(_.version == v).get
+    readManifest(table, m)
+  }
+
+  private def readManifest(table: String, m: Manifest): DataFrame = {
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    if (m.files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else spark.read.schema(schema)
+      .parquet(m.files.map(fe => new Path(tableDir(table), fe.path).toString): _*)
   }
 
   /** Time travel (A14): latest version committed at or before `tsMillis`. */
@@ -256,13 +358,19 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     if (f.exists(d)) { f.delete(d, true); () }
   }
 
-  /** Expire all snapshots except the latest (housekeeping; keeps time travel
-    * bounded like Iceberg's `expire_snapshots`). */
+  /** Expire all snapshots except the last `keepLast` (housekeeping; keeps
+    * time travel bounded like Iceberg's `expire_snapshots`). Data files
+    * still referenced by a surviving snapshot are NOT deleted — after
+    * copy-on-write commits a snapshot may share files with older ones. */
   def expireSnapshots(table: String, keepLast: Int = 1): Unit = {
     val ms = manifests(table).sortBy(-_.version)
-    ms.drop(keepLast).foreach { m =>
-      val f = fs(versionDir(table, m.version))
-      f.delete(versionDir(table, m.version), true)
+    val (kept, dropped) = ms.splitAt(keepLast)
+    val referenced = kept.flatMap(_.files.map(_.path)).toSet
+    dropped.foreach { m =>
+      val f = fs(manifestPath(table, m.version))
+      m.files.filterNot(fe => referenced.contains(fe.path)).foreach { fe =>
+        f.delete(new Path(tableDir(table), fe.path), false)
+      }
       f.delete(manifestPath(table, m.version), false)
     }
   }
@@ -290,7 +398,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         stats(e.getKey) = ColStats(e.getValue.get("min").asText(),
           e.getValue.get("max").asText(), e.getValue.get("kind").asText())
       }
-      files += FileEntry(fn.get("name").asText(), fn.get("sizeBytes").asLong(),
+      files += FileEntry(fn.get("path").asText(), fn.get("sizeBytes").asLong(),
         if (fn.has("rowCount")) fn.get("rowCount").asLong() else 0L,
         stats.toMap)
     }
@@ -306,7 +414,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       case '\n' => "\\n"
       case '\r' => "\\r"
       case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
 
@@ -315,7 +423,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       val statsJson = fe.stats.toSeq.sortBy(_._1).map { case (c, s) =>
         s"""${jsonStr(c)}:{"min":${jsonStr(s.min)},"max":${jsonStr(s.max)},"kind":${jsonStr(s.kind)}}"""
       }.mkString("{", ",", "}")
-      s"""{"name":${jsonStr(fe.name)},"sizeBytes":${fe.sizeBytes},""" +
+      s"""{"path":${jsonStr(fe.path)},"sizeBytes":${fe.sizeBytes},""" +
         s""""rowCount":${fe.rowCount},"stats":$statsJson}"""
     }.mkString("[", ",", "]")
     val json =
@@ -342,7 +450,9 @@ object TableStore {
   /** Per-column min/max harvested from parquet footers, stringly-stored
     * with a kind tag so pruning compares in the right domain. */
   case class ColStats(min: String, max: String, kind: String)
-  case class FileEntry(name: String, sizeBytes: Long, rowCount: Long = 0L,
+  /** `path` is relative to the table directory and version-qualified
+    * (e.g. "v=3/part-0000.parquet") so snapshots can share files. */
+  case class FileEntry(path: String, sizeBytes: Long, rowCount: Long = 0L,
     stats: Map[String, ColStats] = Map.empty)
   case class Manifest(version: Long, timestampMs: Long, operation: String,
     rowCount: Long, files: Seq[FileEntry], schemaJson: String)

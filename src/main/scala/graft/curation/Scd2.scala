@@ -87,7 +87,11 @@ object Scd2 {
     */
   def scd2Complex(store: TableStore, table: String, delta: DataFrame,
       pkCol: String = "pk", tsCol: String = "extraction_timestamp"): Long = {
-    val target = store.read(table)
+    // File-level copy-on-write: files whose pk range the delta cannot touch
+    // carry into the new snapshot without being read or rewritten.
+    val (hitFiles, untouchedFiles) =
+      store.filesHitByKeys(table, pkCol, delta.select(col(pkCol)))
+    val target = store.readFiles(table, hitFiles)
     val scd2Cols = Seq("start_datetime", "end_datetime", "is_current")
     val payloadCols = target.columns.filterNot(scd2Cols.contains)
 
@@ -113,8 +117,8 @@ object Scd2 {
         coalesce(lead(col(tsCol), 1).over(chainW), sentinel))
       .withColumn("is_current", col("end_datetime") === sentinel)
 
-    store.commit(table,
-      untouched.unionByName(rechained.select(target.columns.map(col).toSeq: _*)),
+    store.commitFiles(table, untouchedFiles,
+      Some(untouched.unionByName(rechained.select(target.columns.map(col).toSeq: _*))),
       "scd2_complex")
   }
 

@@ -70,6 +70,41 @@ class MergeSpec extends SparkSpec {
     assert(err.getMessage.contains("more than one source row"))
   }
 
+  test("file-level copy-on-write: untouched files carry into the new snapshot unrewritten") {
+    val store = freshStore()
+    store.commit("t",
+      (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("id")),
+      "create")
+    val before = store.manifests("t").last.files.map(_.path).toSet
+    assert(before.size == 4)
+    Merge.into(store, "t")
+      .using(Seq((10L, "X"), (20L, "Y"), (2000L, "NEW")).toDF("id", "s"))
+      .on(Seq("id"))
+      .whenMatchedUpdate()
+      .whenNotMatchedInsert()
+      .run()
+    val after = store.manifests("t").last.files.map(_.path).toSet
+    val shared = before & after
+    assert(shared.size == 3, s"expected 3 reused files, got ${shared.size}")
+    // result is identical to what a full rewrite would produce
+    val out = store.read("t").as[(Long, String)].collect().toMap
+    assert(out.size == 1001 && out(10L) == "X" && out(20L) == "Y" &&
+      out(2000L) == "NEW" && out(500L) == "v500")
+  }
+
+  test("file-level rewrite falls back to full rewrite when all files are hit") {
+    val store = freshStore()
+    store.commit("t", Seq((1L, "a"), (999L, "b")).toDF("id", "s"), "create")
+    Merge.into(store, "t")
+      .using(Seq((1L, "A"), (999L, "B")).toDF("id", "s"))
+      .on(Seq("id"))
+      .whenMatchedUpdate()
+      .run()
+    assert(store.read("t").as[(Long, String)].collect().toMap ==
+      Map(1L -> "A", 999L -> "B"))
+  }
+
   test("insert with explicit values fills unassigned columns with null") {
     val store = freshStore()
     store.commit("t", Seq((1, "a", 10)).toDF("id", "s", "v"), "create")
