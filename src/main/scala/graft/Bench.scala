@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs the headline queries on
@@ -30,6 +33,41 @@ object Bench {
     "q35_embedding_neardup_lsh", "q36_similarity_topk", "q37_text_langid",
     "q39_token_stats", "q41_multimodal_features")
 
+  /** A20 metrics collector (replaces the reference's Athena `Statistics` /
+    * Glue DPU collectors — SURVEY.md §2A A19/A20): scan size from the
+    * executed plan's file-scan nodes (the analogue of Athena's
+    * DataScannedInBytes; task-level inputMetrics report 0 on local fs) and
+    * shuffle bytes from task metrics. */
+  private final class BytesListener extends SparkListener
+      with org.apache.spark.sql.util.QueryExecutionListener {
+    val input = new AtomicLong(0L)
+    val shuffleWrite = new AtomicLong(0L)
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) { shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+    }
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+      // AQE wraps the final plan: recurse through adaptive/stage nodes.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scanned(p: SparkPlan): Long = {
+        val self = if (p.metrics.contains("filesSize")) p.metrics("filesSize").value else 0L
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case s: QueryStageExec => Seq(s.plan)
+          case o => o.children
+        }
+        self + kids.map(scanned).sum
+      }
+      input.addAndGet(scanned(qe.executedPlan))
+      ()
+    }
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    def reset(): Unit = { input.set(0L); shuffleWrite.set(0L) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -52,20 +90,30 @@ object Bench {
       catch { case _: Throwable => }
     }
 
+    val listener = new BytesListener
+    spark.sparkContext.addSparkListener(listener)
+    spark.listenerManager.register(listener)
+
     val results = queries.map { name =>
+      System.err.println(s"[bench] timing $name")
+      listener.reset()
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case _: Throwable => }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      Thread.sleep(150) // let straggler task-end events drain (metrics are advisory)
+      name -> (times.min, listener.input.get() / 2, listener.shuffleWrite.get() / 2)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, (v, _, _)) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val bytes = results.map { case (k, (_, in, sh)) =>
+      "\"" + k + s"""\":{"input":$in,"shuffle":$sh}""" }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    val totalIn = results.map(_._2._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bytes_read":$totalIn,"bytes":$bytes}""")
     spark.stop()
   }
 }

@@ -435,6 +435,24 @@ object SparkEntry {
         .orderBy(col("channel"), col("order_year"))
     }),
 
+    // §2B correlated EXISTS ×2 (q10/q35 shape) through Catalyst's
+    // RewritePredicateSubquery.
+    "q29_correlated_exists" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(SharedSql.correlatedExists)
+    }),
+
+    // §2B UNION (distinct) — q38-style wrapper.
+    "q43_union_distinct" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      def keys(from: String, until: String) =
+        o.filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until))
+          .select(col("o_custkey"))
+      keys("1996-01-01", "1997-06-01").union(keys("1997-01-01", "1998-01-01"))
+        .distinct()
+        .orderBy(col("o_custkey"))
+    }),
+
     // ext: exact dedup (hash-groupBy on normalized-content fingerprint).
     "q30_dedup_exact" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -597,6 +615,17 @@ object SparkEntry {
         |     (SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) s2,
         |     (SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) s3,
         |     (SELECT COUNT(*) AS cnt FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) s4""".stripMargin
+
+    val correlatedExists: String =
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |              AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+        |              AND o.o_orderdate < TIMESTAMP '1998-01-01')
+        |  AND EXISTS (SELECT 1 FROM orders o2 JOIN lineitem l ON l.l_orderkey = o2.o_orderkey
+        |              WHERE o2.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
   }
 
   // ------------------------------------------------------------ oracle SQL
@@ -695,6 +724,16 @@ object SparkEntry {
 
     "q06_corr_scalar_subquery" -> SharedSql.corrScalarSubquery,
     "q07_scalar_subqueries" -> SharedSql.scalarSubqueries,
+    "q29_correlated_exists" -> SharedSql.correlatedExists,
+
+    "q43_union_distinct" ->
+      """SELECT o_custkey FROM (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  UNION
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |) t ORDER BY o_custkey""".stripMargin,
 
     "q08_window_rank" ->
       """WITH rev AS (
