@@ -178,6 +178,25 @@ object SparkEntry {
       agg
     }),
 
+    // §2A A14 via SQL: the DSv2 GraftCatalog resolves store tables in
+    // plain SQL incl. `VERSION AS OF` time travel.
+    "q44_sql_catalog" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_cat").toString
+      val store = new TableStore(s, wh)
+      val ev = Tables.load(s, dir, "events")
+      store.commit("ev", ev.filter(col("ts") < lit("2024-01-15")), "create")
+      store.append("ev", ev.filter(col("ts") >= lit("2024-01-15")))
+      // unique catalog name per invocation: CatalogManager caches instances
+      val cat = s"gq44x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(
+        s"""SELECT (SELECT count(*) FROM $cat.ns.ev VERSION AS OF 1) AS v1_n_rows,
+           |       count(*) AS v2_n_rows
+           |FROM $cat.ns.ev""".stripMargin)
+    }),
+
     // §2A A16: bin-pack compaction preserves rows while packing files.
     "q23_compaction" -> ((s, dir) => {
       import s.implicits._
@@ -709,6 +728,12 @@ object SparkEntry {
         | (SELECT count(*) FROM events WHERE ts < TIMESTAMP '2024-01-15') AS v1_n_rows,
         | count(*) AS v2_n_rows,
         | CAST(2 AS BIGINT) AS n_versions
+        |FROM events""".stripMargin,
+
+    "q44_sql_catalog" ->
+      """SELECT
+        | (SELECT count(*) FROM events WHERE ts < TIMESTAMP '2024-01-15') AS v1_n_rows,
+        | count(*) AS v2_n_rows
         |FROM events""".stripMargin,
 
     "q23_compaction" ->

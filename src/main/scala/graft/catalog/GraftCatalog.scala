@@ -1,0 +1,106 @@
+package graft.catalog
+
+import java.util
+
+import graft.core.TableStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource-v2 `TableCatalog` over [[TableStore]] — the SQL face of the
+  * versioned table layer (SURVEY.md §7 "custom `TableCatalog` in v2").
+  *
+  * Register and query with plain SQL, including Iceberg-style time travel
+  * (the reference's `FOR TIMESTAMP AS OF` —
+  * reference/src/data_derivation/athena_iceberg/r/iceberg_test.Rmd:393-397):
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/path/wh")
+  *   spark.sql("SELECT * FROM graft.ns.events VERSION AS OF 1")
+  *   spark.sql("SELECT * FROM graft.ns.events TIMESTAMP AS OF '2024-06-01'")
+  * }}}
+  *
+  * Reads delegate to Spark's own DSv2 `ParquetTable` over the snapshot's
+  * manifest file list, so vectorized reads, filter pushdown and column
+  * pruning are inherited wholesale; only file selection (versioning) is
+  * ours. Writes go through the [[TableStore]] API (atomic commit protocol);
+  * SQL DDL/DML against the catalog is intentionally read-only this round.
+  */
+class GraftCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null,
+      s"spark.sql.catalog.$name.warehouse must point at a TableStore warehouse")
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def store: TableStore = new TableStore(spark, warehouse)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    store.tables.map(t => Identifier.of(namespace, t)).toArray
+
+  override def tableExists(ident: Identifier): Boolean = store.exists(ident.name)
+
+  private def tableAt(ident: Identifier, m: TableStore.Manifest): Table = {
+    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+    val paths = m.files.map(fe =>
+      new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(warehouse, ident.name), fe.path).toString)
+    ParquetTable(s"$catalogName.${ident.name}@v${m.version}", spark,
+      CaseInsensitiveStringMap.empty(), paths, Some(schema),
+      classOf[ParquetFileFormat])
+  }
+
+  private def manifestOrThrow(ident: Identifier, v: Option[Long]): TableStore.Manifest = {
+    val ms = store.manifests(ident.name)
+    if (ms.isEmpty) throw new NoSuchTableException(ident)
+    v match {
+      case None => ms.maxBy(_.version)
+      case Some(ver) => ms.find(_.version == ver)
+        .getOrElse(throw new NoSuchTableException(ident))
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    tableAt(ident, manifestOrThrow(ident, None))
+
+  /** `VERSION AS OF <n>`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    tableAt(ident, manifestOrThrow(ident, Some(version.toLong)))
+
+  /** `TIMESTAMP AS OF <ts>` — micros since epoch per the DSv2 contract. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val ms = store.manifests(ident.name)
+      .filter(_.timestampMs <= timestampMicros / 1000L)
+    if (ms.isEmpty) throw new NoSuchTableException(ident)
+    tableAt(ident, ms.maxBy(_.version))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "writes go through graft.core.TableStore (atomic commit protocol)")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("alterTable not supported")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val existed = store.exists(ident.name)
+    store.drop(ident.name)
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("renameTable not supported")
+}
