@@ -31,7 +31,8 @@ object Bench {
     "q20_scd2_history", "q21_merge_upsert", "q25_date_interval",
     "q26_selfjoin_lag", "q31_ngram_jaccard", "q32_minhash_lsh",
     "q35_embedding_neardup_lsh", "q36_similarity_topk", "q37_text_langid",
-    "q39_token_stats", "q41_multimodal_features")
+    "q39_token_stats", "q41_multimodal_features", "q45_batch_sessions",
+    "q46_asof_join")
 
   /** A20 metrics collector (replaces the reference's Athena `Statistics` /
     * Glue DPU collectors — SURVEY.md §2A A19/A20): scan size from the

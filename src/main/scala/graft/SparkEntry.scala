@@ -472,6 +472,32 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    // custom operator: gap-based batch sessionization (two windows, one
+    // shuffle) — batch twin of the streaming flatMapGroupsWithState path.
+    "q45_batch_sessions" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      graft.operators.AsOfJoin.sessionizeBatch(ev, "user_id", "ts", 1800)
+        .groupBy(col("user_id"))
+        .agg(max(col("session_seq")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // custom operator: backward AS-OF JOIN (point-in-time lookup) via the
+    // union + last_value-window plan — checked against DuckDB's native
+    // ASOF JOIN.
+    "q46_asof_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsOfJoin.asOfBackward(
+          ev.select(col("event_id"), col("user_id"), col("ts")), purchases,
+          "user_id", "ts", "ts")
+        .select(col("event_id"), col("user_id"),
+          col("value").as("last_purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // ext: exact dedup (hash-groupBy on normalized-content fingerprint).
     "q30_dedup_exact" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -936,6 +962,23 @@ object SparkEntry {
         |) t
         |GROUP BY channel, order_year
         |ORDER BY channel, order_year""".stripMargin,
+
+    "q45_batch_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q46_asof_join" ->
+      """SELECT e.event_id, e.user_id, p.value AS last_purchase_value
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
 
     // DuckDB equivalent of the normalized-content fingerprint:
     // md5 over the space-joined, lowercased, non-word-split token stream.
