@@ -498,6 +498,18 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // streaming-shaped tumbling-window aggregate run in batch mode (the
+    // same expression CdcStream.windowedEventCounts uses on streams).
+    "q47_windowed_counts" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     // ext: exact dedup (hash-groupBy on normalized-content fingerprint).
     "q30_dedup_exact" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -962,6 +974,14 @@ object SparkEntry {
         |) t
         |GROUP BY channel, order_year
         |ORDER BY channel, order_year""".stripMargin,
+
+    "q47_windowed_counts" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        |FROM events
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
 
     "q45_batch_sessions" ->
       """WITH g AS (
