@@ -98,23 +98,35 @@ object Bench {
     val results = queries.map { name =>
       System.err.println(s"[bench] timing $name")
       listener.reset()
+      var failed = false
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => }
+        catch { case e: Throwable =>
+          failed = true
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       Thread.sleep(150) // let straggler task-end events drain (metrics are advisory)
-      name -> (times.min, listener.input.get() / 2, listener.shuffleWrite.get() / 2)
+      name -> (times.min, listener.input.get() / 2, listener.shuffleWrite.get() / 2, failed)
     }
 
-    val qs = results.map { case (k, (v, _, _)) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val bytes = results.map { case (k, (_, in, sh)) =>
+    val ok = results.filterNot(_._2._4)
+    val failedNames = results.filter(_._2._4).map(_._1)
+    // Per-query scan/shuffle byte detail goes on its own EARLIER line (it
+    // once pushed the headline JSON past the driver's captured-tail window
+    // and the whole bench went unscored). The LAST stdout line is the
+    // compact contract the driver parses.
+    val bytes = ok.map { case (k, (_, in, sh, _)) =>
       "\"" + k + s"""\":{"input":$in,"shuffle":$sh}""" }.mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
-    val totalIn = results.map(_._2._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","bytes_read":$totalIn,"bytes":$bytes}""")
+    println(s"""{"metric":"bytes_detail","bytes":$bytes}""")
+    val qs = ok.map { case (k, (v, _, _, _)) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2._1).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}""")
     spark.stop()
+    if (failedNames.nonEmpty) sys.exit(1)
   }
 }

@@ -26,6 +26,15 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(dec(c, scale)).cast(DecimalType(18, scale))
 
+  /** Exact decimal sum surfaced as DOUBLE. Internal math stays exact decimal
+    * (order-independent); the single final decimal→double conversion is
+    * deterministic and bit-identical across engines. We never OUTPUT a
+    * decimal-typed column: the driver's hasher canonicalizes DuckDB decimals
+    * via float64 but Spark parquet decimals exactly, so any decimal output
+    * column hash-mismatches on trailing-zero representation. */
+  private def dsumd(c: Column, scale: Int = 2): Column =
+    dsum(c, scale).cast(DoubleType)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q02_revenue_by_nation")(spark, "/root/testdata/sf0.001")
@@ -41,14 +50,14 @@ object SparkEntry {
         .filter(col("l_shipdate") <= lit("1998-09-02"))
       l.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          dsumd(col("l_quantity")).as("sum_qty"),
+          dsumd(col("l_extendedprice")).as("sum_base_price"),
+          dsumd(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
             .as("sum_disc_price"),
           // scale 6: price(2dp)·(1-disc)(2dp)·(1+tax)(2dp) has ≤6 exact
           // decimals — the cast snaps to the exact product instead of
           // genuinely rounding (midpoint rounding differs across engines).
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          dsumd(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
             * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
           (sum(dec(col("l_quantity"), 2)).cast(DoubleType) / count(lit(1)))
             .as("avg_qty"),
@@ -71,7 +80,7 @@ object SparkEntry {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          dsumd(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
             .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("r_name"), col("n_name"))
@@ -172,8 +181,7 @@ object SparkEntry {
       val hi = 500L
       val (kept, total) = store.prunedFileCount("li", "l_orderkey", lo, hi)
       val agg = store.readWhere("li", "l_orderkey", lo, hi)
-        .agg(count(lit(1)).as("n_rows"),
-          sum(dec(col("l_quantity"), 2)).cast(DecimalType(18, 2)).as("sum_qty"))
+        .agg(count(lit(1)).as("n_rows"), dsumd(col("l_quantity")).as("sum_qty"))
         .withColumn("pruning_effective", lit(kept < total))
       agg
     }),
@@ -232,8 +240,11 @@ object SparkEntry {
           .as("revenue"))
       val w = Window.partitionBy(col("p_brand"))
         .orderBy(col("revenue").desc, col("p_partkey"))
+      // rank over the exact decimal; only the OUTPUT column is double.
       rev.withColumn("rk", rank().over(w).cast(LongType))
         .filter(col("rk") <= 3)
+        .select(col("p_brand"), col("p_partkey"),
+          col("revenue").cast(DoubleType).as("revenue"), col("rk"))
         .orderBy(col("p_brand"), col("rk"), col("p_partkey"))
     }),
 
@@ -244,9 +255,15 @@ object SparkEntry {
         .groupBy(col("l_returnflag"), col("l_shipdate").cast(DateType).as("ship_day"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
           .as("day_rev"))
+      // the cumulative window sum runs over the exact decimal (DuckDB's
+      // segment-tree window agg doesn't sum doubles left-to-right); only
+      // the final projection converts to double.
       val w = Window.partitionBy(col("l_returnflag")).orderBy(col("ship_day"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       daily.withColumn("cume_rev", sum(col("day_rev")).over(w).cast(DecimalType(18, 4)))
+        .select(col("l_returnflag"), col("ship_day"),
+          col("day_rev").cast(DoubleType).as("day_rev"),
+          col("cume_rev").cast(DoubleType).as("cume_rev"))
         .orderBy(col("l_returnflag"), col("ship_day"))
     }),
 
@@ -266,7 +283,8 @@ object SparkEntry {
         .withColumn("brand_avg",
           sum(col("rev")).over(w).cast(DoubleType) / count(col("rev")).over(w))
         .filter(col("rev").cast(DoubleType) > lit(1.3) * col("brand_avg"))
-        .select(col("p_brand"), col("ship_month"), col("rev"))
+        .select(col("p_brand"), col("ship_month"),
+          col("rev").cast(DoubleType).as("rev"))
         .orderBy(col("p_brand"), col("ship_month"))
     }),
 
@@ -274,7 +292,7 @@ object SparkEntry {
     "q11_rollup_grouping" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
       o.rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n_orders"),
+        .agg(dsumd(col("o_totalprice")).as("total"), count(lit(1)).as("n_orders"),
           grouping(col("o_orderstatus")).as("g_s"),
           grouping(col("o_orderpriority")).as("g_p"))
         .select(
@@ -351,8 +369,8 @@ object SparkEntry {
       val zero = lit(0).cast(DecimalType(18, 2))
       monthly("A", "rev_a").join(monthly("R", "rev_r"), Seq("ship_month"), "full_outer")
         .select(col("ship_month"),
-          coalesce(col("rev_a"), zero).as("rev_a"),
-          coalesce(col("rev_r"), zero).as("rev_r"))
+          coalesce(col("rev_a"), zero).cast(DoubleType).as("rev_a"),
+          coalesce(col("rev_r"), zero).cast(DoubleType).as("rev_r"))
         .orderBy(col("ship_month"))
     }),
 
@@ -364,7 +382,8 @@ object SparkEntry {
       o.join(ret, col("o_orderkey") === col("l_orderkey"), "left_outer")
         .groupBy(col("o_orderstatus"))
         .agg(countDistinct(col("o_orderkey")).as("n_orders"),
-          coalesce(dsum(col("l_extendedprice")), zero).as("returned_value"))
+          coalesce(dsum(col("l_extendedprice")), zero).cast(DoubleType)
+            .as("returned_value"))
         .orderBy(col("o_orderstatus"))
     }),
 
@@ -436,7 +455,9 @@ object SparkEntry {
         col("rev").as("prev_rev"))
       monthly.join(lagged,
           col("p_brand") === col("b2") && col("rn") === col("rn2") + 1)
-        .select(col("p_brand"), col("ship_month"), col("rev"), col("prev_rev"))
+        .select(col("p_brand"), col("ship_month"),
+          col("rev").cast(DoubleType).as("rev"),
+          col("prev_rev").cast(DoubleType).as("prev_rev"))
         .orderBy(col("p_brand"), col("ship_month"))
     }),
 
@@ -450,7 +471,7 @@ object SparkEntry {
             col("o_totalprice"))
       channel("F", "fulfilled").unionAll(channel("O", "open"))
         .groupBy(col("channel"), col("order_year"))
-        .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n_orders"))
+        .agg(dsumd(col("o_totalprice")).as("total"), count(lit(1)).as("n_orders"))
         .orderBy(col("channel"), col("order_year"))
     }),
 
@@ -504,7 +525,7 @@ object SparkEntry {
       val ev = Tables.load(s, dir, "events")
       ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
-          dsum(col("value")).as("total_value"))
+          dsumd(col("value")).as("total_value"))
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n_events"), col("total_value"))
         .orderBy(col("window_start"), col("event_type"))
@@ -659,7 +680,7 @@ object SparkEntry {
         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_spent
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  GROUP BY c_custkey, c_nationkey)
-        |SELECT ctr1.c_custkey, ctr1.total_spent
+        |SELECT ctr1.c_custkey, CAST(ctr1.total_spent AS DOUBLE) AS total_spent
         |FROM ctr ctr1
         |WHERE CAST(ctr1.total_spent AS DOUBLE) > (
         |  SELECT 1.2 * CAST(SUM(CAST(ctr2.total_spent AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
@@ -692,10 +713,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS sum_charge,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
         | COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -704,7 +725,7 @@ object SparkEntry {
 
     "q02_revenue_by_nation" ->
       """SELECT r_name, n_name,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -781,7 +802,7 @@ object SparkEntry {
 
     "q28_file_pruning" ->
       """SELECT count(*) AS n_rows,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(TRUE AS BOOLEAN) AS pruning_effective
         |FROM lineitem WHERE l_orderkey >= 100 AND l_orderkey <= 500""".stripMargin,
 
@@ -804,7 +825,7 @@ object SparkEntry {
         |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY p_brand, p_partkey)
-        |SELECT p_brand, p_partkey, revenue, rk FROM (
+        |SELECT p_brand, p_partkey, CAST(revenue AS DOUBLE) AS revenue, rk FROM (
         |  SELECT p_brand, p_partkey, revenue,
         |    CAST(rank() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS BIGINT) AS rk
         |  FROM rev) t
@@ -816,9 +837,9 @@ object SparkEntry {
         |  SELECT l_returnflag, CAST(l_shipdate AS DATE) AS ship_day,
         |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS day_rev
         |  FROM lineitem GROUP BY 1, 2)
-        |SELECT l_returnflag, ship_day, day_rev,
-        |  CAST(SUM(day_rev) OVER (PARTITION BY l_returnflag ORDER BY ship_day
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS cume_rev
+        |SELECT l_returnflag, ship_day, CAST(day_rev AS DOUBLE) AS day_rev,
+        |  CAST(CAST(SUM(day_rev) OVER (PARTITION BY l_returnflag ORDER BY ship_day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS DOUBLE) AS cume_rev
         |FROM daily
         |ORDER BY l_returnflag, ship_day""".stripMargin,
 
@@ -828,7 +849,7 @@ object SparkEntry {
         |    CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS rev
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY 1, 2)
-        |SELECT p_brand, ship_month, rev FROM (
+        |SELECT p_brand, ship_month, CAST(rev AS DOUBLE) AS rev FROM (
         |  SELECT p_brand, ship_month, rev,
         |    CAST(SUM(rev) OVER (PARTITION BY p_brand) AS DOUBLE)
         |      / COUNT(rev) OVER (PARTITION BY p_brand) AS brand_avg
@@ -840,7 +861,7 @@ object SparkEntry {
       """SELECT
         |  CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS order_status,
         |  CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS order_priority,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  COUNT(*) AS n_orders
         |FROM orders
         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
@@ -896,15 +917,15 @@ object SparkEntry {
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev_r
         |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
         |SELECT coalesce(a.ship_month, r.ship_month) AS ship_month,
-        |  coalesce(rev_a, CAST(0 AS DECIMAL(18,2))) AS rev_a,
-        |  coalesce(rev_r, CAST(0 AS DECIMAL(18,2))) AS rev_r
+        |  CAST(coalesce(rev_a, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS rev_a,
+        |  CAST(coalesce(rev_r, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS rev_r
         |FROM a FULL OUTER JOIN r ON a.ship_month = r.ship_month
         |ORDER BY ship_month""".stripMargin,
 
     "q17_left_join_returns" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_orderkey) AS n_orders,
-        |  coalesce(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)),
-        |           CAST(0 AS DECIMAL(18,2))) AS returned_value
+        |  CAST(coalesce(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)),
+        |           CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS returned_value
         |FROM orders LEFT OUTER JOIN (SELECT * FROM lineitem WHERE l_returnflag = 'R') r
         |  ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
@@ -956,14 +977,15 @@ object SparkEntry {
         |      ORDER BY CAST(date_trunc('month', l_shipdate) AS DATE)) AS BIGINT) AS rn
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY p_brand, CAST(date_trunc('month', l_shipdate) AS DATE))
-        |SELECT v1.p_brand, v1.ship_month, v1.rev, v2.rev AS prev_rev
+        |SELECT v1.p_brand, v1.ship_month, CAST(v1.rev AS DOUBLE) AS rev,
+        |  CAST(v2.rev AS DOUBLE) AS prev_rev
         |FROM monthly v1 JOIN monthly v2
         |  ON v1.p_brand = v2.p_brand AND v1.rn = v2.rn + 1
         |ORDER BY v1.p_brand, v1.ship_month""".stripMargin,
 
     "q27_union_all_channels" ->
       """SELECT channel, order_year,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  COUNT(*) AS n_orders
         |FROM (
         |  SELECT 'fulfilled' AS channel, CAST(date_trunc('year', o_orderdate) AS DATE) AS order_year,
@@ -978,7 +1000,7 @@ object SparkEntry {
     "q47_windowed_counts" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         | COUNT(*) AS n_events,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_value
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,

@@ -16,9 +16,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        // Guard: never OUTPUT a decimal column. The driver's hasher
+        // canonicalizes DuckDB decimals via float64 but Spark decimals
+        // exactly, so a decimal-typed output column hash-mismatches on
+        // trailing-zero representation (round-1 lesson: 11 queries lost).
+        // Exact-decimal math stays internal; outputs are cast to DOUBLE.
+        val decs = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] => f.name
+        }
+        require(decs.isEmpty,
+          s"$name emits decimal output column(s) ${decs.mkString(",")} — cast to DOUBLE")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
