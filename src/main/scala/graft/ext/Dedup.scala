@@ -44,14 +44,44 @@ object Dedup {
     df.select(col(idCol).as("__id"),
       explode(shingles(col(textCol), n)).as("__sh"))
 
-  /** All pairs with n-gram Jaccard ≥ `threshold`.
+  /** Per-doc shingle set + size (one aggregate over the postings). */
+  private def shingleSets(post: DataFrame) =
+    post.groupBy(col("__id"))
+      .agg(collect_set(col("__sh")).as("__set"), count(lit(1)).as("__sz"))
+
+  /** Exact Jaccard verdict for candidate (id_a, id_b) pairs: join each side's
+    * full shingle set once per UNIQUE candidate and intersect the arrays.
+    * Candidates are a tiny fraction of the corpus, so this is the cheap leg. */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame,
+      threshold: Double): DataFrame =
+    cand
+      .join(sets.select(col("__id").as("id_a"), col("__set").as("__seta"),
+        col("__sz").as("__sza")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__set").as("__setb"),
+        col("__sz").as("__szb")), "id_b")
+      .withColumn("__inter", size(array_intersect(col("__seta"), col("__setb")))
+        .cast("long"))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (col("__sza") + col("__szb") - col("__inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** All pairs with n-gram Jaccard ≥ `threshold`, via exactness-preserving
+    * prefix filtering (Chaudhuri et al. SSJoin / Xiao et al. PPJoin).
     *
-    * Plan: postings self-join on shingle → per-pair intersection count →
-    * join per-doc set sizes → Jaccard = |∩| / (|A|+|B|−|∩|). Shingles with
-    * document frequency > `maxShingleDf` are dropped before the self-join
-    * (bucket-explosion guard; exact for thresholds where a dropped shingle
-    * cannot flip the verdict — at 100 TB this is the difference between a
-    * bounded shuffle and a cross join). */
+    * Order every document's shingles by global document frequency (rarest
+    * first, ties by shingle text — a total order shared by all docs). Any
+    * pair with J(A,B) ≥ t must share a shingle within each side's first
+    * ⌈(1−t)·|set|⌉+1 shingles, so the candidate self-join runs ONLY on
+    * those prefixes: stop-shingles ("of the and"…) have high df, land at
+    * the back of every prefix order, and never enter the join — the hot
+    * bucket that made the naive shingle join quadratic is gone while the
+    * result stays exactly equal. Candidates are then verified exactly
+    * against the full shingle sets.
+    *
+    * `maxShingleDf` additionally drops shingles with document frequency
+    * above the cap before anything else (approximate mode; kept for
+    * pipelines that want a hard skew ceiling on adversarial corpora). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
@@ -63,40 +93,49 @@ object Dedup {
           .filter(col("count") > maxShingleDf).select(col("__sh"))
         post.join(hot, Seq("__sh"), "left_anti")
       }
-    val sizes = filtered.groupBy(col("__id")).agg(count(lit(1)).as("__sz"))
-    val a = filtered.select(col("__id").as("id_a"), col("__sh"))
-    val b = filtered.select(col("__id").as("id_b"), col("__sh"))
-    val inter = a.join(b, Seq("__sh")).filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__inter"))
-    inter
-      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sza"), "id_a")
-      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__szb"), "id_b")
-      .withColumn("jaccard", col("__inter").cast("double") /
-        (col("__sza") + col("__szb") - col("__inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val dfreq = filtered.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+    // both windows share the partitioning → one shuffle on __id
+    val byDoc = Window.partitionBy(col("__id"))
+    val prefix = filtered.join(dfreq, "__sh")
+      .withColumn("__sz", count(lit(1)).over(byDoc))
+      .withColumn("__rn", row_number().over(
+        byDoc.orderBy(col("__df"), col("__sh"))))
+      .filter(col("__rn") <=
+        ceil((lit(1.0) - lit(threshold)) * col("__sz")) + lit(1))
+    val pa = prefix.select(col("__id").as("id_a"), col("__sh"))
+    val pb = prefix.select(col("__id").as("id_b"), col("__sh"))
+    val cand = pa.join(pb, Seq("__sh")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    verifyJaccard(cand, shingleSets(filtered), threshold)
   }
 
-  /** MinHash signatures: for each of `numHashes` seeded hash functions,
-    * the minimum hash over the document's shingle set. One aggregate. */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 32): DataFrame = {
-    val post = postings(df, idCol, textCol, n)
+  /** MinHash signatures over a posting list: for each of `numHashes` seeded
+    * hash functions, the minimum hash over the document's shingle set. */
+  private def signaturesFromPostings(post: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(i => min(hash(col("__sh"), lit(i))).as(s"__h$i"))
     post.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
       .select(col("__id"),
         array((0 until numHashes).map(i => col(s"__h$i")): _*).as("__sig"))
   }
 
+  /** MinHash signatures: for each of `numHashes` seeded hash functions,
+    * the minimum hash over the document's shingle set. One aggregate. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32): DataFrame =
+    signaturesFromPostings(postings(df, idCol, textCol, n), numHashes)
+
   /** MinHash+LSH near-dup pairs: signatures → `bands` band buckets →
     * equi-join on (band, band hash) → candidates → exact Jaccard verify.
-    * Approximate-recall candidate generation, exact final verdict. */
+    * Approximate-recall candidate generation, exact final verdict. The
+    * verify intersects the two full shingle sets per unique candidate pair
+    * directly (no second pair self-join, no posting-list recompute). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val post = postings(df, idCol, textCol, n)
+    val sig = signaturesFromPostings(post, numHashes)
     val banded = sig.select(col("__id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         j => struct(j.as("band"),
@@ -107,12 +146,7 @@ object Dedup {
     val cand = l.join(r, Seq("__band", "__bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    // exact verify only on candidates: semi-join restricts the posting lists
-    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("__cid"))
-      .distinct()
-    val restricted = df.join(candIds, col(idCol) === col("__cid"), "left_semi")
-    jaccardPairs(restricted, idCol, textCol, n, threshold)
-      .join(cand, Seq("id_a", "id_b"), "left_semi")
+    verifyJaccard(cand, shingleSets(post), threshold)
   }
 
   /** 64-bit SimHash over token hashes: per bit, sign of Σ(±1) across the
