@@ -52,12 +52,21 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     new Path(new Path(tableDir(t), "_manifests"), s"$v.json")
   private def currentPtr(t: String) = new Path(tableDir(t), "_current")
 
-  /** Latest committed version, or 0 if the table does not exist. */
+  /** Latest committed version, or 0 if the table does not exist. If the
+    * `_current` pointer is momentarily absent (atomicWrite deletes before
+    * rename on filesystems without overwrite-rename), fall back to the max
+    * manifest version so a concurrent reader never sees a committed table
+    * as empty. */
   def currentVersion(table: String): Long = {
     val p = currentPtr(table)
     val f = fs(p)
-    if (!f.exists(p)) 0L
-    else {
+    if (!f.exists(p)) {
+      val dir = new Path(tableDir(table), "_manifests")
+      if (!f.exists(dir)) 0L
+      else f.listStatus(dir).map(_.getPath.getName)
+        .collect { case n if n.endsWith(".json") => n.stripSuffix(".json").toLong }
+        .foldLeft(0L)(math.max)
+    } else {
       val in = f.open(p)
       try scala.io.Source.fromInputStream(in).mkString.trim.toLong
       finally in.close()
@@ -175,8 +184,27 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     } finally reader.close()
   }
 
-  private def cmp(a: Any, b: Any): Int =
-    a.asInstanceOf[Comparable[Any]].compareTo(b)
+  /** String stats compare by unsigned UTF-8 bytes — the order parquet
+    * footer stats and Spark's string comparison use. Java's
+    * String.compareTo (UTF-16 code units) diverges for supplementary-plane
+    * characters, which would make min/max pruning silently drop rows. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (s1: String, s2: String) => utf8Cmp(s1, s2)
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
 
   private def kindOf(v: Any): String = v match {
     case _: java.lang.Long | _: java.lang.Integer => "long"
@@ -279,12 +307,13 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       mx >= lo && mn <= hi
     case _ =>
       val (lo, hi) = (lower.toString, upper.toString)
-      s.max >= lo && s.min <= hi
+      utf8Cmp(s.max, lo) >= 0 && utf8Cmp(s.min, hi) <= 0
   }
 
   private def toLong(v: Any): Long = v match {
     case n: Number => n.longValue()
-    case t: java.sql.Timestamp => t.getTime * 1000L // parquet TIMESTAMP_MICROS
+    case t: java.sql.Timestamp => // parquet TIMESTAMP_MICROS, keep sub-ms
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     case d: java.sql.Date => d.toLocalDate.toEpochDay // parquet DATE (days)
     case s: String => s.toLong
   }
@@ -293,10 +322,28 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     case s: String => s.toDouble
   }
 
-  /** Append = read-current ∪ batch, committed as one new snapshot (A5). */
+  /** Append (A5): metadata-only for existing data — the new snapshot keeps
+    * every current file entry as-is and only writes the batch. O(batch)
+    * I/O per append, matching Iceberg's fast-append semantics the
+    * reference measured (reference/docs/README.md:123-129); the previous
+    * full-table rewrite was O(table) per batch. Schema union follows
+    * `unionByName(allowMissingColumns = true)`: batch columns are aligned
+    * to the stored schema and genuinely new columns are added at the end
+    * (old files read them back as null). */
   def append(table: String, df: DataFrame): Long =
     if (!exists(table)) commit(table, df, "append")
-    else commit(table, read(table).unionByName(df, allowMissingColumns = true), "append")
+    else {
+      val m = manifests(table).maxBy(_.version)
+      val existing = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val extra = df.schema.fields.filterNot(f => existing.fieldNames.contains(f.name))
+      val merged = org.apache.spark.sql.types.StructType(existing.fields ++ extra)
+      val aligned = df.select(merged.fields.toSeq.map { f =>
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+      commitFiles(table, m.files, Some(aligned), "append")
+    }
 
   /** Read the latest snapshot. */
   def read(table: String): DataFrame = readVersion(table, currentVersion(table))

@@ -22,6 +22,48 @@ class TableStoreSpec extends SparkSpec {
     assert(store.readVersion("t", 1).count() == 1) // old snapshot immutable
   }
 
+  test("append is metadata-only: old data files are carried over untouched") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", Seq((1, "a")).toDF("id", "s"), "create")
+    val before = store.manifests("t").last.files
+    val fs = new org.apache.hadoop.fs.Path(store.warehouse)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtimes(entries: Seq[TableStore.FileEntry]) = entries.map { fe =>
+      fe.path -> fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(store.warehouse + "/t", fe.path))
+        .getModificationTime
+    }.toMap
+    val mtBefore = mtimes(before)
+    Thread.sleep(20)
+    store.append("t", Seq((2, "b")).toDF("id", "s"))
+    val after = store.manifests("t").last.files
+    // every v1 file entry survives verbatim and its bytes were not rewritten
+    assert(before.forall(fe => after.exists(_.path == fe.path)))
+    assert(mtimes(before) == mtBefore)
+    assert(after.size > before.size) // plus the batch's new file(s)
+    assert(store.read("t").count() == 2)
+  }
+
+  test("append aligns batch columns by name and nulls missing ones") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", Seq((1, "a")).toDF("id", "s"), "create")
+    store.append("t", Seq((2, 9.5)).toDF("id", "extra")) // no "s", new "extra"
+    val rows = store.read("t").select("id", "s", "extra")
+      .as[(Int, Option[String], Option[Double])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1, Some("a"), None), (2, None, Some(9.5))))
+  }
+
+  test("currentVersion falls back to max manifest when _current is absent") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", Seq(1).toDF("id"), "create")
+    store.append("t", Seq(2).toDF("id"))
+    val ptr = new org.apache.hadoop.fs.Path(store.warehouse + "/t", "_current")
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(ptr, false) // simulate the delete-before-rename window
+    assert(store.currentVersion("t") == 2)
+    assert(store.read("t").count() == 2)
+  }
+
   test("time travel resolves the snapshot at or before a timestamp") {
     val store = new TableStore(spark, tmpDir("ts"))
     store.commit("t", Seq((1, "a")).toDF("id", "s"), "create")
