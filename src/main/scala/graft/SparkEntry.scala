@@ -550,20 +550,21 @@ object SparkEntry {
     }),
 
     // ext: MinHash+LSH near-dup pairs (banded signatures → candidates →
-    // exact Jaccard verify). Hash-dependent candidate recall ⇒ rows-only
-    // driver check; ExtSpec asserts the result ⊆ q31's exact pairs.
+    // exact Jaccard verify). Portable md5-derived hashes so the DuckDB
+    // oracle replicates candidate generation bit-identically; ExtSpec also
+    // asserts the result ⊆ q31's exact pairs.
     "q32_minhash_lsh" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       Dedup.minhashLshPairs(docs, "doc_id", "text",
-        n = 3, numHashes = 32, bands = 8, threshold = 0.8)
+        n = 3, numHashes = 32, bands = 8, threshold = 0.8, portable = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ext: SimHash near-dup pairs (16-bit chunk banding + bit_count
-    // verify). Hash-dependent ⇒ rows-only driver check.
+    // ext: SimHash near-dup pairs (15-bit chunk banding + bit_count
+    // verify). Portable md5-nibble token hashes ⇒ oracle-checkable.
     "q33_simhash" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6, portable = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -1054,12 +1055,101 @@ object SparkEntry {
         |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // Bit-identical replica of the portable MinHash+LSH pipeline: same
+    // md5("<i>:<shingle>") min-hashes, same 4-row band md5, same exact
+    // Jaccard verify over candidates.
+    "q32_minhash_lsh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> array_to_string(t[i:i+2], ' ')))) AS s
+        |  FROM toks),
+        |mh AS (
+        |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS h
+        |  FROM sh, range(0, 32) r(i) GROUP BY doc_id, i),
+        |bands AS (
+        |  SELECT doc_id, i // 4 AS band, md5(string_agg(h, ',' ORDER BY i)) AS bh
+        |  FROM mh GROUP BY doc_id, i // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT id_a, id_b, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+        |FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+        |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Bit-identical replica of the portable SimHash pipeline: 60-bit
+    // signature from md5 hex nibbles, 15-bit chunk banding, bit_count
+    // Hamming verify. Generated per-bit SQL (60 sums) — the shape the
+    // Spark aggregate compiles to as well.
+    "q33_simhash" -> {
+      val nibs = (0 until 15).map { k =>
+        val a = s"ascii(substr(hx, ${k + 1}, 1))"
+        s"CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END AS n$k"
+      }.mkString(",\n    ")
+      val sums = (0 until 60).map(b =>
+        s"SUM(CASE WHEN ((n${b / 4} >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS s$b")
+        .mkString(",\n    ")
+      val sig = (0 until 60).map(b =>
+        s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      raw"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+           |  FROM documents),
+           |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+           |hx AS (SELECT doc_id, md5(w) AS hx FROM tok),
+           |nib AS (SELECT doc_id,
+           |    $nibs
+           |  FROM hx),
+           |bits AS (SELECT doc_id,
+           |    $sums
+           |  FROM nib GROUP BY doc_id),
+           |sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS sh FROM bits),
+           |ch AS (SELECT doc_id, sh, c, (sh >> CAST(c * 15 AS INTEGER)) & 32767 AS v
+           |       FROM sig, range(0, 4) r(c)),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
+           |  FROM ch a JOIN ch b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+           |FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+           |ORDER BY id_a, id_b""".stripMargin
+    },
+
     "q34_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Replica of the hyperplane-LSH bucketing with the SAME seeded planes
+    // embedded as literals (Dedup.hyperplanes rounds to 6 decimals so the
+    // literals parse to bit-identical doubles), then exact cosine verify.
+    "q35_embedding_neardup_lsh" -> {
+      val branches = Dedup.hyperplanes().zipWithIndex.map { case (tbl, ti) =>
+        val bucket = tbl.map { p =>
+          s"(CASE WHEN list_inner_product(e, ${p.mkString("[", ", ", "]")}) >= 0 THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
+        s"  SELECT vec_id, $ti AS t, $bucket AS bk FROM v"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (
+         |$branches),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM b x JOIN b y ON x.t = y.t AND x.bk = y.bk AND x.vec_id < y.vec_id)
+         |SELECT id_a, id_b
+         |FROM cand JOIN v p ON p.vec_id = id_a JOIN v q ON q.vec_id = id_b
+         |WHERE list_cosine_similarity(p.e, q.e) >= 0.45
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q36_similarity_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

@@ -110,9 +110,18 @@ object Dedup {
   }
 
   /** MinHash signatures over a posting list: for each of `numHashes` seeded
-    * hash functions, the minimum hash over the document's shingle set. */
-  private def signaturesFromPostings(post: DataFrame, numHashes: Int): DataFrame = {
-    val mins = (0 until numHashes).map(i => min(hash(col("__sh"), lit(i))).as(s"__h$i"))
+    * hash functions, the minimum hash over the document's shingle set.
+    * `portable = true` derives each hash from md5 of `"<i>:<shingle>"`
+    * (hex-string min) — slower than murmur3 but bit-identical across
+    * engines, so results can be oracle-checked in any SQL engine with md5. */
+  private def signaturesFromPostings(post: DataFrame, numHashes: Int,
+      portable: Boolean): DataFrame = {
+    val mins = (0 until numHashes).map { i =>
+      val h: Column =
+        if (portable) md5(concat(lit(s"$i:"), col("__sh")))
+        else hash(col("__sh"), lit(i))
+      min(h).as(s"__h$i")
+    }
     post.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
       .select(col("__id"),
         array((0 until numHashes).map(i => col(s"__h$i")): _*).as("__sig"))
@@ -121,8 +130,8 @@ object Dedup {
   /** MinHash signatures: for each of `numHashes` seeded hash functions,
     * the minimum hash over the document's shingle set. One aggregate. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 32): DataFrame =
-    signaturesFromPostings(postings(df, idCol, textCol, n), numHashes)
+      n: Int = 3, numHashes: Int = 32, portable: Boolean = false): DataFrame =
+    signaturesFromPostings(postings(df, idCol, textCol, n), numHashes, portable)
 
   /** MinHash+LSH near-dup pairs: signatures → `bands` band buckets →
     * equi-join on (band, band hash) → candidates → exact Jaccard verify.
@@ -131,15 +140,18 @@ object Dedup {
     * directly (no second pair self-join, no posting-list recompute). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     val post = postings(df, idCol, textCol, n)
-    val sig = signaturesFromPostings(post, numHashes)
+    val sig = signaturesFromPostings(post, numHashes, portable)
+    val bandHash: Column => Column =
+      if (portable) sl => md5(concat_ws(",", sl))
+      else sl => hash(sl).cast("string")
     val banded = sig.select(col("__id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         j => struct(j.as("band"),
-          hash(slice(col("__sig"), j * lit(rows) + 1, lit(rows))).as("bh")))).as("b"))
+          bandHash(slice(col("__sig"), j * lit(rows) + 1, lit(rows))).as("bh")))).as("b"))
       .select(col("__id"), col("b.band").as("__band"), col("b.bh").as("__bh"))
     val l = banded.select(col("__id").as("id_a"), col("__band"), col("__bh"))
     val r = banded.select(col("__id").as("id_b"), col("__band"), col("__bh"))
@@ -149,35 +161,59 @@ object Dedup {
     verifyJaccard(cand, shingleSets(post), threshold)
   }
 
-  /** 64-bit SimHash over token hashes: per bit, sign of Σ(±1) across the
-    * document's tokens. Implemented as 64 conditional sums in ONE hash
-    * aggregate (map-side combinable — no per-doc state on the driver). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Number of signature bits: 64 with the native xxhash64 token hash,
+    * 60 in portable mode (15 md5 hex nibbles — keeps the signature
+    * positive so `>>` behaves identically across engines). */
+  private def simhashBits(portable: Boolean) = if (portable) 60 else 64
+
+  /** SimHash over token hashes: per bit, sign of Σ(±1) across the
+    * document's tokens. Implemented as one conditional sum per bit in ONE
+    * hash aggregate (map-side combinable — no per-doc state on the driver).
+    * `portable = true` derives token-hash bits from md5 hex nibbles
+    * (decoded with `ascii`), reproducible in any SQL engine with md5. */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      portable: Boolean = false): DataFrame = {
+    val bits = simhashBits(portable)
     val tok = df.select(col(idCol).as("__id"),
       explode(TextAnalysis.tokens(col(textCol))).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftrightunsigned(col("__h"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"__b$b")
+    val (hashed, bitOf): (DataFrame, Int => Column) =
+      if (portable) {
+        // nibble k = value of hex digit k of md5(token); bit b lives in
+        // nibble b/4 at position b%4
+        val withHex = tok.withColumn("__hx", md5(col("__t")))
+        val nibs = (0 until 15).map { k =>
+          val a = ascii(substring(col("__hx"), k + 1, 1))
+          when(a >= 97, a - 87).otherwise(a - 48).as(s"__n$k")
+        }
+        (withHex.select(col("__id") +: nibs: _*),
+          b => shiftright(col(s"__n${b / 4}"), b % 4).bitwiseAND(1))
+      } else {
+        (tok.withColumn("__h", xxhash64(col("__t"))),
+          b => shiftrightunsigned(col("__h"), b).bitwiseAND(1))
+      }
+    val bitSums = (0 until bits).map { b =>
+      sum(when(bitOf(b) === 1, 1).otherwise(-1)).as(s"__b$b")
     }
-    val agg = tok.groupBy(col("__id")).agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(b =>
+    val agg = hashed.groupBy(col("__id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map(b =>
       when(col(s"__b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
     agg.select(col("__id"), sig.as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, found by
-    * banding the 64-bit signature into four 16-bit chunks (pigeonhole: any
-    * pair within Hamming ≤ 3 shares at least one exact chunk; for larger
-    * budgets recall is approximate) and verifying with `bit_count(a^b)`. */
+    * banding the signature into four chunks (pigeonhole: any pair within
+    * Hamming ≤ 3 shares at least one exact chunk; for larger budgets
+    * recall is approximate) and verifying with `bit_count(a^b)`. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(df, idCol, textCol)
+      maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
+    val chunkBits = simhashBits(portable) / 4
+    val mask = (1L << chunkBits) - 1
+    val sig = simhash(df, idCol, textCol, portable)
     val chunked = sig.select(col("__id"), col("simhash"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("c"),
-          shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL).as("v"))): _*))
+          shiftrightunsigned(col("simhash"), j * chunkBits).bitwiseAND(mask).as("v"))): _*))
         .as("ch"))
       .select(col("__id"), col("simhash"), col("ch.c").as("__c"), col("ch.v").as("__v"))
     val l = chunked.select(col("__id").as("id_a"), col("simhash").as("__sa"),
@@ -186,7 +222,7 @@ object Dedup {
       col("__c"), col("__v"))
     l.join(r, Seq("__c", "__v")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        bit_count(col("__sa").bitwiseXOR(col("__sb"))).as("hamming"))
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -196,12 +232,21 @@ object Dedup {
     * `tables × planesPerTable` sign-bit buckets; a 0.5-cosine pair collides
     * in ≥1 of 16 four-plane tables w.p. ≈0.99. Hyperplanes are generated
     * from a fixed seed so runs are reproducible. */
+  /** The fixed seeded hyperplane family used by [[embeddingNearDupPairs]].
+    * Components are rounded to 6 decimals so they can be embedded as SQL
+    * literals that parse to bit-identical doubles in any engine (an
+    * oracle replicating the bucketing needs the exact same planes). */
+  def hyperplanes(tables: Int = 16, planesPerTable: Int = 4,
+      dim: Int = 64): Seq[Seq[Seq[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(tables)(Seq.fill(planesPerTable)(Seq.fill(dim)(
+      math.rint(rnd.nextGaussian() * 1e6) / 1e6)))
+  }
+
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int = 16, planesPerTable: Int = 4,
       dim: Int = 64): DataFrame = {
-    val rnd = new scala.util.Random(42)
-    val planes: Seq[Seq[Seq[Double]]] = Seq.fill(tables)(
-      Seq.fill(planesPerTable)(Seq.fill(dim)(rnd.nextGaussian())))
+    val planes = hyperplanes(tables, planesPerTable, dim)
     val v = transform(col(vecCol), x => x.cast("double"))
     // Buckets carry only (id, table, signature): the 64-dim vectors never
     // enter the candidate shuffle — they are joined back once per UNIQUE
