@@ -531,6 +531,43 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // §2A A4/A5/A11-13 via pure SQL: CTAS → INSERT INTO (metadata-only
+    // append) → 3-branch MERGE INTO (file-level copy-on-write through
+    // SupportsRowLevelOperations) — the reference's headline write surface
+    // (athena_functions.py:60-97 CTAS; updating_db_with_deltas_iceberg
+    // .ipynb cell 26 MERGE), then an aggregate over the final table state.
+    "q48_sql_writes" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_sqlw").toString
+      val cat = s"gq48x${System.nanoTime()}" // CatalogManager caches by name
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val src = s"parquet.`$dir/orders.parquet`"
+      s.sql(
+        s"""CREATE TABLE $cat.ns.ord AS
+           |SELECT o_orderkey, o_orderstatus,
+           |       CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           |FROM $src WHERE o_orderkey % 4 IN (0, 1)""".stripMargin)
+      s.sql(
+        s"""INSERT INTO $cat.ns.ord
+           |SELECT o_orderkey, o_orderstatus,
+           |       CAST(o_totalprice AS DECIMAL(18,2))
+           |FROM $src WHERE o_orderkey % 4 = 2""".stripMargin)
+      s.sql(
+        s"""MERGE INTO $cat.ns.ord t
+           |USING (SELECT o_orderkey, o_orderstatus,
+           |              CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           |       FROM $src WHERE o_orderkey % 4 IN (1, 3)) s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.o_orderkey % 8 = 1 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET t.price = t.price + 100
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |       CAST(sum(price) AS DOUBLE) AS total
+           |FROM $cat.ns.ord GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // ext: exact dedup (hash-groupBy on normalized-content fingerprint).
     "q30_dedup_exact" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -1005,6 +1042,21 @@ object SparkEntry {
         |FROM events
         |GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // Final state of the CTAS → INSERT → 3-branch MERGE pipeline, as one
+    // SELECT: k%4∈{0,2} original, k%4=1 updated (+100) unless k%8=1
+    // (deleted), k%4=3 inserted.
+    "q48_sql_writes" ->
+      """WITH finalt AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 8 = 5 THEN CAST(o_totalprice AS DECIMAL(18,2)) + 100
+        |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+        |  FROM orders
+        |  WHERE o_orderkey % 4 IN (0, 2, 3)
+        |     OR (o_orderkey % 4 = 1 AND o_orderkey % 8 = 5))
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(price) AS DOUBLE) AS total
+        |FROM finalt GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q45_batch_sessions" ->
       """WITH g AS (

@@ -52,15 +52,8 @@ class GraftCatalog extends TableCatalog {
 
   override def tableExists(ident: Identifier): Boolean = store.exists(ident.name)
 
-  private def tableAt(ident: Identifier, m: TableStore.Manifest): Table = {
-    val schema = DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
-    val paths = m.files.map(fe =>
-      new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(warehouse, ident.name), fe.path).toString)
-    ParquetTable(s"$catalogName.${ident.name}@v${m.version}", spark,
-      CaseInsensitiveStringMap.empty(), paths, Some(schema),
-      classOf[ParquetFileFormat])
-  }
+  private def tableAt(ident: Identifier, m: TableStore.Manifest): Table =
+    new GraftTable(spark, catalogName, warehouse, ident.name, m)
 
   private def manifestOrThrow(ident: Identifier, v: Option[Long]): TableStore.Manifest = {
     val ms = store.manifests(ident.name)
@@ -87,10 +80,17 @@ class GraftCatalog extends TableCatalog {
     tableAt(ident, ms.maxBy(_.version))
   }
 
+  /** SQL `CREATE TABLE` / the create half of CTAS (the reference's CTAS —
+    * src/data_curation/glue_jobs/athena_functions.py:60-97). The data half
+    * of CTAS arrives as a follow-up DSv2 append. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "writes go through graft.core.TableStore (atomic commit protocol)")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "partitioned CREATE TABLE via SQL is not supported yet")
+    require(!store.exists(ident.name), s"table ${ident.name} already exists")
+    store.createEmpty(ident.name, schema.json)
+    loadTable(ident)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException("alterTable not supported")

@@ -1,0 +1,56 @@
+package graft.catalog
+
+import java.util
+
+import graft.core.TableStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.graft.StoreWrite
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 table over one [[TableStore]] snapshot: reads delegate to Spark's
+  * own ParquetTable scan (vectorized reads, pushdown, pruning inherited
+  * wholesale); writes go through [[StoreWrite]] into the store's atomic
+  * commit protocol; SQL `MERGE INTO` / `UPDATE` / `DELETE` arrive via
+  * `SupportsRowLevelOperations` as group-based copy-on-write (the scan is
+  * the current snapshot, the rewritten rows replace it — the file-pruned
+  * copy-on-write variant stays on the Scala `graft.core.Merge` API).
+  */
+class GraftTable(spark: SparkSession, catalogName: String, warehouse: String,
+    tableName: String, m: TableStore.Manifest)
+    extends Table with SupportsRead with SupportsWrite with SupportsRowLevelOperations {
+
+  private val tableSchema =
+    DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
+
+  private lazy val parquetTable: ParquetTable = {
+    val paths = m.files.map(fe =>
+      new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(warehouse, tableName), fe.path).toString)
+    ParquetTable(s"$catalogName.$tableName@v${m.version}", spark,
+      CaseInsensitiveStringMap.empty(), paths, Some(tableSchema),
+      classOf[ParquetFileFormat])
+  }
+
+  override def name(): String = s"$catalogName.$tableName"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    parquetTable.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    StoreWrite.builder(warehouse, tableName, info)
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(spark, catalogName, warehouse, tableName,
+      info.command())
+}

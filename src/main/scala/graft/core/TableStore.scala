@@ -137,6 +137,39 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     v
   }
 
+  /** Create an empty table (schema only, no data files) — the CTAS/DSv2
+    * `createTable` hook: SQL writes land as the next version. */
+  def createEmpty(table: String, schemaJson: String): Long = {
+    val v = currentVersion(table) + 1
+    writeManifest(table, Manifest(v, System.currentTimeMillis(), "create",
+      0L, Seq.empty, schemaJson))
+    swapPointer(table, v)
+    v
+  }
+
+  /** Commit parquet files already written by an external writer (the DSv2
+    * SQL write path): move them into the next version directory (same-FS
+    * rename, no data copy), harvest footer stats, and commit
+    * `keptFiles` ∪ them as one snapshot. */
+  def commitStaged(table: String, keptFiles: Seq[FileEntry],
+      staged: Seq[Path], operation: String, schemaJson: String): Long = {
+    val v = currentVersion(table) + 1
+    val dataDir = versionDir(table, v)
+    val f = fs(dataDir)
+    f.mkdirs(dataDir)
+    val newEntries = staged.map { p =>
+      val dest = new Path(dataDir, p.getName)
+      require(f.rename(p, dest), s"failed to move staged file $p")
+      val (rows, stats) = footerStats(dest)
+      FileEntry(s"v=$v/${dest.getName}", f.getFileStatus(dest).getLen, rows, stats)
+    }
+    val files = keptFiles ++ newEntries
+    writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
+      files.map(_.rowCount).sum, files, schemaJson))
+    swapPointer(table, v)
+    v
+  }
+
   /** Row count + per-column min/max from a parquet footer (metadata only).
     * Stats kept for primitive orderable types; strings via UTF-8 bytes. */
   private def footerStats(p: Path): (Long, Map[String, ColStats]) = {
@@ -184,22 +217,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     } finally reader.close()
   }
 
-  /** String stats compare by unsigned UTF-8 bytes — the order parquet
-    * footer stats and Spark's string comparison use. Java's
-    * String.compareTo (UTF-16 code units) diverges for supplementary-plane
-    * characters, which would make min/max pruning silently drop rows. */
-  private def utf8Cmp(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
+  private def utf8Cmp(a: String, b: String): Int = TableStore.utf8Cmp(a, b)
 
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (s1: String, s2: String) => utf8Cmp(s1, s2)
@@ -310,17 +328,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       utf8Cmp(s.max, lo) >= 0 && utf8Cmp(s.min, hi) <= 0
   }
 
-  private def toLong(v: Any): Long = v match {
-    case n: Number => n.longValue()
-    case t: java.sql.Timestamp => // parquet TIMESTAMP_MICROS, keep sub-ms
-      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-    case d: java.sql.Date => d.toLocalDate.toEpochDay // parquet DATE (days)
-    case s: String => s.toLong
-  }
-  private def toDouble(v: Any): Double = v match {
-    case n: Number => n.doubleValue()
-    case s: String => s.toDouble
-  }
+  private def toLong(v: Any): Long = TableStore.toLong(v)
+  private def toDouble(v: Any): Double = TableStore.toDouble(v)
 
   /** Append (A5): metadata-only for existing data — the new snapshot keeps
     * every current file entry as-is and only writes the batch. O(batch)
@@ -497,6 +506,46 @@ object TableStore {
   /** Per-column min/max harvested from parquet footers, stringly-stored
     * with a kind tag so pruning compares in the right domain. */
   case class ColStats(min: String, max: String, kind: String)
+
+  /** String stats compare by unsigned UTF-8 bytes — the order parquet
+    * footer stats and Spark's string comparison use. Java's
+    * String.compareTo (UTF-16 code units) diverges for supplementary-plane
+    * characters, which would make min/max pruning silently drop rows. */
+  private[graft] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private[graft] def toLong(v: Any): Long = v match {
+    case n: Number => n.longValue()
+    case t: java.sql.Timestamp => // parquet TIMESTAMP_MICROS, keep sub-ms
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    case d: java.sql.Date => d.toLocalDate.toEpochDay // parquet DATE (days)
+    case s: String => s.toLong
+  }
+
+  private[graft] def toDouble(v: Any): Double = v match {
+    case n: Number => n.doubleValue()
+    case s: String => s.toDouble
+  }
+
+  /** Compare a stored stat value (min or max) against a literal in the
+    * stat's domain. Returns None when the literal can't be interpreted in
+    * that domain (caller must be conservative). */
+  private[graft] def cmpStat(statVal: String, kind: String, v: Any): Option[Int] =
+    try Some(kind match {
+      case "long" => java.lang.Long.compare(statVal.toLong, toLong(v))
+      case "double" => java.lang.Double.compare(statVal.toDouble, toDouble(v))
+      case _ => utf8Cmp(statVal, v.toString)
+    }) catch { case _: Exception => None }
   /** `path` is relative to the table directory and version-qualified
     * (e.g. "v=3/part-0000.parquet") so snapshots can share files. */
   case class FileEntry(path: String, sizeBytes: Long, rowCount: Long = 0L,

@@ -52,6 +52,73 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL CTAS creates and fills a store table") {
+    withCatalog { (store, cat) =>
+      spark.sql(s"CREATE TABLE $cat.ns.t AS SELECT * FROM VALUES (1, 'a'), (2, 'b') v(id, s)")
+      assert(store.exists("t"))
+      assert(spark.sql(s"SELECT id, s FROM $cat.ns.t ORDER BY id")
+        .as[(Int, String)].collect().toSeq == Seq((1, "a"), (2, "b")))
+      // create (empty) + the CTAS data append = 2 snapshots
+      assert(store.history("t").select("operation").as[String].collect().toSet ==
+        Set("create", "append"))
+    }
+  }
+
+  test("SQL INSERT INTO appends without rewriting old files; OVERWRITE replaces") {
+    withCatalog { (store, cat) =>
+      spark.sql(s"CREATE TABLE $cat.ns.t AS SELECT 1 AS id, 'a' AS s")
+      val before = store.manifests("t").maxBy(_.version).files
+      spark.sql(s"INSERT INTO $cat.ns.t VALUES (2, 'b')")
+      val after = store.manifests("t").maxBy(_.version).files
+      assert(before.forall(fe => after.exists(_.path == fe.path))) // metadata-only append
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").as[Long].head() == 2L)
+      spark.sql(s"INSERT OVERWRITE $cat.ns.t VALUES (9, 'z')")
+      assert(spark.sql(s"SELECT id, s FROM $cat.ns.t").as[(Int, String)]
+        .collect().toSeq == Seq((9, "z")))
+    }
+  }
+
+  test("SQL MERGE INTO: 3-branch update/delete/insert via pure SQL") {
+    withCatalog { (store, cat) =>
+      store.commit("t", Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("id", "s", "v"), "create")
+      spark.sql(
+        s"""MERGE INTO $cat.ns.t t
+           |USING (SELECT * FROM VALUES (1L, 'A', 11L), (3L, 'DEL', 0L), (4L, 'd', 40L)
+           |       src(id, s, v)) s
+           |ON t.id = s.id
+           |WHEN MATCHED AND s.s = 'DEL' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET t.s = s.s, t.v = s.v
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val out = spark.sql(s"SELECT id, s, v FROM $cat.ns.t ORDER BY id")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(out == Seq((1L, "A", 11L), (2L, "b", 20L), (4L, "d", 40L)))
+      assert(store.history("t").select("operation").as[String].collect().head == "merge")
+      // old snapshot still readable (time travel across a SQL merge)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t VERSION AS OF 1")
+        .as[Long].head() == 3L)
+    }
+  }
+
+  test("SQL UPDATE and DELETE rewrite through the row-level operation path") {
+    withCatalog { (store, cat) =>
+      // one file per row, so the file-level COW is observable per key
+      store.commit("t", Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+        .repartitionByRange(3, col("id")), "create")
+      val v1Files = store.manifests("t").last.files.map(_.path).toSet
+      assert(v1Files.size == 3)
+      spark.sql(s"UPDATE $cat.ns.t SET v = v + 1 WHERE id = 2")
+      // only the file containing id=2 was rewritten; the other two v1
+      // files are carried into v2 by reference (zero I/O copy-on-write)
+      val v2Files = store.manifests("t").last.files.map(_.path).toSet
+      assert((v1Files intersect v2Files).size == 2, s"v1=$v1Files v2=$v2Files")
+      spark.sql(s"DELETE FROM $cat.ns.t WHERE id = 1")
+      val out = spark.sql(s"SELECT id, v FROM $cat.ns.t ORDER BY id")
+        .as[(Long, Long)].collect().toSeq
+      assert(out == Seq((2L, 21L), (3L, 30L)))
+    }
+  }
+
   test("catalog sees copy-on-write snapshots (shared files) consistently") {
     withCatalog { (store, cat) =>
       store.commit("t",
