@@ -201,7 +201,8 @@ object SparkEntry {
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
       s.sql(
         s"""SELECT (SELECT count(*) FROM $cat.ns.ev VERSION AS OF 1) AS v1_n_rows,
-           |       count(*) AS v2_n_rows
+           |       count(*) AS v2_n_rows,
+           |       (SELECT count(*) FROM $cat.ns.`ev$$history`) AS n_snapshots
            |FROM $cat.ns.ev""".stripMargin)
     }),
 
@@ -830,7 +831,8 @@ object SparkEntry {
     "q44_sql_catalog" ->
       """SELECT
         | (SELECT count(*) FROM events WHERE ts < TIMESTAMP '2024-01-15') AS v1_n_rows,
-        | count(*) AS v2_n_rows
+        | count(*) AS v2_n_rows,
+        | CAST(2 AS BIGINT) AS n_snapshots
         |FROM events""".stripMargin,
 
     "q23_compaction" ->

@@ -31,7 +31,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ours. Writes go through the [[TableStore]] API (atomic commit protocol);
   * SQL DDL/DML against the catalog is intentionally read-only this round.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -65,8 +65,20 @@ class GraftCatalog extends TableCatalog {
     }
   }
 
+  /** Plain table, or a `t$history` / `t$files` metadata table (A15 —
+    * iceberg_test.Rmd:383-386). */
   override def loadTable(ident: Identifier): Table =
-    tableAt(ident, manifestOrThrow(ident, None))
+    GraftMetadata.resolve(ident.name, store)
+      .getOrElse(tableAt(ident, manifestOrThrow(ident, None)))
+
+  /** `CALL <cat>.<ns>.compact(...)` / `expire_snapshots(...)` (A16 parity
+    * with `OPTIMIZE ... REWRITE DATA USING BIN_PACK`). */
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
+    GraftProcedures.load(ident.name, store).getOrElse(
+      throw new UnsupportedOperationException(s"no procedure ${ident.name}"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(n => Identifier.of(namespace, n)).toArray
 
   /** `VERSION AS OF <n>`. */
   override def loadTable(ident: Identifier, version: String): Table =

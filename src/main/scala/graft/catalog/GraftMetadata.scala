@@ -1,0 +1,80 @@
+package graft.catalog
+
+import java.util
+
+import graft.core.TableStore
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-style `t$history` / `t$files` metadata tables, SQL face of
+  * TableStore.history (A15 — the reference reads
+  * `SELECT * FROM "db"."t$history"`, iceberg_test.Rmd:383-386).
+  * Metadata is manifest-resident (O(versions) / O(files)), so it is served
+  * driver-side as a [[LocalScan]] — no Spark job, same as Iceberg's
+  * metadata tables at this cardinality. */
+object GraftMetadata {
+
+  val historySchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("made_current_at", TimestampType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("row_count", LongType, nullable = false),
+    StructField("file_count", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false)))
+
+  val filesSchema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("row_count", LongType, nullable = false)))
+
+  def historyRows(ms: Seq[TableStore.Manifest]): Array[InternalRow] =
+    ms.sortBy(-_.version).map { m =>
+      new GenericInternalRow(Array[Any](m.version, m.timestampMs * 1000L,
+        UTF8String.fromString(m.operation), m.rowCount,
+        m.files.size.toLong, m.files.map(_.sizeBytes).sum))
+    }.toArray
+
+  def filesRows(ms: Seq[TableStore.Manifest]): Array[InternalRow] = {
+    val m = ms.maxBy(_.version)
+    m.files.sortBy(_.path).map { fe =>
+      new GenericInternalRow(Array[Any](m.version,
+        UTF8String.fromString(fe.path), fe.sizeBytes, fe.rowCount))
+    }.toArray
+  }
+
+  /** `<table>$<meta>` resolution, or None if `name` has no '$' suffix. */
+  def resolve(name: String, store: TableStore): Option[Table] = {
+    val i = name.indexOf('$')
+    if (i <= 0) None
+    else {
+      val (base, meta) = (name.substring(0, i), name.substring(i + 1))
+      val ms = store.manifests(base)
+      if (ms.isEmpty) None
+      else meta match {
+        case "history" => Some(new LocalTable(s"$base$$history", historySchema, historyRows(ms)))
+        case "files" => Some(new LocalTable(s"$base$$files", filesSchema, filesRows(ms)))
+        case _ => None
+      }
+    }
+  }
+}
+
+/** A read-only DSv2 table serving a small driver-resident row set. */
+class LocalTable(tableName: String, tableSchema: StructType,
+    tableRows: Array[InternalRow]) extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new LocalScan {
+      override def readSchema(): StructType = tableSchema
+      override def rows(): Array[InternalRow] = tableRows
+    }
+}

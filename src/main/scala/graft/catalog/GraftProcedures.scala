@@ -1,0 +1,82 @@
+package graft.catalog
+
+import graft.core.TableStore
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/** SQL `CALL`-able maintenance procedures (A16 parity with the reference's
+  * `OPTIMIZE t REWRITE DATA USING BIN_PACK`, iceberg_test.Rmd:406):
+  * {{{
+  *   CALL graft.system.compact(table => 'events', target_file_bytes => 134217728L)
+  *   CALL graft.system.expire_snapshots(table => 'events', keep_last => 1)
+  * }}} */
+object GraftProcedures {
+
+  def load(name: String, store: => TableStore): Option[UnboundProcedure] =
+    name match {
+      case "compact" => Some(compact(store))
+      case "expire_snapshots" => Some(expireSnapshots(store))
+      case _ => None
+    }
+
+  val names: Seq[String] = Seq("compact", "expire_snapshots")
+
+  private def result(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(row)
+    }).iterator()
+
+  private def compact(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "compact"
+    override def description(): String = "bin-pack the current snapshot into ~target_file_bytes files"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "compact"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("target_file_bytes", LongType)
+          .defaultValue("134217728").build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val target = input.getLong(1)
+        val s = store
+        val before = s.manifests(table).maxBy(_.version).files.size.toLong
+        val v = s.compact(table, target)
+        val after = s.manifests(table).maxBy(_.version).files.size.toLong
+        result(
+          StructType(Seq(StructField("version", LongType),
+            StructField("files_before", LongType), StructField("files_after", LongType))),
+          new GenericInternalRow(Array[Any](v, before, after)))
+      }
+    }
+  }
+
+  private def expireSnapshots(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "expire_snapshots"
+    override def description(): String = "delete manifests and unreferenced files of old snapshots"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "expire_snapshots"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("keep_last", IntegerType).defaultValue("1").build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val keep = input.getInt(1)
+        val s = store
+        s.expireSnapshots(table, keep)
+        result(
+          StructType(Seq(StructField("current_version", LongType),
+            StructField("snapshots_remaining", LongType))),
+          new GenericInternalRow(Array[Any](s.currentVersion(table),
+            s.manifests(table).size.toLong)))
+      }
+    }
+  }
+}

@@ -119,6 +119,34 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("t$history and t$files metadata tables are SQL-queryable") {
+    withCatalog { (store, cat) =>
+      store.commit("t", Seq((1L, "a")).toDF("id", "s"), "create")
+      store.append("t", Seq((2L, "b")).toDF("id", "s"))
+      val hist = spark.sql(
+        s"SELECT version, operation, row_count FROM $cat.ns.`t$$history` ORDER BY version DESC")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(hist == Seq((2L, "append", 2L), (1L, "create", 1L)))
+      val files = spark.sql(s"SELECT count(*) FROM $cat.ns.`t$$files`").as[Long].head()
+      assert(files == store.manifests("t").last.files.size.toLong)
+    }
+  }
+
+  test("CALL compact and expire_snapshots run via SQL") {
+    withCatalog { (store, cat) =>
+      store.commit("t", (1 to 100).toDF("id").repartition(8), "create")
+      val res = spark.sql(
+        s"CALL $cat.system.compact(`table` => 't', target_file_bytes => ${512L * 1024 * 1024})")
+        .as[(Long, Long, Long)].head()
+      assert(res == ((2L, 8L, 1L))) // version 2, 8 files before, 1 after
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").as[Long].head() == 100L)
+      val exp = spark.sql(s"CALL $cat.system.expire_snapshots(`table` => 't')")
+        .as[(Long, Long)].head()
+      assert(exp == ((2L, 1L)))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").as[Long].head() == 100L)
+    }
+  }
+
   test("catalog sees copy-on-write snapshots (shared files) consistently") {
     withCatalog { (store, cat) =>
       store.commit("t",
