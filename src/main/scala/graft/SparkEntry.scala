@@ -186,6 +186,22 @@ object SparkEntry {
       agg
     }),
 
+    // §2A A6: partitioned sink — identity partition spec on event_type,
+    // Iceberg-style manifest partition tuples; the readWhere scan lists
+    // ONLY the matching partition's files (partition_exact proves kept ==
+    // files of that partition and < total).
+    "q49_partitioned_sink" -> ((s, dir) => {
+      val store = tmpStore(s)
+      store.commitPartitioned("ev", Tables.load(s, dir, "events"),
+        Seq("event_type"), "create")
+      val m = store.manifests("ev").last
+      val expected = m.files.count(_.partitionValues.get("event_type").contains("click"))
+      val (kept, total) = store.prunedFileCount("ev", "event_type", "click", "click")
+      store.readWhere("ev", "event_type", "click", "click")
+        .agg(count(lit(1)).as("n_rows"), dsumd(col("value")).as("sum_value"))
+        .withColumn("partition_exact", lit(kept == expected && kept < total))
+    }),
+
     // §2A A14 via SQL: the DSv2 GraftCatalog resolves store tables in
     // plain SQL incl. `VERSION AS OF` time travel.
     "q44_sql_catalog" -> ((s, dir) => {
@@ -845,6 +861,12 @@ object SparkEntry {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(TRUE AS BOOLEAN) AS pruning_effective
         |FROM lineitem WHERE l_orderkey >= 100 AND l_orderkey <= 500""".stripMargin,
+
+    "q49_partitioned_sink" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | CAST(TRUE AS BOOLEAN) AS partition_exact
+        |FROM events WHERE event_type = 'click'""".stripMargin,
 
     "q06_corr_scalar_subquery" -> SharedSql.corrScalarSubquery,
     "q07_scalar_subqueries" -> SharedSql.scalarSubqueries,

@@ -97,13 +97,28 @@ class TableStore(spark: SparkSession, val warehouse: String) {
   def commit(table: String, df: DataFrame, operation: String): Long =
     commitFiles(table, Seq.empty, Some(df), operation)
 
+  /** Partitioned commit (A6): rows land in an Iceberg-style identity
+    * partition layout `v=N/__p_<col>=<value>/part-*.parquet`. The partition
+    * columns stay IN the data files (the `__p_` copies only name the
+    * directories), each file's partition tuple is recorded in the manifest,
+    * and the values are folded into the per-file stats as exact min=max —
+    * so every pruning path (readWhere, MERGE planning, SQL row-level
+    * operations) skips non-matching partitions without listing them.
+    * Mirrors the reference's partitioned fact tables
+    * (query_performance/utils/metadata/store_sales.json "partitions",
+    * utils/create_partitioned_hive_tpcds.py:49-105). */
+  def commitPartitioned(table: String, df: DataFrame, partitionBy: Seq[String],
+      operation: String): Long =
+    commitFiles(table, Seq.empty, Some(df), operation, partitionBy)
+
   /** Copy-on-write commit: the new snapshot = `keptFiles` (entries carried
     * over from a previous manifest — file paths are version-qualified, so
     * nothing is copied) ∪ the freshly-written `newData`. This is what makes
     * file-level MERGE rewrite possible (SURVEY.md §4 "MERGE physical
     * strategy"): untouched files cost zero I/O in the commit. */
   def commitFiles(table: String, keptFiles: Seq[FileEntry],
-      newData: Option[DataFrame], operation: String): Long = {
+      newData: Option[DataFrame], operation: String,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     val v = currentVersion(table) + 1
     val newEntries = newData match {
       case Some(df) =>
@@ -114,28 +129,76 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         val key = "spark.sql.parquet.outputTimestampType"
         val prev = spark.conf.getOption(key)
         spark.conf.set(key, "TIMESTAMP_MICROS")
-        try df.write.mode("overwrite").parquet(dataDir.toString)
-        finally prev match {
+        try {
+          if (partitionBy.isEmpty) df.write.mode("overwrite").parquet(dataDir.toString)
+          else {
+            // duplicate the partition cols so the data files keep them
+            val withDirs = partitionBy.foldLeft(df)((d, c) =>
+              d.withColumn(s"__p_$c", col(c)))
+            withDirs.write.mode("overwrite")
+              .partitionBy(partitionBy.map(c => s"__p_$c"): _*)
+              .parquet(dataDir.toString)
+          }
+        } finally prev match {
           case Some(p) => spark.conf.set(key, p)
           case None => spark.conf.unset(key)
         }
+        val kinds: Map[String, String] = newData.map(_.schema.fields.map(f =>
+          f.name -> (f.dataType match {
+            case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+                 _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => "long"
+            case _: org.apache.spark.sql.types.FloatType | _: org.apache.spark.sql.types.DoubleType => "double"
+            case _ => "string"
+          })).toMap).getOrElse(Map.empty)
         val f = fs(dataDir)
-        f.listStatus(dataDir).filter(_.getPath.getName.startsWith("part-"))
-          .map { s =>
-            val (rows, stats) = footerStats(s.getPath)
-            FileEntry(s"v=$v/${s.getPath.getName}", s.getLen, rows, stats)
-          }.toSeq
+        val qualified = f.makeQualified(dataDir).toString
+        listPartFiles(dataDir, f).map { s =>
+          val rel = f.makeQualified(s.getPath).toString.stripPrefix(qualified)
+            .stripPrefix("/")
+          val pvals = partitionValuesOf(rel)
+          val (rows, stats) = footerStats(s.getPath)
+          // partition value = exact min=max stat for every pruning path
+          val pstats = pvals.collect {
+            case (c, pv) if pv != "__HIVE_DEFAULT_PARTITION__" =>
+              c -> ColStats(pv, pv, kinds.getOrElse(c, "string"))
+          }
+          FileEntry(s"v=$v/$rel", s.getLen, rows, stats ++ pstats, pvals)
+        }
       case None => Seq.empty
     }
     val files = keptFiles ++ newEntries
     val schemaJson = newData.map(_.schema.json)
       .orElse(manifests(table).lastOption.map(_.schemaJson))
       .getOrElse("{}")
+    val spec =
+      if (partitionBy.nonEmpty) partitionBy
+      else manifests(table).lastOption.map(_.partitionBy).getOrElse(Seq.empty)
     writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
-      files.map(_.rowCount).sum, files, schemaJson))
+      files.map(_.rowCount).sum, files, schemaJson, spec))
     swapPointer(table, v)
     v
   }
+
+  /** All part- files under `dir`, recursively (partitioned layouts nest). */
+  private def listPartFiles(dir: Path, f: FileSystem)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val it = f.listFiles(dir, true)
+    val buf = ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.startsWith("part-")) buf += s
+    }
+    buf.toSeq.sortBy(_.getPath.toString)
+  }
+
+  /** Parse `__p_<col>=<value>` segments of a version-relative path. */
+  private def partitionValuesOf(rel: String): Map[String, String] =
+    rel.split('/').dropRight(1).collect {
+      case seg if seg.startsWith("__p_") && seg.contains('=') =>
+        val Array(k, vv) = seg.split("=", 2)
+        k.stripPrefix("__p_") ->
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(vv)
+    }.toMap
 
   /** Create an empty table (schema only, no data files) — the CTAS/DSv2
     * `createTable` hook: SQL writes land as the next version. */
@@ -454,13 +517,20 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         stats(e.getKey) = ColStats(e.getValue.get("min").asText(),
           e.getValue.get("max").asText(), e.getValue.get("kind").asText())
       }
+      val pvals = scala.collection.mutable.Map[String, String]()
+      val pn = fn.get("partition")
+      if (pn != null) pn.properties().asScala.foreach(e =>
+        pvals(e.getKey) = e.getValue.asText())
       files += FileEntry(fn.get("path").asText(), fn.get("sizeBytes").asLong(),
         if (fn.has("rowCount")) fn.get("rowCount").asLong() else 0L,
-        stats.toMap)
+        stats.toMap, pvals.toMap)
     }
+    val spec = ArrayBuffer[String]()
+    val sn = n.get("partitionBy")
+    if (sn != null) sn.forEach(e => spec += e.asText())
     Manifest(n.get("version").asLong(), n.get("timestampMs").asLong(),
       n.get("operation").asText(), n.get("rowCount").asLong(), files.toSeq,
-      n.get("schemaJson").asText())
+      n.get("schemaJson").asText(), spec.toSeq)
   }
 
   private def jsonStr(s: String): String =
@@ -479,13 +549,21 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       val statsJson = fe.stats.toSeq.sortBy(_._1).map { case (c, s) =>
         s"""${jsonStr(c)}:{"min":${jsonStr(s.min)},"max":${jsonStr(s.max)},"kind":${jsonStr(s.kind)}}"""
       }.mkString("{", ",", "}")
+      val partJson =
+        if (fe.partitionValues.isEmpty) ""
+        else fe.partitionValues.toSeq.sortBy(_._1)
+          .map { case (k, vv) => s"${jsonStr(k)}:${jsonStr(vv)}" }
+          .mkString(""","partition":{""", ",", "}")
       s"""{"path":${jsonStr(fe.path)},"sizeBytes":${fe.sizeBytes},""" +
-        s""""rowCount":${fe.rowCount},"stats":$statsJson}"""
+        s""""rowCount":${fe.rowCount},"stats":$statsJson$partJson}"""
     }.mkString("[", ",", "]")
+    val specJson =
+      if (m.partitionBy.isEmpty) ""
+      else m.partitionBy.map(jsonStr).mkString(""","partitionBy":[""", ",", "]")
     val json =
       s"""{"version":${m.version},"timestampMs":${m.timestampMs},
          |"operation":${jsonStr(m.operation)},"rowCount":${m.rowCount},
-         |"files":$filesJson,"schemaJson":${jsonStr(m.schemaJson)}}""".stripMargin
+         |"files":$filesJson,"schemaJson":${jsonStr(m.schemaJson)}$specJson}""".stripMargin
     atomicWrite(manifestPath(table, m.version), json)
   }
 
@@ -547,9 +625,14 @@ object TableStore {
       case _ => utf8Cmp(statVal, v.toString)
     }) catch { case _: Exception => None }
   /** `path` is relative to the table directory and version-qualified
-    * (e.g. "v=3/part-0000.parquet") so snapshots can share files. */
+    * (e.g. "v=3/part-0000.parquet", or
+    * "v=3/__p_day=2024-01-01/part-0000.parquet" under a partition spec) so
+    * snapshots can share files. `partitionValues` is the file's identity
+    * partition tuple (also folded into `stats` as min=max). */
   case class FileEntry(path: String, sizeBytes: Long, rowCount: Long = 0L,
-    stats: Map[String, ColStats] = Map.empty)
+    stats: Map[String, ColStats] = Map.empty,
+    partitionValues: Map[String, String] = Map.empty)
   case class Manifest(version: Long, timestampMs: Long, operation: String,
-    rowCount: Long, files: Seq[FileEntry], schemaJson: String)
+    rowCount: Long, files: Seq[FileEntry], schemaJson: String,
+    partitionBy: Seq[String] = Seq.empty)
 }

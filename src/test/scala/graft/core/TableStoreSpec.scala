@@ -127,6 +127,27 @@ class TableStoreSpec extends SparkSpec {
     assert(pruned == (100L to 150L).toSeq)
   }
 
+  test("partitioned commit: layout, spec, per-file values, exact pruning") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "c", 40.0))
+      .toDF("id", "cat", "v")
+    store.commitPartitioned("t", df, Seq("cat"), "create")
+    val m = store.manifests("t").last
+    assert(m.partitionBy == Seq("cat"))
+    assert(m.files.nonEmpty && m.files.forall(_.partitionValues.contains("cat")))
+    assert(m.files.forall(fe => fe.path.contains(s"__p_cat=${fe.partitionValues("cat")}")))
+    // data files keep the partition column; reads are exact
+    assert(store.read("t").select("id", "cat", "v").as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "c", 40.0)))
+    // partition pruning: only cat=a files are listed, others never touched
+    val (kept, total) = store.prunedFileCount("t", "cat", "a", "a")
+    val aFiles = m.files.count(_.partitionValues("cat") == "a")
+    assert(kept == aFiles && kept < total, s"kept=$kept aFiles=$aFiles total=$total")
+    assert(store.readWhere("t", "cat", "a", "a").select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("expireSnapshots keeps time travel bounded") {
     val store = new TableStore(spark, tmpDir("ts"))
     store.commit("t", Seq(1).toDF("id"), "create")
