@@ -32,7 +32,8 @@ object Bench {
     "q26_selfjoin_lag", "q31_ngram_jaccard", "q32_minhash_lsh",
     "q35_embedding_neardup_lsh", "q36_similarity_topk", "q37_text_langid",
     "q39_token_stats", "q41_multimodal_features", "q45_batch_sessions",
-    "q46_asof_join")
+    "q46_asof_join", "q48_sql_writes", "q50_multiway_cte_selfjoin",
+    "q51_rollup_8col", "q52_intersect_channels")
 
   /** A20 metrics collector (replaces the reference's Athena `Statistics` /
     * Glue DPU collectors — SURVEY.md §2A A19/A20): scan size from the

@@ -186,6 +186,107 @@ object SparkEntry {
       agg
     }),
 
+    // Composition stress (reference sql/q64.sql shape): an 8-relation
+    // sales CTE aggregated per (year, nation, customer), self-joined at
+    // two anchor years — 16 scans / 14 joins before the final rollup into
+    // per-nation revenue pairs. Exact-decimal revenue, DOUBLE at the edge.
+    "q50_multiway_cte_selfjoin" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region")
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+      val p = Tables.load(s, dir, "part")
+      val su = Tables.load(s, dir, "supplier")
+      val ns = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("ns_nationkey"), col("n_name").as("ns_name"))
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))
+      val sales = c
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .join(o, col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(p, col("p_partkey") === col("l_partkey"))
+        .join(su, col("s_suppkey") === col("l_suppkey"))
+        .join(ns, col("s_nationkey") === col("ns_nationkey"))
+        .filter(col("p_size") <= 25 && col("s_acctbal") > 0)
+        .groupBy(year(col("o_orderdate")).as("yr"), col("n_name"), col("c_custkey"))
+        .agg(sum(rev).as("rev"))
+      val a = sales.filter(col("yr") === 1995)
+        .select(col("n_name"), col("c_custkey"), col("rev").as("rev_a"))
+      val b = sales.filter(col("yr") === 2000)
+        .select(col("n_name").as("nb"), col("c_custkey").as("ckb"), col("rev").as("rev_b"))
+      a.join(b, col("c_custkey") === col("ckb") && col("n_name") === col("nb"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(col("rev_a")).cast("double").as("rev_1995"),
+          sum(col("rev_b")).cast("double").as("rev_2000"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Composition stress (reference sql/q67.sql:32 shape): 8-column ROLLUP
+    // over a 6-relation join, grouping-id derived per column so both
+    // engines pack it identically; rolled-up columns surfaced as 'ALL' to
+    // keep ordering engine-agnostic.
+    "q51_rollup_8col" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val o = Tables.load(s, dir, "orders")
+      val c = Tables.load(s, dir, "customer")
+      val n = Tables.load(s, dir, "nation")
+      val r = Tables.load(s, dir, "region")
+      val p = Tables.load(s, dir, "part")
+      val cols = Seq("r_name", "n_name", "c_mktsegment", "o_orderstatus",
+        "o_orderpriority", "l_returnflag", "l_linestatus", "p_brand")
+      val gid = cols.zipWithIndex.map { case (cn, i) =>
+        grouping(col(cn)).cast("long") * (1L << (cols.size - 1 - i))
+      }.reduce(_ + _)
+      val out = l
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .filter(col("l_quantity") > 45)
+        .rollup(cols.map(col): _*)
+        .agg(gid.as("gid"), count(lit(1)).as("n"),
+          dsumd(col("l_quantity")).as("sum_qty"))
+        .select(col("gid") +:
+          cols.map(cn => coalesce(col(cn), lit("ALL")).as(cn)) :+
+          col("n") :+ col("sum_qty"): _*)
+      out.orderBy(col("gid") +: cols.map(col): _*)
+    }),
+
+    // Composition stress (reference sql/q14a.sql shape): customers present
+    // in all three return-flag channels via a 3-way INTERSECT stack, then
+    // joined back for an exact-decimal balance sum.
+    "q52_intersect_channels" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+      val c = Tables.load(s, dir, "customer")
+      val ch = o.join(l, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_returnflag")).distinct()
+      def channel(f: String) =
+        ch.filter(col("l_returnflag") === f).select(col("o_custkey"))
+      channel("R").intersect(channel("A")).intersect(channel("N"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))
+    }),
+
+    // ROUND + ABS over exact decimals (both engines round decimals
+    // HALF_UP, so the sums are bit-stable).
+    "q53_round_abs" -> ((s, dir) => {
+      val l = Tables.load(s, dir, "lineitem")
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount").cast("decimal(18,2)"))
+      l.groupBy(col("l_returnflag"))
+        .agg(sum(round(rev, 0)).cast("double").as("rounded_rev"),
+          sum(abs(col("l_quantity").cast("decimal(18,2)") - 25)).cast("double")
+            .as("abs_qty_dev"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // §2A A6: partitioned sink — identity partition spec on event_type,
     // Iceberg-style manifest partition tuples; the readWhere scan lists
     // ONLY the matching partition's files (partition_exact proves kept ==
@@ -861,6 +962,69 @@ object SparkEntry {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(TRUE AS BOOLEAN) AS pruning_effective
         |FROM lineitem WHERE l_orderkey >= 100 AND l_orderkey <= 500""".stripMargin,
+
+    "q50_multiway_cte_selfjoin" ->
+      """WITH sales AS (
+        |  SELECT year(o_orderdate) AS yr, n.n_name, c.c_custkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |  FROM customer c
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  JOIN orders o ON o.o_custkey = c.c_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        |  WHERE p.p_size <= 25 AND s.s_acctbal > 0
+        |  GROUP BY 1, 2, 3)
+        |SELECT a.n_name, CAST(count(*) AS BIGINT) AS n_custs,
+        |  CAST(SUM(a.rev) AS DOUBLE) AS rev_1995, CAST(SUM(b.rev) AS DOUBLE) AS rev_2000
+        |FROM sales a JOIN sales b ON a.c_custkey = b.c_custkey AND a.n_name = b.n_name
+        |WHERE a.yr = 1995 AND b.yr = 2000
+        |GROUP BY a.n_name ORDER BY a.n_name""".stripMargin,
+
+    "q51_rollup_8col" ->
+      """SELECT
+        |  CAST(grouping(r_name)*128 + grouping(n_name)*64 + grouping(c_mktsegment)*32 +
+        |       grouping(o_orderstatus)*16 + grouping(o_orderpriority)*8 + grouping(l_returnflag)*4 +
+        |       grouping(l_linestatus)*2 + grouping(p_brand) AS BIGINT) AS gid,
+        |  COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
+        |  COALESCE(c_mktsegment, 'ALL') AS c_mktsegment,
+        |  COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |  COALESCE(p_brand, 'ALL') AS p_brand,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l_quantity > 45
+        |GROUP BY ROLLUP(r2.r_name, n2.n_name, c.c_mktsegment, o.o_orderstatus,
+        |  o.o_orderpriority, l.l_returnflag, l.l_linestatus, p.p_brand)
+        |ORDER BY gid, r_name, n_name, c_mktsegment, o_orderstatus,
+        |  o_orderpriority, l_returnflag, l_linestatus, p_brand""".stripMargin,
+
+    "q52_intersect_channels" ->
+      """WITH ch AS (
+        |  SELECT DISTINCT o_custkey, l_returnflag
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM (
+        |  SELECT o_custkey FROM ch WHERE l_returnflag = 'R'
+        |  INTERSECT SELECT o_custkey FROM ch WHERE l_returnflag = 'A'
+        |  INTERSECT SELECT o_custkey FROM ch WHERE l_returnflag = 'N') t
+        |JOIN customer ON c_custkey = o_custkey""".stripMargin,
+
+    "q53_round_abs" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 0)) AS DOUBLE) AS rounded_rev,
+        |  CAST(SUM(ABS(CAST(l_quantity AS DECIMAL(18,2)) - 25)) AS DOUBLE) AS abs_qty_dev
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q49_partitioned_sink" ->
       """SELECT count(*) AS n_rows,
