@@ -804,11 +804,30 @@ object SparkEntry {
     "q42_vector_sql" -> ((s, dir) => {
       graft.functions.VectorFunctions.registerSql(s)
       Tables.registerAll(s, dir)
+      val e = Tables.load(s, dir, "embeddings")
+      // LSH candidates bound the pair space (same buckets as q35); the
+      // native codegen'd vector_cosine SQL function verifies only those —
+      // the 100 TB shape, not a cartesian product.
+      val view = s"q42cand${System.nanoTime()}"
+      Dedup.embeddingLshCandidates(e, "vec_id", "embedding")
+        .createOrReplaceTempView(view)
       s.sql(
-        """SELECT COUNT(*) AS n_neardup_pairs
-          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          |WHERE vector_cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
-          |                    CAST(b.embedding AS ARRAY<DOUBLE>)) >= 0.45""".stripMargin)
+        s"""SELECT COUNT(*) AS n_neardup_pairs
+           |FROM $view c
+           |JOIN embeddings a ON a.vec_id = c.id_a
+           |JOIN embeddings b ON b.vec_id = c.id_b
+           |WHERE vector_cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
+           |                    CAST(b.embedding AS ARRAY<DOUBLE>)) >= 0.45""".stripMargin)
+    }),
+
+    // §2A A9 sampling: portable md5-keyed Bernoulli sample (the
+    // `df.sample` variant is Sampling.bernoulli, spec-tested — this one is
+    // re-derivable in any engine, hence oracle-checkable).
+    "q54_sample_delta" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+      graft.curation.Sampling.byKeyHash(o, "o_orderkey", 0.1)
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     }),
 
     // ext: multimodal pipeline — binary payload + typed metadata through
@@ -866,6 +885,27 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** DuckDB replica of the hyperplane-LSH near-dup pipeline (candidates +
+    * exact cosine verify), shared by the q35 and q42 oracles. The seeded
+    * planes are embedded as literals. */
+  private lazy val embeddingLshOracleBody: String = {
+    val branches = Dedup.hyperplanes().zipWithIndex.map { case (tbl, ti) =>
+      val bucket = tbl.map { p =>
+        s"(CASE WHEN list_inner_product(e, ${p.mkString("[", ", ", "]")}) >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"  SELECT vec_id, $ti AS t, $bucket AS bk FROM v"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (
+       |$branches),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM b x JOIN b y ON x.t = y.t AND x.bk = y.bk AND x.vec_id < y.vec_id)
+       |SELECT id_a, id_b
+       |FROM cand JOIN v p ON p.vec_id = id_a JOIN v q ON q.vec_id = id_b
+       |WHERE list_cosine_similarity(p.e, q.e) >= 0.45""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1372,24 +1412,9 @@ object SparkEntry {
     // Replica of the hyperplane-LSH bucketing with the SAME seeded planes
     // embedded as literals (Dedup.hyperplanes rounds to 6 decimals so the
     // literals parse to bit-identical doubles), then exact cosine verify.
-    "q35_embedding_neardup_lsh" -> {
-      val branches = Dedup.hyperplanes().zipWithIndex.map { case (tbl, ti) =>
-        val bucket = tbl.map { p =>
-          s"(CASE WHEN list_inner_product(e, ${p.mkString("[", ", ", "]")}) >= 0 THEN '1' ELSE '0' END)"
-        }.mkString(" || ")
-        s"  SELECT vec_id, $ti AS t, $bucket AS bk FROM v"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |b AS (
-         |$branches),
-         |cand AS (
-         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-         |  FROM b x JOIN b y ON x.t = y.t AND x.bk = y.bk AND x.vec_id < y.vec_id)
-         |SELECT id_a, id_b
-         |FROM cand JOIN v p ON p.vec_id = id_a JOIN v q ON q.vec_id = id_b
-         |WHERE list_cosine_similarity(p.e, q.e) >= 0.45
-         |ORDER BY id_a, id_b""".stripMargin
-    },
+    "q35_embedding_neardup_lsh" ->
+      s"""$embeddingLshOracleBody
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q36_similarity_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
@@ -1465,10 +1490,19 @@ object SparkEntry {
         |GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "q42_vector_sql" ->
-      """SELECT COUNT(*) AS n_neardup_pairs
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                             CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin,
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs
+         |FROM ($embeddingLshOracleBody) pairs""".stripMargin,
+
+    "q54_sample_delta" -> {
+      def nib(i: Int) = {
+        val a = s"ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), $i, 1))"
+        s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)"
+      }
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM orders
+         |WHERE ${nib(1)} * 16 + ${nib(2)} < 25""".stripMargin
+    },
 
     "q41_multimodal_features" ->
       """SELECT kind, COUNT(*) AS n_media,

@@ -119,14 +119,18 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
     val tSchema = target.schema
 
     if (cardinalityCheck) {
-      // Iceberg errors when one target row matches >1 source row. Source
-      // keys duplicated AND present in the target ⇒ ambiguous merge.
-      val srcKeyCols = keys.map { case (t, sc) => col(sc).as(t) }
-      val dupKeys = src.select(srcKeyCols: _*)
-        .groupBy(keys.map(p => col(p._1)): _*).count().filter(col("count") > 1)
-      val ambiguous = dupKeys.join(
-        target.select(keys.map(p => col(p._1)): _*).distinct(),
-        keys.map(_._1), "left_semi").limit(1).count()
+      // Iceberg errors when one target row matches >1 source row. One
+      // probe job with the SAME match condition as the merge (keys AND
+      // extraOn — a key-only probe would flag matches the extra predicate
+      // actually disambiguates): tag target rows, inner-join the source,
+      // and look for a tag matched twice. The id only discriminates rows
+      // within this one execution, which is all the probe needs.
+      val tWithId = target.withColumn("__tid", monotonically_increasing_id())
+      val sP = src.select(src.columns.map(c => col(c).as(SrcPrefix + c)).toSeq: _*)
+      val probeCond = keys.map { case (tk, sk) => tWithId(tk) === sP(SrcPrefix + sk) }
+        .reduce(_ && _) && extraOn.getOrElse(lit(true))
+      val ambiguous = tWithId.join(sP, probeCond, "inner")
+        .groupBy(col("__tid")).count().filter(col("count") > 1).limit(1).count()
       require(ambiguous == 0,
         s"MERGE into $table: a target row is matched by more than one source row")
     }

@@ -243,14 +243,14 @@ object Dedup {
       math.rint(rnd.nextGaussian() * 1e6) / 1e6)))
   }
 
-  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, tables: Int = 16, planesPerTable: Int = 4,
-      dim: Int = 64): DataFrame = {
+  /** Hyperplane-LSH candidate pairs (no verify): ids sharing a sign-bucket
+    * in at least one of the `tables` hash tables. Buckets carry only
+    * (id, table, signature) — the `dim`-sized vectors never enter the
+    * candidate shuffle. */
+  def embeddingLshCandidates(df: DataFrame, idCol: String, vecCol: String,
+      tables: Int = 16, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(tables, planesPerTable, dim)
     val v = transform(col(vecCol), x => x.cast("double"))
-    // Buckets carry only (id, table, signature): the 64-dim vectors never
-    // enter the candidate shuffle — they are joined back once per UNIQUE
-    // candidate pair for the exact verify.
     val bucketed = df.select(col(idCol).as("__id"),
       explode(array(planes.zipWithIndex.map { case (tbl, ti) =>
         struct(lit(ti).as("t"),
@@ -261,8 +261,15 @@ object Dedup {
       .select(col("__id"), col("tb.t").as("__t"), col("tb.b").as("__b"))
     val l = bucketed.select(col("__id").as("id_a"), col("__t"), col("__b"))
     val r = bucketed.select(col("__id").as("id_b"), col("__t"), col("__b"))
-    val cand = l.join(r, Seq("__t", "__b")).filter(col("id_a") < col("id_b"))
+    l.join(r, Seq("__t", "__b")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 16, planesPerTable: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val cand = embeddingLshCandidates(df, idCol, vecCol, tables, planesPerTable, dim)
     val va = df.select(col(idCol).as("id_a"), v.as("__va"))
     val vb = df.select(col(idCol).as("id_b"), v.as("__vb"))
     cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))

@@ -65,12 +65,11 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("__cv"))
-    // deterministic stride sample as centroid seeds
-    val n = corpus.count()
-    val stride = math.max(1L, n / nlist)
-    val centroids = c.withColumn("__rn",
-        row_number().over(Window.orderBy(col("vec_id"))).cast("long"))
-      .filter(col("__rn") % stride === 1).limit(nlist)
+    // Deterministic pseudo-random seeds: the nlist smallest id-hashes.
+    // orderBy+limit compiles to TakeOrderedAndProject — each partition
+    // keeps its local top-nlist and the driver merges nlist·P candidates —
+    // no global sort, no driver-side count, scales to any corpus size.
+    val centroids = c.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nlist)
       .select(col("vec_id").as("cid"), col("__cv").as("__cent"))
     // one pass: nearest centroid per corpus vector (broadcast centroids)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("__d").desc, col("cid"))

@@ -64,8 +64,19 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          if (!store.exists(table)) Scd2.bulkInsert(store, table, batch, tsCol)
-          else Scd2.scd2Complex(store, table, batch, pkCol, tsCol)
+          if (!store.exists(table)) {
+            // A first batch may already carry several versions of a key
+            // (CDC replay/backfill): bulk-insert only each key's EARLIEST
+            // row (anything else would stamp multiple open current rows),
+            // then run the regular SCD2 merge on the remainder.
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(pkCol)).orderBy(col(tsCol))
+            val withRn = batch.withColumn("__rn", row_number().over(w))
+            Scd2.bulkInsert(store, table,
+              withRn.filter(col("__rn") === 1).drop("__rn"), tsCol)
+            val rest = withRn.filter(col("__rn") > 1).drop("__rn")
+            if (!rest.isEmpty) Scd2.scd2Complex(store, table, rest, pkCol, tsCol)
+          } else Scd2.scd2Complex(store, table, batch, pkCol, tsCol)
         }
         ()
       }

@@ -43,6 +43,40 @@ class CdcStreamSpec extends SparkSpec {
       ("B", 1, "2022-01-01", "2250-01-01", true)))
   }
 
+  test("streamScd2: first batch with several versions of a key keeps one current row") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = new TableStore(spark, tmpDir("stream"))
+    val mem = MemoryStream[(String, Int, java.sql.Timestamp)]
+    val deltas = mem.toDF().toDF("pk", "qty", "extraction_timestamp")
+
+    val q = CdcStream.streamScd2(deltas, store, "t", "pk",
+      "extraction_timestamp", tmpDir("ckpt"))
+    try {
+      // CDC replay: three versions of A and one of B in the FIRST batch
+      mem.addData(("A", 1, ts("2022-01-01 00:00:00")),
+        ("A", 2, ts("2022-02-01 00:00:00")),
+        ("A", 3, ts("2022-03-01 00:00:00")),
+        ("B", 9, ts("2022-01-15 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = store.read("t")
+      .select(col("pk"), col("qty"),
+        date_format(col("start_datetime"), "yyyy-MM-dd").as("s"),
+        col("is_current"))
+      .as[(String, Int, String, Boolean)].collect()
+      .sortBy(r => (r._1, r._3)).toSeq
+    assert(out == Seq(
+      ("A", 1, "2022-01-01", false),
+      ("A", 2, "2022-02-01", false),
+      ("A", 3, "2022-03-01", true),
+      ("B", 9, "2022-01-15", true)))
+    // exactly one current row per key
+    val current = store.read("t").filter(col("is_current"))
+      .groupBy(col("pk")).count().as[(String, Long)].collect().toMap
+    assert(current == Map("A" -> 1L, "B" -> 1L))
+  }
+
   test("windowedEventCounts aggregates per tumbling window with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
