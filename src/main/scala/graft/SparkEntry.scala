@@ -820,6 +820,15 @@ object SparkEntry {
            |                    CAST(b.embedding AS ARRAY<DOUBLE>)) >= 0.45""".stripMargin)
     }),
 
+    // Composition stress (reference sql/q88.sql shape): eight single-row
+    // COUNT subqueries over the same 3-relation join with different time
+    // slices and a disjunctive segment/quantity predicate, cross-joined
+    // into one row. Identical SQL runs on both engines.
+    "q55_eight_subqueries" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(SharedSql.eightSubqueries)
+    }),
+
     // §2A A9 sampling: portable md5-keyed Bernoulli sample (the
     // `df.sample` variant is Sampling.bernoulli, spec-tested — this one is
     // re-derivable in any engine, hence oracle-checkable).
@@ -849,6 +858,27 @@ object SparkEntry {
     * engine — the two-engine differential exactly mirrors the reference's
     * Spark-vs-Athena consistency check (SURVEY.md §5). */
   private object SharedSql {
+    /** q88 shape: 8 half-year count slices cross-joined (identical SQL on
+      * Spark and DuckDB — year/month/CAST behave the same). */
+    val eightSubqueries: String = {
+      val slices = for {
+        (yr, half) <- Seq((1995, 1), (1995, 2), (1996, 1), (1996, 2),
+          (1997, 1), (1997, 2), (1998, 1), (1998, 2))
+      } yield {
+        val (mLo, mHi) = if (half == 1) (1, 6) else (7, 12)
+        s"""  (SELECT CAST(count(*) AS BIGINT) AS n_${yr}_h$half
+           |  FROM lineitem, orders, customer
+           |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+           |    AND year(o_orderdate) = $yr
+           |    AND month(o_orderdate) BETWEEN $mLo AND $mHi
+           |    AND ((c_mktsegment = 'BUILDING' AND l_quantity <= 25)
+           |      OR (c_mktsegment = 'MACHINERY' AND l_quantity <= 30)
+           |      OR (c_mktsegment = 'AUTOMOBILE' AND l_quantity <= 35))
+           |    AND l_returnflag = 'N') s${yr}h$half""".stripMargin
+      }
+      s"SELECT *\nFROM\n${slices.mkString(",\n")}"
+    }
+
     val corrScalarSubquery: String =
       """WITH ctr AS (
         |  SELECT c_custkey, c_nationkey,
@@ -1071,6 +1101,8 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         | CAST(TRUE AS BOOLEAN) AS partition_exact
         |FROM events WHERE event_type = 'click'""".stripMargin,
+
+    "q55_eight_subqueries" -> SharedSql.eightSubqueries,
 
     "q06_corr_scalar_subquery" -> SharedSql.corrScalarSubquery,
     "q07_scalar_subqueries" -> SharedSql.scalarSubqueries,
@@ -1336,35 +1368,47 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Bit-identical replica of the portable MinHash+LSH pipeline: same
-    // md5("<i>:<shingle>") min-hashes, same 4-row band md5, same exact
-    // Jaccard verify over candidates.
-    "q32_minhash_lsh" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(t) - 2, 1) + 1),
-        |    i -> array_to_string(t[i:i+2], ' ')))) AS s
-        |  FROM toks),
-        |mh AS (
-        |  SELECT doc_id, i, min(md5(CAST(i AS VARCHAR) || ':' || s)) AS h
-        |  FROM sh, range(0, 32) r(i) GROUP BY doc_id, i),
-        |bands AS (
-        |  SELECT doc_id, i // 4 AS band, md5(string_agg(h, ',' ORDER BY i)) AS bh
-        |  FROM mh GROUP BY doc_id, i // 4),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT c.id_a, c.id_b, COUNT(*) AS i
-        |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
-        |  GROUP BY c.id_a, c.id_b)
-        |SELECT id_a, id_b, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
-        |FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
-        |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
+    // 28-bit md5 shingle key, same seeded affine hash family, same 4-row
+    // band md5, same exact Jaccard verify over candidates.
+    "q32_minhash_lsh" -> {
+      val values = Dedup.minhashAffineConsts(32).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      def nib(k: Int) = {
+        val a = s"ascii(substr(hx, ${k + 1}, 1))"
+        s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)"
+      }
+      val xExpr = (0 until 7).map(k => s"${nib(k)} * ${1L << (4 * k)}").mkString(" + ")
+      raw"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+           |  FROM documents),
+           |sh AS (
+           |  SELECT doc_id, unnest(list_distinct(list_transform(
+           |    range(1, greatest(len(t) - 2, 1) + 1),
+           |    i -> array_to_string(t[i:i+2], ' ')))) AS s
+           |  FROM toks),
+           |xs AS (
+           |  SELECT doc_id, CAST($xExpr AS BIGINT) AS x
+           |  FROM (SELECT doc_id, md5(s) AS hx FROM sh) keyed),
+           |mh AS (
+           |  SELECT doc_id, i, min((a * x + b) % ${Dedup.MinhashPrime}) AS h
+           |  FROM xs, (VALUES $values) consts(i, a, b) GROUP BY doc_id, i),
+           |bands AS (
+           |  SELECT doc_id, i // 4 AS band,
+           |    md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)) AS bh
+           |  FROM mh GROUP BY doc_id, i // 4),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+           |  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+           |  GROUP BY c.id_a, c.id_b)
+           |SELECT id_a, id_b, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jaccard
+           |FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+           |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin
+    },
 
     // Bit-identical replica of the portable SimHash pipeline: 60-bit
     // signature from md5 hex nibbles, 15-bit chunk banding, bit_count

@@ -94,8 +94,15 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * runs; on a cluster this is a tiny metadata task per file, mergeable
     * into the write job via a commit protocol later.
     */
-  def commit(table: String, df: DataFrame, operation: String): Long =
-    commitFiles(table, Seq.empty, Some(df), operation)
+  /** `bloomColumns` turns on parquet bloom filters for those columns in
+    * the written files — the pruning story for RANDOM keys (md5-style
+    * surrogate pks), where min/max ranges overlap every file and
+    * [[filesHitByKeys]] would otherwise rewrite the whole table on every
+    * CDC merge. */
+  def commit(table: String, df: DataFrame, operation: String,
+      partitionBy: Seq[String] = Seq.empty,
+      bloomColumns: Seq[String] = Seq.empty): Long =
+    commitFiles(table, Seq.empty, Some(df), operation, partitionBy, bloomColumns)
 
   /** Partitioned commit (A6): rows land in an Iceberg-style identity
     * partition layout `v=N/__p_<col>=<value>/part-*.parquet`. The partition
@@ -118,7 +125,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * strategy"): untouched files cost zero I/O in the commit. */
   def commitFiles(table: String, keptFiles: Seq[FileEntry],
       newData: Option[DataFrame], operation: String,
-      partitionBy: Seq[String] = Seq.empty): Long = {
+      partitionBy: Seq[String] = Seq.empty,
+      bloomColumns: Seq[String] = Seq.empty): Long = {
     val v = currentVersion(table) + 1
     val newEntries = newData match {
       case Some(df) =>
@@ -130,12 +138,15 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         val prev = spark.conf.getOption(key)
         spark.conf.set(key, "TIMESTAMP_MICROS")
         try {
-          if (partitionBy.isEmpty) df.write.mode("overwrite").parquet(dataDir.toString)
+          val bloomOpts = bloomColumns
+            .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+          if (partitionBy.isEmpty)
+            df.write.mode("overwrite").options(bloomOpts).parquet(dataDir.toString)
           else {
             // duplicate the partition cols so the data files keep them
             val withDirs = partitionBy.foldLeft(df)((d, c) =>
               d.withColumn(s"__p_$c", col(c)))
-            withDirs.write.mode("overwrite")
+            withDirs.write.mode("overwrite").options(bloomOpts)
               .partitionBy(partitionBy.map(c => s"__p_$c"): _*)
               .parquet(dataDir.toString)
           }
@@ -373,8 +384,63 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       .join(broadcast(rangesDf),
         col("__k") >= col("__mn") && col("__k") <= col("__mx"))
       .select(col("__idx")).distinct().collect().map(_.getInt(0)).toSet
-    val (hit, untouched) = statFiles.zipWithIndex.partition(p => hitIdx(p._2))
-    (hit.map(_._1) ++ noStat, untouched.map(_._1))
+    val (hit0, untouched0) = statFiles.zipWithIndex.partition(p => hitIdx(p._2))
+    var hit = hit0.map(_._1)
+    var untouched = untouched0.map(_._1)
+    // Bloom refinement: random keys (md5-style pks) make every [min,max]
+    // range overlap every file, so range pruning degenerates to "rewrite
+    // all". When the key set is small (the CDC-merge case), test the keys
+    // against each candidate file's parquet bloom filter — no false
+    // negatives, so dropping a bloom-miss file is exact. Files without a
+    // bloom for the column stay conservatively hit.
+    if (hit.size > 1) {
+      val keyVals = keys.select(keyExpr.as("__k")).distinct()
+        .limit(bloomMaxKeys + 1).collect().map(_.get(0)).toSeq
+      if (keyVals.size <= bloomMaxKeys) {
+        val (bh, bm) = hit.partition(fe => bloomMayContain(table, fe, column, keyVals))
+        hit = bh
+        untouched = untouched ++ bm
+      }
+    }
+    (hit ++ noStat, untouched)
+  }
+
+  /** Max distinct keys [[filesHitByKeys]] will bloom-test driver-side;
+    * larger key sets fall back to range-only pruning. */
+  var bloomMaxKeys: Int = 10000
+
+  /** Could `fe` contain any of `keyVals` in `column`, per the file's
+    * parquet bloom filters? Conservative true when no bloom exists; exact
+    * (no false negatives) when one does. Hashing follows the column's
+    * physical type — mismatched hashing would silently lose rows. */
+  private def bloomMayContain(table: String, fe: FileEntry, column: String,
+      keyVals: Seq[Any]): Boolean = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val p = new Path(tableDir(table), fe.path)
+    val in = HadoopInputFile.fromPath(p, spark.sparkContext.hadoopConfiguration)
+    val reader = ParquetFileReader.open(in)
+    try {
+      reader.getFooter.getBlocks.asScala.exists { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+          case None => true
+          case Some(c) =>
+            val bf = reader.getBloomFilterDataReader(b).readBloomFilter(c)
+            if (bf == null) true
+            else {
+              val ptype = c.getPrimitiveType.getPrimitiveTypeName
+              keyVals.exists { k =>
+                (ptype, k) match {
+                  case (INT64, n: Number) => bf.findHash(bf.hash(n.longValue()))
+                  case (INT32, n: Number) => bf.findHash(bf.hash(n.intValue()))
+                  case (BINARY, s) =>
+                    bf.findHash(bf.hash(Binary.fromString(s.toString)))
+                  case _ => true
+                }
+              }
+            }
+        }
+      }
+    } finally reader.close()
   }
 
   private def overlaps(s: ColStats, lower: Any, upper: Any): Boolean = s.kind match {

@@ -109,20 +109,49 @@ object Dedup {
     verifyJaccard(cand, shingleSets(filtered), threshold)
   }
 
+  /** Modulus of the portable affine MinHash family (prime < 2^30, so
+    * `a·x + b` stays far from 64-bit overflow in any engine). */
+  val MinhashPrime: Long = 1073741789L
+
+  /** Seeded (a, b) pairs of the portable affine family h_i(x) = (a_i·x +
+    * b_i) mod p — shared with oracle SQL generation. */
+  def minhashAffineConsts(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(1234)
+    Seq.fill(numHashes)((1L + rnd.nextInt((MinhashPrime - 1).toInt).toLong,
+      rnd.nextInt(MinhashPrime.toInt).toLong))
+  }
+
+  /** 28-bit shingle key from the first 7 hex nibbles of md5(shingle) —
+    * computable identically in any engine with md5/ascii/substr. */
+  private def md5Key28(sh: Column): Column = {
+    val hx = md5(sh)
+    (0 until 7).map { k =>
+      val a = ascii(substring(hx, k + 1, 1))
+      (when(a >= 97, a - 87).otherwise(a - 48)).cast("long") * (1L << (4 * k))
+    }.reduce(_ + _)
+  }
+
   /** MinHash signatures over a posting list: for each of `numHashes` seeded
     * hash functions, the minimum hash over the document's shingle set.
-    * `portable = true` derives each hash from md5 of `"<i>:<shingle>"`
-    * (hex-string min) — slower than murmur3 but bit-identical across
-    * engines, so results can be oracle-checked in any SQL engine with md5. */
+    * `portable = true` uses ONE md5 per shingle (a 28-bit key) and derives
+    * the `numHashes` values with seeded affine maps mod a prime —
+    * bit-identical across engines, so results can be oracle-checked in any
+    * SQL engine with md5, at ~1/numHashes of the all-md5 hashing cost. */
   private def signaturesFromPostings(post: DataFrame, numHashes: Int,
       portable: Boolean): DataFrame = {
+    val keyed =
+      if (portable) post.withColumn("__x", md5Key28(col("__sh")))
+      else post
+    val consts = minhashAffineConsts(numHashes)
     val mins = (0 until numHashes).map { i =>
       val h: Column =
-        if (portable) md5(concat(lit(s"$i:"), col("__sh")))
-        else hash(col("__sh"), lit(i))
+        if (portable) {
+          val (a, b) = consts(i)
+          (lit(a) * col("__x") + lit(b)) % MinhashPrime
+        } else hash(col("__sh"), lit(i)).cast("long")
       min(h).as(s"__h$i")
     }
-    post.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
+    keyed.groupBy(col("__id")).agg(mins.head, mins.tail: _*)
       .select(col("__id"),
         array((0 until numHashes).map(i => col(s"__h$i")): _*).as("__sig"))
   }
@@ -146,7 +175,7 @@ object Dedup {
     val post = postings(df, idCol, textCol, n)
     val sig = signaturesFromPostings(post, numHashes, portable)
     val bandHash: Column => Column =
-      if (portable) sl => md5(concat_ws(",", sl))
+      if (portable) sl => md5(concat_ws(",", transform(sl, x => x.cast("string"))))
       else sl => hash(sl).cast("string")
     val banded = sig.select(col("__id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),

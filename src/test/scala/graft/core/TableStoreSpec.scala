@@ -148,6 +148,28 @@ class TableStoreSpec extends SparkSpec {
       .collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("bloom filters prune files whose key range overlaps but keys don't") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    // two files with fully-overlapping id ranges: odds in file 0, evens in
+    // file 1 — min/max pruning alone must hit both
+    val odds = (1L to 99L by 2).map(i => (i, s"o$i"))
+    val evens = (2L to 100L by 2).map(i => (i, s"e$i"))
+    val rdd = spark.sparkContext.parallelize(odds ++ evens, 2)
+    store.commit("t", rdd.toDF("id", "s"), "create", bloomColumns = Seq("id"))
+    val m = store.manifests("t").last
+    assert(m.files.size == 2)
+    val keys = Seq(2L).toDF("id")
+    val (hit, untouched) = store.filesHitByKeys("t", "id", keys)
+    assert(hit.size == 1 && untouched.size == 1,
+      s"bloom should cut range-overlapped files: hit=${hit.size}")
+    // and the kept file is really the one containing id=2
+    assert(store.readFiles("t", hit)
+      .filter(org.apache.spark.sql.functions.col("id") === 2L).count() == 1)
+    // string keys go through Binary hashing
+    val (hitS, _) = store.filesHitByKeys("t", "s", Seq("e2").toDF("s"))
+    assert(hitS.size == 1)
+  }
+
   test("expireSnapshots keeps time travel bounded") {
     val store = new TableStore(spark, tmpDir("ts"))
     store.commit("t", Seq(1).toDF("id"), "create")
