@@ -85,7 +85,12 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    // The postings feed three consumers (document frequencies, prefix
+    // selection, exact verify); persist so the tokenize+shingle explode —
+    // the single most expensive projection — runs once. MEMORY_AND_DISK:
+    // at cluster scale the postings of a 100 TB corpus spill, not OOM.
     val post = postings(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered =
       if (maxShingleDf == Long.MaxValue) post
       else {
@@ -172,7 +177,9 @@ object Dedup {
       threshold: Double = 0.8, portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
+    // two consumers (signatures, exact verify) — explode once, spill-safe
     val post = postings(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = signaturesFromPostings(post, numHashes, portable)
     val bandHash: Column => Column =
       if (portable) sl => md5(concat_ws(",", transform(sl, x => x.cast("string"))))

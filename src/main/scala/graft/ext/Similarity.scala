@@ -63,14 +63,33 @@ object Similarity {
     * the query path). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      refineIters: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("__cv"))
     // Deterministic pseudo-random seeds: the nlist smallest id-hashes.
     // orderBy+limit compiles to TakeOrderedAndProject — each partition
     // keeps its local top-nlist and the driver merges nlist·P candidates —
     // no global sort, no driver-side count, scales to any corpus size.
-    val centroids = c.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nlist)
+    val seeds = c.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nlist)
       .select(col("vec_id").as("cid"), col("__cv").as("__cent"))
+    // Lloyd refinement: each iteration is one broadcast-assign pass + one
+    // hash aggregate (element-wise mean via a posexplode/groupBy — no
+    // driver-side vectors). Balances the inverted lists so probe cost is
+    // even; the assignment below re-runs against the refined centroids.
+    val centroids = (1 to refineIters).foldLeft(seeds) { (cents, _) =>
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("__d").desc, col("cid"))
+      val assignedTo = c.crossJoin(broadcast(cents))
+        .withColumn("__d", cosine(col("__cv"), col("__cent")))
+        .withColumn("__r", row_number().over(wA))
+        .filter(col("__r") === 1)
+        .select(col("cid"), col("__cv"))
+      assignedTo
+        .select(col("cid"), posexplode(col("__cv")).as(Seq("__pos", "__x")))
+        .groupBy(col("cid"), col("__pos")).agg(avg(col("__x")).as("__m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pm"))
+        .select(col("cid"), expr("transform(__pm, e -> e.__m)").as("__cent"))
+    }
     // one pass: nearest centroid per corpus vector (broadcast centroids)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("__d").desc, col("cid"))
     val assigned = c.crossJoin(broadcast(centroids))
