@@ -65,16 +65,120 @@ class GraftRowLevelOperation(spark: SparkSession, catalogName: String,
 
       override def pushedFilters(): Array[Filter] = accepted
 
-      override def build(): Scan = {
-        val paths = hitFiles.map(fe =>
-          new org.apache.hadoop.fs.Path(
-            new org.apache.hadoop.fs.Path(warehouse, tableName), fe.path).toString)
-        ParquetTable(s"$catalogName.$tableName@v${manifest.version}(cow)",
-          spark, CaseInsensitiveStringMap.empty(), paths, Some(tableSchema),
-          classOf[ParquetFileFormat])
-          .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+      override def build(): Scan = new GraftCowScan
+    }
+
+  private def parquetScanOver(files: Seq[FileEntry]): Scan = {
+    val paths = files.map(fe =>
+      new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(warehouse, tableName), fe.path).toString)
+    ParquetTable(s"$catalogName.$tableName@v${manifest.version}(cow)",
+      spark, CaseInsensitiveStringMap.empty(), paths, Some(tableSchema),
+      classOf[ParquetFileFormat])
+      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+  }
+
+  /** The operation's scan, with MERGE-time runtime group filtering: for a
+    * `MERGE INTO` the affected files are only known once the source is
+    * available, so Spark plans a matching-rows subquery over this scan's
+    * [[filterAttributes]] and calls [[filter]] with the collected
+    * `IN (values...)` predicates before planning input partitions. Each
+    * IN-list is evaluated against manifest min/max stats and parquet bloom
+    * filters to shrink the hit set; the write's commit then keeps every
+    * pruned file untouched — file-level copy-on-write for SQL MERGE, the
+    * behavior the reference measured as Iceberg's core win. */
+  private class GraftCowScan extends Scan
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+    private var inner: Scan = _
+    private def innerScan: Scan = {
+      if (inner == null) inner = parquetScanOver(hitFiles)
+      inner
+    }
+
+    override def readSchema(): StructType = tableSchema
+    override def toBatch: org.apache.spark.sql.connector.read.Batch =
+      innerScan.toBatch
+    override def description(): String =
+      s"GraftCowScan($tableName, ${hitFiles.size}/${manifest.files.size} files)"
+
+    /** Exactly ONE attribute: Spark packs multiple filter attributes into
+      * a struct-IN that cannot translate to a V2 predicate (the runtime
+      * filter silently disappears), so we advertise the single column the
+      * snapshot's files are best separated on — the clustered/partition
+      * column is the only one pruning can win on anyway. Empty when no
+      * column separates files (the rule then skips the subquery). */
+    override def filterAttributes(): Array[NamedReference] =
+      bestPruningColumn.map(c => Expressions.column(c)).toArray
+
+    private lazy val bestPruningColumn: Option[String] = {
+      val files =
+        if (manifest.files.size <= 512) manifest.files
+        else manifest.files.take(512)
+      if (files.size < 2) None
+      else {
+        val cols = files.flatMap(_.stats.keys).distinct
+          .filter(c => tableSchema.fieldNames.contains(c))
+        val scored = cols.flatMap { c =>
+          val ranges = files.flatMap(_.stats.get(c))
+          if (ranges.size < files.size) None // only useful with full stats
+          else {
+            val pairs = for {
+              i <- ranges.indices; j <- (i + 1) until ranges.size
+            } yield {
+              val (a, b) = (ranges(i), ranges(j))
+              val overlap =
+                TableStore.cmpStat(a.max, a.kind, b.min).forall(_ >= 0) &&
+                  TableStore.cmpStat(b.max, b.kind, a.min).forall(_ >= 0)
+              if (overlap) 0 else 1
+            }
+            Some(c -> pairs.sum.toDouble / pairs.size)
+          }
+        }
+        // deterministic: best separation, schema order breaks ties
+        scored.filter(_._2 >= 0.5)
+          .sortBy { case (c, s) => (-s, tableSchema.fieldIndex(c)) }
+          .headOption.map(_._1)
       }
     }
+
+    override def filter(predicates: Array[Predicate]): Unit = {
+      val inLists: Seq[(String, Seq[Any])] = predicates.toSeq.collect {
+        case p if p.name() == "IN" && p.children().nonEmpty =>
+          p.children().head match {
+            case f: NamedReference if f.fieldNames().length == 1 =>
+              val vals = p.children().tail.collect {
+                case l: Literal[_] => l.value match {
+                  case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+                  case other => other
+                }
+              }.toSeq
+              Some(f.fieldNames().head -> vals)
+            case _ => None
+          }
+      }.flatten
+      if (inLists.nonEmpty) {
+        val store = new TableStore(spark, warehouse)
+        val (hit, dropped) = hitFiles.partition { fe =>
+          inLists.forall { case (c, vals) =>
+            val rangeHit = fe.stats.get(c) match {
+              case None => true
+              case Some(s) => vals.exists(v =>
+                TableStore.cmpStat(s.min, s.kind, v).forall(_ <= 0) &&
+                  TableStore.cmpStat(s.max, s.kind, v).forall(_ >= 0))
+            }
+            rangeHit && (vals.size > store.bloomMaxKeys ||
+              store.bloomMayContain(tableName, fe, c, vals))
+          }
+        }
+        hitFiles = hit
+        keptFiles = keptFiles ++ dropped
+        inner = null // rebuild the parquet scan over the pruned file set
+      }
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     StoreWrite.cowBuilder(warehouse, tableName, info,

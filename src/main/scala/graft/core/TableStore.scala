@@ -413,7 +413,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * parquet bloom filters? Conservative true when no bloom exists; exact
     * (no false negatives) when one does. Hashing follows the column's
     * physical type — mismatched hashing would silently lose rows. */
-  private def bloomMayContain(table: String, fe: FileEntry, column: String,
+  private[graft] def bloomMayContain(table: String, fe: FileEntry, column: String,
       keyVals: Seq[Any]): Boolean = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     val p = new Path(tableDir(table), fe.path)

@@ -132,6 +132,31 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL MERGE prunes unmatched files via runtime group filtering") {
+    withCatalog { (store, cat) =>
+      // 4 range-clustered files over id 1..100
+      store.commit("t", (1L to 100L).map(i => (i, i * 10L)).toDF("id", "v")
+        .repartitionByRange(4, col("id")), "create")
+      val v1Files = store.manifests("t").last.files.map(_.path).toSet
+      assert(v1Files.size == 4)
+      // the source touches only ids 5 and 17 — both land in the first
+      // range file; the other three files must survive by reference
+      spark.sql(
+        s"""MERGE INTO $cat.ns.t t
+           |USING (SELECT * FROM VALUES (5L, 999L), (17L, 888L) s(id, v)) s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET t.v = s.v
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val v2Files = store.manifests("t").last.files.map(_.path).toSet
+      assert((v1Files intersect v2Files).size == 3,
+        s"runtime group filter should keep 3 of 4 files: v1=$v1Files v2=$v2Files")
+      // correctness: updates applied, everything else untouched
+      val out = spark.sql(s"SELECT count(*), sum(v) FROM $cat.ns.t")
+        .as[(Long, Long)].head()
+      assert(out == ((100L, (1L to 100L).map(_ * 10L).sum - 50 - 170 + 999 + 888)))
+    }
+  }
+
   test("CALL compact and expire_snapshots run via SQL") {
     withCatalog { (store, cat) =>
       store.commit("t", (1 to 100).toDF("id").repartition(8), "create")
