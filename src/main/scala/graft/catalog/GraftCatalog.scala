@@ -104,8 +104,32 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("alterTable not supported")
+  /** ALTER TABLE ADD/DROP COLUMN as a metadata-only schema commit (data
+    * files untouched; name-based resolution nulls added columns in old
+    * files). RENAME is rejected: without field ids in the files a rename
+    * would silently null out existing data. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val ms = store.manifests(ident.name)
+    if (ms.isEmpty) throw new NoSuchTableException(ident)
+    var schema = DataType.fromJson(ms.maxBy(_.version).schemaJson)
+      .asInstanceOf[StructType]
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          "nested ADD COLUMN is not supported")
+        schema = schema.add(add.fieldNames.head, add.dataType, add.isNullable)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "nested DROP COLUMN is not supported")
+        require(schema.fieldNames.contains(del.fieldNames.head),
+          s"no column ${del.fieldNames.head}")
+        schema = StructType(schema.filterNot(_.name == del.fieldNames.head))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported table change: $other")
+    }
+    store.evolveSchema(ident.name, schema.json)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val existed = store.exists(ident.name)

@@ -221,6 +221,21 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     v
   }
 
+  /** Schema evolution (ALTER TABLE): a metadata-only commit that carries
+    * every data file forward and swaps the snapshot schema. Reads resolve
+    * columns by name against the stored schema, so added columns surface
+    * as null in old files and dropped/renamed columns disappear without
+    * touching a byte of data — Iceberg's schema-evolution semantics. */
+  def evolveSchema(table: String, schemaJson: String): Long = {
+    val m = manifests(table).maxBy(_.version)
+    val v = m.version + 1
+    writeManifest(table, m.copy(version = v,
+      timestampMs = System.currentTimeMillis(), operation = "alter",
+      schemaJson = schemaJson))
+    swapPointer(table, v)
+    v
+  }
+
   /** Commit parquet files already written by an external writer (the DSv2
     * SQL write path): move them into the next version directory (same-FS
     * rename, no data copy), harvest footer stats, and commit

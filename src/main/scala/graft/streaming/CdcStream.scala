@@ -82,6 +82,23 @@ object CdcStream {
       }
       .start()
 
+  /** Stream-stream interval join: enrich each left event with right-side
+    * events of the same key whose timestamp falls within
+    * [left.ts − lookback, left.ts]. Both sides carry watermarks, so the
+    * join state is bounded — Spark retains right rows only until
+    * `left watermark − lookback` passes them (the canonical bounded-state
+    * stream-stream join; billions of keys spread across executors). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, lookback: String, watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+    val r0 = right.withWatermark(tsCol, watermark)
+    val r = r0.select(r0.columns.map(c => col(c).as(s"r_$c")).toSeq: _*)
+    l.join(r,
+      col(keyCol) === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(tsCol) - expr(s"INTERVAL $lookback") &&
+        col(s"r_$tsCol") <= col(tsCol))
+  }
+
   /** Event-time sessionization with a `gap` inactivity timeout via
     * `flatMapGroupsWithState` — one state object per active user, emitted
     * when the watermark passes last-event + gap. */

@@ -85,7 +85,17 @@ private class GraftWrite(warehouse: String, table: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.collect { case GraftCommitMessage(p) => new Path(p) }.toSeq
     val store = new TableStore(spark, warehouse)
-    store.commitStaged(table, kept(), staged, operation, schema.json)
+    // The table's declared schema stays authoritative across writes: the
+    // query's schema may carry tighter nullability (e.g. literal VALUES),
+    // which would make added-then-null columns unreadable in old files.
+    val schemaJson = store.manifests(table).lastOption
+      .map(_.schemaJson)
+      .filter { sj =>
+        org.apache.spark.sql.types.DataType.fromJson(sj)
+          .asInstanceOf[StructType].fieldNames.toSet == schema.fieldNames.toSet
+      }
+      .getOrElse(schema.json)
+    store.commitStaged(table, kept(), staged, operation, schemaJson)
     cleanup()
   }
 

@@ -157,6 +157,25 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE ADD/DROP COLUMN evolves the schema without touching data") {
+    withCatalog { (store, cat) =>
+      store.commit("t", Seq((1L, "a")).toDF("id", "s"), "create")
+      val filesBefore = store.manifests("t").last.files.map(_.path).toSet
+      spark.sql(s"ALTER TABLE $cat.ns.t ADD COLUMN score DOUBLE")
+      spark.sql(s"INSERT INTO $cat.ns.t VALUES (2, 'b', 0.5)")
+      val rows = spark.sql(s"SELECT id, s, score FROM $cat.ns.t ORDER BY id")
+        .as[(Long, String, Option[Double])].collect().toSeq
+      assert(rows == Seq((1L, "a", None), (2L, "b", Some(0.5))))
+      spark.sql(s"ALTER TABLE $cat.ns.t DROP COLUMN s")
+      assert(spark.table(s"$cat.ns.t").columns.toSeq == Seq("id", "score"))
+      // all original files still referenced — pure metadata ops
+      val filesAfter = store.manifests("t").last.files.map(_.path).toSet
+      assert(filesBefore.subsetOf(filesAfter))
+      // rename would lose data without field ids — rejected
+      intercept[Exception](spark.sql(s"ALTER TABLE $cat.ns.t RENAME COLUMN id TO id2"))
+    }
+  }
+
   test("CALL compact and expire_snapshots run via SQL") {
     withCatalog { (store, cat) =>
       store.commit("t", (1 to 100).toDF("id").repartition(8), "create")

@@ -124,6 +124,34 @@ class CdcStreamSpec extends SparkSpec {
     assert(rows.contains((2L, 1, 4.0)), s"got $rows")
   }
 
+  test("intervalJoin enriches left events with recent right events per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = CdcStream.intervalJoin(
+      clicks.toDF().toDF("user_id", "ts", "page"),
+      buys.toDF().toDF("user_id", "ts", "amount"),
+      "user_id", "ts", lookback = "30 minutes", watermark = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      buys.addData((1L, ts("2024-01-01 10:00:00"), 50.0),
+        (1L, ts("2024-01-01 08:00:00"), 99.0), // outside the 30 min lookback
+        (2L, ts("2024-01-01 10:05:00"), 10.0)) // other key
+      clicks.addData((1L, ts("2024-01-01 10:10:00"), "checkout"))
+      q.processAllAvailable()
+      // advance both watermarks far enough to emit
+      buys.addData((9L, ts("2024-01-01 12:00:00"), 0.0))
+      clicks.addData((9L, ts("2024-01-01 12:00:00"), "x"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("ij")
+      .select(col("user_id"), col("page"), col("r_amount"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(out.contains((1L, "checkout", 50.0)))
+    assert(!out.exists(r => r._3 == 99.0 || r._3 == 10.0))
+  }
+
   test("dedupStream drops repeated keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
