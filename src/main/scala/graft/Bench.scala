@@ -96,11 +96,21 @@ object Bench {
     spark.sparkContext.addSparkListener(listener)
     spark.listenerManager.register(listener)
 
+    // The reference averages 4-5 timed iterations and keeps a CSV for
+    // ratio analysis (benchmark_functions.py:51-106); iteration count and
+    // CSV path are env-tunable, defaults match the driver's budget.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val csvPath = sys.env.get("SPARK_GRAFT_BENCH_CSV")
+
+    case class QStats(times: Seq[Double], input: Long, shuffle: Long, failed: Boolean) {
+      def min: Double = times.min
+      def mean: Double = times.sum / times.size
+    }
     val results = queries.map { name =>
       System.err.println(s"[bench] timing $name")
       listener.reset()
       var failed = false
-      val times = (1 to 2).map { _ =>
+      val times = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case e: Throwable =>
@@ -110,22 +120,37 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       Thread.sleep(150) // let straggler task-end events drain (metrics are advisory)
-      name -> (times.min, listener.input.get() / 2, listener.shuffleWrite.get() / 2, failed)
+      name -> QStats(times, listener.input.get() / iters,
+        listener.shuffleWrite.get() / iters, failed)
     }
 
-    val ok = results.filterNot(_._2._4)
-    val failedNames = results.filter(_._2._4).map(_._1)
-    // Per-query scan/shuffle byte detail goes on its own EARLIER line (it
-    // once pushed the headline JSON past the driver's captured-tail window
-    // and the whole bench went unscored). The LAST stdout line is the
-    // compact contract the driver parses.
-    val bytes = ok.map { case (k, (_, in, sh, _)) =>
-      "\"" + k + s"""\":{"input":$in,"shuffle":$sh}""" }.mkString("{", ",", "}")
+    val ok = results.filterNot(_._2.failed)
+    val failedNames = results.filter(_._2.failed).map(_._1)
+    csvPath.foreach { path =>
+      val rows = "query,iteration,seconds,input_bytes,shuffle_bytes" +:
+        results.flatMap { case (k, st) =>
+          st.times.zipWithIndex.map { case (t, i) =>
+            f"$k,${i + 1},$t%.4f,${st.input},${st.shuffle}" }
+        }
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        rows.mkString("\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] wrote $path")
+    }
+    // Per-query scan/shuffle byte detail and mean timings go on their own
+    // EARLIER lines (detail once pushed the headline JSON past the
+    // driver's captured-tail window and the whole bench went unscored).
+    // The LAST stdout line is the compact contract the driver parses.
+    val bytes = ok.map { case (k, st) =>
+      "\"" + k + s"""\":{"input":${st.input},"shuffle":${st.shuffle}}""" }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"bytes_detail","bytes":$bytes}""")
-    val qs = ok.map { case (k, (v, _, _, _)) => "\"" + k + f"\":$v%.3f" }
+    val means = ok.map { case (k, st) => "\"" + k + f"\":${st.mean}%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"mean_detail","iters":$iters,"queries":$means}""")
+    val qs = ok.map { case (k, st) => "\"" + k + f"\":${st.min}%.3f" }
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = ok.map(_._2._1).sum
+    val total = ok.map(_._2.min).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}""")
     spark.stop()
     if (failedNames.nonEmpty) sys.exit(1)
