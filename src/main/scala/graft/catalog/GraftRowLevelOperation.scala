@@ -184,9 +184,17 @@ class GraftRowLevelOperation(spark: SparkSession, catalogName: String,
     StoreWrite.cowBuilder(warehouse, tableName, info,
       cmd.toString.toLowerCase, () => keptFiles)
 
+  private def fileMayMatch(stats: Map[String, ColStats], f: Filter): Boolean =
+    StatsFilter.fileMayMatch(stats, f)
+}
+
+/** Manifest-stat evaluation of data-source filters — the shared
+  * file-pruning brain of catalog reads and row-level operations. */
+object StatsFilter {
+
   /** Could a file with these stats contain a row matching the filter?
     * Conservative: anything not provably disjoint is a match. */
-  private def fileMayMatch(stats: Map[String, ColStats], f: Filter): Boolean = {
+  def fileMayMatch(stats: Map[String, ColStats], f: Filter): Boolean = {
     def ge(c: String, v: Any, strict: Boolean): Boolean = // max {>,>=} v ?
       stats.get(c).flatMap(s => TableStore.cmpStat(s.max, s.kind, v))
         .forall(cc => if (strict) cc > 0 else cc >= 0)

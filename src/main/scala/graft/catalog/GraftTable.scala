@@ -28,15 +28,6 @@ class GraftTable(spark: SparkSession, catalogName: String, warehouse: String,
   private val tableSchema =
     DataType.fromJson(m.schemaJson).asInstanceOf[StructType]
 
-  private lazy val parquetTable: ParquetTable = {
-    val paths = m.files.map(fe =>
-      new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(warehouse, tableName), fe.path).toString)
-    ParquetTable(s"$catalogName.$tableName@v${m.version}", spark,
-      CaseInsensitiveStringMap.empty(), paths, Some(tableSchema),
-      classOf[ParquetFileFormat])
-  }
-
   override def name(): String = s"$catalogName.$tableName"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -44,7 +35,9 @@ class GraftTable(spark: SparkSession, catalogName: String, warehouse: String,
       TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    parquetTable.newScanBuilder(options)
+    new org.apache.spark.sql.graft.StoreReadScanBuilder(spark,
+      s"$catalogName.$tableName@v${m.version}", warehouse, tableName, m,
+      tableSchema, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     StoreWrite.builder(warehouse, tableName, info)

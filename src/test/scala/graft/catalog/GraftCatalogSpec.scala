@@ -29,6 +29,25 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL reads prune files at the manifest level before the parquet scan") {
+    withCatalog { (store, cat) =>
+      store.commit("t", (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "s")
+        .repartitionByRange(8, col("id")), "create")
+      val df = spark.sql(s"SELECT s FROM $cat.ns.t WHERE id BETWEEN 100 AND 150")
+      val scanned = df.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan match {
+            case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+              f.fileIndex.inputFiles.length
+          }
+      }.sum
+      assert(scanned > 0 && scanned < 8, s"expected manifest pruning, scanned $scanned/8")
+      assert(df.count() == 51)
+      // unfiltered read still sees every file and row
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").as[Long].head() == 1000L)
+    }
+  }
+
   test("VERSION AS OF reads an older snapshot") {
     withCatalog { (store, cat) =>
       store.commit("t", Seq((1L, "a")).toDF("id", "s"), "create")
