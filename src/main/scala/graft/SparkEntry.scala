@@ -920,9 +920,9 @@ object SparkEntry {
     * planes are embedded as literals. */
   private lazy val embeddingLshOracleBody: String = {
     val branches = Dedup.hyperplanes().zipWithIndex.map { case (tbl, ti) =>
-      val bucket = tbl.map { p =>
-        s"(CASE WHEN list_inner_product(e, ${p.mkString("[", ", ", "]")}) >= 0 THEN '1' ELSE '0' END)"
-      }.mkString(" || ")
+      val bucket = tbl.zipWithIndex.map { case (p, pi) =>
+        s"(CASE WHEN list_inner_product(e, ${p.mkString("[", ", ", "]")}) >= 0 THEN ${1L << pi} ELSE 0 END)"
+      }.mkString(" + ")
       s"  SELECT vec_id, $ti AS t, $bucket AS bk FROM v"
     }.mkString("\nUNION ALL\n")
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -280,21 +280,18 @@ object Dedup {
   }
 
   /** Hyperplane-LSH candidate pairs (no verify): ids sharing a sign-bucket
-    * in at least one of the `tables` hash tables. Buckets carry only
-    * (id, table, signature) — the `dim`-sized vectors never enter the
-    * candidate shuffle. */
+    * in at least one of the `tables` hash tables. All `tables ×
+    * planesPerTable` sign tests run in ONE codegen'd array pass
+    * ([[graft.functions.VectorFunctions.hyperplaneBuckets]]); buckets
+    * carry only (id, table, bucket-int) — the `dim`-sized vectors never
+    * enter the candidate shuffle. */
   def embeddingLshCandidates(df: DataFrame, idCol: String, vecCol: String,
       tables: Int = 16, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(tables, planesPerTable, dim)
+    val flat = hyperplanes(tables, planesPerTable, dim).flatten.flatten.toArray
     val v = transform(col(vecCol), x => x.cast("double"))
     val bucketed = df.select(col(idCol).as("__id"),
-      explode(array(planes.zipWithIndex.map { case (tbl, ti) =>
-        struct(lit(ti).as("t"),
-          concat_ws("", tbl.map(p =>
-            when(Similarity.dot(v, lit(p.toArray)) >= 0, "1").otherwise("0")): _*)
-            .as("b"))
-      }: _*)).as("tb"))
-      .select(col("__id"), col("tb.t").as("__t"), col("tb.b").as("__b"))
+      posexplode(graft.functions.VectorFunctions.hyperplaneBuckets(
+        v, flat, tables, planesPerTable, dim)).as(Seq("__t", "__b")))
     val l = bucketed.select(col("__id").as("id_a"), col("__t"), col("__b"))
     val r = bucketed.select(col("__id").as("id_b"), col("__t"), col("__b"))
     l.join(r, Seq("__t", "__b")).filter(col("id_a") < col("id_b"))

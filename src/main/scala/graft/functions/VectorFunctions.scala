@@ -13,6 +13,12 @@ object VectorFunctions {
   /** One-pass codegen'd cosine similarity over two array<double> columns. */
   def vecCosine(a: Column, b: Column): Column = VectorBridge.vecCosine(a, b)
 
+  /** All hyperplane-LSH sign tests in one codegen'd array pass: element t
+    * of the result packs table t's plane sign bits into a bucket id. */
+  def hyperplaneBuckets(v: Column, planes: Array[Double], tables: Int,
+      planesPerTable: Int, dim: Int): Column =
+    VectorBridge.hyperplaneBuckets(v, planes, tables, planesPerTable, dim)
+
   /** Register `vector_dot`/`vector_cosine` as SQL functions on a session. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
     VectorBridge.registerSqlFunctions(spark)

@@ -111,6 +111,76 @@ case class VectorCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All `tables × planesPerTable` hyperplane sign tests of LSH bucketing in
+  * ONE array pass: output element t packs the table's `planesPerTable`
+  * sign bits into a bucket id (`Σ (dot(v, plane_p) >= 0 ? 1<<p : 0)`).
+  * Replaces `tables·planesPerTable` independent fold expressions that each
+  * re-read the vector. Dot accumulation is strictly left-to-right per
+  * plane, so bucket ids are bit-identical to the per-plane formulation
+  * (and to an engine-side replica with the same plane literals). */
+case class HyperplaneBuckets(child: Expression, planes: Array[Double],
+    tables: Int, planesPerTable: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  require(planes.length == tables * planesPerTable * dim)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var p = 0
+      while (p < planesPerTable) {
+        val off = (t * planesPerTable + p) * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += v.getDouble(i) * planes(off + i); i += 1 }
+        if (s >= 0) out(t) |= (1L << p)
+        p += 1
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  for (int $p = 0; $p < $planesPerTable; $p++) {
+         |    int $off = ($t * $planesPerTable + $p) * $dim;
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += $a.getDouble($i) * $planesRef[$off + $i];
+         |    }
+         |    if ($s >= 0) $out[$t] |= (1L << $p);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
 /** sql-package-private bridge used by graft.functions.VectorFunctions. */
 object VectorBridge {
   def vecDot(a: Column, b: Column): Column =
@@ -120,6 +190,11 @@ object VectorBridge {
   def vecCosine(a: Column, b: Column): Column =
     ExpressionUtils.column(VectorCosine(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def hyperplaneBuckets(v: Column, planes: Array[Double], tables: Int,
+      planesPerTable: Int, dim: Int): Column =
+    ExpressionUtils.column(HyperplaneBuckets(
+      ExpressionUtils.expression(v), planes, tables, planesPerTable, dim))
 
   /** Expose the expressions as SQL functions (`vector_dot`, `vector_cosine`)
     * on an already-built session — complements [[graft.GraftExtensions]]
