@@ -134,6 +134,29 @@ class ExtSpec extends SparkSpec {
     assert(f1.sameElements(f2))
   }
 
+  test("fused hyperplane buckets equal the per-plane sign formulation") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(0, 50).selectExpr("id AS vec_id",
+      "transform(sequence(1, 64), i -> sin(cast(id * 131 + i AS DOUBLE))) AS embedding")
+    val planes = Dedup.hyperplanes()
+    val flat = planes.flatten.flatten.toArray
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val fused = docs.select(col("vec_id"),
+      posexplode(graft.functions.VectorFunctions.hyperplaneBuckets(
+        v, flat, 16, 4, 64)).as(Seq("t", "b")))
+      .as[(Long, Int, Long)].collect().toSet
+    val perPlane = docs.select(col("vec_id"),
+      explode(array(planes.zipWithIndex.map { case (tbl, ti) =>
+        struct(lit(ti).as("t"),
+          tbl.zipWithIndex.map { case (p, pi) =>
+            when(Similarity.dot(v, lit(p.toArray)) >= 0, 1L << pi).otherwise(0L)
+          }.reduce(_ + _).as("b"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t"), col("tb.b"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(fused == perPlane)
+  }
+
   test("native codegen'd dot/cosine are bit-identical to the fold versions") {
     val v = transform(col("embedding"), x => x.cast("double"))
     val a = embs.select(col("vec_id").as("id_a"), v.as("va"))
