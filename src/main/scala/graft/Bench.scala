@@ -44,9 +44,14 @@ object Bench {
       with org.apache.spark.sql.util.QueryExecutionListener {
     val input = new AtomicLong(0L)
     val shuffleWrite = new AtomicLong(0L)
+    val cpuNs = new AtomicLong(0L)
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
-      if (m != null) { shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        cpuNs.addAndGet(m.executorCpuTime)
+        ()
+      }
     }
     override def onSuccess(funcName: String,
         qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
@@ -67,7 +72,7 @@ object Bench {
     }
     override def onFailure(funcName: String,
         qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
-    def reset(): Unit = { input.set(0L); shuffleWrite.set(0L) }
+    def reset(): Unit = { input.set(0L); shuffleWrite.set(0L); cpuNs.set(0L) }
   }
 
   def main(args: Array[String]): Unit = {
@@ -102,7 +107,8 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
     val csvPath = sys.env.get("SPARK_GRAFT_BENCH_CSV")
 
-    case class QStats(times: Seq[Double], input: Long, shuffle: Long, failed: Boolean) {
+    case class QStats(times: Seq[Double], input: Long, shuffle: Long,
+        cpuSec: Double, failed: Boolean) {
       def min: Double = times.min
       def mean: Double = times.sum / times.size
     }
@@ -121,16 +127,17 @@ object Bench {
       }
       Thread.sleep(150) // let straggler task-end events drain (metrics are advisory)
       name -> QStats(times, listener.input.get() / iters,
-        listener.shuffleWrite.get() / iters, failed)
+        listener.shuffleWrite.get() / iters,
+        listener.cpuNs.get() / iters / 1e9, failed)
     }
 
     val ok = results.filterNot(_._2.failed)
     val failedNames = results.filter(_._2.failed).map(_._1)
     csvPath.foreach { path =>
-      val rows = "query,iteration,seconds,input_bytes,shuffle_bytes" +:
+      val rows = "query,iteration,seconds,input_bytes,shuffle_bytes,cpu_sec" +:
         results.flatMap { case (k, st) =>
           st.times.zipWithIndex.map { case (t, i) =>
-            f"$k,${i + 1},$t%.4f,${st.input},${st.shuffle}" }
+            f"$k,${i + 1},$t%.4f,${st.input},${st.shuffle},${st.cpuSec}%.3f" }
         }
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         rows.mkString("\n").getBytes("UTF-8"))
@@ -141,7 +148,8 @@ object Bench {
     // driver's captured-tail window and the whole bench went unscored).
     // The LAST stdout line is the compact contract the driver parses.
     val bytes = ok.map { case (k, st) =>
-      "\"" + k + s"""\":{"input":${st.input},"shuffle":${st.shuffle}}""" }
+      "\"" + k +
+        f"""\":{"input":${st.input},"shuffle":${st.shuffle},"cpu_sec":${st.cpuSec}%.3f}""" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"bytes_detail","bytes":$bytes}""")
     val means = ok.map { case (k, st) => "\"" + k + f"\":${st.mean}%.3f" }

@@ -755,6 +755,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // ext: IVF ANN end-to-end with an in-query recall gate vs the exact
+    // baseline (IVF candidates are data-dependent, so the driver anchors
+    // on query count + the recall invariant rather than the pair set).
+    "q56_ivf_ann_recall" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") % 100 === 0)
+      val exact = Similarity.bruteForceTopK(e, queries, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val approx = Similarity.ivfTopK(e, queries, k = 5, nlist = 8, nprobe = 4)
+        .select(col("query_id"), col("vec_id"))
+      val stats = exact.agg(count(lit(1)).as("n_exact"),
+        countDistinct(col("query_id")).as("n_queries"))
+      val hits = exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      stats.crossJoin(hits)
+        .select(col("n_queries"),
+          (col("n_hits").cast("double") / col("n_exact") >= 0.4).as("recall_ok"))
+    }),
+
     // ext: n-gram-heuristic language ID distribution.
     "q37_text_langid" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -1471,6 +1490,11 @@ object SparkEntry {
         |  FROM q, c WHERE c.vec_id <> q.qid) t
         |WHERE rk <= 10
         |ORDER BY query_id, rk""".stripMargin,
+
+    "q56_ivf_ann_recall" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        | CAST(TRUE AS BOOLEAN) AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
 
     "q37_text_langid" ->
       """WITH scored AS (

@@ -29,6 +29,7 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
 
   private var inner: ScanBuilder = _
   private var required: Option[StructType] = None
+  private var keptFiles: Seq[TableStore.FileEntry] = m.files
 
   private def innerBuilder: ScanBuilder = {
     if (inner == null) inner = parquetBuilderOver(m.files)
@@ -50,6 +51,7 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
     val kept =
       if (v1.isEmpty) m.files
       else m.files.filter(fe => v1.forall(f => StatsFilter.fileMayMatch(fe.stats, f)))
+    keptFiles = kept
     inner = parquetBuilderOver(kept)
     required.foreach(r => inner match {
       case p: SupportsPushDownRequiredColumns => p.pruneColumns(r)
@@ -74,5 +76,23 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
     }
   }
 
-  override def build(): Scan = innerBuilder.build()
+  override def build(): Scan = new GraftStatsScan(innerBuilder.build(), keptFiles)
+}
+
+/** Wraps the parquet scan of one pruned snapshot to report EXACT
+  * statistics from the manifest (row counts + bytes of the surviving
+  * files) — the planner's broadcast/AQE decisions come from truth
+  * instead of file-size heuristics. */
+class GraftStatsScan(val inner: Scan, files: Seq[TableStore.FileEntry])
+    extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+  override def description(): String = inner.description()
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, files.map(_.sizeBytes).sum))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(files.map(_.rowCount).sum)
+    }
 }

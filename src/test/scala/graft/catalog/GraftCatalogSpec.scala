@@ -37,6 +37,10 @@ class GraftCatalogSpec extends SparkSpec {
       val scanned = df.queryExecution.executedPlan.collectLeaves().collect {
         case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
           b.scan match {
+            case g: org.apache.spark.sql.graft.GraftStatsScan => g.inner match {
+              case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+                f.fileIndex.inputFiles.length
+            }
             case f: org.apache.spark.sql.execution.datasources.v2.FileScan =>
               f.fileIndex.inputFiles.length
           }
