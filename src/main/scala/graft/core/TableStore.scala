@@ -163,7 +163,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
           })).toMap).getOrElse(Map.empty)
         val f = fs(dataDir)
         val qualified = f.makeQualified(dataDir).toString
-        listPartFiles(dataDir, f).map { s =>
+        harvestInParallel(listPartFiles(dataDir, f)) { s =>
           val rel = f.makeQualified(s.getPath).toString.stripPrefix(qualified)
             .stripPrefix("/")
           val pvals = partitionValuesOf(rel)
@@ -189,6 +189,21 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     swapPointer(table, v)
     v
   }
+
+  /** Footer-stat harvesting is metadata-only but pays one storage
+    * round-trip per file — run it on a bounded thread pool so a
+    * many-file commit is latency-bound, not file-count-bound. Order is
+    * preserved. (On a real cluster this moves into the write tasks via a
+    * commit protocol; parallel driver harvesting is the single-node
+    * equivalent.) */
+  private def harvestInParallel[A, B](items: Seq[A])(fn: A => B): Seq[B] =
+    if (items.size <= 2) items.map(fn)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = TableStore.harvestEc
+      Await.result(Future.traverse(items)(a => Future(fn(a))), Duration.Inf)
+    }
 
   /** All part- files under `dir`, recursively (partitioned layouts nest). */
   private def listPartFiles(dir: Path, f: FileSystem)
@@ -246,7 +261,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val dataDir = versionDir(table, v)
     val f = fs(dataDir)
     f.mkdirs(dataDir)
-    val newEntries = staged.map { p =>
+    val newEntries = harvestInParallel(staged) { p =>
       val dest = new Path(dataDir, p.getName)
       require(f.rename(p, dest), s"failed to move staged file $p")
       val (rows, stats) = footerStats(dest)
@@ -662,6 +677,13 @@ class TableStore(spark: SparkSession, val warehouse: String) {
 }
 
 object TableStore {
+  /** Shared bounded pool for commit-time footer harvesting. */
+  private[core] lazy val harvestEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, Runtime.getRuntime.availableProcessors()),
+        r => { val t = new Thread(r, "graft-footer-harvest"); t.setDaemon(true); t }))
+
   /** Per-column min/max harvested from parquet footers, stringly-stored
     * with a kind tag so pruning compares in the right domain. */
   case class ColStats(min: String, max: String, kind: String)
