@@ -147,9 +147,17 @@ object Bench {
     // EARLIER lines (detail once pushed the headline JSON past the
     // driver's captured-tail window and the whole bench went unscored).
     // The LAST stdout line is the compact contract the driver parses.
+    // A20 cost model, mirroring what the reference's collectors priced:
+    // an Athena-style scan charge ($5/TB, 10 MB minimum per query) and a
+    // Glue-style compute charge (DPU-hour ≈ 4 vCPU ⇒ $0.44/(4 cpu-hours)).
+    def estCost(st: QStats): Double = {
+      val scanUsd = math.max(st.input, 10L * 1024 * 1024) / 1e12 * 5.0
+      val cpuUsd = st.cpuSec / 3600.0 / 4.0 * 0.44
+      scanUsd + cpuUsd
+    }
     val bytes = ok.map { case (k, st) =>
       "\"" + k +
-        f"""\":{"input":${st.input},"shuffle":${st.shuffle},"cpu_sec":${st.cpuSec}%.3f}""" }
+        f"""\":{"input":${st.input},"shuffle":${st.shuffle},"cpu_sec":${st.cpuSec}%.3f,"est_cost_usd":${estCost(st)}%.6f}""" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"bytes_detail","bytes":$bytes}""")
     val means = ok.map { case (k, st) => "\"" + k + f"\":${st.mean}%.3f" }
