@@ -755,6 +755,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // ext: repetition-based quality filter (Gopher-style): docs whose
+    // distinct-token fraction collapses are flagged; integer sums keep the
+    // aggregate deterministic, the single per-doc division is exact.
+    "q59_repetition_filter" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = TextAnalysis.tokens(col("text"))
+      docs.select(col("source"), size(toks).as("nt"),
+          size(array_distinct(toks)).as("nd"))
+        .filter(col("nt") > 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt").cast("long")).as("total_tokens"),
+          sum(col("nd").cast("long")).as("distinct_tokens"),
+          sum(when(col("nd").cast("double") / col("nt") < 0.55, 1L).otherwise(0L))
+            .as("n_repetitive"))
+        .orderBy(col("source"))
+    }),
+
     // ext: IVF ANN end-to-end with an in-query recall gate vs the exact
     // baseline (IVF candidates are data-dependent, so the driver anchors
     // on query count + the recall invariant rather than the pair set).
@@ -846,6 +864,52 @@ object SparkEntry {
     "q55_eight_subqueries" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(SharedSql.eightSubqueries)
+    }),
+
+    // SQL UPDATE + DELETE through the file-level copy-on-write row-level
+    // operation path (runtime-group-filtered), then the final state.
+    "q57_sql_update_delete" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_sqlud").toString
+      val cat = s"gq57x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val src = s"parquet.`$dir/orders.parquet`"
+      s.sql(
+        s"""CREATE TABLE $cat.ns.ord AS
+           |SELECT o_orderkey, o_orderstatus,
+           |       CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           |FROM $src""".stripMargin)
+      s.sql(s"UPDATE $cat.ns.ord SET price = price * 2 WHERE o_orderstatus = 'P'")
+      s.sql(s"DELETE FROM $cat.ns.ord WHERE o_orderkey % 10 = 3")
+      s.sql(
+        s"""SELECT o_orderstatus, count(*) AS n, CAST(sum(price) AS DOUBLE) AS total
+           |FROM $cat.ns.ord GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
+    // Schema evolution lifecycle via SQL: CTAS → ALTER TABLE ADD COLUMN
+    // (metadata-only; old files read the column as null) → INSERT with the
+    // new column → aggregate over the union of both generations.
+    "q58_schema_evolution" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_sqlse").toString
+      val cat = s"gq58x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val src = s"parquet.`$dir/orders.parquet`"
+      s.sql(
+        s"""CREATE TABLE $cat.ns.ord AS
+           |SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+           |FROM $src WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql(s"ALTER TABLE $cat.ns.ord ADD COLUMN channel STRING")
+      s.sql(
+        s"""INSERT INTO $cat.ns.ord
+           |SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)), 'late'
+           |FROM $src WHERE o_orderkey % 2 = 1""".stripMargin)
+      s.sql(
+        s"""SELECT COALESCE(channel, 'legacy') AS channel, count(*) AS n,
+           |       CAST(sum(price) AS DOUBLE) AS total
+           |FROM $cat.ns.ord GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
     // §2A A9 sampling: portable md5-keyed Bernoulli sample (the
@@ -1490,6 +1554,32 @@ object SparkEntry {
         |  FROM q, c WHERE c.vec_id <> q.qid) t
         |WHERE rk <= 10
         |ORDER BY query_id, rk""".stripMargin,
+
+    "q57_sql_update_delete" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |           THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+        |           ELSE CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 10 <> 3
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q58_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN 'late' ELSE 'legacy' END AS channel,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q59_repetition_filter" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    len(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS nt,
+        |    len(list_distinct(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> ''))) AS nd
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(nd) AS BIGINT) AS distinct_tokens,
+        |  CAST(SUM(CASE WHEN CAST(nd AS DOUBLE) / nt < 0.55 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+        |FROM t WHERE nt > 0 GROUP BY source ORDER BY source""".stripMargin,
 
     "q56_ivf_ann_recall" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
