@@ -857,6 +857,20 @@ object SparkEntry {
            |                    CAST(b.embedding AS ARRAY<DOUBLE>)) >= 0.45""".stripMargin)
     }),
 
+    // NOT IN subquery → null-aware anti join (distinct plan + null
+    // semantics vs the NOT EXISTS anti join of q05).
+    "q60_not_in_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(SharedSql.notInSubquery)
+    }),
+
+    // Interval-bounded RANGE window frame (30-day moving revenue) —
+    // value-based frame, distinct from q09's ROWS frame.
+    "q61_range_frame" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(SharedSql.rangeFrameMovingSum)
+    }),
+
     // Composition stress (reference sql/q88.sql shape): eight single-row
     // COUNT subqueries over the same 3-relation join with different time
     // slices and a disjunctive segment/quantity predicate, cross-joined
@@ -961,6 +975,29 @@ object SparkEntry {
       }
       s"SELECT *\nFROM\n${slices.mkString(",\n")}"
     }
+
+    /** NOT IN subquery — plans as a null-aware anti join, a distinct
+      * operator from NOT EXISTS (q05). Identical SQL on both engines. */
+    val notInSubquery: String =
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey
+        |LIMIT 100""".stripMargin
+
+    /** Value-RANGE window frame (interval-bounded moving sum) — distinct
+      * from the ROWS frame of q09. Exact-decimal sums inside, DOUBLE out. */
+    val rangeFrameMovingSum: String =
+      """WITH daily AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        |  FROM orders WHERE o_custkey % 50 = 0
+        |  GROUP BY o_custkey, CAST(o_orderdate AS DATE))
+        |SELECT o_custkey, d,
+        |  CAST(SUM(rev) OVER (PARTITION BY o_custkey ORDER BY d
+        |    RANGE BETWEEN INTERVAL '30' DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_30d
+        |FROM daily ORDER BY o_custkey, d""".stripMargin
 
     val corrScalarSubquery: String =
       """WITH ctr AS (
@@ -1186,6 +1223,8 @@ object SparkEntry {
         |FROM events WHERE event_type = 'click'""".stripMargin,
 
     "q55_eight_subqueries" -> SharedSql.eightSubqueries,
+    "q60_not_in_subquery" -> SharedSql.notInSubquery,
+    "q61_range_frame" -> SharedSql.rangeFrameMovingSum,
 
     "q06_corr_scalar_subquery" -> SharedSql.corrScalarSubquery,
     "q07_scalar_subqueries" -> SharedSql.scalarSubqueries,
