@@ -31,7 +31,11 @@ object Verify {
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally
+        // Dedup queries persist intermediate postings that only help
+        // WITHIN one query's DAG; dropped here so cached blocks never
+        // accumulate across the 60+ queries of a verify run.
+        spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -111,12 +111,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val ms = store.manifests(ident.name)
     if (ms.isEmpty) throw new NoSuchTableException(ident)
-    var schema = DataType.fromJson(ms.maxBy(_.version).schemaJson)
-      .asInstanceOf[StructType]
+    val current = ms.maxBy(_.version)
+    var schema = DataType.fromJson(current.schemaJson).asInstanceOf[StructType]
+    var dropped = current.droppedColumns
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "nested ADD COLUMN is not supported")
+        // Same hazard as RENAME: pre-drop files still contain the dropped
+        // column, and name-based resolution would resurrect their stale
+        // values instead of reading null. Reject; use a fresh name.
+        require(!dropped.contains(add.fieldNames.head),
+          s"column ${add.fieldNames.head} was previously dropped; " +
+            "re-adding it would resurrect stale values from old files — " +
+            "add it under a new name instead")
         schema = schema.add(add.fieldNames.head, add.dataType, add.isNullable)
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1,
@@ -124,10 +132,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         require(schema.fieldNames.contains(del.fieldNames.head),
           s"no column ${del.fieldNames.head}")
         schema = StructType(schema.filterNot(_.name == del.fieldNames.head))
+        dropped = (dropped :+ del.fieldNames.head).distinct
       case other => throw new UnsupportedOperationException(
         s"unsupported table change: $other")
     }
-    store.evolveSchema(ident.name, schema.json)
+    store.evolveSchema(ident.name, schema.json,
+      dropped.diff(current.droppedColumns))
     loadTable(ident)
   }
 

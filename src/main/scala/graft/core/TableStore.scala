@@ -154,12 +154,20 @@ class TableStore(spark: SparkSession, val warehouse: String) {
           case Some(p) => spark.conf.set(key, p)
           case None => spark.conf.unset(key)
         }
-        val kinds: Map[String, String] = newData.map(_.schema.fields.map(f =>
+        // Partition-directory values are only foldable into min=max stats
+        // when the path rendering round-trips through the comparison domain.
+        // Timestamps do NOT (path "2024-01-01 00:00:00" vs literal
+        // ".0"-suffixed toString — utf8Cmp would prune every file of the
+        // matching partition); decimals are ambiguous ("1.5" vs "1.50").
+        // Those kinds yield None: the partition value is still recorded in
+        // `partitionValues`, just never used for stat pruning.
+        val kinds: Map[String, Option[String]] = newData.map(_.schema.fields.map(f =>
           f.name -> (f.dataType match {
             case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
-                 _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => "long"
-            case _: org.apache.spark.sql.types.FloatType | _: org.apache.spark.sql.types.DoubleType => "double"
-            case _ => "string"
+                 _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => Some("long")
+            case _: org.apache.spark.sql.types.FloatType | _: org.apache.spark.sql.types.DoubleType => Some("double")
+            case _: org.apache.spark.sql.types.StringType | _: org.apache.spark.sql.types.DateType => Some("string")
+            case _ => None
           })).toMap).getOrElse(Map.empty)
         val f = fs(dataDir)
         val qualified = f.makeQualified(dataDir).toString
@@ -169,9 +177,10 @@ class TableStore(spark: SparkSession, val warehouse: String) {
           val pvals = partitionValuesOf(rel)
           val (rows, stats) = footerStats(s.getPath)
           // partition value = exact min=max stat for every pruning path
-          val pstats = pvals.collect {
+          val pstats = pvals.flatMap {
             case (c, pv) if pv != "__HIVE_DEFAULT_PARTITION__" =>
-              c -> ColStats(pv, pv, kinds.getOrElse(c, "string"))
+              kinds.get(c).flatten.map(k => c -> ColStats(pv, pv, k))
+            case _ => None
           }
           FileEntry(s"v=$v/$rel", s.getLen, rows, stats ++ pstats, pvals)
         }
@@ -241,12 +250,14 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * columns by name against the stored schema, so added columns surface
     * as null in old files and dropped/renamed columns disappear without
     * touching a byte of data — Iceberg's schema-evolution semantics. */
-  def evolveSchema(table: String, schemaJson: String): Long = {
+  def evolveSchema(table: String, schemaJson: String,
+      newlyDropped: Seq[String] = Seq.empty): Long = {
     val m = manifests(table).maxBy(_.version)
     val v = m.version + 1
     writeManifest(table, m.copy(version = v,
       timestampMs = System.currentTimeMillis(), operation = "alter",
-      schemaJson = schemaJson))
+      schemaJson = schemaJson,
+      droppedColumns = (m.droppedColumns ++ newlyDropped).distinct))
     swapPointer(table, v)
     v
   }
@@ -282,10 +293,21 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
-      val acc = scala.collection.mutable.Map[String, (Any, Any)]()
+      val acc = scala.collection.mutable.Map[String, (Any, Any, String)]()
       for (b <- blocks; c <- b.getColumns.asScala) {
         val st = c.getStatistics
         val ptype = c.getPrimitiveType
+        // INT32/INT64 stats for a DECIMAL-annotated column hold UNSCALED
+        // values; tagging them "long" would make pruning compare unscaled
+        // vs scaled (price 0.50 stored as 50 vs literal 5 → lost rows in
+        // SELECT and silently-skipped rows in SQL UPDATE/DELETE/MERGE).
+        // Record the scale in the kind ("dec<scale>") so every comparison
+        // path rehydrates the true decimal value.
+        val decScale: Option[Int] = ptype.getLogicalTypeAnnotation match {
+          case d: org.apache.parquet.schema.LogicalTypeAnnotation
+              .DecimalLogicalTypeAnnotation => Some(d.getScale)
+          case _ => None
+        }
         // Only primitive types with a total order we can prune on: INT96
         // (12-byte legacy timestamps) and fixed/decimal binaries are skipped;
         // BINARY is kept only when annotated as a UTF-8 string.
@@ -305,18 +327,19 @@ class TableStore(spark: SparkSession, val warehouse: String) {
           }
           (mn, mx) match {
             case (cmn: Comparable[_], _) =>
+              val kind = decScale.map(s => s"dec$s").getOrElse(kindOf(mn))
               val prev = acc.get(name)
               val newMin = prev.map(_._1).map(p0 =>
                 if (cmp(mn, p0) < 0) mn else p0).getOrElse(mn)
               val newMax = prev.map(_._2).map(p0 =>
                 if (cmp(mx, p0) > 0) mx else p0).getOrElse(mx)
-              acc(name) = (newMin, newMax)
+              acc(name) = (newMin, newMax, kind)
             case _ =>
           }
         }
       }
-      (rows, acc.map { case (k, (mn, mx)) =>
-        k -> ColStats(mn.toString, mx.toString, kindOf(mn))
+      (rows, acc.map { case (k, (mn, mx, kind)) =>
+        k -> ColStats(mn.toString, mx.toString, kind)
       }.toMap)
     } finally reader.close()
   }
@@ -388,21 +411,30 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val keyRaw = col(keys.columns.head)
     val keyType = keys.schema.fields.head.dataType
     import org.apache.spark.sql.types.{TimestampType, DateType}
+    val castType = kind match {
+      case "long" => "long"
+      case "double" => "double"
+      case d if d.startsWith("dec") => s"decimal(38,${d.stripPrefix("dec")})"
+      case _ => "string"
+    }
     val keyExpr = (kind, keyType) match {
       case ("long", TimestampType) => unix_micros(keyRaw)
       case ("long", DateType) => datediff(keyRaw, to_date(lit("1970-01-01")))
         .cast("long")
       case ("long", _) => keyRaw.cast("long")
       case ("double", _) => keyRaw.cast("double")
+      case (d, _) if d.startsWith("dec") => keyRaw.cast(castType)
       case _ => keyRaw.cast("string")
     }
-    val castType = kind match {
-      case "long" => "long"
-      case "double" => "double"
-      case _ => "string"
-    }
+    // dec<scale> stats hold the unscaled integer — rehydrate to a plain
+    // decimal rendering before the cast so ranges compare in value space
+    val statStr: String => String =
+      if (kind.startsWith("dec")) { raw =>
+        new java.math.BigDecimal(new java.math.BigInteger(raw),
+          kind.stripPrefix("dec").toInt).toPlainString
+      } else identity
     val ranges = statFiles.zipWithIndex.map { case (fe, i) =>
-      (i, fe.stats(column).min, fe.stats(column).max)
+      (i, statStr(fe.stats(column).min), statStr(fe.stats(column).max))
     }
     val rangesDf = {
       import spark.implicits._
@@ -457,12 +489,41 @@ class TableStore(spark: SparkSession, val warehouse: String) {
             val bf = reader.getBloomFilterDataReader(b).readBloomFilter(c)
             if (bf == null) true
             else {
+              import org.apache.parquet.schema.LogicalTypeAnnotation
               val ptype = c.getPrimitiveType.getPrimitiveTypeName
+              val ann = c.getPrimitiveType.getLogicalTypeAnnotation
+              // The bloom hashes the PHYSICAL value. For decimal-annotated
+              // INT32/INT64 that is the UNSCALED integer — hashing the key
+              // via longValue() (scaled-truncated) would produce false
+              // NEGATIVES and silently drop files that contain the key.
+              // Keys whose exact unscaled form doesn't exist at the column's
+              // scale cannot be present at all, but stay conservative.
+              val decScale: Option[Int] = ann match {
+                case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                  Some(d.getScale)
+                case _ => None
+              }
+              def unscaled(k: Any): Option[Long] =
+                try Some(TableStore.toBigDec(k)
+                  .setScale(decScale.get).unscaledValue().longValueExact())
+                catch { case _: ArithmeticException => None }
+              // plain ints, dates (INT32 days) and timestamps (INT64
+              // micros) match the key domain filesHitByKeys feeds us
+              val intSafe = ann == null ||
+                ann.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] ||
+                ann.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] ||
+                ann.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
               keyVals.exists { k =>
                 (ptype, k) match {
-                  case (INT64, n: Number) => bf.findHash(bf.hash(n.longValue()))
-                  case (INT32, n: Number) => bf.findHash(bf.hash(n.intValue()))
-                  case (BINARY, s) =>
+                  case (INT64, n: Number) if intSafe => bf.findHash(bf.hash(n.longValue()))
+                  case (INT32, n: Number) if intSafe => bf.findHash(bf.hash(n.intValue()))
+                  case (INT64, _) if decScale.isDefined =>
+                    unscaled(k).forall(u => bf.findHash(bf.hash(u)))
+                  case (INT32, _) if decScale.isDefined =>
+                    unscaled(k).forall(u => u < Int.MinValue || u > Int.MaxValue ||
+                      bf.findHash(bf.hash(u.toInt)))
+                  case (BINARY, s) if ann.isInstanceOf[
+                      LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
                     bf.findHash(bf.hash(Binary.fromString(s.toString)))
                   case _ => true
                 }
@@ -473,22 +534,12 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     } finally reader.close()
   }
 
-  private def overlaps(s: ColStats, lower: Any, upper: Any): Boolean = s.kind match {
-    case "long" =>
-      val (mn, mx) = (s.min.toLong, s.max.toLong)
-      val (lo, hi) = (toLong(lower), toLong(upper))
-      mx >= lo && mn <= hi
-    case "double" =>
-      val (mn, mx) = (s.min.toDouble, s.max.toDouble)
-      val (lo, hi) = (toDouble(lower), toDouble(upper))
-      mx >= lo && mn <= hi
-    case _ =>
-      val (lo, hi) = (lower.toString, upper.toString)
-      utf8Cmp(s.max, lo) >= 0 && utf8Cmp(s.min, hi) <= 0
-  }
+  private def overlaps(s: ColStats, lower: Any, upper: Any): Boolean =
+    (TableStore.cmpStat(s.max, s.kind, lower), TableStore.cmpStat(s.min, s.kind, upper)) match {
+      case (Some(cMax), Some(cMin)) => cMax >= 0 && cMin <= 0
+      case _ => true // bounds not comparable in the stat's domain — keep the file
+    }
 
-  private def toLong(v: Any): Long = TableStore.toLong(v)
-  private def toDouble(v: Any): Double = TableStore.toDouble(v)
 
   /** Append (A5): metadata-only for existing data — the new snapshot keeps
     * every current file entry as-is and only writes the batch. O(batch)
@@ -624,9 +675,12 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val spec = ArrayBuffer[String]()
     val sn = n.get("partitionBy")
     if (sn != null) sn.forEach(e => spec += e.asText())
+    val dropped = ArrayBuffer[String]()
+    val dn = n.get("droppedColumns")
+    if (dn != null) dn.forEach(e => dropped += e.asText())
     Manifest(n.get("version").asLong(), n.get("timestampMs").asLong(),
       n.get("operation").asText(), n.get("rowCount").asLong(), files.toSeq,
-      n.get("schemaJson").asText(), spec.toSeq)
+      n.get("schemaJson").asText(), spec.toSeq, dropped.toSeq)
   }
 
   private def jsonStr(s: String): String =
@@ -656,10 +710,13 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val specJson =
       if (m.partitionBy.isEmpty) ""
       else m.partitionBy.map(jsonStr).mkString(""","partitionBy":[""", ",", "]")
+    val droppedJson =
+      if (m.droppedColumns.isEmpty) ""
+      else m.droppedColumns.map(jsonStr).mkString(""","droppedColumns":[""", ",", "]")
     val json =
       s"""{"version":${m.version},"timestampMs":${m.timestampMs},
          |"operation":${jsonStr(m.operation)},"rowCount":${m.rowCount},
-         |"files":$filesJson,"schemaJson":${jsonStr(m.schemaJson)}$specJson}""".stripMargin
+         |"files":$filesJson,"schemaJson":${jsonStr(m.schemaJson)}$specJson$droppedJson}""".stripMargin
     atomicWrite(manifestPath(table, m.version), json)
   }
 
@@ -718,15 +775,33 @@ object TableStore {
     case s: String => s.toDouble
   }
 
+  private[graft] def toBigDec(v: Any): java.math.BigDecimal = v match {
+    case bd: java.math.BigDecimal => bd
+    case bd: scala.math.BigDecimal => bd.bigDecimal
+    case n: Number => new java.math.BigDecimal(n.toString)
+    case s => new java.math.BigDecimal(s.toString)
+  }
+
   /** Compare a stored stat value (min or max) against a literal in the
     * stat's domain. Returns None when the literal can't be interpreted in
-    * that domain (caller must be conservative). */
+    * that domain (caller must be conservative). Kind "dec<scale>" holds the
+    * parquet UNSCALED integer; the comparison rehydrates the true decimal. */
   private[graft] def cmpStat(statVal: String, kind: String, v: Any): Option[Int] =
-    try Some(kind match {
-      case "long" => java.lang.Long.compare(statVal.toLong, toLong(v))
-      case "double" => java.lang.Double.compare(statVal.toDouble, toDouble(v))
-      case _ => utf8Cmp(statVal, v.toString)
-    }) catch { case _: Exception => None }
+    try {
+      if (kind.startsWith("dec"))
+        Some(new java.math.BigDecimal(new java.math.BigInteger(statVal),
+          kind.stripPrefix("dec").toInt).compareTo(toBigDec(v)))
+      else kind match {
+        // A decimal literal against a plain-integer stat means scale info
+        // was lost somewhere upstream — never prune on that comparison.
+        case "long" => v match {
+          case _: java.math.BigDecimal | _: scala.math.BigDecimal => None
+          case _ => Some(java.lang.Long.compare(statVal.toLong, toLong(v)))
+        }
+        case "double" => Some(java.lang.Double.compare(statVal.toDouble, toDouble(v)))
+        case _ => Some(utf8Cmp(statVal, v.toString))
+      }
+    } catch { case _: Exception => None }
   /** `path` is relative to the table directory and version-qualified
     * (e.g. "v=3/part-0000.parquet", or
     * "v=3/__p_day=2024-01-01/part-0000.parquet" under a partition spec) so
@@ -735,7 +810,13 @@ object TableStore {
   case class FileEntry(path: String, sizeBytes: Long, rowCount: Long = 0L,
     stats: Map[String, ColStats] = Map.empty,
     partitionValues: Map[String, String] = Map.empty)
+  /** `droppedColumns` accumulates every column name ever dropped from the
+    * table. Old data files still physically contain those columns; because
+    * reads resolve by NAME (no field ids), re-adding a dropped name would
+    * silently resurrect the stale values instead of reading null — so
+    * ADD COLUMN of a dropped name is rejected (see GraftCatalog.alterTable). */
   case class Manifest(version: Long, timestampMs: Long, operation: String,
     rowCount: Long, files: Seq[FileEntry], schemaJson: String,
-    partitionBy: Seq[String] = Seq.empty)
+    partitionBy: Seq[String] = Seq.empty,
+    droppedColumns: Seq[String] = Seq.empty)
 }

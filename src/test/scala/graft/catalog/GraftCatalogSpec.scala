@@ -214,6 +214,42 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("re-adding a dropped column is rejected (stale-value resurrection)") {
+    withCatalog { (store, cat) =>
+      store.commit("t", Seq((1L, "secret")).toDF("id", "note"), "create")
+      spark.sql(s"ALTER TABLE $cat.ns.t DROP COLUMN note")
+      assert(spark.sql(s"SELECT * FROM $cat.ns.t").columns.toSeq == Seq("id"))
+      // old files still contain `note`; a re-add would read "secret" back
+      val e = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.ns.t ADD COLUMN note STRING"))
+      assert(e.getMessage.contains("previously dropped"))
+      // a fresh name is fine and reads null from old files
+      spark.sql(s"ALTER TABLE $cat.ns.t ADD COLUMN note2 STRING")
+      assert(spark.sql(s"SELECT note2 FROM $cat.ns.t").collect().head.isNullAt(0))
+    }
+  }
+
+  test("SQL UPDATE/DELETE with a decimal predicate hits the right files") {
+    withCatalog { (store, cat) =>
+      // 4 range-clustered files on a DECIMAL(18,2) column: group selection
+      // for the row-level op prunes on decimal stats — an unscaled/scaled
+      // mixup here silently skips the matching rows instead of updating
+      val df = (1 to 400).map(i => (i.toLong, i))
+        .toDF("id", "cents")
+        .withColumn("price", (col("cents") / 100).cast("decimal(18,2)"))
+        .drop("cents")
+        .repartitionByRange(4, col("price"))
+      store.commit("t", df, "create")
+      spark.sql(s"UPDATE $cat.ns.t SET id = -1 WHERE price = 0.50")
+      assert(spark.sql(s"SELECT id FROM $cat.ns.t WHERE price = 0.50")
+        .as[Long].head() == -1L, "UPDATE skipped the matching row")
+      spark.sql(s"DELETE FROM $cat.ns.t WHERE price = 3.50")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t WHERE price = 3.50")
+        .as[Long].head() == 0L, "DELETE skipped the matching row")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").as[Long].head() == 399L)
+    }
+  }
+
   test("catalog sees copy-on-write snapshots (shared files) consistently") {
     withCatalog { (store, cat) =>
       store.commit("t",

@@ -178,4 +178,75 @@ class TableStoreSpec extends SparkSpec {
     assert(store.read("t").count() == 2)
     intercept[IllegalArgumentException](store.readVersion("t", 1))
   }
+
+  test("decimal stats carry the scale: pruning compares true values, not unscaled") {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark, tmpDir("ts"))
+    // prices 0.01 .. 10.00: the unscaled INT64 (1..1000) and the scaled
+    // value (0.01..10.00) diverge by 100×, so any unscaled-vs-scaled mixup
+    // prunes every file and silently loses rows
+    val df = (1 to 1000).map(i => (i.toLong, i))
+      .toDF("id", "cents")
+      .withColumn("price", (col("cents") / 100).cast("decimal(18,2)"))
+      .drop("cents")
+      .repartitionByRange(4, col("price"))
+    store.commit("t", df, "create")
+    val m = store.manifests("t").last
+    val ps = m.files.flatMap(_.stats.get("price"))
+    assert(ps.size == 4 && ps.forall(_.kind == "dec2"), s"kinds=${ps.map(_.kind)}")
+    // range read at the scale boundary: 0.50..0.60 lives in the first file
+    val got = store.readWhere("t", "price",
+      new java.math.BigDecimal("0.50"), new java.math.BigDecimal("0.60"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == (50L to 60L).toSeq, s"lost rows: $got")
+    val (kept, total) = store.prunedFileCount("t", "price",
+      new java.math.BigDecimal("0.50"), new java.math.BigDecimal("0.60"))
+    assert(kept < total, s"expected decimal pruning to skip files: $kept/$total")
+    // StatsFilter path (SQL reads + row-level ops): the file holding 0.50
+    // matches, files provably elsewhere don't
+    val f = org.apache.spark.sql.sources.EqualTo("price", new java.math.BigDecimal("0.50"))
+    val matching = m.files.count(fe => graft.catalog.StatsFilter.fileMayMatch(fe.stats, f))
+    assert(matching >= 1 && matching < total, s"fileMayMatch kept $matching/$total")
+    assert(store.readFiles("t",
+      m.files.filter(fe => graft.catalog.StatsFilter.fileMayMatch(fe.stats, f)))
+      .filter(col("price") === new java.math.BigDecimal("0.50")).count() == 1)
+  }
+
+  test("filesHitByKeys + bloom hash decimals by unscaled value (no false negatives)") {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark, tmpDir("ts"))
+    val odds = (1L to 999L by 2).map(i => (i, i))
+    val evens = (2L to 1000L by 2).map(i => (i, i))
+    val rdd = spark.sparkContext.parallelize(odds ++ evens, 2)
+    val df = rdd.toDF("id", "cents")
+      .withColumn("price", (col("cents") / 100).cast("decimal(18,2)"))
+      .drop("cents")
+    store.commit("t", df, "create", bloomColumns = Seq("price"))
+    // 0.50 is in the even file only; ranges fully overlap so only the bloom
+    // can separate — a scaled-truncated hash would miss it (false negative)
+    val keys = Seq("0.50").toDF("price").select(col("price").cast("decimal(18,2)"))
+    val (hit, _) = store.filesHitByKeys("t", "price", keys)
+    assert(hit.nonEmpty, "bloom false negative: file containing the key was dropped")
+    assert(store.readFiles("t", hit)
+      .filter(col("price") === new java.math.BigDecimal("0.50")).count() == 1)
+  }
+
+  test("timestamp identity partition: stat rendering mismatch must not prune matches") {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark, tmpDir("ts"))
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00")))
+      .toDF("id", "day")
+    store.commitPartitioned("t", df, Seq("day"), "create")
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // equality read through stats pruning: must return the matching row
+    // (the old path compared path rendering vs toString and pruned ALL files)
+    assert(store.readWhere("t", "day", ts, ts).select("id").as[Long]
+      .collect().toSeq == Seq(1L))
+    val f = org.apache.spark.sql.sources.EqualTo("day", ts)
+    val m = store.manifests("t").last
+    assert(m.files.exists(fe => graft.catalog.StatsFilter.fileMayMatch(fe.stats, f)),
+      "every file pruned for a matching timestamp partition value")
+  }
 }
