@@ -19,21 +19,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Representative subset across scan/join/agg/window/subquery/set-op,
-    * curation lifecycle, and the training-data extension operators.
-    * Excluded by design: q34 (exact O(N²) cosine baseline — its scale path
-    * q35 is benchmarked instead) and the tiny metadata-only q22/q23. */
-  val headline: Seq[String] = Seq(
-    "q01_pricing_summary", "q02_revenue_by_nation", "q03_topk_orders",
-    "q04_semijoin_priority", "q06_corr_scalar_subquery", "q08_window_rank",
-    "q09_window_cumulative", "q11_rollup_grouping", "q12_count_distinct",
-    "q15_case_buckets", "q16_full_outer_join", "q19_crossjoin_rank",
-    "q20_scd2_history", "q21_merge_upsert", "q25_date_interval",
-    "q26_selfjoin_lag", "q31_ngram_jaccard", "q32_minhash_lsh",
-    "q35_embedding_neardup_lsh", "q36_similarity_topk", "q37_text_langid",
-    "q39_token_stats", "q41_multimodal_features", "q45_batch_sessions",
-    "q46_asof_join", "q48_sql_writes", "q50_multiway_cte_selfjoin",
-    "q51_rollup_8col", "q52_intersect_channels")
+  /** Every registered query except q34 (the exact O(N²) cosine baseline,
+    * kept out by design — its scale path q35 is benchmarked instead), so
+    * the driver's perf gate sees the full surface: a regression in the SQL
+    * write path, partition pruning, set-ops, or schema evolution is as
+    * visible as one in the headline joins. */
+  val headline: Seq[String] =
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(_.startsWith("q34"))
 
   /** A20 metrics collector (replaces the reference's Athena `Statistics` /
     * Glue DPU collectors — SURVEY.md §2A A19/A20): scan size from the
@@ -88,7 +80,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated query-name substrings for
+    // targeted diagnosis runs (e.g. "q31,q32"); unset = full headline.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val queries = headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.exists(n.contains)))
 
     // Warmup at the smallest scale: pays JIT/codegen/parquet-footer costs
     // once so timed runs measure the plan, not the JVM.
@@ -106,18 +103,43 @@ object Bench {
     // ratio analysis (benchmark_functions.py:51-106); iteration count and
     // CSV path are env-tunable, defaults match the driver's budget.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // Outlier re-timing budget: a single-JVM bench on a shared box can
+    // catch an exogenous load spike (another JVM, the OS) mid-iteration —
+    // r2/r3 showed 50×+ one-off outliers on queries that are 5 s on an
+    // idle box. When the spread within a query exceeds 2×, spend up to
+    // this many extra iterations so the reported mean/median reflect the
+    // query, not the co-tenant. All iterations (outliers included) are
+    // kept in the CSV and in max/n below — nothing is hidden.
+    val extraIters = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA", "2").toInt
     val csvPath = sys.env.get("SPARK_GRAFT_BENCH_CSV")
 
-    case class QStats(times: Seq[Double], input: Long, shuffle: Long,
+    // Process-CPU share distinguishes "the query is slow" from "the box
+    // was busy": a legitimate slow iteration burns our own CPU on 32
+    // threads; an iteration stretched by a co-tenant shows near-zero
+    // process-CPU fraction over a long wall-clock.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+    case class Iter(sec: Double, procCpuSec: Double, sysLoad: Double)
+    case class QStats(its: Seq[Iter], input: Long, shuffle: Long,
         cpuSec: Double, failed: Boolean) {
+      def times: Seq[Double] = its.map(_.sec)
       def min: Double = times.min
+      def max: Double = times.max
       def mean: Double = times.sum / times.size
+      def median: Double = {
+        val s = times.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      def cpuFrac: Double =
+        its.map(_.procCpuSec).sum / math.max(times.sum * cpus.toInt, 1e-9)
     }
     val results = queries.map { name =>
       System.err.println(s"[bench] timing $name")
       listener.reset()
       var failed = false
-      val times = (1 to iters).map { _ =>
+      def once(): Iter = {
+        val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case e: Throwable =>
@@ -125,26 +147,35 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
         val t = (System.nanoTime() - t0) / 1e9
-        // Persisted intermediates (dedup postings) are only reused WITHIN
-        // one query DAG — a fresh invocation rebuilds them, so carrying
-        // cached blocks across iterations/queries is pure storage-memory
-        // pressure (the round-2 driver bench collapsed to 4-10× under it).
+        // Cached blocks are never reused across fresh invocations — any
+        // query-internal caching would be pure storage-memory pressure on
+        // the next query (the r2 bench collapsed to 4-10× under exactly
+        // that), so drop them between iterations defensively.
         spark.catalog.clearCache()
-        t
+        Iter(t, (osBean.getProcessCpuTime - c0) / 1e9, osBean.getSystemLoadAverage)
+      }
+      var its = Vector.tabulate(iters)(_ => once())
+      var extra = 0
+      while (extra < extraIters && !failed &&
+          its.map(_.sec).max > 2.0 * its.map(_.sec).min) {
+        System.err.println(f"[bench] $name spread ${its.map(_.sec).max}%.1f/" +
+          f"${its.map(_.sec).min}%.1f s — re-timing (exogenous-load suspect)")
+        its :+= once()
+        extra += 1
       }
       Thread.sleep(150) // let straggler task-end events drain (metrics are advisory)
-      name -> QStats(times, listener.input.get() / iters,
-        listener.shuffleWrite.get() / iters,
-        listener.cpuNs.get() / iters / 1e9, failed)
+      name -> QStats(its, listener.input.get() / its.size,
+        listener.shuffleWrite.get() / its.size,
+        listener.cpuNs.get() / its.size / 1e9, failed)
     }
 
     val ok = results.filterNot(_._2.failed)
     val failedNames = results.filter(_._2.failed).map(_._1)
     csvPath.foreach { path =>
-      val rows = "query,iteration,seconds,input_bytes,shuffle_bytes,cpu_sec" +:
+      val rows = "query,iteration,seconds,proc_cpu_sec,sys_load,input_bytes,shuffle_bytes,cpu_sec" +:
         results.flatMap { case (k, st) =>
-          st.times.zipWithIndex.map { case (t, i) =>
-            f"$k,${i + 1},$t%.4f,${st.input},${st.shuffle},${st.cpuSec}%.3f" }
+          st.its.zipWithIndex.map { case (it, i) =>
+            f"$k,${i + 1},${it.sec}%.4f,${it.procCpuSec}%.3f,${it.sysLoad}%.2f,${st.input},${st.shuffle},${st.cpuSec}%.3f" }
         }
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         rows.mkString("\n").getBytes("UTF-8"))
@@ -170,6 +201,16 @@ object Bench {
     val means = ok.map { case (k, st) => "\"" + k + f"\":${st.mean}%.3f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"mean_detail","iters":$iters,"queries":$means}""")
+    // Full per-query distribution + attribution: `cpu_frac` is this
+    // process's share of (wall × cores) over all iterations — a slow
+    // iteration with low cpu_frac means the box, not the plan, was busy.
+    val stats = ok.map { case (k, st) =>
+      "\"" + k + "\":{" +
+        f""""min":${st.min}%.3f,"median":${st.median}%.3f,"mean":${st.mean}%.3f,""" +
+        f""""max":${st.max}%.3f,"n":${st.its.size},"cpu_frac":${st.cpuFrac}%.3f,""" +
+        f""""max_load":${st.its.map(_.sysLoad).max}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"stats_detail","queries":$stats}""")
     val qs = ok.map { case (k, st) => "\"" + k + f"\":${st.min}%.3f" }
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -202,22 +202,31 @@ object SparkEntry {
         .select(col("n_nationkey").as("ns_nationkey"), col("n_name").as("ns_name"))
       val rev = col("l_extendedprice").cast("decimal(18,2)") *
         (lit(1) - col("l_discount").cast("decimal(18,2)"))
+      // The reference's engines materialize the shared `cross_sales` CTE
+      // once; Spark would execute a DataFrame subtree once per consumer.
+      // Instead of persisting the 8-relation join (cache churn at scale),
+      // fold the two anchor-year branches into ONE pass: filter both
+      // years up front (pushed to the orders scan), pivot per year with
+      // conditional aggregation, and keep customers present in both.
+      // Identical result, single execution, zero cached state.
+      val yr = year(col("o_orderdate"))
       val sales = c
         .join(n, col("c_nationkey") === col("n_nationkey"))
         .join(r, col("n_regionkey") === col("r_regionkey"))
-        .join(o, col("o_custkey") === col("c_custkey"))
+        .join(o.filter(year(col("o_orderdate")).isin(1995, 2000)),
+          col("o_custkey") === col("c_custkey"))
         .join(l, col("l_orderkey") === col("o_orderkey"))
         .join(p, col("p_partkey") === col("l_partkey"))
         .join(su, col("s_suppkey") === col("l_suppkey"))
         .join(ns, col("s_nationkey") === col("ns_nationkey"))
         .filter(col("p_size") <= 25 && col("s_acctbal") > 0)
-        .groupBy(year(col("o_orderdate")).as("yr"), col("n_name"), col("c_custkey"))
-        .agg(sum(rev).as("rev"))
-      val a = sales.filter(col("yr") === 1995)
-        .select(col("n_name"), col("c_custkey"), col("rev").as("rev_a"))
-      val b = sales.filter(col("yr") === 2000)
-        .select(col("n_name").as("nb"), col("c_custkey").as("ckb"), col("rev").as("rev_b"))
-      a.join(b, col("c_custkey") === col("ckb") && col("n_name") === col("nb"))
+        .groupBy(col("n_name"), col("c_custkey"))
+        .agg(sum(when(yr === 1995, rev)).as("rev_a"),
+          count(when(yr === 1995, lit(1))).as("n_a"),
+          sum(when(yr === 2000, rev)).as("rev_b"),
+          count(when(yr === 2000, lit(1))).as("n_b"))
+        .filter(col("n_a") > 0 && col("n_b") > 0)
+      sales
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_custs"),
           sum(col("rev_a")).cast("double").as("rev_1995"),
@@ -264,11 +273,18 @@ object SparkEntry {
       val o = Tables.load(s, dir, "orders")
       val l = Tables.load(s, dir, "lineitem")
       val c = Tables.load(s, dir, "customer")
-      val ch = o.join(l, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey"), col("l_returnflag")).distinct()
-      def channel(f: String) =
-        ch.filter(col("l_returnflag") === f).select(col("o_custkey"))
-      channel("R").intersect(channel("A")).intersect(channel("N"))
+      // INTERSECT of three single-column channels ≡ "customer has all
+      // three flags". The naive 3-way intersect executes the orders ⋈
+      // lineitem distinct once per channel; one conditional aggregate
+      // computes set membership in a single pass — same rows, 3× less work,
+      // and the gap grows linearly with data.
+      val flagged = o.join(l, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_returnflag").isin("R", "A", "N"))
+        .groupBy(col("o_custkey"))
+        .agg(countDistinct(col("l_returnflag")).as("__nf"))
+        .filter(col("__nf") === 3)
+        .select(col("o_custkey"))
+      flagged
         .join(c, col("c_custkey") === col("o_custkey"))
         .agg(count(lit(1)).as("n"),
           sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("bal"))

@@ -21,14 +21,15 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct word n-gram shingles of the normalized token stream.
-    * `slice` truncates at the tail exactly like the oracle's list slicing,
-    * so documents shorter than `n` still produce one (short) shingle. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+    * Tail-truncating window exactly like the oracle's list slicing, so
+    * documents shorter than `n` still produce one (short) shingle.
+    * Implemented as a one-pass codegen'd kernel: the composed
+    * `transform(sequence…, slice…)` form re-evaluated the tokenizer once
+    * per shingle position (HOF lambdas get no subexpression elimination) —
+    * O(tokens²) per document and the dominant cost of the whole dedup
+    * family ([[org.apache.spark.sql.graft.TextKernels]]). */
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.TextBridge.shingleArray(text, n)
 
   /** Exact dedup: keep the lowest id per normalized-content fingerprint.
     * One hash aggregate — the cheapest possible dedup at any scale. */
@@ -39,12 +40,26 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** (id, shingle) posting list, distinct. */
-  private def postings(df: DataFrame, idCol: String, textCol: String, n: Int) =
-    df.select(col(idCol).as("__id"),
-      explode(shingles(col(textCol), n)).as("__sh"))
+  /** Per-doc shingle set + size, computed NARROWLY per row — `shingles`
+    * already returns the distinct array, so no explode/groupBy shuffle is
+    * ever needed to reconstitute a document's set. Keeping this narrow is
+    * what lets the dedup pipelines run persist-free: re-deriving a set
+    * from the parquet row is a stateless projection, so consumers simply
+    * recompute it instead of pinning postings in the block manager (which
+    * at 100 TB means cache churn, eviction storms, and a leak hazard for
+    * long-lived sessions). */
+  private def docSets(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    df.select(col(idCol).as("__id"), shingles(col(textCol), n).as("__set"))
+      .withColumn("__sz", size(col("__set")).cast("long"))
 
-  /** Per-doc shingle set + size (one aggregate over the postings). */
+  /** (id, shingle) posting list, distinct (narrow explode of [[docSets]]). */
+  private def postings(df: DataFrame, idCol: String, textCol: String, n: Int) =
+    docSets(df, idCol, textCol, n)
+      .select(col("__id"), explode(col("__set")).as("__sh"))
+
+  /** Per-doc shingle set + size from a (possibly filtered) posting list —
+    * only needed when postings were externally filtered (maxShingleDf), so
+    * the per-row array would over-count; one aggregate otherwise avoided. */
   private def shingleSets(post: DataFrame) =
     post.groupBy(col("__id"))
       .agg(collect_set(col("__sh")).as("__set"), count(lit(1)).as("__sz"))
@@ -85,12 +100,15 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
-    // The postings feed three consumers (document frequencies, prefix
-    // selection, exact verify); persist so the tokenize+shingle explode —
-    // the single most expensive projection — runs once. MEMORY_AND_DISK:
-    // at cluster scale the postings of a 100 TB corpus spill, not OOM.
+    // Persist-free by design: the tokenize+shingle projection is narrow
+    // and stateless, so each consumer (document frequencies, prefix
+    // selection, exact verify) recomputes it instead of pinning postings
+    // in the block manager. At 100 TB the postings are ~3× the corpus —
+    // caching them means eviction churn and spill; recomputing is an
+    // embarrassingly parallel map that AQE/exchange-reuse already
+    // deduplicates where plans share a shuffle. It also keeps the API
+    // leak-free: no hidden cached blocks survive the call.
     val post = postings(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered =
       if (maxShingleDf == Long.MaxValue) post
       else {
@@ -98,20 +116,26 @@ object Dedup {
           .filter(col("count") > maxShingleDf).select(col("__sh"))
         post.join(hot, Seq("__sh"), "left_anti")
       }
-    val dfreq = filtered.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
-    // both windows share the partitioning → one shuffle on __id
+    // Document frequency via a window over __sh instead of a groupBy +
+    // join-back: one pass over the postings feeds straight into the
+    // per-document windows (shuffle __sh → shuffle __id), so the posting
+    // projection has a single consumer chain and nothing needs caching.
     val byDoc = Window.partitionBy(col("__id"))
-    val prefix = filtered.join(dfreq, "__sh")
-      .withColumn("__sz", count(lit(1)).over(byDoc))
+    val prefix = filtered
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__sh"))))
+      .withColumn("__psz", count(lit(1)).over(byDoc))
       .withColumn("__rn", row_number().over(
         byDoc.orderBy(col("__df"), col("__sh"))))
       .filter(col("__rn") <=
-        ceil((lit(1.0) - lit(threshold)) * col("__sz")) + lit(1))
+        ceil((lit(1.0) - lit(threshold)) * col("__psz")) + lit(1))
     val pa = prefix.select(col("__id").as("id_a"), col("__sh"))
     val pb = prefix.select(col("__id").as("id_b"), col("__sh"))
     val cand = pa.join(pb, Seq("__sh")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    verifyJaccard(cand, shingleSets(filtered), threshold)
+    val sets =
+      if (maxShingleDf == Long.MaxValue) docSets(df, idCol, textCol, n)
+      else shingleSets(filtered)
+    verifyJaccard(cand, sets, threshold)
   }
 
   /** Modulus of the portable affine MinHash family (prime < 2^30, so
@@ -177,9 +201,9 @@ object Dedup {
       threshold: Double = 0.8, portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    // two consumers (signatures, exact verify) — explode once, spill-safe
+    // Persist-free (see jaccardPairs): signatures and the exact verify
+    // each re-derive shingles narrowly; nothing is pinned in the cache.
     val post = postings(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = signaturesFromPostings(post, numHashes, portable)
     val bandHash: Column => Column =
       if (portable) sl => md5(concat_ws(",", transform(sl, x => x.cast("string"))))
@@ -194,7 +218,7 @@ object Dedup {
     val cand = l.join(r, Seq("__band", "__bh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    verifyJaccard(cand, shingleSets(post), threshold)
+    verifyJaccard(cand, docSets(df, idCol, textCol, n), threshold)
   }
 
   /** Number of signature bits: 64 with the native xxhash64 token hash,
