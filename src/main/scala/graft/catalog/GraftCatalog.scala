@@ -121,7 +121,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         // Same hazard as RENAME: pre-drop files still contain the dropped
         // column, and name-based resolution would resurrect their stale
         // values instead of reading null. Reject; use a fresh name.
-        require(!dropped.contains(add.fieldNames.head),
+        // Case-INSENSITIVE compare: Spark resolves columns and the store
+        // matches parquet fields case-insensitively, so ADD COLUMN NOTE
+        // after DROP COLUMN note would read the stale physical 'note'.
+        require(!dropped.exists(_.equalsIgnoreCase(add.fieldNames.head)),
           s"column ${add.fieldNames.head} was previously dropped; " +
             "re-adding it would resurrect stale values from old files — " +
             "add it under a new name instead")
@@ -136,8 +139,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case other => throw new UnsupportedOperationException(
         s"unsupported table change: $other")
     }
-    store.evolveSchema(ident.name, schema.json,
-      dropped.diff(current.droppedColumns))
+    // Pass the FULL accumulated dropped list (evolveSchema unions it, so
+    // this is idempotent): passing only the delta depended on alterTable's
+    // read and evolveSchema's independent re-read seeing the same manifest.
+    store.evolveSchema(ident.name, schema.json, dropped)
     loadTable(ident)
   }
 

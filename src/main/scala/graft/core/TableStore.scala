@@ -194,10 +194,24 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       if (partitionBy.nonEmpty) partitionBy
       else manifests(table).lastOption.map(_.partitionBy).getOrElse(Seq.empty)
     writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
-      files.map(_.rowCount).sum, files, schemaJson, spec))
+      files.map(_.rowCount).sum, files, schemaJson, spec,
+      droppedColumnsCarry(table, keptFiles)))
     swapPointer(table, v)
     v
   }
+
+  /** The dropped-column tombstones of the prior snapshot must survive any
+    * commit that carries pre-drop files forward (append, MERGE, SCD2,
+    * staged SQL writes) — otherwise the sequence DROP COLUMN x → append →
+    * ADD COLUMN x would pass alterTable's resurrection guard and read
+    * stale physical x values out of the carried-over files. Resetting is
+    * safe only when the new snapshot references no prior files (full
+    * overwrite / compaction rewrite): every file then postdates the drop
+    * and cannot contain the dropped name. */
+  private def droppedColumnsCarry(table: String,
+      keptFiles: Seq[FileEntry]): Seq[String] =
+    if (keptFiles.isEmpty) Seq.empty
+    else manifests(table).lastOption.map(_.droppedColumns).getOrElse(Seq.empty)
 
   /** Footer-stat harvesting is metadata-only but pays one storage
     * round-trip per file — run it on a bounded thread pool so a
@@ -280,7 +294,9 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     }
     val files = keptFiles ++ newEntries
     writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
-      files.map(_.rowCount).sum, files, schemaJson))
+      files.map(_.rowCount).sum, files, schemaJson,
+      manifests(table).lastOption.map(_.partitionBy).getOrElse(Seq.empty),
+      droppedColumnsCarry(table, keptFiles)))
     swapPointer(table, v)
     v
   }
@@ -407,48 +423,68 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val m = manifests(table).maxBy(_.version)
     val (statFiles, noStat) = m.files.partition(_.stats.contains(column))
     if (statFiles.isEmpty) return (m.files, Seq.empty)
-    val kind = statFiles.head.stats(column).kind
     val keyRaw = col(keys.columns.head)
     val keyType = keys.schema.fields.head.dataType
     import org.apache.spark.sql.types.{TimestampType, DateType}
-    val castType = kind match {
-      case "long" => "long"
-      case "double" => "double"
-      case d if d.startsWith("dec") => s"decimal(38,${d.stripPrefix("dec")})"
-      case _ => "string"
+    // Stat kinds can legitimately diverge across files of one column —
+    // e.g. a date column carries partition-derived "string" stats in
+    // partitioned commits and footer "long" (epoch-day) stats in a later
+    // unpartitioned append. Applying one file's kind to another file's
+    // raw stats would compare in the wrong domain and could WRONGLY prune
+    // (silently losing MERGE rows), so each kind group is ranged in its
+    // own domain; a group whose kind has no sound cast from the key type
+    // is conservatively hit.
+    def hitsForKind(kind: String, group: Seq[FileEntry])
+        : (Seq[FileEntry], Seq[FileEntry]) = {
+      val castType = kind match {
+        case "long" => "long"
+        case "double" => "double"
+        case d if d.startsWith("dec") => s"decimal(38,${d.stripPrefix("dec")})"
+        case _ => "string"
+      }
+      val keyExpr = (kind, keyType) match {
+        case ("long", TimestampType) => unix_micros(keyRaw)
+        case ("long", DateType) => datediff(keyRaw, to_date(lit("1970-01-01")))
+          .cast("long")
+        case ("long", _) => keyRaw.cast("long")
+        case ("double", _) => keyRaw.cast("double")
+        case (d, _) if d.startsWith("dec") => keyRaw.cast(castType)
+        case _ => keyRaw.cast("string")
+      }
+      // dec<scale> stats hold the unscaled integer — rehydrate to a plain
+      // decimal rendering before the cast so ranges compare in value space
+      val statStr: String => String =
+        if (kind.startsWith("dec")) { raw =>
+          new java.math.BigDecimal(new java.math.BigInteger(raw),
+            kind.stripPrefix("dec").toInt).toPlainString
+        } else identity
+      val ranges = group.zipWithIndex.map { case (fe, i) =>
+        (i, statStr(fe.stats(column).min), statStr(fe.stats(column).max))
+      }
+      val rangesDf = {
+        import spark.implicits._
+        ranges.toDF("__idx", "__mn", "__mx")
+          .select(col("__idx"), col("__mn").cast(castType).as("__mn"),
+            col("__mx").cast(castType).as("__mx"))
+      }
+      // A stat that does not cast into the comparison domain (null bound)
+      // can never match the range predicate — that file must be
+      // conservatively hit, not silently pruned.
+      val nullIdx = rangesDf
+        .filter(col("__mn").isNull || col("__mx").isNull)
+        .select(col("__idx")).collect().map(_.getInt(0)).toSet
+      val hitIdx = keys.select(keyExpr.as("__k")).distinct()
+        .join(broadcast(rangesDf),
+          col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+        .select(col("__idx")).distinct().collect().map(_.getInt(0)).toSet
+      val (h, u) = group.zipWithIndex.partition(p =>
+        hitIdx(p._2) || nullIdx(p._2))
+      (h.map(_._1), u.map(_._1))
     }
-    val keyExpr = (kind, keyType) match {
-      case ("long", TimestampType) => unix_micros(keyRaw)
-      case ("long", DateType) => datediff(keyRaw, to_date(lit("1970-01-01")))
-        .cast("long")
-      case ("long", _) => keyRaw.cast("long")
-      case ("double", _) => keyRaw.cast("double")
-      case (d, _) if d.startsWith("dec") => keyRaw.cast(castType)
-      case _ => keyRaw.cast("string")
-    }
-    // dec<scale> stats hold the unscaled integer — rehydrate to a plain
-    // decimal rendering before the cast so ranges compare in value space
-    val statStr: String => String =
-      if (kind.startsWith("dec")) { raw =>
-        new java.math.BigDecimal(new java.math.BigInteger(raw),
-          kind.stripPrefix("dec").toInt).toPlainString
-      } else identity
-    val ranges = statFiles.zipWithIndex.map { case (fe, i) =>
-      (i, statStr(fe.stats(column).min), statStr(fe.stats(column).max))
-    }
-    val rangesDf = {
-      import spark.implicits._
-      ranges.toDF("__idx", "__mn", "__mx")
-        .select(col("__idx"), col("__mn").cast(castType).as("__mn"),
-          col("__mx").cast(castType).as("__mx"))
-    }
-    val hitIdx = keys.select(keyExpr.as("__k")).distinct()
-      .join(broadcast(rangesDf),
-        col("__k") >= col("__mn") && col("__k") <= col("__mx"))
-      .select(col("__idx")).distinct().collect().map(_.getInt(0)).toSet
-    val (hit0, untouched0) = statFiles.zipWithIndex.partition(p => hitIdx(p._2))
-    var hit = hit0.map(_._1)
-    var untouched = untouched0.map(_._1)
+    val grouped = statFiles.groupBy(_.stats(column).kind).toSeq
+      .map { case (kind, group) => hitsForKind(kind, group) }
+    var hit = grouped.flatMap(_._1)
+    var untouched = grouped.flatMap(_._2)
     // Bloom refinement: random keys (md5-style pks) make every [min,max]
     // range overlap every file, so range pruning degenerates to "rewrite
     // all". When the key set is small (the CDC-merge case), test the keys
@@ -456,7 +492,15 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     // negatives, so dropping a bloom-miss file is exact. Files without a
     // bloom for the column stay conservatively hit.
     if (hit.size > 1) {
-      val keyVals = keys.select(keyExpr.as("__k")).distinct()
+      // Bloom hashing follows the column's PHYSICAL type, so normalize by
+      // the key's own type (timestamps → epoch micros, dates → epoch days)
+      // rather than any one file's stat kind.
+      val bloomKeyExpr = keyType match {
+        case TimestampType => unix_micros(keyRaw)
+        case DateType => datediff(keyRaw, to_date(lit("1970-01-01"))).cast("long")
+        case _ => keyRaw
+      }
+      val keyVals = keys.select(bloomKeyExpr.as("__k")).distinct()
         .limit(bloomMaxKeys + 1).collect().map(_.get(0)).toSeq
       if (keyVals.size <= bloomMaxKeys) {
         val (bh, bm) = hit.partition(fe => bloomMayContain(table, fe, column, keyVals))

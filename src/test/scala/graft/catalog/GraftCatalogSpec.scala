@@ -229,6 +229,33 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("dropped-column tombstones survive appends/merges between DROP and ADD") {
+    withCatalog { (store, cat) =>
+      store.commit("t", Seq((1L, "secret")).toDF("id", "note"), "create")
+      spark.sql(s"ALTER TABLE $cat.ns.t DROP COLUMN note")
+      // every commit flavor that carries the pre-drop file forward must
+      // keep the tombstone: SQL INSERT (commitStaged), library append and
+      // merge-style commitFiles
+      spark.sql(s"INSERT INTO $cat.ns.t VALUES (2)")
+      store.append("t", Seq(Tuple1(3L)).toDF("id"))
+      val kept = store.manifests("t").maxBy(_.version).files
+      store.commitFiles("t", kept, Some(Seq(Tuple1(4L)).toDF("id")), "merge")
+      // case-insensitive too: parquet field matching ignores case
+      Seq("note", "NOTE", "Note").foreach { name =>
+        val e = intercept[Exception](
+          spark.sql(s"ALTER TABLE $cat.ns.t ADD COLUMN $name STRING"))
+        assert(e.getMessage.contains("previously dropped"), name)
+      }
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").as[Long].head() == 4L)
+      // a full overwrite drops the tombstone: no pre-drop file survives,
+      // so the name is genuinely fresh again
+      store.commit("t", Seq((9L, "new")).toDF("id", "note"), "overwrite")
+      assert(store.manifests("t").maxBy(_.version).droppedColumns.isEmpty)
+      assert(spark.sql(s"SELECT note FROM $cat.ns.t").as[String].collect()
+        .toSeq == Seq("new"))
+    }
+  }
+
   test("SQL UPDATE/DELETE with a decimal predicate hits the right files") {
     withCatalog { (store, cat) =>
       // 4 range-clustered files on a DECIMAL(18,2) column: group selection

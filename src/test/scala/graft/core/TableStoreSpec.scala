@@ -249,4 +249,30 @@ class TableStoreSpec extends SparkSpec {
     assert(m.files.exists(fe => graft.catalog.StatsFilter.fileMayMatch(fe.stats, f)),
       "every file pruned for a matching timestamp partition value")
   }
+
+  test("filesHitByKeys ranges each file in its own stat-kind domain") {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark, tmpDir("ts"))
+    // partitioned create → date column gets partition-derived "string"
+    // stats; later unpartitioned append → footer "long" (epoch-day) stats.
+    // One key per commit: both files must be hit despite divergent kinds
+    // (applying either file's kind to the other would compare a
+    // "2024-01-0x" string against an epoch-day integer and wrongly prune).
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    store.commitPartitioned("t", Seq((1L, d1)).toDF("id", "day"), Seq("day"), "create")
+    store.append("t", Seq((2L, d2)).toDF("id", "day"))
+    val m = store.manifests("t").maxBy(_.version)
+    val kinds = m.files.flatMap(_.stats.get("day")).map(_.kind).distinct
+    assert(kinds.size == 2, s"fixture should have divergent kinds, got $kinds")
+    val (hit, untouched) = store.filesHitByKeys("t", "day",
+      Seq(d1, d2).toDF("day"))
+    assert(hit.size == 2 && untouched.isEmpty,
+      s"both files must be hit; got hit=${hit.map(_.path)} untouched=${untouched.map(_.path)}")
+    // and a key matching neither commit prunes both (per-domain ranges
+    // stay selective, not just conservative)
+    val (hitNone, untouchedNone) = store.filesHitByKeys("t", "day",
+      Seq(java.sql.Date.valueOf("2030-06-06")).toDF("day"))
+    assert(hitNone.isEmpty && untouchedNone.size == 2)
+  }
 }
