@@ -319,6 +319,32 @@ object SparkEntry {
         .withColumn("partition_exact", lit(kept == expected && kept < total))
     }),
 
+    // SQL partitioned DDL (reference create_iceberg_tpcds.py:27-33
+    // PARTITIONED BY): CREATE TABLE … PARTITIONED BY + INSERT INTO lays
+    // rows out in identity-partition directories via the clustered DSv2
+    // write; the filtered read then scans only the matching partition's
+    // files (partition_exact proves kept == that partition's files and
+    // < total — runtime evidence of partition-exact pruning via SQL).
+    "q62_sql_partitioned" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_sqlp").toString
+      val store = new TableStore(s, wh)
+      val cat = s"gq62x${System.nanoTime()}" // CatalogManager caches by name
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE TABLE $cat.ns.ev (event_id BIGINT, event_type STRING, " +
+        "value DOUBLE) PARTITIONED BY (event_type)")
+      s.sql(s"INSERT INTO $cat.ns.ev SELECT event_id, event_type, value " +
+        s"FROM parquet.`$dir/events.parquet`")
+      val m = store.manifests("ev").maxBy(_.version)
+      val expected = m.files.count(_.partitionValues.get("event_type").contains("click"))
+      val (kept, total) = store.prunedFileCount("ev", "event_type", "click", "click")
+      s.sql(s"SELECT count(*) AS n_rows, CAST(sum(CAST(value AS DECIMAL(18,2))) " +
+        s"AS DOUBLE) AS sum_value FROM $cat.ns.ev WHERE event_type = 'click'")
+        .withColumn("partition_exact",
+          lit(expected > 0 && kept == expected && kept < total))
+    }),
+
     // §2A A14 via SQL: the DSv2 GraftCatalog resolves store tables in
     // plain SQL incl. `VERSION AS OF` time travel.
     "q44_sql_catalog" -> ((s, dir) => {
@@ -1233,6 +1259,12 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q49_partitioned_sink" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | CAST(TRUE AS BOOLEAN) AS partition_exact
+        |FROM events WHERE event_type = 'click'""".stripMargin,
+
+    "q62_sql_partitioned" ->
       """SELECT count(*) AS n_rows,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         | CAST(TRUE AS BOOLEAN) AS partition_exact

@@ -97,10 +97,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * of CTAS arrives as a follow-up DSv2 append. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "partitioned CREATE TABLE via SQL is not supported yet")
+    // Identity partitioning only (the reference's partitioned DDL is
+    // identity on date/int keys — utils/metadata/store_sales.json
+    // "partitions", create_iceberg_tpcds.py:27-33). Bucket/temporal
+    // transforms would need transform-aware pruning.
+    val partCols = partitions.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"only identity PARTITIONED BY columns are supported, got $t")
+    }.toSeq
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c is not in the table schema"))
     require(!store.exists(ident.name), s"table ${ident.name} already exists")
-    store.createEmpty(ident.name, schema.json)
+    store.createEmpty(ident.name, schema.json, partCols)
     loadTable(ident)
   }
 

@@ -161,14 +161,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         // matching partition); decimals are ambiguous ("1.5" vs "1.50").
         // Those kinds yield None: the partition value is still recorded in
         // `partitionValues`, just never used for stat pruning.
-        val kinds: Map[String, Option[String]] = newData.map(_.schema.fields.map(f =>
-          f.name -> (f.dataType match {
-            case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
-                 _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => Some("long")
-            case _: org.apache.spark.sql.types.FloatType | _: org.apache.spark.sql.types.DoubleType => Some("double")
-            case _: org.apache.spark.sql.types.StringType | _: org.apache.spark.sql.types.DateType => Some("string")
-            case _ => None
-          })).toMap).getOrElse(Map.empty)
+        val kinds: Map[String, Option[String]] =
+          newData.map(d => statKindsOf(d.schema)).getOrElse(Map.empty)
         val f = fs(dataDir)
         val qualified = f.makeQualified(dataDir).toString
         harvestInParallel(listPartFiles(dataDir, f)) { s =>
@@ -240,6 +234,20 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     buf.toSeq.sortBy(_.getPath.toString)
   }
 
+  /** Stat-comparison domain per column for folding partition-directory
+    * values into min=max stats. Types whose path rendering does not
+    * round-trip through the comparison domain (timestamps, decimals)
+    * yield None — see the commitFiles comment. */
+  private def statKindsOf(schema: org.apache.spark.sql.types.StructType)
+      : Map[String, Option[String]] =
+    schema.fields.map(f => f.name -> (f.dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => Some("long")
+      case _: org.apache.spark.sql.types.FloatType | _: org.apache.spark.sql.types.DoubleType => Some("double")
+      case _: org.apache.spark.sql.types.StringType | _: org.apache.spark.sql.types.DateType => Some("string")
+      case _ => None
+    })).toMap
+
   /** Parse `__p_<col>=<value>` segments of a version-relative path. */
   private def partitionValuesOf(rel: String): Map[String, String] =
     rel.split('/').dropRight(1).collect {
@@ -250,11 +258,14 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     }.toMap
 
   /** Create an empty table (schema only, no data files) — the CTAS/DSv2
-    * `createTable` hook: SQL writes land as the next version. */
-  def createEmpty(table: String, schemaJson: String): Long = {
+    * `createTable` hook: SQL writes land as the next version. A non-empty
+    * `partitionBy` declares an identity partition spec that subsequent
+    * staged SQL writes lay out and prune by. */
+  def createEmpty(table: String, schemaJson: String,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     val v = currentVersion(table) + 1
     writeManifest(table, Manifest(v, System.currentTimeMillis(), "create",
-      0L, Seq.empty, schemaJson))
+      0L, Seq.empty, schemaJson, partitionBy))
     swapPointer(table, v)
     v
   }
@@ -279,18 +290,35 @@ class TableStore(spark: SparkSession, val warehouse: String) {
   /** Commit parquet files already written by an external writer (the DSv2
     * SQL write path): move them into the next version directory (same-FS
     * rename, no data copy), harvest footer stats, and commit
-    * `keptFiles` ∪ them as one snapshot. */
+    * `keptFiles` ∪ them as one snapshot. Staged paths are
+    * (absolute, version-relative) pairs — a partitioned writer stages
+    * files under `__p_<col>=<value>/` subdirectories, whose partition
+    * tuples are parsed and folded into the per-file stats exactly like
+    * [[commitFiles]]'s partitioned layout, so SQL-written partitions prune
+    * identically to library-written ones. */
   def commitStaged(table: String, keptFiles: Seq[FileEntry],
-      staged: Seq[Path], operation: String, schemaJson: String): Long = {
+      staged: Seq[(Path, String)], operation: String, schemaJson: String): Long = {
     val v = currentVersion(table) + 1
     val dataDir = versionDir(table, v)
     val f = fs(dataDir)
     f.mkdirs(dataDir)
-    val newEntries = harvestInParallel(staged) { p =>
-      val dest = new Path(dataDir, p.getName)
+    val kinds: Map[String, Option[String]] =
+      try statKindsOf(org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      catch { case _: Throwable => Map.empty }
+    val newEntries = harvestInParallel(staged) { case (p, rel) =>
+      val dest = new Path(dataDir, rel)
+      f.mkdirs(dest.getParent)
       require(f.rename(p, dest), s"failed to move staged file $p")
       val (rows, stats) = footerStats(dest)
-      FileEntry(s"v=$v/${dest.getName}", f.getFileStatus(dest).getLen, rows, stats)
+      val pvals = partitionValuesOf(rel)
+      val pstats = pvals.flatMap {
+        case (c, pv) if pv != "__HIVE_DEFAULT_PARTITION__" =>
+          kinds.get(c).flatten.map(k => c -> ColStats(pv, pv, k))
+        case _ => None
+      }
+      FileEntry(s"v=$v/$rel", f.getFileStatus(dest).getLen, rows,
+        stats ++ pstats, pvals)
     }
     val files = keptFiles ++ newEntries
     writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,

@@ -7,10 +7,14 @@ import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.util.SerializableConfiguration
 
 import graft.core.TableStore
@@ -27,6 +31,16 @@ import graft.core.TableStore
   * the driver-side commit MOVES staged files into the next version
   * directory (same-FS rename, zero data copy) and swaps the snapshot
   * pointer. Append keeps existing file entries metadata-only.
+  *
+  * Tables with an identity partition spec (SQL
+  * `CREATE TABLE … PARTITIONED BY`, mirroring the reference's partitioned
+  * DDL — query_performance/utils/create_iceberg_tpcds.py:27-33) request
+  * clustering + a sort on the partition columns via
+  * [[RequiresDistributionAndOrdering]], so each task streams one partition
+  * at a time and rolls files into `__p_<col>=<value>/` staging
+  * subdirectories — the exact layout [[TableStore.commitPartitioned]]
+  * produces, giving SQL-written partitions the same partition-exact file
+  * pruning as library writes without any post-write repartition pass.
   *
   * Lives in org.apache.spark.sql.graft for access to the internal writer
   * factory and SerializableConfiguration, like VectorExpressions.
@@ -66,11 +80,30 @@ private class GraftWriteBuilder(warehouse: String, table: String,
 
 private class GraftWrite(warehouse: String, table: String, schema: StructType,
     operation: String, kept: () => Seq[TableStore.FileEntry])
-    extends Write with BatchWrite {
+    extends Write with BatchWrite with RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite = this
 
   private def spark = SparkSession.active
   private val stagingDir = s"$warehouse/$table/_staging/${UUID.randomUUID()}"
+
+  /** The table's identity partition spec (empty for unpartitioned),
+    * resolved once at write build. */
+  private val partitionBy: Seq[String] = {
+    val store = new TableStore(spark, warehouse)
+    if (store.exists(table))
+      store.manifests(table).maxBy(_.version).partitionBy
+        .filter(schema.fieldNames.contains)
+    else Seq.empty
+  }
+
+  override def requiredDistribution(): Distribution =
+    if (partitionBy.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(
+      partitionBy.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+
+  override def requiredOrdering(): Array[SortOrder] =
+    partitionBy.map(c =>
+      Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
 
   override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
@@ -79,11 +112,13 @@ private class GraftWrite(warehouse: String, table: String, schema: StructType,
     // files must be TIMESTAMP_MICROS for orderable footer stats
     job.getConfiguration.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     new GraftWriterFactory(factory, schema,
-      new SerializableConfiguration(job.getConfiguration), stagingDir)
+      new SerializableConfiguration(job.getConfiguration), stagingDir,
+      partitionBy, spark.sessionState.conf.sessionLocalTimeZone)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.collect { case GraftCommitMessage(p) => new Path(p) }.toSeq
+    val staged = messages.collect { case GraftCommitMessage(ps) =>
+      ps.map { case (abs, rel) => (new Path(abs), rel) } }.flatten.toSeq
     val store = new TableStore(spark, warehouse)
     // The table's declared schema stays authoritative across writes: the
     // query's schema may carry tighter nullability (e.g. literal VALUES),
@@ -108,17 +143,23 @@ private class GraftWrite(warehouse: String, table: String, schema: StructType,
   }
 }
 
-private case class GraftCommitMessage(path: String) extends WriterCommitMessage
+/** `paths` are (absolute staged path, version-relative path incl. any
+  * `__p_…=` partition subdirectories). */
+private case class GraftCommitMessage(paths: Seq[(String, String)])
+    extends WriterCommitMessage
 
 private class GraftWriterFactory(factory: OutputWriterFactory,
-    schema: StructType, conf: SerializableConfiguration, stagingDir: String)
+    schema: StructType, conf: SerializableConfiguration, stagingDir: String,
+    partitionBy: Seq[String], timeZone: String)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       // lazily opened so empty partitions produce no file at all
       private var writer: OutputWriter = _
-      private var path: String = _
+      private var fileSeq = 0
+      private var currentRelDir: String = _
+      private val written = scala.collection.mutable.ArrayBuffer[(String, String)]()
       // Row-level-operation plans (MERGE/UPDATE/DELETE) in Spark 4.1 emit
       // rows as (operation_marker_int, table columns...) — see
       // RowDeltaUtils.OPERATION_COLUMN and ReplaceDataExec: the stripping
@@ -127,29 +168,69 @@ private class GraftWriterFactory(factory: OutputWriterFactory,
       // table columns at ordinals 1..n.
       private var proj: org.apache.spark.sql.catalyst.expressions.UnsafeProjection = _
       private var checked = false
+      // Partition-value renderers bound to the PROJECTED row: Cast to
+      // string in the session timezone — the same rendering
+      // `df.write.partitionBy` uses for directory names.
+      private val partCasts = partitionBy.map { c =>
+        val i = schema.fieldIndex(c)
+        val f = schema.fields(i)
+        c -> Cast(BoundReference(i, f.dataType, f.nullable), StringType,
+          Option(timeZone))
+      }
 
-      private def open(firstRow: InternalRow): Unit = {
+      private def relDirOf(row: InternalRow): String =
+        partCasts.map { case (c, cast) =>
+          val v = cast.eval(row)
+          val s = if (v == null) null else v.toString
+          val rendered =
+            if (s == null || s.isEmpty) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+            else ExternalCatalogUtils.escapePathName(s)
+          s"__p_$c=$rendered"
+        }.mkString("/")
+
+      private def checkShape(firstRow: InternalRow): Unit = {
         if (firstRow.numFields == schema.length + 1) {
-          import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+          import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
           proj = UnsafeProjection.create(schema.fields.toIndexedSeq.zipWithIndex.map {
             case (f, i) => BoundReference(i + 1, f.dataType, f.nullable)
           })
         } else require(firstRow.numFields == schema.length,
           s"row has ${firstRow.numFields} fields, write schema has ${schema.length}")
+      }
+
+      private def open(relDir: String): Unit = {
         val attempt = new TaskAttemptID(
           new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId), 0)
         val ctx = new TaskAttemptContextImpl(conf.value, attempt)
-        path = f"$stagingDir/part-$partitionId%05d-$taskId${factory.getFileExtension(ctx)}"
-        writer = factory.newInstance(path, schema, ctx)
+        val name =
+          f"part-$partitionId%05d-$taskId-$fileSeq${factory.getFileExtension(ctx)}"
+        fileSeq += 1
+        val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+        val abs = s"$stagingDir/$rel"
+        writer = factory.newInstance(abs, schema, ctx)
+        currentRelDir = relDir
+        written += ((abs, rel))
       }
 
       override def write(row: InternalRow): Unit = {
-        if (!checked) { open(row); checked = true }
-        writer.write(if (proj == null) row else proj(row))
+        if (!checked) { checkShape(row); checked = true }
+        val r = if (proj == null) row else proj(row)
+        val relDir = if (partitionBy.isEmpty) "" else relDirOf(r)
+        // clustering+sort make equal tuples contiguous, so rolling on
+        // change yields one file per (task, partition value); an engine
+        // that ignored the ordering would only produce extra files, never
+        // wrong ones
+        if (writer == null || relDir != currentRelDir) {
+          if (writer != null) { writer.close(); writer = null }
+          open(relDir)
+        }
+        writer.write(r)
       }
-      override def commit(): WriterCommitMessage =
-        if (writer == null) GraftNoDataMessage
-        else { writer.close(); writer = null; GraftCommitMessage(path) }
+      override def commit(): WriterCommitMessage = {
+        if (writer != null) { writer.close(); writer = null }
+        if (written.isEmpty) GraftNoDataMessage
+        else GraftCommitMessage(written.toSeq)
+      }
       override def abort(): Unit = close()
       override def close(): Unit =
         if (writer != null) { writer.close(); writer = null }

@@ -229,6 +229,49 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL partitioned CREATE TABLE + INSERT: layout, spec, exact pruning") {
+    withCatalog { (store, cat) =>
+      spark.sql(s"CREATE TABLE $cat.ns.ev (id BIGINT, etype STRING, amt DOUBLE) " +
+        "PARTITIONED BY (etype)")
+      assert(store.manifests("ev").maxBy(_.version).partitionBy == Seq("etype"))
+      spark.sql(s"INSERT INTO $cat.ns.ev VALUES " +
+        "(1, 'click', 1.0), (2, 'view', 2.0), (3, 'click', 3.0), (4, 'buy', 4.0)")
+      val m = store.manifests("ev").maxBy(_.version)
+      // one file per partition value, laid out in __p_ dirs with the
+      // partition tuple recorded and folded into min=max stats
+      assert(m.files.size == 3, m.files.map(_.path))
+      assert(m.files.forall(_.path.contains("__p_etype=")))
+      assert(m.files.flatMap(_.partitionValues.get("etype")).sorted ==
+        Seq("buy", "click", "view"))
+      // partition-exact pruning on both the library path and the SQL scan
+      val (kept, total) = store.prunedFileCount("ev", "etype", "click", "click")
+      assert(kept == 1 && total == 3)
+      assert(spark.sql(s"SELECT sum(amt) FROM $cat.ns.ev WHERE etype = 'click'")
+        .collect().head.getDouble(0) == 4.0)
+      // a second INSERT appends new partition files, keeps old ones
+      spark.sql(s"INSERT INTO $cat.ns.ev VALUES (5, 'click', 5.0)")
+      val m2 = store.manifests("ev").maxBy(_.version)
+      assert(m2.files.size == 4)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.ev").as[Long].head() == 5L)
+    }
+  }
+
+  test("SQL partitioned CTAS writes the partition layout in one pass") {
+    withCatalog { (store, cat) =>
+      store.commit("src", (1L to 100L).map(i => (i, s"g${i % 4}")).toDF("id", "grp"),
+        "create")
+      spark.sql(s"CREATE TABLE $cat.ns.agg PARTITIONED BY (grp) AS " +
+        s"SELECT grp, id FROM $cat.ns.src")
+      val m = store.manifests("agg").maxBy(_.version)
+      assert(m.partitionBy == Seq("grp"))
+      assert(m.files.size == 4 && m.files.forall(_.partitionValues.contains("grp")))
+      val (kept, total) = store.prunedFileCount("agg", "grp", "g2", "g2")
+      assert(kept == 1 && total == 4)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.agg WHERE grp = 'g3'")
+        .as[Long].head() == 25L)
+    }
+  }
+
   test("dropped-column tombstones survive appends/merges between DROP and ADD") {
     withCatalog { (store, cat) =>
       store.commit("t", Seq((1L, "secret")).toDF("id", "note"), "create")
