@@ -22,6 +22,27 @@ object SparkEntry {
   private def dec(c: Column, scale: Int): Column = c.cast(DecimalType(18, scale))
   private def tmpStore(s: SparkSession): TableStore =
     new TableStore(s, java.nio.file.Files.createTempDirectory("graft_wh").toString)
+
+  /** All GraftStatsScan instances in an executed plan (recursing through
+    * AQE wrappers) — used by queries that assert runtime pruning fired. */
+  private def collectGraftScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.graft.GraftStatsScan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val self = p match {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case g: org.apache.spark.sql.graft.GraftStatsScan => Seq(g)
+          case _ => Seq.empty
+        }
+      case _ => Seq.empty
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case o => o.children
+    }
+    self ++ kids.flatMap(collectGraftScans)
+  }
   /** Order-independent exact sum: cast each row value to decimal, sum, re-cast. */
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(dec(c, scale)).cast(DecimalType(18, scale))
@@ -343,6 +364,42 @@ object SparkEntry {
         s"AS DOUBLE) AS sum_value FROM $cat.ns.ev WHERE event_type = 'click'")
         .withColumn("partition_exact",
           lit(expected > 0 && kept == expected && kept < total))
+    }),
+
+    // Runtime (dynamic) file pruning on the READ path: a star join whose
+    // fact-side filter arrives only through a dimension (the `tag` column
+    // exists solely as dim data, so no static constraint can propagate).
+    // Spark plans a dynamic-pruning subquery over the scan's
+    // filterAttributes; GraftStatsScan.filter drops fact files whose
+    // manifest key range no surviving dim key touches — the reference's
+    // partitioned-fact headline (docs/README.md:326-329). runtime_pruned
+    // is computed from the EXECUTED plan: fact files scanned < committed.
+    "q63_runtime_pruning" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+      val store = new TableStore(s, wh)
+      val cat = s"gq63x${System.nanoTime()}" // CatalogManager caches by name
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      store.commit("fact", Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+        .repartitionByRange(8, col("l_orderkey")), "create")
+      store.commit("dim", Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") <= 300, "hot").otherwise("cold").as("tag")),
+        "create")
+      val q = s.sql(
+        s"""SELECT count(*) AS n_rows,
+           |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM $cat.ns.fact f JOIN $cat.ns.dim d ON f.l_orderkey = d.o_orderkey
+           |WHERE d.tag = 'hot'""".stripMargin)
+      val row = q.collect().head
+      val kept = collectGraftScans(q.queryExecution.executedPlan)
+        .filter(_.table == "fact").map(_.currentFileCount).minOption.getOrElse(-1)
+      val total = store.manifests("fact").maxBy(_.version).files.size
+      import s.implicits._
+      Seq((row.getLong(0), row.getDouble(1), kept >= 0 && kept < total))
+        .toDF("n_rows", "sum_qty", "runtime_pruned")
     }),
 
     // §2A A14 via SQL: the DSv2 GraftCatalog resolves store tables in
@@ -1269,6 +1326,13 @@ object SparkEntry {
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         | CAST(TRUE AS BOOLEAN) AS partition_exact
         |FROM events WHERE event_type = 'click'""".stripMargin,
+
+    "q63_runtime_pruning" ->
+      """SELECT count(*) AS n_rows,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(TRUE AS BOOLEAN) AS runtime_pruned
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey <= 300""".stripMargin,
 
     "q55_eight_subqueries" -> SharedSql.eightSubqueries,
     "q60_not_in_subquery" -> SharedSql.notInSubquery,

@@ -111,68 +111,14 @@ class GraftRowLevelOperation(spark: SparkSession, catalogName: String,
       * column is the only one pruning can win on anyway. Empty when no
       * column separates files (the rule then skips the subquery). */
     override def filterAttributes(): Array[NamedReference] =
-      bestPruningColumn.map(c => Expressions.column(c)).toArray
-
-    private lazy val bestPruningColumn: Option[String] = {
-      val files =
-        if (manifest.files.size <= 512) manifest.files
-        else manifest.files.take(512)
-      if (files.size < 2) None
-      else {
-        val cols = files.flatMap(_.stats.keys).distinct
-          .filter(c => tableSchema.fieldNames.contains(c))
-        val scored = cols.flatMap { c =>
-          val ranges = files.flatMap(_.stats.get(c))
-          if (ranges.size < files.size) None // only useful with full stats
-          else {
-            val pairs = for {
-              i <- ranges.indices; j <- (i + 1) until ranges.size
-            } yield {
-              val (a, b) = (ranges(i), ranges(j))
-              val overlap =
-                TableStore.cmpStat(a.max, a.kind, b.min).forall(_ >= 0) &&
-                  TableStore.cmpStat(b.max, b.kind, a.min).forall(_ >= 0)
-              if (overlap) 0 else 1
-            }
-            Some(c -> pairs.sum.toDouble / pairs.size)
-          }
-        }
-        // deterministic: best separation, schema order breaks ties
-        scored.filter(_._2 >= 0.5)
-          .sortBy { case (c, s) => (-s, tableSchema.fieldIndex(c)) }
-          .headOption.map(_._1)
-      }
-    }
+      RuntimePruning.bestPruningColumn(manifest.files, tableSchema)
+        .map(c => Expressions.column(c)).toArray
 
     override def filter(predicates: Array[Predicate]): Unit = {
-      val inLists: Seq[(String, Seq[Any])] = predicates.toSeq.collect {
-        case p if p.name() == "IN" && p.children().nonEmpty =>
-          p.children().head match {
-            case f: NamedReference if f.fieldNames().length == 1 =>
-              val vals = p.children().tail.collect {
-                case l: Literal[_] => l.value match {
-                  case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-                  case other => other
-                }
-              }.toSeq
-              Some(f.fieldNames().head -> vals)
-            case _ => None
-          }
-      }.flatten
+      val inLists = RuntimePruning.inListsOf(predicates)
       if (inLists.nonEmpty) {
-        val store = new TableStore(spark, warehouse)
-        val (hit, dropped) = hitFiles.partition { fe =>
-          inLists.forall { case (c, vals) =>
-            val rangeHit = fe.stats.get(c) match {
-              case None => true
-              case Some(s) => vals.exists(v =>
-                TableStore.cmpStat(s.min, s.kind, v).forall(_ <= 0) &&
-                  TableStore.cmpStat(s.max, s.kind, v).forall(_ >= 0))
-            }
-            rangeHit && (vals.size > store.bloomMaxKeys ||
-              store.bloomMayContain(tableName, fe, c, vals))
-          }
-        }
+        val (hit, dropped) = RuntimePruning.pruneByInLists(
+          new TableStore(spark, warehouse), tableName, hitFiles, inLists)
         hitFiles = hit
         keptFiles = keptFiles ++ dropped
         inner = null // rebuild the parquet scan over the pruned file set

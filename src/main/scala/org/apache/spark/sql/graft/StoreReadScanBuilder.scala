@@ -29,6 +29,7 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
 
   private var inner: ScanBuilder = _
   private var required: Option[StructType] = None
+  private var lastFilters: Seq[Expression] = Seq.empty
   private var keptFiles: Seq[TableStore.FileEntry] = m.files
 
   private def innerBuilder: ScanBuilder = {
@@ -44,6 +45,23 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
       Some(tableSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
   }
 
+  /** Fresh parquet scan over `files` with the builder's pushdown state
+    * (filters + column pruning) replayed — runtime filtering rebuilds the
+    * inner scan through this after shrinking the file set. */
+  private def scanOver(files: Seq[TableStore.FileEntry]): Scan = {
+    val b = parquetBuilderOver(files)
+    b match {
+      case p: SupportsPushDownCatalystFilters if lastFilters.nonEmpty =>
+        p.pushFilters(lastFilters)
+      case _ =>
+    }
+    b match {
+      case p: SupportsPushDownRequiredColumns => required.foreach(p.pruneColumns)
+      case _ =>
+    }
+    b.build()
+  }
+
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     // each conjunct translatable to a source filter prunes the file list
     val v1 = filters.flatMap(e => DataSourceStrategy.translateFilter(e,
@@ -52,6 +70,7 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
       if (v1.isEmpty) m.files
       else m.files.filter(fe => v1.forall(f => StatsFilter.fileMayMatch(fe.stats, f)))
     keptFiles = kept
+    lastFilters = filters
     inner = parquetBuilderOver(kept)
     required.foreach(r => inner match {
       case p: SupportsPushDownRequiredColumns => p.pruneColumns(r)
@@ -76,18 +95,60 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
     }
   }
 
-  override def build(): Scan = new GraftStatsScan(innerBuilder.build(), keptFiles)
+  override def build(): Scan = new GraftStatsScan(spark, warehouse, tableName,
+    innerBuilder.build(), keptFiles, tableSchema, scanOver)
 }
 
-/** Wraps the parquet scan of one pruned snapshot to report EXACT
+/** Wraps the parquet scan of one pruned snapshot to (a) report EXACT
   * statistics from the manifest (row counts + bytes of the surviving
-  * files) — the planner's broadcast/AQE decisions come from truth
-  * instead of file-size heuristics. */
-class GraftStatsScan(val inner: Scan, files: Seq[TableStore.FileEntry])
-    extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-  override def readSchema(): StructType = inner.readSchema()
-  override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
-  override def description(): String = inner.description()
+  * files) — the planner's broadcast/AQE decisions come from truth instead
+  * of file-size heuristics — and (b) accept RUNTIME filters: in a star
+  * join whose fact-side filter arrives via a dimension, Spark plans a
+  * dynamic-pruning subquery over [[filterAttributes]] and calls
+  * [[filter]] with the dimension's join-key IN-list before input
+  * partitions are planned; the manifest ranges + parquet blooms then drop
+  * fact files no surviving key can touch (the reference's headline
+  * partitioned-fact scenario — docs/README.md:326-329). */
+class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
+    initialInner: Scan, initialFiles: Seq[TableStore.FileEntry],
+    tableSchema: StructType,
+    rebuild: Seq[TableStore.FileEntry] => Scan)
+    extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  private var files = initialFiles
+  private var innerScan: Scan = initialInner
+
+  /** Files surviving static + runtime pruning (spec/diagnostics hook). */
+  def currentFileCount: Int = files.size
+  def table: String = tableName
+  def inner: Scan = innerScan
+
+  override def readSchema(): StructType = innerScan.readSchema()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = innerScan.toBatch
+  override def description(): String =
+    s"${innerScan.description()} [graft ${files.size}/${initialFiles.size} files]"
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    graft.catalog.RuntimePruning.bestPruningColumn(initialFiles, tableSchema)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c))
+      .toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val inLists = graft.catalog.RuntimePruning.inListsOf(predicates)
+    if (inLists.nonEmpty) {
+      val (hit, _) = graft.catalog.RuntimePruning.pruneByInLists(
+        new TableStore(spark, warehouse), tableName, files, inLists)
+      if (hit.size < files.size) {
+        files = hit
+        innerScan = rebuild(files)
+      }
+    }
+  }
+
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =

@@ -229,6 +229,50 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("runtime file pruning: a dim-filtered star join scans fewer fact files") {
+    withCatalog { (store, cat) =>
+      // fact: 8 range-clustered files on the join key; dim: 100 keys, the
+      // selective predicate maps to keys living in ONE fact file
+      store.commit("fact",
+        (1L to 10000L).map(i => (i % 100, i, s"p$i")).toDF("k", "seq", "payload")
+          .repartitionByRange(8, col("k")), "create")
+      store.commit("dim",
+        (0L to 99L).map(i => (i, if (i < 3) "hot" else "cold")).toDF("k", "tag"),
+        "create")
+      val df = spark.sql(
+        s"""SELECT count(*) AS n FROM $cat.ns.fact f
+           |JOIN $cat.ns.dim d ON f.k = d.k WHERE d.tag = 'hot'""".stripMargin)
+      // collect through THIS df: .as[Long] would wrap a new QueryExecution
+      // and the inspected plan's scan would never see the runtime filter
+      val n = df.collect().head.getLong(0)
+      assert(n == 300L) // 3 hot keys × 100 rows each
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: SparkPlan): Seq[org.apache.spark.sql.graft.GraftStatsScan] = {
+        val self = p match {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.scan match {
+              case g: org.apache.spark.sql.graft.GraftStatsScan => Seq(g)
+              case _ => Seq.empty
+            }
+          case _ => Seq.empty
+        }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case s: QueryStageExec => Seq(s.plan)
+          case o => o.children
+        }
+        self ++ kids.flatMap(scans)
+      }
+      val factScan = scans(df.queryExecution.executedPlan)
+        .find(_.table == "fact")
+      assert(factScan.isDefined, "fact-side GraftStatsScan not found in plan")
+      val total = store.manifests("fact").maxBy(_.version).files.size
+      assert(factScan.get.currentFileCount < total,
+        s"runtime filter did not prune: ${factScan.get.currentFileCount}/$total files")
+    }
+  }
+
   test("SQL partitioned CREATE TABLE + INSERT: layout, spec, exact pruning") {
     withCatalog { (store, cat) =>
       spark.sql(s"CREATE TABLE $cat.ns.ev (id BIGINT, etype STRING, amt DOUBLE) " +
