@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   *  - unmatched target rows are kept, unmatched source rows dropped unless
   *    a NOT MATCHED INSERT clause fires;
   *  - Iceberg's cardinality rule — a target row matched by >1 source row is
-  *    an error — is enforced with a cheap pre-check aggregate on the
-  *    source keys.
+  *    an error — is enforced INSIDE the merge plan (a per-target-row match
+  *    count over the join output + assert_true), so a merge is one query
+  *    execution with no separate probe pass over target and source.
   *
   * Scale: the plan is one shuffle (the outer join) plus a map-side
   * projection; with AQE on, a small delta side broadcasts automatically.
@@ -118,32 +119,41 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
     require(keys.nonEmpty, "MERGE requires on(keys)")
     val tSchema = target.schema
 
-    if (cardinalityCheck) {
-      // Iceberg errors when one target row matches >1 source row. One
-      // probe job with the SAME match condition as the merge (keys AND
-      // extraOn — a key-only probe would flag matches the extra predicate
-      // actually disambiguates): tag target rows, inner-join the source,
-      // and look for a tag matched twice. The id only discriminates rows
-      // within this one execution, which is all the probe needs.
-      val tWithId = target.withColumn("__tid", monotonically_increasing_id())
-      val sP = src.select(src.columns.map(c => col(c).as(SrcPrefix + c)).toSeq: _*)
-      val probeCond = keys.map { case (tk, sk) => tWithId(tk) === sP(SrcPrefix + sk) }
-        .reduce(_ && _) && extraOn.getOrElse(lit(true))
-      val ambiguous = tWithId.join(sP, probeCond, "inner")
-        .groupBy(col("__tid")).count().filter(col("count") > 1).limit(1).count()
-      require(ambiguous == 0,
-        s"MERGE into $table: a target row is matched by more than one source row")
-    }
-
     val s = src.select(src.columns.map(c => col(c).as(SrcPrefix + c)).toSeq: _*)
       .withColumn(SrcPrefix + "__exists", lit(true))
-    val t = target.withColumn("__tgt_exists", lit(true))
+    val t0 = target.withColumn("__tgt_exists", lit(true))
+    // Iceberg errors when one target row matches >1 source row. Enforced
+    // INSIDE the merge plan (no separate probe job re-reading target and
+    // source): tag each target row, count matches per tag with a window
+    // over the join output, and assert_true ≤1 in a filter the optimizer
+    // cannot prune. The id only discriminates rows within this one
+    // execution, which is all the check needs.
+    val t = if (cardinalityCheck)
+      t0.withColumn("__tid", monotonically_increasing_id()) else t0
     val joinCond = keys.map { case (tk, sk) => t(tk) === s(SrcPrefix + sk) }
       .reduce(_ && _) && extraOn.getOrElse(lit(true))
-    val joined = t.join(s, joinCond, "full_outer")
+    val joined0 = t.join(s, joinCond, "full_outer")
 
     val isMatched = col("__tgt_exists").isNotNull && col(SrcPrefix + "__exists").isNotNull
     val isSrcOnly = col("__tgt_exists").isNull && col(SrcPrefix + "__exists").isNotNull
+
+    val joined = if (cardinalityCheck) {
+      // Unmatched-source rows carry a null __tid; coalescing onto the
+      // source key hash spreads them across window partitions instead of
+      // one all-null straggler (their matched-count is 0 by definition,
+      // so the grouping is free to be arbitrary for them).
+      import org.apache.spark.sql.expressions.Window
+      val pkey = coalesce(col("__tid"),
+        xxhash64(keys.map { case (_, sk) => col(SrcPrefix + sk) }: _*))
+      val nMatch = count(when(isMatched, lit(1)))
+        .over(Window.partitionBy(pkey))
+      joined0
+        .withColumn("__nmatch", nMatch)
+        .filter(assert_true(col("__nmatch") <= 1, lit(
+          s"MERGE into $table: a target row is matched by more than one source row"))
+          .isNull)
+        .drop("__nmatch", "__tid")
+    } else joined0
 
     // First-matching-clause-wins action column, in declaration order.
     val srcCols = src.columns.toSet

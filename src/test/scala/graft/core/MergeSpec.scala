@@ -60,14 +60,70 @@ class MergeSpec extends SparkSpec {
   test("cardinality violation: >1 source row per target row errors") {
     val store = freshStore()
     store.commit("t", Seq((1, "a")).toDF("id", "s"), "create")
-    val err = intercept[IllegalArgumentException] {
+    val err = intercept[Exception] {
       Merge.into(store, "t")
         .using(Seq((1, "x"), (1, "y")).toDF("id", "s"))
         .on(Seq("id"))
         .whenMatchedUpdate()
         .run()
     }
-    assert(err.getMessage.contains("more than one source row"))
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(err).contains("more than one source row"))
+  }
+
+  test("legal duplicate source keys that hit no target row do not error") {
+    val store = freshStore()
+    store.commit("t", Seq((1, "a")).toDF("id", "s"), "create")
+    // two source rows with the same NEW key: both insert, no target row is
+    // double-matched, so the folded check must stay silent
+    Merge.into(store, "t")
+      .using(Seq((2, "x"), (2, "y"), (1, "z")).toDF("id", "s"))
+      .on(Seq("id"))
+      .whenMatchedUpdate()
+      .whenNotMatchedInsert()
+      .run()
+    assert(store.read("t").count() == 3)
+  }
+
+  test("cardinality check adds no extra query execution (folded into the merge join)") {
+    // The old pre-check ran a SEPARATE probe action (count over a second
+    // target⋈source join — 2× input I/O per merge). Folded in, a merge is
+    // ONE query execution regardless of the check. (AQE still splits that
+    // execution's shuffle stages into scheduler jobs; executions are the
+    // I/O-relevant unit.)
+    val store = freshStore()
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { execs.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    def mergeExecs(check: Boolean): Int = {
+      store.commit(s"m$check", (1 to 100).map(i => (i, s"v$i")).toDF("id", "s"),
+        "create")
+      spark.listenerManager.register(listener)
+      execs.set(0)
+      try {
+        Merge.into(store, s"m$check")
+          .using(Seq((3, "u"), (200, "n")).toDF("id", "s"))
+          .on(Seq("id"))
+          .whenMatchedUpdate()
+          .whenNotMatchedInsert()
+          .withCardinalityCheck(check)
+          .withFileLevelRewrite(false)
+          .run()
+        Thread.sleep(300) // let events drain on the listener bus
+        execs.get()
+      } finally spark.listenerManager.unregister(listener)
+    }
+    val without = mergeExecs(false)
+    val withCheck = mergeExecs(true)
+    assert(withCheck == without && withCheck == 1,
+      s"merge should be one query execution: with=$withCheck without=$without")
   }
 
   test("file-level copy-on-write: untouched files carry into the new snapshot unrewritten") {
