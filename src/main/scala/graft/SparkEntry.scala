@@ -156,6 +156,45 @@ object SparkEntry {
         .orderBy(col("user_id"), col("start_datetime"))
     }),
 
+    // Streaming CDC→SCD2, oracle-anchored: the SAME deltas as q20 arrive
+    // as THREE micro-batches through a fixture MemoryStream (the test
+    // stand-in for a Kafka CDC feed; the driver-side collect is the
+    // fixture feeder, not the operator) into CdcStream.streamScd2 —
+    // each micro-batch is one atomic SCD2 commit (mirrors
+    // updating_db_with_deltas_iceberg.ipynb cells 29-37 run
+    // continuously). The final table state must equal the batch-derived
+    // SCD2 chain, so the q20 lead-window SQL is the oracle.
+    "q64_stream_cdc_scd2" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val store = tmpStore(s)
+      val rows = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+        .as[(Long, Long, java.sql.Timestamp, String, Double)]
+        .collect().sortBy(_._3.getTime) // deterministic arrival order
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+      val deltas = mem.toDF()
+        .toDF("event_id", "user_id", "ts", "event_type", "value")
+      val q = graft.streaming.CdcStream.streamScd2(deltas, store, "ev",
+        pkCol = "user_id", tsCol = "ts",
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+      try {
+        val n = rows.length
+        Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+          rows.slice(2 * n / 3, n)).foreach { b =>
+          mem.addData(b.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      store.read("ev")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("start_datetime"), col("end_datetime"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("start_datetime"))
+    }),
+
     // §2A A13: 3-branch CDC merge (update / delete / insert) with
     // latest-per-key dedup, through Merge + TableStore.
     "q21_merge_upsert" -> ((s, dir) => {
@@ -1203,6 +1242,16 @@ object SparkEntry {
         |ORDER BY c_mktsegment""".stripMargin,
 
     "q20_scd2_history" ->
+      """SELECT user_id, event_id, event_type, value,
+        | ts AS start_datetime,
+        | coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
+        |          TIMESTAMP '2250-01-01') AS end_datetime,
+        | (lead(ts) OVER (PARTITION BY user_id ORDER BY ts)) IS NULL AS is_current
+        |FROM events
+        |ORDER BY user_id, start_datetime""".stripMargin,
+
+    // The streaming path must converge to the identical SCD2 chain.
+    "q64_stream_cdc_scd2" ->
       """SELECT user_id, event_id, event_type, value,
         | ts AS start_datetime,
         | coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts),
