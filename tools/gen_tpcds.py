@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Generate TPC-DS data + DuckDB expected results for the reference's
+98-query corpus (local tooling only — NOT part of the library).
+
+Uses DuckDB's bundled dsdgen to produce the 24 reference table schemas
+(query_performance/utils/metadata/*.json) as parquet, then executes every
+reference SQL file (query_performance/sql/q*.sql — the literal texts, not
+DuckDB's canonical parameterization) and stores each result as parquet.
+`TpcdsExecSpec` loads the tables through GraftCatalog, runs the same texts
+in Spark, and compares.
+
+Usage: python3 tools/gen_tpcds.py [sf] [outdir]
+Writes <outdir>/<table>.parquet, <outdir>/expected/<q>.parquet,
+<outdir>/manifest.json ({query: {"status": "ok"|"error", "rows": N}}).
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+import duckdb
+
+
+def duck_dialect(text: str) -> str:
+    """Minimal dialect shim for DuckDB: the corpus (Athena ANSI) uses the
+    bare word `returns` as a column alias (q77), which DuckDB reserves.
+    Quoting it is semantically neutral (comparison is positional)."""
+    return re.sub(r'(?i)(?<![\w"])returns(?![\w"])', '"returns"', text)
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/graft-tpcds-sf{SF}"
+META = "/root/reference/src/data_derivation/query_performance/utils/metadata"
+SQL = "/root/reference/src/data_derivation/query_performance/sql"
+
+os.makedirs(os.path.join(OUT, "expected"), exist_ok=True)
+con = duckdb.connect()
+con.execute("LOAD tpcds")
+con.execute(f"CALL dsdgen(sf={SF})")
+
+tables = []
+for p in sorted(glob.glob(os.path.join(META, "*.json"))):
+    with open(p) as f:
+        tables.append(json.load(f)["name"])
+print(f"[tpcds] {len(tables)} tables from metadata", file=sys.stderr)
+for t in tables:
+    dst = os.path.join(OUT, f"{t}.parquet")
+    if not os.path.exists(dst):
+        con.execute(f"copy (select * from {t}) to '{dst}' (format parquet)")
+    n = con.execute(f"select count(*) from '{dst}'").fetchone()[0]
+    print(f"[tpcds] {t}: {n} rows", file=sys.stderr)
+
+manifest = {}
+for p in sorted(glob.glob(os.path.join(SQL, "q*.sql"))):
+    name = os.path.basename(p)[:-4]
+    with open(p) as f:
+        text = f.read()
+    dst = os.path.join(OUT, "expected", f"{name}.parquet")
+    try:
+        con.execute(
+            f"copy ({duck_dialect(text).rstrip().rstrip(';')}) to '{dst}' (format parquet)")
+        rows = con.execute(f"select count(*) from '{dst}'").fetchone()[0]
+        manifest[name] = {"status": "ok", "rows": rows}
+    except Exception as e:
+        manifest[name] = {"status": "error", "error": str(e).split("\n")[0][:300]}
+        print(f"[tpcds] {name} FAILED: {manifest[name]['error']}", file=sys.stderr)
+
+ok = sum(1 for v in manifest.values() if v["status"] == "ok")
+nonempty = sum(1 for v in manifest.values() if v.get("rows", 0) > 0)
+print(f"[tpcds] {ok}/{len(manifest)} queries ran in duckdb, "
+      f"{nonempty} with rows", file=sys.stderr)
+with open(os.path.join(OUT, "manifest.json"), "w") as f:
+    json.dump(manifest, f, indent=1, sort_keys=True)
