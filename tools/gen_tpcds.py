@@ -35,6 +35,12 @@ SQL = "/root/reference/src/data_derivation/query_performance/sql"
 
 os.makedirs(os.path.join(OUT, "expected"), exist_ok=True)
 con = duckdb.connect()
+# Align the null-ordering knob with Spark (ASC => NULLS FIRST). Several
+# corpus queries (q5/q14a/q27/q67) ORDER BY nullable rollup keys and LIMIT
+# 100: which rows survive the limit depends on where NULLs sort, and that
+# is presentation semantics, not query semantics — fix the knob so the
+# comparison is exact instead of tie-fuzzy.
+con.execute("SET default_null_order='nulls_first'")
 con.execute("LOAD tpcds")
 con.execute(f"CALL dsdgen(sf={SF})")
 
