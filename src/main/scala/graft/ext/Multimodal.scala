@@ -56,9 +56,19 @@ object Multimodal {
   }
 
   /** Bound per-task memory before a heavy decode: at 100 TB the payload
-    * column dominates, so cap rows per partition rather than bytes. */
-  def repartitionForDecode[T](ds: Dataset[T], rowsPerPartition: Long): Dataset[T] = {
-    val n = math.max(1L, ds.count() / math.max(1L, rowsPerPartition)).toInt
+    * column dominates, so cap rows per partition rather than bytes.
+    *
+    * Sizes from the optimizer's plan statistics — no extra Spark job. A
+    * `count()` here would be a full pass over the payload pipeline per
+    * call (at 100 TB, a second read of the dataset just to pick a
+    * partition count). When the planner has no row-count estimate, fall
+    * back to sizeInBytes over a conservative mean payload size. */
+  def repartitionForDecode[T](ds: Dataset[T], rowsPerPartition: Long,
+      estimatedRowBytes: Long = 1L << 20): Dataset[T] = {
+    val stats = ds.queryExecution.optimizedPlan.stats
+    val rows = stats.rowCount.map(_.toLong).getOrElse(
+      stats.sizeInBytes.toLong / math.max(1L, estimatedRowBytes))
+    val n = math.max(1L, rows / math.max(1L, rowsPerPartition)).toInt
     ds.repartition(n)
   }
 

@@ -171,11 +171,33 @@ class ExtSpec extends SparkSpec {
     assert(diff == 0, "native expressions must match the fold formulation exactly")
   }
 
-  test("repartitionForDecode bounds rows per partition") {
+  test("repartitionForDecode bounds rows per partition without an extra job") {
     implicit val s: SparkSession = spark
-    val media = Multimodal.ingestFromDocuments(docs)
-    val parts = Multimodal.repartitionForDecode(media, rowsPerPartition = 10)
-      .rdd.glom().map(_.length).collect()
-    assert(parts.length >= docs.count() / 10 - 1)
+    val rows = Multimodal.ingestFromDocuments(docs).collect().toSeq
+    val local = spark.createDataset(rows) // LocalRelation: planner knows rowCount
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val sized = Multimodal.repartitionForDecode(local, rowsPerPartition = 10)
+      Thread.sleep(300) // drain async listener events
+      assert(jobs == 0, "sizing the decode partitions must not launch a Spark job")
+      val parts = sized.rdd.glom().map(_.length).collect()
+      assert(parts.length >= rows.length / 10 - 1)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("repartitionForDecode estimates from bytes when row count is unknown") {
+    implicit val s: SparkSession = spark
+    val media = Multimodal.ingestFromDocuments(docs) // parquet scan: no rowCount stat
+    val meanRowBytes = math.max(1L,
+      media.queryExecution.optimizedPlan.stats.sizeInBytes.toLong / docs.count())
+    val parts = Multimodal
+      .repartitionForDecode(media, rowsPerPartition = 10, estimatedRowBytes = meanRowBytes)
+      .rdd.getNumPartitions
+    assert(parts >= 1 && parts <= docs.count())
   }
 }
