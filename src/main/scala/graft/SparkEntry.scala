@@ -983,11 +983,15 @@ object SparkEntry {
       // LSH candidates bound the pair space (same buckets as q35); the
       // native codegen'd vector_cosine SQL function verifies only those —
       // the 100 TB shape, not a cartesian product.
+      // Weighted rep-level candidates: cosine is verified once per unique
+      // vector pair and each row counts for all its exact-duplicate member
+      // pairs — the duplicate-heavy 100 TB shape (an expanded member-pair
+      // list re-verifies k² identical cosines per duplicated pair).
       val view = s"q42cand${System.nanoTime()}"
-      Dedup.embeddingLshCandidates(e, "vec_id", "embedding")
+      Dedup.embeddingLshCandidatesWeighted(e, "vec_id", "embedding")
         .createOrReplaceTempView(view)
       s.sql(
-        s"""SELECT COUNT(*) AS n_neardup_pairs
+        s"""SELECT CAST(SUM(c.weight) AS BIGINT) AS n_neardup_pairs
            |FROM $view c
            |JOIN embeddings a ON a.vec_id = c.id_a
            |JOIN embeddings b ON b.vec_id = c.id_b

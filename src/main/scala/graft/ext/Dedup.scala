@@ -40,6 +40,50 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Exact-content collapse shared by the near-dup pair families: one
+    * row per distinct text (rep = min id), plus the (key, member-id) map.
+    * Web-scale corpora are duplicate-heavy (often most of the corpus);
+    * running candidate generation on k copies multiplies every candidate
+    * bucket by k and the in-bucket self-join by k² — for zero information,
+    * since identical texts shingle/hash/band identically. Pipelines run on
+    * the unique texts and member pairs are expanded afterwards in
+    * output-sized equi-joins. The md5 key is 128-bit over the exact text
+    * (plus a null flag), so grouping is content-exact. */
+  private def contentGroups(df: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val keyed = df.select(col(idCol).as("__id"), col(textCol).as("__text"),
+      concat(md5(coalesce(col(textCol), lit(""))),
+        when(col(textCol).isNull, lit("N")).otherwise(lit("V"))).as("__k"))
+    val groups = keyed.groupBy(col("__k")).agg(min(col("__id")).as("__rid"),
+      first(col("__text")).as("__text"), count(lit(1)).as("__n"))
+    (groups, keyed.select(col("__k"), col("__id")))
+  }
+
+  /** Expand rep-level pairs to member-level pairs (all members of A ×
+    * all members of B; score columns are copied — identical texts have
+    * identical scores), and add within-group pairs for `eligibleGroups`
+    * (keys whose texts the direct formulation would have paired with
+    * themselves) with the given self-score columns. */
+  private def expandMemberPairs(repPairs: DataFrame, groups: DataFrame,
+      members: DataFrame, scoreCols: Seq[String],
+      eligibleGroups: DataFrame, selfScores: Seq[Column]): DataFrame = {
+    val repKey = groups.select(col("__rid"), col("__k"))
+    val cross = repPairs
+      .join(repKey.select(col("__rid").as("id_a"), col("__k").as("__ka")), Seq("id_a"))
+      .join(repKey.select(col("__rid").as("id_b"), col("__k").as("__kb")), Seq("id_b"))
+      .join(members.select(col("__k").as("__ka"), col("__id").as("__ma")), Seq("__ka"))
+      .join(members.select(col("__k").as("__kb"), col("__id").as("__mb")), Seq("__kb"))
+      .select(least(col("__ma"), col("__mb")).as("id_a") +:
+        greatest(col("__ma"), col("__mb")).as("id_b") +: scoreCols.map(col): _*)
+    val m = members.join(eligibleGroups.select(col("__k")), Seq("__k"))
+    val same = m.select(col("__k"), col("__id").as("id_a"))
+      .join(m.select(col("__k"), col("__id").as("id_b")), Seq("__k"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a") +: col("id_b") +:
+        selfScores.zip(scoreCols).map { case (c, nm) => c.as(nm) }: _*)
+    cross.unionByName(same)
+  }
+
   /** Per-doc shingle set + size, computed NARROWLY per row — `shingles`
     * already returns the distinct array, so no explode/groupBy shuffle is
     * ever needed to reconstitute a document's set. Keeping this narrow is
@@ -100,6 +144,24 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
+    // Approximate mode's df cap is defined over the whole corpus (copies
+    // included), so only the exact mode collapses duplicates.
+    if (maxShingleDf != Long.MaxValue)
+      return jaccardPairsDirect(df, idCol, textCol, n, threshold, maxShingleDf)
+    val (groups, members) = contentGroups(df, idCol, textCol)
+    val uniq = groups.select(col("__rid").as(idCol), col("__text").as(textCol))
+    val repPairs = jaccardPairsDirect(uniq, idCol, textCol, n, threshold, maxShingleDf)
+    // a text pairs with its own copies iff it shingles at all (same kernel
+    // as the direct path, so empty/short-doc semantics match exactly);
+    // identical sets have Jaccard exactly 1.0
+    val eligible = groups.filter(col("__n") > 1)
+      .filter(size(shingles(col("__text"), n)) > 0)
+    expandMemberPairs(repPairs, groups, members, Seq("jaccard"),
+      eligible, Seq(lit(1.0)))
+  }
+
+  private[ext] def jaccardPairsDirect(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxShingleDf: Long): DataFrame = {
     // Persist-free by design: the tokenize+shingle projection is narrow
     // and stateless, so each consumer (document frequencies, prefix
     // selection, exact verify) recomputes it instead of pinning postings
@@ -199,6 +261,22 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.8, portable: Boolean = false): DataFrame = {
+    val (groups, members) = contentGroups(df, idCol, textCol)
+    val uniq = groups.select(col("__rid").as(idCol), col("__text").as(textCol))
+    val repPairs =
+      minhashLshPairsDirect(uniq, idCol, textCol, n, numHashes, bands, threshold, portable)
+    // identical texts share all bands (always candidates) and verify at
+    // Jaccard exactly 1.0 — provided they shingle at all (a doc with no
+    // postings gets no signature in the direct path)
+    val eligible = groups.filter(col("__n") > 1)
+      .filter(size(shingles(col("__text"), n)) > 0)
+    expandMemberPairs(repPairs, groups, members, Seq("jaccard"),
+      eligible, Seq(lit(1.0)))
+  }
+
+  private[ext] def minhashLshPairsDirect(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int,
+      threshold: Double, portable: Boolean): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     // Persist-free (see jaccardPairs): signatures and the exact verify
@@ -267,6 +345,19 @@ object Dedup {
     * recall is approximate) and verifying with `bit_count(a^b)`. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
+    val (groups, members) = contentGroups(df, idCol, textCol)
+    val uniq = groups.select(col("__rid").as(idCol), col("__text").as(textCol))
+    val repPairs = simhashPairsDirect(uniq, idCol, textCol, maxHamming, portable)
+    // identical texts have identical signatures (Hamming 0); a doc gets a
+    // signature in the direct path iff it has at least one token
+    val eligible = groups.filter(col("__n") > 1)
+      .filter(size(TextAnalysis.tokens(col("__text"))) > 0)
+    expandMemberPairs(repPairs, groups, members, Seq("hamming"),
+      eligible, Seq(lit(0L)))
+  }
+
+  private[ext] def simhashPairsDirect(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, portable: Boolean): DataFrame = {
     val chunkBits = simhashBits(portable) / 4
     val mask = (1L << chunkBits) - 1
     val sig = simhash(df, idCol, textCol, portable)
@@ -311,27 +402,131 @@ object Dedup {
     * enter the candidate shuffle. */
   def embeddingLshCandidates(df: DataFrame, idCol: String, vecCol: String,
       tables: Int = 16, planesPerTable: Int = 4, dim: Int = 64): DataFrame = {
+    // Same exact-duplicate collapse as [[embeddingNearDupPairs]]: identical
+    // vectors land in identical buckets, so candidacy among k copies is
+    // total and cross-content candidacy is decided by one representative.
+    // Bucket self-join + distinct run on unique vectors; member pairs are
+    // expanded afterwards in output-sized equi-joins. The returned pair
+    // set is identical to the uncollapsed formulation — without the k² ×
+    // 16-table blowup inside the candidate shuffle when the corpus is
+    // duplicate-heavy.
     val flat = hyperplanes(tables, planesPerTable, dim).flatten.flatten.toArray
     val v = transform(col(vecCol), x => x.cast("double"))
-    val bucketed = df.select(col(idCol).as("__id"),
+    val keyed = df.select(col(idCol).as("__id"), v.as("__v"),
+      md5(concat_ws(",", transform(v, x => x.cast("string")))).as("__k"))
+    val reps = keyed.groupBy(col("__k")).agg(first(col("__v")).as("__v"))
+    val bucketed = reps.select(col("__k"),
       posexplode(graft.functions.VectorFunctions.hyperplaneBuckets(
-        v, flat, tables, planesPerTable, dim)).as(Seq("__t", "__b")))
-    val l = bucketed.select(col("__id").as("id_a"), col("__t"), col("__b"))
-    val r = bucketed.select(col("__id").as("id_b"), col("__t"), col("__b"))
-    l.join(r, Seq("__t", "__b")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+        col("__v"), flat, tables, planesPerTable, dim)).as(Seq("__t", "__b")))
+    val l = bucketed.select(col("__k").as("__ka"), col("__t"), col("__b"))
+    val r = bucketed.select(col("__k").as("__kb"), col("__t"), col("__b"))
+    val repCand = l.join(r, Seq("__t", "__b")).filter(col("__ka") < col("__kb"))
+      .select(col("__ka"), col("__kb")).distinct()
+    val members = keyed.select(col("__k"), col("__id"))
+    val cross = repCand
+      .join(members.select(col("__k").as("__ka"), col("__id").as("__ma")), Seq("__ka"))
+      .join(members.select(col("__k").as("__kb"), col("__id").as("__mb")), Seq("__kb"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"))
+    val same = members.select(col("__k"), col("__id").as("id_a"))
+      .join(members.select(col("__k"), col("__id").as("id_b")), Seq("__k"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    cross.unionByName(same)
+  }
+
+  /** Duplicate-collapsed candidate pairs with multiplicities, for
+    * aggregate consumers (counts, stats) that never need the member-level
+    * pair list: each row is a pair of group REPRESENTATIVES (min id per
+    * exact-content group) with `weight` = how many member pairs it stands
+    * for — nA×nB across groups, k(k-1)/2 within a group (emitted as
+    * id_a = id_b). Verifying cosine on reps and summing weights gives
+    * exactly the count the expanded formulation would — identical vectors
+    * have identical cosines, so re-verifying each of the k² copies of a
+    * pair is pure waste. On duplicate-heavy corpora this keeps the whole
+    * plan at unique-content size; [[embeddingLshCandidates]] (the full
+    * pair list) is inherently output-quadratic in group size instead. */
+  def embeddingLshCandidatesWeighted(df: DataFrame, idCol: String,
+      vecCol: String, tables: Int = 16, planesPerTable: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val flat = hyperplanes(tables, planesPerTable, dim).flatten.flatten.toArray
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val keyed = df.select(col(idCol).as("__id"), v.as("__v"),
+      md5(concat_ws(",", transform(v, x => x.cast("string")))).as("__k"))
+    val groups = keyed.groupBy(col("__k"))
+      .agg(min(col("__id")).as("__rid"), first(col("__v")).as("__v"),
+        count(lit(1)).as("__n"))
+    val bucketed = groups.select(col("__rid"), col("__n"),
+      posexplode(graft.functions.VectorFunctions.hyperplaneBuckets(
+        col("__v"), flat, tables, planesPerTable, dim)).as(Seq("__t", "__b")))
+    val l = bucketed.select(col("__rid").as("id_a"), col("__n").as("__na"),
+      col("__t"), col("__b"))
+    val r = bucketed.select(col("__rid").as("id_b"), col("__n").as("__nb"),
+      col("__t"), col("__b"))
+    val cross = l.join(r, Seq("__t", "__b")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), (col("__na") * col("__nb")).as("weight"))
+      .distinct()
+    val same = groups.filter(col("__n") > 1)
+      .select(col("__rid").as("id_a"), col("__rid").as("id_b"),
+        ((col("__n") * (col("__n") - 1)) / 2).cast("long").as("weight"))
+    cross.unionByName(same)
   }
 
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int = 16, planesPerTable: Int = 4,
       dim: Int = 64): DataFrame = {
+    // Exact-duplicate vectors are collapsed to one representative BEFORE
+    // LSH. Identical vectors land in identical buckets, so without the
+    // collapse every group of k copies multiplies each of its buckets'
+    // membership by k and the within-bucket candidate join by k² — on a
+    // corpus that is 90% exact dups (common in web-scale crawls) that is
+    // a ~100× blowup of the candidate shuffle for zero information. With
+    // it, candidate generation + cosine verify run on unique vectors only,
+    // and member pairs are expanded afterwards by two output-sized
+    // equi-joins (the pair list itself is inherently quadratic in group
+    // size; the expansion is, too, but nothing else is).
+    // Grouping key: md5 over the exact decimal rendering of the doubles —
+    // content-exact, 128-bit (no birthday risk at engine scale).
     val v = transform(col(vecCol), x => x.cast("double"))
-    val cand = embeddingLshCandidates(df, idCol, vecCol, tables, planesPerTable, dim)
-    val va = df.select(col(idCol).as("id_a"), v.as("__va"))
-    val vb = df.select(col(idCol).as("id_b"), v.as("__vb"))
-    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
+    val keyed = df.select(col(idCol).as("__id"), v.as("__v"),
+      md5(concat_ws(",", transform(v, x => x.cast("string")))).as("__k"))
+    val reps = keyed.groupBy(col("__k"))
+      .agg(min(col("__id")).as("__rid"), first(col("__v")).as("__v"))
+
+    // representative-level LSH: same plan shape as before the collapse
+    val flat = hyperplanes(tables, planesPerTable, dim).flatten.flatten.toArray
+    val bucketed = reps.select(col("__rid"), col("__k"),
+      posexplode(graft.functions.VectorFunctions.hyperplaneBuckets(
+        col("__v"), flat, tables, planesPerTable, dim)).as(Seq("__t", "__b")))
+    val l = bucketed.select(col("__rid").as("__ra"), col("__t"), col("__b"))
+    val r = bucketed.select(col("__rid").as("__rb"), col("__t"), col("__b"))
+    val cand = l.join(r, Seq("__t", "__b")).filter(col("__ra") < col("__rb"))
+      .select(col("__ra"), col("__rb")).distinct()
+    val va = reps.select(col("__rid").as("__ra"), col("__k").as("__ka"), col("__v").as("__va"))
+    val vb = reps.select(col("__rid").as("__rb"), col("__k").as("__kb"), col("__v").as("__vb"))
+    val repPairs = cand.join(va, Seq("__ra")).join(vb, Seq("__rb"))
+      .select(col("__ka"), col("__kb"),
         Similarity.cosine(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
+
+    // cross-group expansion: every member of A × every member of B
+    val members = keyed.select(col("__k"), col("__id"))
+    val cross = repPairs
+      .join(members.select(col("__k").as("__ka"), col("__id").as("__ma")), Seq("__ka"))
+      .join(members.select(col("__k").as("__kb"), col("__id").as("__mb")), Seq("__kb"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"), col("cosine"))
+
+    // within-group pairs: identical vectors always share all buckets, so
+    // the pre-collapse formulation always surfaced them; cosine(v,v) is
+    // computed (not assumed 1.0) so zero-norm vectors still drop out
+    val ga = keyed.select(col("__k"), col("__id").as("id_a"), col("__v"))
+    val gb = keyed.select(col("__k"), col("__id").as("id_b"))
+    val same = ga.join(gb, Seq("__k")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("__v"), col("__v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+
+    cross.unionByName(same)
   }
 }

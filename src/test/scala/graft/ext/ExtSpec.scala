@@ -65,6 +65,88 @@ class ExtSpec extends SparkSpec {
     assert(lsh.subsetOf(brute), s"LSH invented pairs: ${lsh -- brute}")
   }
 
+  test("duplicate-collapsed text families equal the direct formulations") {
+    import spark.implicits._
+    // 3 exact copies of every fixture doc plus pathological rows (null,
+    // empty, punctuation-only, one-word), themselves duplicated — the
+    // within-group eligibility rules must reproduce the direct pipelines'
+    // empty/short-doc behavior exactly.
+    val base = docs.select(col("doc_id"), col("text"))
+    val n = base.count()
+    val edge = Seq(
+      (900001L, null.asInstanceOf[String]), (900002L, ""), (900003L, "!!! ???"),
+      (900004L, "word"), (900011L, null.asInstanceOf[String]), (900012L, ""),
+      (900013L, "!!! ???"), (900014L, "word")).toDF("doc_id", "text")
+    val dup = base.union(base.withColumn("doc_id", col("doc_id") + lit(n)))
+      .union(base.withColumn("doc_id", col("doc_id") + lit(2 * n)))
+      .union(edge)
+
+    def pairsOf(d: DataFrame): Set[(Long, Long)] =
+      d.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect().toSet
+
+    val jDirect = pairsOf(Dedup.jaccardPairsDirect(dup, "doc_id", "text", 3, 0.8, Long.MaxValue))
+    val jColl = pairsOf(Dedup.jaccardPairs(dup, "doc_id", "text", 3, 0.8))
+    assert(jColl == jDirect,
+      s"jaccard missing=${jDirect -- jColl} invented=${jColl -- jDirect}")
+
+    val mDirect = pairsOf(Dedup.minhashLshPairsDirect(dup, "doc_id", "text", 3, 32, 8, 0.8, false))
+    val mColl = pairsOf(Dedup.minhashLshPairs(dup, "doc_id", "text", 3, 32, 8, 0.8))
+    assert(mColl == mDirect,
+      s"minhash missing=${mDirect -- mColl} invented=${mColl -- mDirect}")
+
+    val sDirect = pairsOf(Dedup.simhashPairsDirect(dup, "doc_id", "text", 3, false))
+    val sColl = pairsOf(Dedup.simhashPairs(dup, "doc_id", "text", 3))
+    assert(sColl == sDirect,
+      s"simhash missing=${sDirect -- sColl} invented=${sColl -- sDirect}")
+  }
+
+  test("duplicate-collapsed LSH equals the direct formulation on a dup-heavy corpus") {
+    // 3 exact copies of every vector (key-offset ids) — the crawl-corpus
+    // shape the collapse exists for. Both the pair list and the weighted
+    // count must equal a direct no-collapse computation.
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val n = embs.count()
+    val dup = embs.union(embs.withColumn("vec_id", col("vec_id") + lit(n)))
+      .union(embs.withColumn("vec_id", col("vec_id") + lit(2 * n)))
+    // direct (pre-collapse) formulation, inline: bucket self-join + verify
+    val flat = Dedup.hyperplanes().flatten.flatten.toArray
+    val bucketed = dup.select(col("vec_id").as("__id"),
+      posexplode(graft.functions.VectorFunctions.hyperplaneBuckets(
+        v, flat, 16, 4, 64)).as(Seq("__t", "__b")))
+    val cand = bucketed.select(col("__id").as("id_a"), col("__t"), col("__b"))
+      .join(bucketed.select(col("__id").as("id_b"), col("__t"), col("__b")),
+        Seq("__t", "__b"))
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+    val va = dup.select(col("vec_id").as("id_a"), v.as("__va"))
+    val vb = dup.select(col("vec_id").as("id_b"), v.as("__vb"))
+    val directPairs = cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .filter(Similarity.cosine(col("__va"), col("__vb")) >= 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    val collapsed = Dedup.embeddingNearDupPairs(dup, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(collapsed == directPairs,
+      s"missing=${directPairs -- collapsed} invented=${collapsed -- directPairs}")
+
+    val candList = Dedup.embeddingLshCandidates(dup, "vec_id", "embedding")
+      .as[(Long, Long)].collect().toSet
+    val directCand = cand.as[(Long, Long)].collect().toSet
+    assert(candList == directCand,
+      s"cand missing=${directCand -- candList} invented=${candList -- directCand}")
+
+    val weighted = Dedup.embeddingLshCandidatesWeighted(dup, "vec_id", "embedding")
+    val wReps = weighted.select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+    assert(wReps.length == wReps.toSet.size, "weighted rows must be unique pairs")
+    val vwa = dup.select(col("vec_id").as("id_a"), v.as("__va"))
+    val vwb = dup.select(col("vec_id").as("id_b"), v.as("__vb"))
+    val wCount = weighted.join(vwa, Seq("id_a")).join(vwb, Seq("id_b"))
+      .filter(Similarity.cosine(col("__va"), col("__vb")) >= 0.4)
+      .agg(sum(col("weight"))).as[Long].head()
+    assert(wCount == directPairs.size,
+      s"weighted count $wCount != direct ${directPairs.size}")
+  }
+
   test("bruteForceTopK returns k neighbors per query, self excluded, ranked") {
     val queries = embs.filter(col("vec_id") % 100 === 0)
     val out = Similarity.bruteForceTopK(embs, queries, k = 5)
