@@ -131,7 +131,13 @@ class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    graft.catalog.RuntimePruning.bestPruningColumn(initialFiles, tableSchema)
+    // Advertise only columns that survived column pruning: Spark resolves
+    // these refs against the scan's OUTPUT (V2ExpressionUtils.resolveRef),
+    // so naming a pruned-away column fails the whole query at planning.
+    // A best-separation column outside the projection cannot receive a
+    // runtime IN-list anyway (runtime filters come from join keys, which
+    // are always read).
+    graft.catalog.RuntimePruning.bestPruningColumn(initialFiles, readSchema())
       .map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c))
       .toArray
 

@@ -273,6 +273,30 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("filterAttributes never names a column pruned from the projection") {
+    withCatalog { (store, cat) =>
+      // files separate best on k, but the query never reads k: advertising
+      // it would make Spark's resolveRef fail the whole query at planning
+      // (TPC-DS q1-shape regression: correlated agg over a projection that
+      // drops the clustered column)
+      store.commit("factp",
+        (1L to 10000L).map(i => (i % 100, i, i * 2)).toDF("k", "seq", "v")
+          .repartitionByRange(8, col("k")), "create")
+      val df = spark.sql(
+        s"SELECT seq, v FROM $cat.ns.factp WHERE v > 10")
+      assert(df.count() > 0)
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.scan
+      }.collect { case g: org.apache.spark.sql.graft.GraftStatsScan => g }
+      assert(scan.isDefined, "GraftStatsScan not found")
+      val readCols = scan.get.readSchema().fieldNames.toSet
+      val advertised = scan.get.filterAttributes().map(_.fieldNames().head)
+      assert(advertised.forall(readCols.contains),
+        s"advertised ${advertised.mkString(",")} outside projection $readCols")
+    }
+  }
+
   test("SQL partitioned CREATE TABLE + INSERT: layout, spec, exact pruning") {
     withCatalog { (store, cat) =>
       spark.sql(s"CREATE TABLE $cat.ns.ev (id BIGINT, etype STRING, amt DOUBLE) " +
