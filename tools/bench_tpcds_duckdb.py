@@ -21,8 +21,12 @@ SQL = "/root/reference/src/data_derivation/query_performance/sql"
 
 
 def shim(t: str) -> str:
-    # same dialect shim as gen_tpcds.py: DuckDB reserves the bare `returns`
-    return re.sub(r'(?i)(?<![\w"])returns(?![\w"])', '"returns"', t)
+    # same dialect shims as gen_tpcds.py: DuckDB reserves the bare
+    # `returns`, and its numeric->int CAST rounds where Spark/Athena
+    # truncate (q54's revenue/50 segment bucketing)
+    t = re.sub(r'(?i)(?<![\w"])returns(?![\w"])', '"returns"', t)
+    return re.sub(r"(?i)cast\s*\(\s*\(\s*revenue\s*/\s*50\s*\)\s*AS\s+INTEGER\s*\)",
+                  "cast(trunc(revenue / 50) AS INTEGER)", t)
 
 
 con = duckdb.connect()

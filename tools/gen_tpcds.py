@@ -23,10 +23,16 @@ import duckdb
 
 
 def duck_dialect(text: str) -> str:
-    """Minimal dialect shim for DuckDB: the corpus (Athena ANSI) uses the
-    bare word `returns` as a column alias (q77), which DuckDB reserves.
-    Quoting it is semantically neutral (comparison is positional)."""
-    return re.sub(r'(?i)(?<![\w"])returns(?![\w"])', '"returns"', text)
+    """Minimal dialect shims for DuckDB: the corpus (Athena ANSI) uses the
+    bare word `returns` as a column alias (q77), which DuckDB reserves —
+    quoting it is semantically neutral (comparison is positional). And
+    numeric->int CAST rounds in DuckDB (Postgres style) but truncates in
+    Spark ANSI / Athena: q54 buckets customers on cast(revenue/50 as int),
+    so a boundary revenue lands in a different segment without normalizing
+    the oracle to truncation."""
+    text = re.sub(r'(?i)(?<![\w"])returns(?![\w"])', '"returns"', text)
+    return re.sub(r"(?i)cast\s*\(\s*\(\s*revenue\s*/\s*50\s*\)\s*AS\s+INTEGER\s*\)",
+                  "cast(trunc(revenue / 50) AS INTEGER)", text)
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/graft-tpcds-sf{SF}"
