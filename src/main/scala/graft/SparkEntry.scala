@@ -1,8 +1,8 @@
 package graft
 
 import graft.core.{Merge, TableStore}
-import graft.curation.Scd2
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.curation.{Sampling, Scd2}
+import graft.ext.{Clustering, Contamination, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -193,6 +193,108 @@ object SparkEntry {
           col("value"), col("start_datetime"), col("end_datetime"),
           col("is_current"))
         .orderBy(col("user_id"), col("start_datetime"))
+    }),
+
+    // ext: near-dup cluster formation — connected components over the
+    // exact Jaccard pair list (q31's pairs), the transitive closure that
+    // turns pairwise verdicts into keep-one-per-cluster decisions. The
+    // oracle recomputes components via a recursive reachability CTE.
+    "q65_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      Clustering.clusters(pairs, "id_a", "id_b")
+        .orderBy(col("component"))
+    }),
+
+    // ext: train/eval decontamination — training docs sharing a word
+    // 8-gram with the (doc_id % 97 = 0) eval slice, counted per source.
+    // Eval keys broadcast; the corpus side is a narrow projection +
+    // broadcast semi-join (never shuffled).
+    "q66_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val hits = Contamination
+        .contaminatedIds(train, evalSet, "doc_id", "text", n = 8)
+        .withColumn("__hit", lit(1))
+      train.join(hits, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_train"),
+          count(col("__hit")).as("n_contaminated"))
+        .orderBy(col("source"))
+    }),
+
+    // §2A A9 (stratified variant): deterministic per-stratum reservoir —
+    // up to 40 docs per source in md5(doc_id) order, reproducible across
+    // engines and partitionings.
+    "q67_stratified_sample" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Sampling.stratifiedByHash(docs, Seq("source"), "doc_id", k = 40)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // Streaming windowed aggregation, oracle-anchored: a deterministic 10%
+    // slice of the events table (the driver-side MemoryStream feeder is
+    // fixture plumbing and scales with the slice, not the operator)
+    // replayed in event-time order as three micro-batches;
+    // CdcStream.windowedEventCounts (watermark + tumbling window) emits
+    // finalized windows in Append mode into the versioned store via
+    // foreachBatch. A far-future sentinel event advances the watermark
+    // past every real window so state flushes; the final table must equal
+    // the batch group-by over the same slice.
+    "q68_stream_windows" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val store = tmpStore(s)
+      val rows = Tables.load(s, dir, "events")
+        .filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .as[(Long, java.sql.Timestamp, String, Double)]
+        .collect().sortBy(_._2.getTime) // deterministic arrival order
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+      val events = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+      val agg = graft.streaming.CdcStream.windowedEventCounts(events)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      // Streaming state partition count is pinned by the FIRST micro-batch
+      // (planned lazily on the stream thread) from the session conf; 8
+      // suits the fixture-scale state — the dominant cost is per-partition
+      // state-store commit files per micro-batch, not data volume. The
+      // conf stays set for the whole feed and is restored after stop().
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = agg.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              if (!store.exists("win")) store.commit("win", b, "create")
+              else store.append("win", b)
+            }
+            ()
+          }
+          .start()
+        try {
+          val n = rows.length
+          Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
+            rows.slice(2 * n / 3, n)).foreach { b =>
+            mem.addData(b.toIndexedSeq)
+            q.processAllAvailable()
+          }
+          val flushTs = new java.sql.Timestamp(
+            rows.last._2.getTime + 48L * 3600 * 1000)
+          mem.addData(Seq((-1L, flushTs, "__sentinel", 0.0)))
+          q.processAllAvailable()
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      store.read("win")
+        .filter(col("event_type") =!= "__sentinel")
+        .select(col("window_start"), col("event_type"), col("n_events"),
+          col("total_value").cast("double").as("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
     }),
 
     // §2A A13: 3-branch CDC merge (update / delete / insert) with
@@ -1097,6 +1199,17 @@ object SparkEntry {
     * engine — the two-engine differential exactly mirrors the reference's
     * Spark-vs-Athena consistency check (SURVEY.md §5). */
   private object SharedSql {
+    /** Tumbling-window counts over events — the batch q47 oracle, and
+      * (unchanged) the oracle for the streaming replay q68: Append-mode
+      * watermarked windows, fully flushed, must equal the batch group-by. */
+    val windowedCounts: String =
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin
+
     /** q88 shape: 8 half-year count slices cross-joined (identical SQL on
       * Spark and DuckDB — year/month/CAST behave the same). */
     val eightSubqueries: String = {
@@ -1582,13 +1695,78 @@ object SparkEntry {
         |GROUP BY channel, order_year
         |ORDER BY channel, order_year""".stripMargin,
 
-    "q47_windowed_counts" ->
+    "q47_windowed_counts" -> SharedSql.windowedCounts,
+
+    // Streaming replay of the same windowed aggregate over a 10% event
+    // slice: the flushed Append-mode stream state must equal the batch
+    // group-by over that slice.
+    "q68_stream_windows" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         | COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
+        |WHERE event_id % 10 = 0
         |GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // Connected components over the q31 pair list via recursive
+    // reachability; component = min reachable id, so cluster summaries
+    // are engine-independent.
+    "q65_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> array_to_string(t[i:i+2], ' ')))) AS s
+        |  FROM toks),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+        |          UNION SELECT id_b, id_a FROM prs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+        |SELECT component, COUNT(*) AS members, MAX(id) AS max_id
+        |FROM comp GROUP BY component ORDER BY component""".stripMargin,
+
+    // Word-8-gram overlap between the (doc_id % 97 = 0) eval slice and the
+    // rest of the corpus, per source.
+    "q66_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 7, 1) + 1),
+        |    i -> array_to_string(t[i:i+7], ' ')))) AS s
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |hit AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev ON sh.s = ev.s
+        |        WHERE sh.doc_id % 97 <> 0)
+        |SELECT d.source, COUNT(*) AS n_train, COUNT(h.doc_id) AS n_contaminated
+        |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 97 <> 0
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // Deterministic per-stratum reservoir: top-40 per source by md5(id).
+    "q67_stratified_sample" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 40
+        |ORDER BY source, doc_id""".stripMargin,
 
     // Final state of the CTAS → INSERT → 3-branch MERGE pipeline, as one
     // SELECT: k%4∈{0,2} original, k%4=1 updated (+100) unless k%8=1

@@ -40,4 +40,21 @@ object Sampling {
     * realized rate is ⌊fraction·256⌋/256). */
   def byKeyHash(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(keyHashByte(col(keyCol)) < math.floor(fraction * 256).toInt)
+
+  /** Stratified fixed-size sample: up to `k` rows per stratum, chosen by
+    * md5(key) order (ties broken by the key itself) — a deterministic,
+    * partitioning-independent per-group reservoir. The hash order makes
+    * each stratum's pick uniform over its members yet fully reproducible
+    * across engines/retries, unlike seeded reservoir sampling whose result
+    * depends on row arrival order. One shuffle on the strata columns;
+    * row_number is the standard top-k-per-key plan and AQE splits skewed
+    * strata. */
+  def stratifiedByHash(df: DataFrame, strataCols: Seq[String], keyCol: String,
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
 }
