@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Merge, TableStore}
 import graft.curation.{Sampling, Scd2}
-import graft.ext.{Clustering, Contamination, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Clustering, Contamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -295,6 +295,19 @@ object SparkEntry {
         .select(col("window_start"), col("event_type"), col("n_events"),
           col("total_value").cast("double").as("total_value"))
         .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // ext: sequence packing — contiguous fill of 2048-token training
+    // sequences over the md5(doc_id) corpus order, via the two-pass
+    // distributed prefix sum (range partition → intra-partition running
+    // totals → broadcast partition offsets; no global-order window).
+    "q69_sequence_packing" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val withTok = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      val packed = Packing.contiguousFill(withTok, "doc_id", "n_tok",
+        budgetTokens = 2048L)
+      Packing.binSummary(packed).orderBy(col("bin"))
     }),
 
     // §2A A13: 3-branch CDC merge (update / delete / insert) with
@@ -1757,6 +1770,24 @@ object SparkEntry {
         |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 97 <> 0
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // Contiguous-fill packing replica: same md5 corpus order, same
+    // exclusive-offset integer floor-division bin assignment (the window
+    // form — the engine's distributed prefix sum must agree exactly).
+    "q69_sequence_packing" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM tok)
+        |SELECT CAST(off // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM cum GROUP BY bin ORDER BY bin""".stripMargin,
 
     // Deterministic per-stratum reservoir: top-40 per source by md5(id).
     "q67_stratified_sample" ->
