@@ -310,6 +310,29 @@ object SparkEntry {
       Packing.binSummary(packed).orderBy(col("bin"))
     }),
 
+    // ext: the end-to-end curation funnel — language filter → quality
+    // filter → repetition filter → exact dedup, per-stage retention in ONE
+    // pass (conditional aggregation over a pure projection; the corpus is
+    // never shuffled, dedup counts distinct fingerprints of survivors).
+    "q70_curation_funnel" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = TextAnalysis.tokens(col("text"))
+      val enriched = TextAnalysis.qualityFeatures(docs)
+        .withColumn("lang_guess", TextAnalysis.langId(col("text")))
+        .withColumn("nd", size(array_distinct(toks)).cast("long"))
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val p1 = col("lang_guess") === "en"
+      val p2 = p1 && col("quality_score") > 0.3
+      val p3 = p2 && col("n_tokens") > 0 &&
+        col("nd").cast("double") / col("n_tokens") >= 0.55
+      enriched.agg(
+        count(lit(1)).as("n_all"),
+        sum(when(p1, 1L).otherwise(0L)).as("n_lang"),
+        sum(when(p2, 1L).otherwise(0L)).as("n_quality"),
+        sum(when(p3, 1L).otherwise(0L)).as("n_clean"),
+        countDistinct(when(p3, col("fp"))).as("n_unique"))
+    }),
+
     // §2A A13: 3-branch CDC merge (update / delete / insert) with
     // latest-per-key dedup, through Merge + TableStore.
     "q21_merge_upsert" -> ((s, dir) => {
@@ -1788,6 +1811,54 @@ object SparkEntry {
         |SELECT CAST(off // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
         |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
         |FROM cum GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // Funnel replica: same lang-ID argmax, quality-score formula,
+    // repetition ratio, and fingerprint as q37/q38/q59/q30, staged as
+    // cumulative predicates and counted in one conditional aggregate.
+    "q70_curation_funnel" ->
+      """WITH e AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, text,
+        |    len(t) AS nt, len(list_distinct(t)) AS nd,
+        |    md5(array_to_string(t, ' ')) AS fp,
+        |    len(list_intersect(t, ['the','a','and','of','to','in','is','on','for','with'])) AS s_en,
+        |    len(list_intersect(t, ['der','die','das','und','ist','nicht','mit','ein','zu','den'])) AS s_de,
+        |    len(list_intersect(t, ['le','la','les','et','est','une','dans','pour','que','au'])) AS s_fr,
+        |    len(list_intersect(t, ['el','los','las','y','es','una','por','con','para','como'])) AS s_es,
+        |    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+        |      / greatest(len(t), 1) AS atl,
+        |    CAST(len(list_filter(t, x -> list_contains(
+        |      ['the','a','and','of','to','in','is','on','for','with'], x))) AS DOUBLE)
+        |      / greatest(len(t), 1) AS swr,
+        |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS nr
+        |  FROM e),
+        |g AS (
+        |  SELECT *,
+        |    CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |         WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_guess,
+        |    CASE WHEN nt < 5 THEN 0.0 ELSE
+        |      1.0 - abs(atl - 5.0) / 10.0 - nr
+        |        + CASE WHEN swr BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END
+        |    END AS q
+        |  FROM f),
+        |flags AS (
+        |  SELECT *,
+        |    (lang_guess = 'en') AS p1,
+        |    (lang_guess = 'en' AND q > 0.3) AS p2,
+        |    (lang_guess = 'en' AND q > 0.3 AND nt > 0
+        |      AND CAST(nd AS DOUBLE) / nt >= 0.55) AS p3
+        |  FROM g)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+        |  CAST(SUM(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+        |  CAST(SUM(CASE WHEN p2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(SUM(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+        |  CAST(COUNT(DISTINCT CASE WHEN p3 THEN fp END) AS BIGINT) AS n_unique
+        |FROM flags""".stripMargin,
 
     // Deterministic per-stratum reservoir: top-40 per source by md5(id).
     "q67_stratified_sample" ->

@@ -56,13 +56,18 @@ object Clustering {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 30): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
-    val half = pairs.select(col(aCol).cast("long").as("src"),
-      col(bCol).cast("long").as("dst"))
+    // Materialize the pair projection BEFORE the symmetric union: the
+    // union references it twice, and the caller's pair list is typically
+    // an expensive dedup pipeline that must not execute twice.
+    val (half, halfIds) = checkpointTracked(
+      pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst")))
     // Symmetric closure, deduplicated and materialized once: every round
     // joins against it.
     val (edges, edgeIds) = checkpointTracked(
       half.union(half.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
+    free(sc, halfIds) // folded into edges; not referenced again
     try {
       // Round 0: component = min(self, direct neighbors). The symmetric
       // closure guarantees every node occurs as src.

@@ -36,6 +36,28 @@ class ClusteringSpec extends SparkSpec {
     assert(m.size == 64)
   }
 
+  test("random graphs match a local union-find reference") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 120 + trial * 40
+      val edges = Seq.fill(n)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+        .filter { case (a, b) => a != b }
+      // Local union-find with min-id normalization.
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map(v => v -> find(v)).toMap
+      assert(cc(edges) == want, s"trial $trial mismatch")
+    }
+  }
+
   test("clusters summary matches hand-computed membership") {
     val out = Clustering.clusters(
       Seq((1L, 2L), (2L, 5L), (8L, 9L)).toDF("id_a", "id_b"), "id_a", "id_b")
