@@ -1,6 +1,5 @@
 package graft.ext
 
-import org.apache.spark.SparkContext
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -34,19 +33,7 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  /** `localCheckpoint` a frame (eager: materializes and truncates lineage)
-    * and report which persisted RDD ids the checkpoint created, so the
-    * caller can free exactly those blocks later. */
-  private def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet.toSet
-    val out = df.localCheckpoint()
-    (out, sc.getPersistentRDDs.keySet.toSet -- before)
-  }
-
-  private def free(sc: SparkContext, ids: Set[Int]): Unit =
-    ids.foreach(id =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  import Materialize.{checkpointTracked, free}
 
   /** Connected components of the undirected graph given as a pair list.
     * Returns one row per distinct node: (`id`, `component`) where

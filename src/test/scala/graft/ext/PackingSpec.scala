@@ -28,15 +28,23 @@ class PackingSpec extends SparkSpec {
     assert(out == expected(docs, 1000L))
   }
 
-  test("result is independent of input partitioning and partition count") {
+  test("result is independent of input partitioning and bucket fan-out") {
     val docs = (1L to 200L).map(i => (i, 10L + i % 90))
     val df = docs.toDF("doc_id", "n_tok")
-    val a = Packing.contiguousFill(df, "doc_id", "n_tok", 512L, numPartitions = 3)
+    val a = Packing.contiguousFill(df, "doc_id", "n_tok", 512L, bucketNibbles = 1)
       .select("doc_id", "offset", "bin").as[(Long, Long, Long)].collect().toSet
     val b = Packing.contiguousFill(df.repartition(13), "doc_id", "n_tok", 512L,
-      numPartitions = 7)
+      bucketNibbles = 2)
       .select("doc_id", "offset", "bin").as[(Long, Long, Long)].collect().toSet
     assert(a == b)
+  }
+
+  override def afterAll(): Unit = {
+    // Free checkpoint blocks backing returned frames (ContextCleaner's
+    // job at frame GC in an application) so later suites start clean.
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    super.afterAll()
   }
 
   test("offsets are a permutation-exact prefix sum (no token lost)") {
