@@ -350,6 +350,24 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // §2A A14 extension: incremental snapshot read — the rows added
+    // between two versions, planned metadata-only from the manifest
+    // file-set difference (cost scales with the delta, not the table) —
+    // the feed an incremental downstream pipeline consumes instead of
+    // rescanning. Oracle: the same row set expressed as a time filter.
+    "q71_incremental_read" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val store = tmpStore(s)
+      store.commit("ev", ev.filter(col("ts") < lit("2024-01-10")), "create")
+      store.append("ev", ev.filter(col("ts") >= lit("2024-01-10") &&
+        col("ts") < lit("2024-01-20")))
+      store.append("ev", ev.filter(col("ts") >= lit("2024-01-20")))
+      store.readIncremental("ev", 1, 3)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // §2A A14+A15: time travel + $history metadata.
     "q22_time_travel" -> ((s, dir) => {
       import s.implicits._
@@ -1859,6 +1877,15 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN p3 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
         |  CAST(COUNT(DISTINCT CASE WHEN p3 THEN fp END) AS BIGINT) AS n_unique
         |FROM flags""".stripMargin,
+
+    // The incremental rows (versions 2-3 = everything since 2024-01-10)
+    // as a plain time filter — the store's manifest-diff scan must return
+    // exactly this row set.
+    "q71_incremental_read" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE ts >= '2024-01-10'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Deterministic per-stratum reservoir: top-40 per source by md5(id).
     "q67_stratified_sample" ->

@@ -664,6 +664,56 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     readVersion(table, m.map(_.version).max)
   }
 
+  /** Incremental read: the rows ADDED between `fromVersion` (exclusive)
+    * and `toVersion` (inclusive) — the feed an incremental downstream
+    * pipeline consumes instead of rescanning the table. Planning is
+    * metadata-only (manifest file-set difference per snapshot; the scan
+    * touches exactly the new files), so the cost scales with the DELTA,
+    * not the table. Append-style snapshots only (create/append/insert/
+    * bulk_insert): copy-on-write snapshots (merge/update/delete/compact)
+    * rewrite surviving rows into new files, so "added files" would
+    * re-emit old rows as if new — those snapshots raise, matching the
+    * append-scan contract of the reference's table format (an engine
+    * cannot reconstruct row-level changes without delete files). */
+  def readIncremental(table: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    val ms = manifests(table)
+    require(fromVersion >= 0 && toVersion >= fromVersion,
+      s"invalid version range [$fromVersion, $toVersion]")
+    require(fromVersion == 0 || ms.exists(_.version == fromVersion),
+      s"table $table has no version $fromVersion")
+    require(ms.exists(_.version == toVersion),
+      s"table $table has no version $toVersion")
+    val range = ms.filter(m => m.version > fromVersion && m.version <= toVersion)
+      .sortBy(_.version)
+    // create/append/insert/bulk_insert add files that ARE the new rows;
+    // alter/expire_snapshots are metadata-only (no files added, safe to
+    // span). Everything else (merge/update/delete/compact/overwrite)
+    // rewrites surviving rows into new files and is rejected.
+    val safeOps = Set("create", "append", "insert", "bulk_insert",
+      "alter", "expire_snapshots")
+    val nonAppend = range.filterNot(m => safeOps.contains(m.operation))
+    require(nonAppend.isEmpty,
+      s"incremental read over non-append snapshot(s) " +
+        s"${nonAppend.map(m => s"v${m.version}(${m.operation})").mkString(", ")}: " +
+        "copy-on-write rewrites carry old rows into new files")
+    val toManifest = range.lastOption.getOrElse(ms.find(_.version == toVersion).get)
+    val prevFiles = ms.filter(_.version <= fromVersion)
+      .flatMap(_.files.map(_.path)).toSet
+    // Files first referenced inside the range, deduplicated across the
+    // range's snapshots (append carries prior files forward).
+    val added = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    range.foreach(_.files.foreach(fe =>
+      if (!prevFiles.contains(fe.path) && !added.contains(fe.path))
+        added += fe.path -> fe))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(toManifest.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    if (added.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else spark.read.schema(schema)
+      .parquet(added.values.map(fe =>
+        new Path(tableDir(table), fe.path).toString).toSeq: _*)
+  }
+
   /** `$history` metadata table (A15), newest first. */
   def history(table: String): DataFrame = {
     import spark.implicits._

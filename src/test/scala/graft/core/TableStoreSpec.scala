@@ -5,6 +5,39 @@ import graft.SparkSpec
 class TableStoreSpec extends SparkSpec {
   import spark.implicits._
 
+  test("readIncremental returns exactly the rows added in the range") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", Seq((1, "a"), (2, "b")).toDF("id", "s"), "create")
+    store.append("t", Seq((3, "c")).toDF("id", "s"))
+    store.append("t", Seq((4, "d"), (5, "e")).toDF("id", "s"))
+    assert(store.readIncremental("t", 1, 3).as[(Int, String)]
+      .collect().sorted.toSeq == Seq((3, "c"), (4, "d"), (5, "e")))
+    assert(store.readIncremental("t", 2, 3).as[(Int, String)]
+      .collect().sorted.toSeq == Seq((4, "d"), (5, "e")))
+    // from version 0 = everything since table creation
+    assert(store.readIncremental("t", 0, 3).count() == 5)
+    // empty range (from == to) = no rows, schema preserved
+    val empty = store.readIncremental("t", 2, 2)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "s"))
+  }
+
+  test("readIncremental spans metadata-only snapshots but rejects rewrites") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", Seq((1, "a")).toDF("id", "s"), "create")
+    store.append("t", Seq((2, "b")).toDF("id", "s"))
+    val schema = store.read("t").schema.add("x", "int")
+    store.evolveSchema("t", schema.json) // v3, metadata-only
+    store.append("t", Seq((3, "c", 7)).toDF("id", "s", "x")) // v4
+    // alter inside the range adds no rows; pre-alter files read x as null
+    assert(store.readIncremental("t", 1, 4).as[(Int, String, Option[Int])]
+      .collect().sorted.toSeq == Seq((2, "b", None), (3, "c", Some(7))))
+    store.compact("t") // v5 rewrites rows into new files
+    val e = intercept[IllegalArgumentException] {
+      store.readIncremental("t", 1, 5)
+    }
+    assert(e.getMessage.contains("compact"))
+  }
+
   test("commit / read / currentVersion round-trip") {
     val store = new TableStore(spark, tmpDir("ts"))
     val v1 = store.commit("t", Seq((1, "a"), (2, "b")).toDF("id", "s"), "create")
