@@ -195,15 +195,17 @@ object SparkEntry {
         .orderBy(col("user_id"), col("start_datetime"))
     }),
 
-    // ext: near-dup cluster formation — connected components over the
-    // exact Jaccard pair list (q31's pairs), the transitive closure that
-    // turns pairwise verdicts into keep-one-per-cluster decisions. The
-    // oracle recomputes components via a recursive reachability CTE.
+    // ext: near-dup cluster formation — the transitive closure that turns
+    // pairwise dedup verdicts (q31's semantics) into keep-one-per-cluster
+    // decisions. Components run on the unique-content graph and members
+    // attach afterwards (never k² in the duplication factor); the oracle
+    // recomputes the same clusters via a recursive reachability CTE over
+    // member-level pairs.
     "q65_dedup_clusters" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.8)
-      Clustering.clusters(pairs, "id_a", "id_b")
+      Dedup.nearDupComponents(docs, "doc_id", "text", n = 3, threshold = 0.8)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("members"), max(col("doc_id")).as("max_id"))
         .orderBy(col("component"))
     }),
 

@@ -160,6 +160,42 @@ object Dedup {
       eligible, Seq(lit(1.0)))
   }
 
+  /** Near-dup clusters as (id, component) per document, component = the
+    * smallest doc id transitively reachable through n-gram-Jaccard ≥
+    * `threshold` (including exact copies).
+    *
+    * Equivalent to `Clustering.connectedComponents(jaccardPairs(...))`
+    * but NEVER materializes member-level pairs: a group of k exact copies
+    * contributes k(k−1)/2 pairs to the expanded list (a 100-copy crawl
+    * text → 4 950 edges saying nothing beyond "same content"), which made
+    * the expanded graph quadratic in the duplication factor. Components
+    * are computed on the UNIQUE-content graph (one node per distinct
+    * text, rep = smallest member id), then members attach to their rep's
+    * component in output-sized equi-joins. The ids agree exactly: the
+    * smallest member of a component is the smallest rep, because each rep
+    * IS its group's minimum. */
+  def nearDupComponents(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val (groups, members) = contentGroups(df, idCol, textCol)
+    val uniq = groups.select(col("__rid").as(idCol), col("__text").as(textCol))
+    val repPairs = jaccardPairsDirect(uniq, idCol, textCol, n, threshold,
+      Long.MaxValue).select(col("id_a"), col("id_b"))
+    val repComp = Clustering.connectedComponents(repPairs, "id_a", "id_b")
+      .select(col("id").as("__rid"), col("component"))
+    // Multi-copy groups whose text shingles cluster with (at least) their
+    // own copies even when no other text is near — same eligibility rule
+    // as jaccardPairs' self-pairs, so the node set matches exactly.
+    val selfOnly = groups.filter(col("__n") > 1)
+      .filter(size(shingles(col("__text"), n)) > 0)
+      .select(col("__rid"))
+      .join(repComp.select(col("__rid")), Seq("__rid"), "left_anti")
+      .select(col("__rid"), col("__rid").as("component"))
+    val allComp = repComp.unionByName(selfOnly)
+    members.join(groups.select(col("__k"), col("__rid")), Seq("__k"))
+      .join(allComp, Seq("__rid"))
+      .select(col("__id").as(idCol), col("component"))
+  }
+
   private[ext] def jaccardPairsDirect(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleDf: Long): DataFrame = {
     // Persist-free by design: the tokenize+shingle projection is narrow

@@ -58,6 +58,16 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("nearDupComponents equals CC over expanded member pairs on fixtures") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val viaPairs = Clustering.connectedComponents(
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.8),
+      "id_a", "id_b").as[(Long, Long)].collect().toMap
+    val collapsed = Dedup.nearDupComponents(docs, "doc_id", "text",
+      n = 3, threshold = 0.8).as[(Long, Long)].collect().toMap
+    assert(collapsed == viaPairs)
+  }
+
   test("clusters summary matches hand-computed membership") {
     val out = Clustering.clusters(
       Seq((1L, 2L), (2L, 5L), (8L, 9L)).toDF("id_a", "id_b"), "id_a", "id_b")
