@@ -19,10 +19,11 @@ object GraftProcedures {
     name match {
       case "compact" => Some(compact(store))
       case "expire_snapshots" => Some(expireSnapshots(store))
+      case "rollback_to_version" => Some(rollbackToVersion(store))
       case _ => None
     }
 
-  val names: Seq[String] = Seq("compact", "expire_snapshots")
+  val names: Seq[String] = Seq("compact", "expire_snapshots", "rollback_to_version")
 
   private def result(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
     java.util.Collections.singletonList[Scan](new LocalScan {
@@ -52,6 +53,31 @@ object GraftProcedures {
           StructType(Seq(StructField("version", LongType),
             StructField("files_before", LongType), StructField("files_after", LongType))),
           new GenericInternalRow(Array[Any](v, before, after)))
+      }
+    }
+  }
+
+  private def rollbackToVersion(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "rollback_to_version"
+    override def description(): String =
+      "make an earlier snapshot current again (metadata-only; history kept)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "rollback_to_version"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("version", LongType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val target = input.getLong(1)
+        val s = store
+        val v = s.rollbackTo(table, target)
+        result(
+          StructType(Seq(StructField("previous_version", LongType),
+            StructField("restored_version", LongType),
+            StructField("new_version", LongType))),
+          new GenericInternalRow(Array[Any](v - 1, target, v)))
       }
     }
   }

@@ -270,6 +270,28 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     v
   }
 
+  /** Rollback (time travel made current): a NEW snapshot that duplicates
+    * `toVersion`'s content — files, schema, partition spec, dropped-column
+    * tombstones — so the table's current state returns to that version
+    * while history stays intact (every intermediate snapshot remains
+    * time-travelable; nothing is deleted). Metadata-only: no byte of data
+    * moves. Restoring a pre-drop schema this way is safe — the restored
+    * files' column values ARE that snapshot's real state, unlike re-ADDing
+    * a dropped name onto post-drop files. Incremental reads refuse to span
+    * a rollback (a rolled-back-away append's rows would otherwise be fed
+    * to consumers as if still present). */
+  def rollbackTo(table: String, toVersion: Long): Long = {
+    val ms = manifests(table)
+    val target = ms.find(_.version == toVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"table $table has no version $toVersion"))
+    val v = ms.map(_.version).max + 1
+    writeManifest(table, target.copy(version = v,
+      timestampMs = System.currentTimeMillis(), operation = "rollback"))
+    swapPointer(table, v)
+    v
+  }
+
   /** Schema evolution (ALTER TABLE): a metadata-only commit that carries
     * every data file forward and swaps the snapshot schema. Reads resolve
     * columns by name against the stored schema, so added columns surface

@@ -214,6 +214,21 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL rollback_to_version restores an earlier snapshot, history kept") {
+    withCatalog { (store, cat) =>
+      store.commit("t", Seq((1L, "a")).toDF("id", "s"), "create")
+      store.append("t", Seq((2L, "b")).toDF("id", "s"))
+      val res = spark.sql(
+        s"CALL $cat.system.rollback_to_version(`table` => 't', version => 1)")
+        .as[(Long, Long, Long)].head()
+      assert(res == ((2L, 1L, 3L))) // was v2, restored v1, now v3
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").as[Long].head() == 1L)
+      // the rolled-back-away snapshot stays time-travelable
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t VERSION AS OF 2")
+        .as[Long].head() == 2L)
+    }
+  }
+
   test("re-adding a dropped column is rejected (stale-value resurrection)") {
     withCatalog { (store, cat) =>
       store.commit("t", Seq((1L, "secret")).toDF("id", "note"), "create")

@@ -21,6 +21,21 @@ class TableStoreSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "s"))
   }
 
+  test("rollbackTo restores content incl. schema; incremental refuses to span it") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", Seq((1, "a")).toDF("id", "s"), "create")
+    store.append("t", Seq((2, "b")).toDF("id", "s"))
+    val schema = store.read("t").schema.add("x", "int")
+    store.evolveSchema("t", schema.json) // v3: schema gains x
+    val v = store.rollbackTo("t", 2)
+    assert(v == 4)
+    assert(store.read("t").columns.toSeq == Seq("id", "s")) // schema restored
+    assert(store.read("t").count() == 2)
+    assert(store.readVersion("t", 3).columns.toSeq == Seq("id", "s", "x"))
+    val e = intercept[IllegalArgumentException](store.readIncremental("t", 1, 4))
+    assert(e.getMessage.contains("rollback"))
+  }
+
   test("readIncremental spans metadata-only snapshots but rejects rewrites") {
     val store = new TableStore(spark, tmpDir("ts"))
     store.commit("t", Seq((1, "a")).toDF("id", "s"), "create")
