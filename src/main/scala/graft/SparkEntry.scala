@@ -370,6 +370,35 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Streaming face of the table format: spark.readStream.table over a
+    // GraftCatalog table — three committed snapshots arrive as
+    // micro-batches (offsets = versions), and the union of all batches
+    // must equal the whole table (the batch group-by oracle).
+    "q72_stream_table_source" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val wh = java.nio.file.Files.createTempDirectory("graft_sts").toString
+      val cat = s"gq72x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val store = new TableStore(s, wh)
+      store.commit("ev", ev.filter(col("ts") < lit("2024-01-10")), "create")
+      store.append("ev", ev.filter(col("ts") >= lit("2024-01-10") &&
+        col("ts") < lit("2024-01-20")))
+      store.append("ev", ev.filter(col("ts") >= lit("2024-01-20")))
+      val sink = s"q72_sink_${System.nanoTime()}"
+      val q = s.readStream.table(s"$cat.ns.ev")
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ck").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // §2A A14+A15: time travel + $history metadata.
     "q22_time_travel" -> ((s, dir) => {
       import s.implicits._
@@ -1888,6 +1917,12 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events WHERE ts >= '2024-01-10'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Micro-batched union of all three snapshots = the whole table.
+    "q72_stream_table_source" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Deterministic per-stratum reservoir: top-40 per source by md5(id).
     "q67_stratified_sample" ->

@@ -699,41 +699,68 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * cannot reconstruct row-level changes without delete files). */
   def readIncremental(table: String, fromVersion: Long, toVersion: Long): DataFrame = {
     val ms = manifests(table)
-    require(fromVersion >= 0 && toVersion >= fromVersion,
-      s"invalid version range [$fromVersion, $toVersion]")
-    require(fromVersion == 0 || ms.exists(_.version == fromVersion),
-      s"table $table has no version $fromVersion")
     require(ms.exists(_.version == toVersion),
       s"table $table has no version $toVersion")
-    val range = ms.filter(m => m.version > fromVersion && m.version <= toVersion)
-      .sortBy(_.version)
-    // create/append/insert/bulk_insert add files that ARE the new rows;
-    // alter/expire_snapshots are metadata-only (no files added, safe to
-    // span). Everything else (merge/update/delete/compact/overwrite)
-    // rewrites surviving rows into new files and is rejected.
-    val safeOps = Set("create", "append", "insert", "bulk_insert",
-      "alter", "expire_snapshots")
-    val nonAppend = range.filterNot(m => safeOps.contains(m.operation))
-    require(nonAppend.isEmpty,
-      s"incremental read over non-append snapshot(s) " +
-        s"${nonAppend.map(m => s"v${m.version}(${m.operation})").mkString(", ")}: " +
-        "copy-on-write rewrites carry old rows into new files")
-    val toManifest = range.lastOption.getOrElse(ms.find(_.version == toVersion).get)
-    val prevFiles = ms.filter(_.version <= fromVersion)
-      .flatMap(_.files.map(_.path)).toSet
-    // Files first referenced inside the range, deduplicated across the
-    // range's snapshots (append carries prior files forward).
-    val added = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
-    range.foreach(_.files.foreach(fe =>
-      if (!prevFiles.contains(fe.path) && !added.contains(fe.path))
-        added += fe.path -> fe))
+    val added = addedFilesBetween(table, fromVersion, toVersion)
+    val toManifest = ms.find(_.version == toVersion).get
     val schema = org.apache.spark.sql.types.DataType.fromJson(toManifest.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     if (added.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else spark.read.schema(schema)
-      .parquet(added.values.map(fe =>
-        new Path(tableDir(table), fe.path).toString).toSeq: _*)
+      .parquet(added.map(fe =>
+        new Path(tableDir(table), fe.path).toString): _*)
+  }
+
+  /** The data files first referenced in versions (`fromVersion`,
+    * `toVersion`] — the file-level delta behind [[readIncremental]] and
+    * the streaming table source. `skipRewrites = false` (default) rejects
+    * non-append snapshots in the range; `true` ignores the files such
+    * snapshots add (their rows were emitted when first appended — the
+    * consumer keeps its at-least-once view without re-reading rewrites).
+    * create/append/insert/bulk_insert add files that ARE the new rows;
+    * alter/expire_snapshots/rollback are metadata-only for file ADDITION
+    * accounting only when skipping — a strict consumer must not span
+    * rollback (restored files would look newly added). */
+  def addedFilesBetween(table: String, fromVersion: Long, toVersion: Long,
+      skipRewrites: Boolean = false): Seq[FileEntry] = {
+    val ms = manifests(table)
+    require(fromVersion >= 0 && toVersion >= fromVersion,
+      s"invalid version range [$fromVersion, $toVersion]")
+    require(fromVersion == 0 || ms.exists(_.version == fromVersion),
+      s"table $table has no version $fromVersion")
+    val range = ms.filter(m => m.version > fromVersion && m.version <= toVersion)
+      .sortBy(_.version)
+    // create/append/insert/bulk_insert add files that ARE the new rows;
+    // alter/expire_snapshots are metadata-only (no files added, safe to
+    // span). Everything else (merge/update/delete/compact/overwrite/
+    // rollback) rewrites or re-exposes old rows and is rejected — or,
+    // with skipRewrites, contributes no files.
+    val safeOps = Set("create", "append", "insert", "bulk_insert",
+      "alter", "expire_snapshots")
+    val nonAppend = range.filterNot(m => safeOps.contains(m.operation))
+    if (!skipRewrites)
+      require(nonAppend.isEmpty,
+        s"incremental read over non-append snapshot(s) " +
+          s"${nonAppend.map(m => s"v${m.version}(${m.operation})").mkString(", ")}: " +
+          "copy-on-write rewrites carry old rows into new files")
+    val skipped = nonAppend.map(_.version).toSet
+    // Files first referenced inside the range, deduplicated across the
+    // range's snapshots (append carries prior files forward). A SKIPPED
+    // snapshot's files still become KNOWN — later appends carry them
+    // forward, and they must not masquerade as newly added then.
+    val known = scala.collection.mutable.HashSet.empty[String]
+    known ++= ms.filter(_.version <= fromVersion).flatMap(_.files.map(_.path))
+    val added = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+    range.foreach { m =>
+      m.files.foreach { fe =>
+        if (!known.contains(fe.path)) {
+          if (!skipped.contains(m.version)) added += fe.path -> fe
+          known += fe.path
+        }
+      }
+    }
+    added.values.toSeq
   }
 
   /** `$history` metadata table (A15), newest first. */

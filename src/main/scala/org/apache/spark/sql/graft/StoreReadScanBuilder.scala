@@ -96,7 +96,8 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
   }
 
   override def build(): Scan = new GraftStatsScan(spark, warehouse, tableName,
-    innerBuilder.build(), keptFiles, tableSchema, scanOver)
+    innerBuilder.build(), keptFiles, tableSchema, scanOver,
+    options.getBoolean("skipRewrites", false))
 }
 
 /** Wraps the parquet scan of one pruned snapshot to (a) report EXACT
@@ -112,7 +113,8 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
 class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
     initialInner: Scan, initialFiles: Seq[TableStore.FileEntry],
     tableSchema: StructType,
-    rebuild: Seq[TableStore.FileEntry] => Scan)
+    rebuild: Seq[TableStore.FileEntry] => Scan,
+    skipRewrites: Boolean = false)
     extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
@@ -126,6 +128,12 @@ class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
 
   override def readSchema(): StructType = innerScan.readSchema()
   override def toBatch: org.apache.spark.sql.connector.read.Batch = innerScan.toBatch
+
+  /** Streaming face: micro-batches of newly committed snapshots, planned
+    * through the same pruned-parquet `rebuild` as batch reads. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(spark, warehouse, tableName, skipRewrites, rebuild)
   override def description(): String =
     s"${innerScan.description()} [graft ${files.size}/${initialFiles.size} files]"
 
