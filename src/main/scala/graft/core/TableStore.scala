@@ -643,7 +643,24 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * `unionByName(allowMissingColumns = true)`: batch columns are aligned
     * to the stored schema and genuinely new columns are added at the end
     * (old files read them back as null). */
-  def append(table: String, df: DataFrame): Long =
+  def append(table: String, df: DataFrame): Long = {
+    // Pure addition is safe to retry on an optimistic-commit conflict:
+    // every attempt re-reads the (now newer) snapshot and carries ITS
+    // files forward; nothing this writer decides depends on the snapshot
+    // it lost against. (Rewrite-style commits — merge/update/delete —
+    // deliberately surface CommitConflictException instead.)
+    var attempt = 0
+    while (true) {
+      try return appendOnce(table, df)
+      catch {
+        case _: TableStore.CommitConflictException if attempt < 3 =>
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def appendOnce(table: String, df: DataFrame): Long =
     if (!exists(table)) commit(table, df, "append")
     else {
       val m = manifests(table).maxBy(_.version)
@@ -888,7 +905,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       s"""{"version":${m.version},"timestampMs":${m.timestampMs},
          |"operation":${jsonStr(m.operation)},"rowCount":${m.rowCount},
          |"files":$filesJson,"schemaJson":${jsonStr(m.schemaJson)}$specJson$droppedJson}""".stripMargin
-    atomicWrite(manifestPath(table, m.version), json)
+    atomicWriteExclusive(manifestPath(table, m.version), json)
   }
 
   private def swapPointer(table: String, v: Long): Unit =
@@ -902,9 +919,41 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     if (f.exists(dest)) f.delete(dest, false)
     require(f.rename(tmp, dest), s"atomic rename failed for $dest")
   }
+
+  /** Optimistic-concurrency manifest creation: a snapshot version may be
+    * written exactly ONCE. Two writers racing to version N both write a
+    * private tmp, but only one rename lands; the loser gets
+    * [[TableStore.CommitConflictException]] and must recompute against
+    * the new snapshot (pure appends retry automatically; rewrite-style
+    * commits surface it, since their kept-file decisions were made
+    * against the old snapshot — Iceberg's validation semantics). Local
+    * POSIX rename can overwrite, so existence is checked before AND after
+    * the write; HDFS/object-store deployments get a truly atomic
+    * create-exclusive from the same call shape. Orphaned data files of a
+    * lost commit stay in the version directory until snapshot expiry, as
+    * in any optimistic table format. */
+  private[core] def atomicWriteExclusive(dest: Path, content: String): Unit = {
+    val f = fs(dest)
+    def conflict() = throw new TableStore.CommitConflictException(
+      s"concurrent commit already wrote $dest; recompute against the new snapshot")
+    if (f.exists(dest)) conflict()
+    val tmp = new Path(dest.getParent,
+      s".${dest.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (f.exists(dest) || !f.rename(tmp, dest)) {
+      f.delete(tmp, false)
+      conflict()
+    }
+  }
 }
 
 object TableStore {
+  /** An optimistic commit lost the race for its snapshot version: another
+    * writer created that manifest first. Recompute against the new
+    * snapshot and retry (appends do this automatically). */
+  class CommitConflictException(msg: String) extends RuntimeException(msg)
+
   /** Shared bounded pool for commit-time footer harvesting. */
   private[core] lazy val harvestEc: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(

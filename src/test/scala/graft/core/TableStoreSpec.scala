@@ -21,6 +21,20 @@ class TableStoreSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "s"))
   }
 
+  test("snapshot versions are create-exclusive: a racing commit conflicts") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", Seq((1, "a")).toDF("id", "s"), "create")
+    // Two writers racing to version 2 both reach the manifest write; the
+    // first rename lands, the second must get CommitConflictException
+    // (the old overwrite protocol silently dropped the first commit).
+    val p = new org.apache.hadoop.fs.Path(
+      store.warehouse + "/t/_manifests/2.json")
+    store.atomicWriteExclusive(p, """{"version":2}""")
+    intercept[TableStore.CommitConflictException] {
+      store.atomicWriteExclusive(p, """{"version":2}""")
+    }
+  }
+
   test("rollbackTo restores content incl. schema; incremental refuses to span it") {
     val store = new TableStore(spark, tmpDir("ts"))
     store.commit("t", Seq((1, "a")).toDF("id", "s"), "create")
