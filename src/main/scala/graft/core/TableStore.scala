@@ -714,11 +714,12 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * re-emit old rows as if new — those snapshots raise, matching the
     * append-scan contract of the reference's table format (an engine
     * cannot reconstruct row-level changes without delete files). */
-  def readIncremental(table: String, fromVersion: Long, toVersion: Long): DataFrame = {
+  def readIncremental(table: String, fromVersion: Long, toVersion: Long,
+      skipRewrites: Boolean = false): DataFrame = {
     val ms = manifests(table)
     require(ms.exists(_.version == toVersion),
       s"table $table has no version $toVersion")
-    val added = addedFilesBetween(table, fromVersion, toVersion)
+    val added = addedFilesBetween(table, fromVersion, toVersion, skipRewrites)
     val toManifest = ms.find(_.version == toVersion).get
     val schema = org.apache.spark.sql.types.DataType.fromJson(toManifest.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
