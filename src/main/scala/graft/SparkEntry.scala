@@ -1101,9 +1101,17 @@ object SparkEntry {
     // ext: IVF ANN end-to-end with an in-query recall gate vs the exact
     // baseline (IVF candidates are data-dependent, so the driver anchors
     // on query count + the recall invariant rather than the pair set).
+    // The gate runs on a deterministic md5-ordered sample of ≤64 queries:
+    // recall is a per-query average, so a fixed sample estimates it
+    // without the exact baseline's O(N·Q) growing with the query count —
+    // at sf10 the all-queries gate cost 580 s of brute force; the sampled
+    // gate is O(N·64). orderBy+limit compiles to TakeOrderedAndProject
+    // (no global sort / single-partition window).
     "q56_ivf_ann_recall" -> ((s, dir) => {
       val e = Tables.load(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") % 100 === 0)
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(64)
       val exact = Similarity.bruteForceTopK(e, queries, k = 5)
         .select(col("query_id"), col("vec_id"))
       val approx = Similarity.ivfTopK(e, queries, k = 5, nlist = 8, nprobe = 4)
@@ -2129,10 +2137,15 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN CAST(nd AS DOUBLE) / nt < 0.55 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
         |FROM t WHERE nt > 0 GROUP BY source ORDER BY source""".stripMargin,
 
+    // Same ≤64-query md5-ordered gate sample as the Spark side.
     "q56_ivf_ann_recall" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         | CAST(TRUE AS BOOLEAN) AS recall_ok
-        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+        |FROM (
+        |  SELECT vec_id, row_number() OVER (
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM embeddings WHERE vec_id % 100 = 0) t
+        |WHERE rn <= 64""".stripMargin,
 
     "q37_text_langid" ->
       """WITH scored AS (
