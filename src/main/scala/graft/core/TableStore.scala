@@ -909,8 +909,24 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     atomicWriteExclusive(manifestPath(table, m.version), json)
   }
 
-  private def swapPointer(table: String, v: Long): Unit =
-    atomicWrite(currentPtr(table), v.toString)
+  /** Advance `_current` to `v`, never backwards: manifest creation is
+    * create-exclusive, but pointer writes are last-write-wins — if writer A
+    * commits v5 while faster writer B commits v6 and swaps first, A's later
+    * swap must not regress the pointer and hide B's committed rows. The
+    * pointer is re-read and the swap skipped when it already points at a
+    * newer committed version (the newer writer's swap covers ours). */
+  private def swapPointer(table: String, v: Long): Unit = {
+    val p = currentPtr(table)
+    val f = fs(p)
+    val cur =
+      if (!f.exists(p)) 0L
+      else {
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }
+    if (v > cur) atomicWrite(p, v.toString)
+  }
 
   private def atomicWrite(dest: Path, content: String): Unit = {
     val f = fs(dest)

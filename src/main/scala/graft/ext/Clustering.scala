@@ -98,7 +98,8 @@ object Clustering {
     * non-increasing per node, so the total is unchanged iff no label
     * moved. Decimal accumulator — 2^63 overflow would alias two states. */
   private def checksum(labels: DataFrame): java.math.BigDecimal =
-    labels.agg(sum(col("component").cast("decimal(38,0)")))
+    labels.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")))
       .head.getDecimal(0).stripTrailingZeros
 
   /** Per-cluster summary over a pair list: one row per duplicate cluster

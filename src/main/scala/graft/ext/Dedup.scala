@@ -430,6 +430,14 @@ object Dedup {
       math.rint(rnd.nextGaussian() * 1e6) / 1e6)))
   }
 
+  /** Exact-content grouping key for a double vector. `concat_ws` silently
+    * SKIPS null elements, so [1.0,null,2.0], [1.0,2.0,null] and [1.0,2.0]
+    * would all collide into one group — nulls are rendered explicitly
+    * ("N") so only truly identical vectors share a key. */
+  private def vecKey(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(concat_ws(",",
+      transform(v, x => coalesce(x.cast("string"), lit("N")))))
+
   /** Hyperplane-LSH candidate pairs (no verify): ids sharing a sign-bucket
     * in at least one of the `tables` hash tables. All `tables ×
     * planesPerTable` sign tests run in ONE codegen'd array pass
@@ -448,8 +456,7 @@ object Dedup {
     // duplicate-heavy.
     val flat = hyperplanes(tables, planesPerTable, dim).flatten.flatten.toArray
     val v = transform(col(vecCol), x => x.cast("double"))
-    val keyed = df.select(col(idCol).as("__id"), v.as("__v"),
-      md5(concat_ws(",", transform(v, x => x.cast("string")))).as("__k"))
+    val keyed = df.select(col(idCol).as("__id"), v.as("__v"), vecKey(v).as("__k"))
     val reps = keyed.groupBy(col("__k")).agg(first(col("__v")).as("__v"))
     val bucketed = reps.select(col("__k"),
       posexplode(graft.functions.VectorFunctions.hyperplaneBuckets(
@@ -464,9 +471,13 @@ object Dedup {
       .join(members.select(col("__k").as("__kb"), col("__id").as("__mb")), Seq("__kb"))
       .select(least(col("__ma"), col("__mb")).as("id_a"),
         greatest(col("__ma"), col("__mb")).as("id_b"))
+    // Within-group pairs only for groups that actually bucket: a vector
+    // that produces no LSH buckets (null/empty) generated no candidacy in
+    // the direct formulation, so its exact copies must not pair either.
     val same = members.select(col("__k"), col("__id").as("id_a"))
       .join(members.select(col("__k"), col("__id").as("id_b")), Seq("__k"))
       .filter(col("id_a") < col("id_b"))
+      .join(bucketed.select(col("__k")).distinct(), Seq("__k"), "left_semi")
       .select(col("id_a"), col("id_b"))
     cross.unionByName(same)
   }
@@ -487,8 +498,7 @@ object Dedup {
       dim: Int = 64): DataFrame = {
     val flat = hyperplanes(tables, planesPerTable, dim).flatten.flatten.toArray
     val v = transform(col(vecCol), x => x.cast("double"))
-    val keyed = df.select(col(idCol).as("__id"), v.as("__v"),
-      md5(concat_ws(",", transform(v, x => x.cast("string")))).as("__k"))
+    val keyed = df.select(col(idCol).as("__id"), v.as("__v"), vecKey(v).as("__k"))
     val groups = keyed.groupBy(col("__k"))
       .agg(min(col("__id")).as("__rid"), first(col("__v")).as("__v"),
         count(lit(1)).as("__n"))
@@ -502,7 +512,10 @@ object Dedup {
     val cross = l.join(r, Seq("__t", "__b")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), (col("__na") * col("__nb")).as("weight"))
       .distinct()
+    // No-bucket groups (null/empty vectors) never candidate in the direct
+    // formulation — their copies must not self-pair here either.
     val same = groups.filter(col("__n") > 1)
+      .join(bucketed.select(col("__rid")).distinct(), Seq("__rid"), "left_semi")
       .select(col("__rid").as("id_a"), col("__rid").as("id_b"),
         ((col("__n") * (col("__n") - 1)) / 2).cast("long").as("weight"))
     cross.unionByName(same)
@@ -524,8 +537,7 @@ object Dedup {
     // Grouping key: md5 over the exact decimal rendering of the doubles —
     // content-exact, 128-bit (no birthday risk at engine scale).
     val v = transform(col(vecCol), x => x.cast("double"))
-    val keyed = df.select(col(idCol).as("__id"), v.as("__v"),
-      md5(concat_ws(",", transform(v, x => x.cast("string")))).as("__k"))
+    val keyed = df.select(col(idCol).as("__id"), v.as("__v"), vecKey(v).as("__k"))
     val reps = keyed.groupBy(col("__k"))
       .agg(min(col("__id")).as("__rid"), first(col("__v")).as("__v"))
 

@@ -62,13 +62,19 @@ object Multimodal {
     * `count()` here would be a full pass over the payload pipeline per
     * call (at 100 TB, a second read of the dataset just to pick a
     * partition count). When the planner has no row-count estimate, fall
-    * back to sizeInBytes over a conservative mean payload size. */
+    * back to sizeInBytes over a conservative mean payload size; non-file
+    * relations can report the sizeInBytes sentinel (effectively
+    * Long.MaxValue), so the partition count is clamped to
+    * [1, maxPartitions] before the Int cast — an unclamped `.toInt` wraps
+    * negative and `repartition` throws. */
   def repartitionForDecode[T](ds: Dataset[T], rowsPerPartition: Long,
-      estimatedRowBytes: Long = 1L << 20): Dataset[T] = {
+      estimatedRowBytes: Long = 1L << 20,
+      maxPartitions: Int = 1 << 16): Dataset[T] = {
     val stats = ds.queryExecution.optimizedPlan.stats
     val rows = stats.rowCount.map(_.toLong).getOrElse(
       stats.sizeInBytes.toLong / math.max(1L, estimatedRowBytes))
-    val n = math.max(1L, rows / math.max(1L, rowsPerPartition)).toInt
+    val n = math.min(maxPartitions.toLong,
+      math.max(1L, rows / math.max(1L, rowsPerPartition))).toInt
     ds.repartition(n)
   }
 

@@ -49,7 +49,7 @@ object Packing {
       df.select(col(idCol), col(tokenCountCol).cast("long").as("__tok"),
           ord.as("__ord"))
         .withColumn("__b",
-          conv(substring(col("__ord"), 1, bucketNibbles), 16, 10).cast("int")))
+          conv(substring(col("__ord"), 1, bucketNibbles), 16, 10).cast("long")))
     // Intra-bucket running total: hash-partitioned window, each bucket is
     // ~|corpus| / 16^nibbles rows — full parallelism, no global funnel.
     val intra = keyed.withColumn("__run",
