@@ -20,10 +20,12 @@ object GraftProcedures {
       case "compact" => Some(compact(store))
       case "expire_snapshots" => Some(expireSnapshots(store))
       case "rollback_to_version" => Some(rollbackToVersion(store))
+      case "remove_orphan_files" => Some(removeOrphanFiles(store))
       case _ => None
     }
 
-  val names: Seq[String] = Seq("compact", "expire_snapshots", "rollback_to_version")
+  val names: Seq[String] =
+    Seq("compact", "expire_snapshots", "rollback_to_version", "remove_orphan_files")
 
   private def result(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
     java.util.Collections.singletonList[Scan](new LocalScan {
@@ -78,6 +80,29 @@ object GraftProcedures {
             StructField("restored_version", LongType),
             StructField("new_version", LongType))),
           new GenericInternalRow(Array[Any](v - 1, target, v)))
+      }
+    }
+  }
+
+  private def removeOrphanFiles(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "remove_orphan_files"
+    override def description(): String =
+      "delete data files referenced by no manifest (failed-commit orphans) older than a threshold"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "remove_orphan_files"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("older_than_ms", LongType)
+          .defaultValue((3L * 24 * 3600 * 1000).toString).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val olderThan = input.getLong(1)
+        val removed = store.removeOrphanFiles(table, olderThan)
+        result(
+          StructType(Seq(StructField("orphans_removed", LongType))),
+          new GenericInternalRow(Array[Any](removed.size.toLong)))
       }
     }
   }

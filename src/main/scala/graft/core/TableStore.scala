@@ -830,6 +830,39 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** Delete data files referenced by NO manifest — the orphans of failed
+    * optimistic commits, which write their data files first and lose the
+    * manifest race, leaving files no snapshot (and therefore no
+    * [[expireSnapshots]] run) can ever reach. Mirrors Iceberg's
+    * `remove_orphan_files`: only files under version directories are
+    * candidates (`_manifests`, `_current` and any checkpoint state are
+    * never touched), and only files older than `olderThanMs` are deleted —
+    * the age threshold is the safety margin against an IN-FLIGHT commit
+    * whose data files exist but whose manifest has not landed yet (Iceberg
+    * defaults to 3 days for the same reason). Returns the deleted
+    * table-relative paths. */
+  def removeOrphanFiles(table: String,
+      olderThanMs: Long = 3L * 24 * 3600 * 1000): Seq[String] = {
+    val dir = tableDir(table)
+    val f = fs(dir)
+    if (!f.exists(dir)) return Seq.empty
+    val referenced = manifests(table).flatMap(_.files.map(_.path)).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val base = f.getFileStatus(dir).getPath.toUri.getPath.stripSuffix("/")
+    val deleted = ArrayBuffer[String]()
+    val it = f.listFiles(dir, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val rel = s.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
+      if (rel.startsWith("v=") && !referenced.contains(rel) &&
+          s.getModificationTime < cutoff) {
+        f.delete(s.getPath, false)
+        deleted += rel
+      }
+    }
+    deleted.toSeq
+  }
+
   // ------------------------------------------------------------- internals
 
   def manifests(table: String): Seq[Manifest] = {
@@ -946,9 +979,9 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * against the old snapshot — Iceberg's validation semantics). Local
     * POSIX rename can overwrite, so existence is checked before AND after
     * the write; HDFS/object-store deployments get a truly atomic
-    * create-exclusive from the same call shape. Orphaned data files of a
-    * lost commit stay in the version directory until snapshot expiry, as
-    * in any optimistic table format. */
+    * create-exclusive from the same call shape. A lost commit's data files
+    * are referenced by no manifest — snapshot expiry can never reach them;
+    * [[removeOrphanFiles]] is the collector for exactly these. */
   private[core] def atomicWriteExclusive(dest: Path, content: String): Unit = {
     val f = fs(dest)
     def conflict() = throw new TableStore.CommitConflictException(

@@ -214,6 +214,23 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL remove_orphan_files deletes unreferenced data files via SQL") {
+    withCatalog { (store, cat) =>
+      store.commit("t", Seq((1L, "a")).toDF("id", "s"), "create")
+      val orphan = new org.apache.hadoop.fs.Path(
+        store.warehouse + "/t/v=2", "part-orphan.parquet")
+      val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(orphan)
+      out.write("x".getBytes("UTF-8")); out.close()
+      Thread.sleep(20)
+      val n = spark.sql(
+        s"CALL $cat.system.remove_orphan_files(`table` => 't', older_than_ms => 0)")
+        .as[Long].head()
+      assert(n >= 1L && !fs.exists(orphan))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").as[Long].head() == 1L)
+    }
+  }
+
   test("CALL rollback_to_version restores an earlier snapshot, history kept") {
     withCatalog { (store, cat) =>
       store.commit("t", Seq((1L, "a")).toDF("id", "s"), "create")

@@ -241,6 +241,35 @@ class TableStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](store.readVersion("t", 1))
   }
 
+  test("removeOrphanFiles collects failed-commit orphans; live snapshots unaffected") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", Seq((1, "a"), (2, "b")).toDF("id", "s"), "create")
+    store.append("t", Seq((3, "c")).toDF("id", "s"))
+    // Simulate a LOST optimistic commit: its data files land in v=3/ but
+    // the manifest rename was won by nobody — no manifest references them,
+    // so expireSnapshots can never reach them.
+    val orphanDir = new org.apache.hadoop.fs.Path(store.warehouse + "/t/v=3")
+    val fs = orphanDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(orphanDir)
+    val orphan = new org.apache.hadoop.fs.Path(orphanDir, "part-00000.parquet")
+    val out = fs.create(orphan)
+    out.write("not really parquet".getBytes("UTF-8")); out.close()
+    Thread.sleep(20)
+    // A fresh file is protected by the age threshold (in-flight commit)...
+    assert(store.removeOrphanFiles("t", olderThanMs = 3600L * 1000).isEmpty)
+    assert(fs.exists(orphan))
+    // ...but past the threshold it is collected
+    val removed = store.removeOrphanFiles("t", olderThanMs = 0L)
+    assert(removed.exists(_.endsWith("part-00000.parquet")), s"removed=$removed")
+    assert(!fs.exists(orphan))
+    // every live version still reads green, files intact
+    assert(store.read("t").count() == 3)
+    assert(store.readVersion("t", 1).count() == 2)
+    val live = store.manifests("t").flatMap(_.files.map(_.path))
+    assert(live.forall(p => fs.exists(
+      new org.apache.hadoop.fs.Path(store.warehouse + "/t", p))))
+  }
+
   test("decimal stats carry the scale: pruning compares true values, not unscaled") {
     import org.apache.spark.sql.functions.col
     val store = new TableStore(spark, tmpDir("ts"))
