@@ -47,6 +47,41 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 2): Column =
     sum(dec(c, scale)).cast(DecimalType(18, scale))
 
+  /** File-source replay harness for the streaming anchors: fixture batches
+    * are APPENDED as parquet into a watched directory between
+    * `processAllAvailable()` calls, so each append arrives as its own
+    * micro-batch through a real distributed source. Nothing is ever
+    * collected to the driver — the r4 `MemoryStream` feeder pulled the
+    * whole fixture through the driver, so at a 100× fixture the anchor
+    * died before the operator under test ran; this path is a distributed
+    * write + file-stream read end to end. */
+  private final class FileReplay(s: SparkSession, schema: StructType) {
+    private val dir =
+      java.nio.file.Files.createTempDirectory("graft_replay").toString
+    /** The streaming source frame to hand to the operator under test. */
+    def source: DataFrame = s.readStream.schema(schema).parquet(dir)
+    /** Land one fixture batch and wait for it to be fully processed. */
+    def feed(q: org.apache.spark.sql.streaming.StreamingQuery,
+        batch: DataFrame): Unit = {
+      batch.write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    }
+  }
+
+  /** Split a fixture frame into `n` contiguous event-time slices (replay
+    * order = event-time order, so watermarks only move forward and no
+    * fixture row is ever late). Bounds come from one 2-value aggregate —
+    * bounded metadata, not fixture data. */
+  private def timeSlices(rows: DataFrame, tsCol: String, n: Int): Seq[DataFrame] = {
+    val mm = rows.agg(min(col(tsCol)).cast("double"),
+      max(col(tsCol)).cast("double")).head
+    val lo = mm.getDouble(0)
+    val span = math.max(mm.getDouble(1) - lo, 1e-9)
+    val bucket = least(lit(n - 1),
+      floor((col(tsCol).cast("double") - lit(lo)) / lit(span) * n)).cast("int")
+    (0 until n).map(b => rows.filter(bucket === b))
+  }
+
   /** Exact decimal sum surfaced as DOUBLE. Internal math stays exact decimal
     * (order-independent); the single final decimal→double conversion is
     * deterministic and bit-identical across engines. We never OUTPUT a
@@ -157,37 +192,24 @@ object SparkEntry {
     }),
 
     // Streaming CDC→SCD2, oracle-anchored: the SAME deltas as q20 arrive
-    // as THREE micro-batches through a fixture MemoryStream (the test
-    // stand-in for a Kafka CDC feed; the driver-side collect is the
-    // fixture feeder, not the operator) into CdcStream.streamScd2 —
-    // each micro-batch is one atomic SCD2 commit (mirrors
-    // updating_db_with_deltas_iceberg.ipynb cells 29-37 run
+    // as THREE event-time-ordered micro-batches through a parquet
+    // file-stream source (the test stand-in for a Kafka CDC feed — see
+    // [[FileReplay]]; no fixture data touches the driver) into
+    // CdcStream.streamScd2 — each micro-batch is one atomic SCD2 commit
+    // (mirrors updating_db_with_deltas_iceberg.ipynb cells 29-37 run
     // continuously). The final table state must equal the batch-derived
     // SCD2 chain, so the q20 lead-window SQL is the oracle.
     "q64_stream_cdc_scd2" -> ((s, dir) => {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val store = tmpStore(s)
-      val rows = Tables.load(s, dir, "events")
+      val ev = Tables.load(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts"),
           col("event_type"), col("value"))
-        .as[(Long, Long, java.sql.Timestamp, String, Double)]
-        .collect().sortBy(_._3.getTime) // deterministic arrival order
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
-      val deltas = mem.toDF()
-        .toDF("event_id", "user_id", "ts", "event_type", "value")
-      val q = graft.streaming.CdcStream.streamScd2(deltas, store, "ev",
+      val replay = new FileReplay(s, ev.schema)
+      val q = graft.streaming.CdcStream.streamScd2(replay.source, store, "ev",
         pkCol = "user_id", tsCol = "ts",
         java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
-      try {
-        val n = rows.length
-        Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
-          rows.slice(2 * n / 3, n)).foreach { b =>
-          mem.addData(b.toIndexedSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      try timeSlices(ev, "ts", 3).foreach(b => replay.feed(q, b))
+      finally q.stop()
       store.read("ev")
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), col("start_datetime"), col("end_datetime"),
@@ -238,9 +260,9 @@ object SparkEntry {
     }),
 
     // Streaming windowed aggregation, oracle-anchored: a deterministic 10%
-    // slice of the events table (the driver-side MemoryStream feeder is
-    // fixture plumbing and scales with the slice, not the operator)
-    // replayed in event-time order as three micro-batches;
+    // slice of the events table replayed in event-time order as three
+    // micro-batches through a parquet file-stream source ([[FileReplay]];
+    // no fixture data touches the driver);
     // CdcStream.windowedEventCounts (watermark + tumbling window) emits
     // finalized windows in Append mode into the versioned store via
     // foreachBatch. A far-future sentinel event advances the watermark
@@ -248,17 +270,12 @@ object SparkEntry {
     // the batch group-by over the same slice.
     "q68_stream_windows" -> ((s, dir) => {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val store = tmpStore(s)
-      val rows = Tables.load(s, dir, "events")
+      val ev = Tables.load(s, dir, "events")
         .filter(col("event_id") % 10 === 0)
         .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-        .as[(Long, java.sql.Timestamp, String, Double)]
-        .collect().sortBy(_._2.getTime) // deterministic arrival order
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, java.sql.Timestamp, String, Double)]
-      val events = mem.toDF().toDF("event_id", "ts", "event_type", "value")
-      val agg = graft.streaming.CdcStream.windowedEventCounts(events)
+      val replay = new FileReplay(s, ev.schema)
+      val agg = graft.streaming.CdcStream.windowedEventCounts(replay.source)
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
       // Streaming state partition count is pinned by the FIRST micro-batch
       // (planned lazily on the stream thread) from the session conf; 8
@@ -280,16 +297,13 @@ object SparkEntry {
           }
           .start()
         try {
-          val n = rows.length
-          Seq(rows.slice(0, n / 3), rows.slice(n / 3, 2 * n / 3),
-            rows.slice(2 * n / 3, n)).foreach { b =>
-            mem.addData(b.toIndexedSeq)
-            q.processAllAvailable()
-          }
+          timeSlices(ev, "ts", 3).foreach(b => replay.feed(q, b))
           val flushTs = new java.sql.Timestamp(
-            rows.last._2.getTime + 48L * 3600 * 1000)
-          mem.addData(Seq((-1L, flushTs, "__sentinel", 0.0)))
-          q.processAllAvailable()
+            ev.agg(max(col("ts"))).head.getTimestamp(0).getTime +
+              48L * 3600 * 1000)
+          replay.feed(q,
+            Seq((-1L, flushTs, "__sentinel", 0.0))
+              .toDF("event_id", "ts", "event_type", "value"))
         } finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       store.read("win")
