@@ -2246,7 +2246,7 @@ object SparkEntry {
         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |      ELSE 'video' END AS kind,
         |    CASE WHEN doc_id % 3 = 2 THEN greatest(1, n_chars // 10) ELSE 1 END AS n_frames,
-        |    CASE WHEN doc_id % 3 = 0 THEN greatest(1, ((n_chars % 1920) + 1) // 8)
+        |    CASE WHEN doc_id % 3 = 0 THEN greatest(1, ((n_chars % 64) + 1) // 8)
         |      ELSE 0 END AS thumb_w
         |  FROM documents) t
         |GROUP BY kind ORDER BY kind""".stripMargin

@@ -30,15 +30,21 @@ case class MediaFeatures(
   * memory is bounded by partition size — use [[repartitionForDecode]] to
   * size partitions before heavy decodes at scale).
   *
-  * THE DECODER ITSELF IS A STUB: no image/audio codecs exist in this
-  * environment, so [[stubDecode]] derives a deterministic fake feature
-  * vector from the payload bytes. Swapping in a real codec touches only
-  * that one function — schema, partitioning, and batch shape stay as-is.
+  * IMAGES DECODE FOR REAL: payloads go through the JDK's bundled
+  * `javax.imageio` readers (PNG/JPEG/GIF/BMP ship with every JDK — no
+  * external codec jars), and thumbnail dimensions come from the DECODED
+  * raster, not the metadata columns. Audio/video decoding has no JDK
+  * codec, so [[stubDecode]] stays as the documented deterministic
+  * fallback — swapping in ffmpeg/JNI touches only that one function;
+  * schema, partitioning, and batch shape are final.
   */
 object Multimodal {
 
-  /** Fabricate a media table from the documents fixture (text bytes as
-    * payload) — the fixtures ship no binary table, the plumbing is real. */
+  /** Fabricate a media table from the documents fixture — the fixtures
+    * ship no binary table, the plumbing is real. Image-kind rows carry a
+    * REAL PNG payload (encoded executor-side with the JDK PNG writer,
+    * dimensions derived from the doc metadata); audio/video rows carry
+    * the text bytes as an opaque payload. */
   def ingestFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaFile] = {
     import spark.implicits._
     docs.select(
@@ -46,14 +52,38 @@ object Multimodal {
       element_at(lit(Array("image", "audio", "video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
       encode(col("text"), "UTF-8").as("content"),
-      when(col("doc_id") % 3 === 0, (col("n_chars") % 1920 + 1).cast("int"))
+      when(col("doc_id") % 3 === 0, (col("n_chars") % 64 + 1).cast("int"))
         .otherwise(0).as("width"),
-      when(col("doc_id") % 3 === 0, (col("n_chars") % 1080 + 1).cast("int"))
+      when(col("doc_id") % 3 === 0, (col("n_chars") % 48 + 1).cast("int"))
         .otherwise(0).as("height"),
       when(col("doc_id") % 3 =!= 0, col("n_chars") * 100).otherwise(0L)
         .as("duration_ms")
     ).as[MediaFile]
+      .mapPartitions(_.map { m =>
+        if (m.kind == "image")
+          m.copy(content = encodePng(m.width, m.height, m.media_id))
+        else m
+      })
   }
+
+  /** Deterministic solid-tint PNG encoded with the JDK's ImageIO writer —
+    * real bytes, so the decode side is a genuine parse round trip. */
+  private[ext] def encodePng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    java.util.Arrays.fill(buf, (seed * 0x9E3779B97F4A7C15L).toInt & 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Decode an image payload via the JDK's bundled readers; None when no
+    * reader claims the format (exotic codecs → [[stubDecode]] fallback). */
+  private[ext] def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
 
   /** Bound per-task memory before a heavy decode: at 100 TB the payload
     * column dominates, so cap rows per partition rather than bytes.
@@ -78,12 +108,35 @@ object Multimodal {
     ds.repartition(n)
   }
 
-  /** STUB decoder: deterministic fake features from payload bytes.
-    * Replace with a real codec (JNI/ffmpeg/ImageIO) — signature and batch
-    * shape are final. */
+  /** Real image decode: parse the payload with ImageIO, thumbnail from the
+    * DECODED raster dimensions, feature vector hashed from sampled decoded
+    * pixels (deterministic). Falls back to [[stubDecode]] when no JDK
+    * reader claims the bytes. */
+  private[ext] def imageDecode(m: MediaFile, dim: Int): MediaFeatures =
+    decodeImage(m.content) match {
+      case Some(img) =>
+        val w = img.getWidth
+        val h = img.getHeight
+        var hh = 1125899906842597L
+        val n = w * h
+        val step = math.max(1, n / 1024) // ≤1024 sampled pixels per image
+        var i = 0
+        while (i < n) { hh = hh * 31 + img.getRGB(i % w, i / w); i += step }
+        val feat = Array.tabulate(dim) { j =>
+          val x = hh ^ (j.toLong * 0x9E3779B97F4A7C15L)
+          ((x % 1000L).toFloat / 1000.0f)
+        }
+        MediaFeatures(m.media_id, m.kind, feat, n_frames = 1,
+          thumb_w = math.max(1, w / 8), thumb_h = math.max(1, h / 8))
+      case None => stubDecode(m, dim)
+    }
+
+  /** STUB decoder for formats with no JDK codec (audio/video): deterministic
+    * fake features from payload bytes. Replace with a real codec
+    * (JNI/ffmpeg) — signature and batch shape are final. */
   private[ext] def stubDecode(m: MediaFile, dim: Int): MediaFeatures = {
-    // ??? <- real codec goes here; deterministic fake below keeps the
-    // pipeline testable without native libraries.
+    // ??? <- real audio/video codec goes here; deterministic fake below
+    // keeps the pipeline testable without native libraries.
     var h = 1125899906842597L // FNV-ish rolling hash of the payload
     m.content.foreach(b => h = h * 31 + b)
     val feat = Array.tabulate(dim) { i =>
@@ -96,13 +149,16 @@ object Multimodal {
       thumb_h = if (m.height > 0) math.max(1, m.height / 8) else 0)
   }
 
-  /** Decode + featurize, one decoder instance per partition. */
+  /** Decode + featurize, one decoder instance per partition: images through
+    * the real ImageIO parse, audio/video through the stub. */
   def decodeAndFeaturize(ds: Dataset[MediaFile], dim: Int = 16)
       (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     ds.mapPartitions { it =>
       // per-partition decoder init would happen here (codec handles, etc.)
-      it.map(m => stubDecode(m, dim))
+      it.map { m =>
+        if (m.kind == "image") imageDecode(m, dim) else stubDecode(m, dim)
+      }
     }
   }
 

@@ -216,6 +216,34 @@ class ExtSpec extends SparkSpec {
     assert(f1.sameElements(f2))
   }
 
+  test("image payloads PNG-round-trip: thumbs come from the decoded raster") {
+    implicit val s: SparkSession = spark
+    // encode→decode round trip off-Spark: real ImageIO parse, exact dims
+    val bytes = Multimodal.encodePng(33, 21, seed = 7L)
+    assert(bytes.length > 8 &&
+      (bytes(1) & 0xFF) == 'P' && (bytes(2) & 0xFF) == 'N' && (bytes(3) & 0xFF) == 'G')
+    val img = Multimodal.decodeImage(bytes).get
+    assert(img.getWidth == 33 && img.getHeight == 21)
+    // undecodable payloads fall back to the stub, not an error
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    // through Spark: every image row's thumb equals decoded-width/8 — the
+    // metadata width agrees with the encoded payload by construction, so a
+    // decoder that ignored the payload would be caught by a corrupt-width
+    // fixture below
+    val media = Multimodal.ingestFromDocuments(docs)
+    val feats = Multimodal.decodeAndFeaturize(media, dim = 16).toDF()
+    val imgRows = media.toDF().filter(col("kind") === "image")
+      .select(col("media_id"), col("width"), col("height"))
+      .join(feats.filter(col("kind") === "image"), Seq("media_id"))
+    assert(imgRows.filter(col("thumb_w") =!=
+      greatest(lit(1), (col("width") / 8).cast("int"))).count() == 0)
+    // decoded dims win over (corrupt) metadata: payload says 33×21
+    val lying = spark.createDataset(Seq(
+      MediaFile(1L, "image", bytes, width = 999, height = 999, duration_ms = 0L)))
+    val f = Multimodal.decodeAndFeaturize(lying, 16).head()
+    assert(f.thumb_w == 33 / 8 && f.thumb_h == 21 / 8)
+  }
+
   test("fused hyperplane buckets equal the per-plane sign formulation") {
     import org.apache.spark.sql.functions._
     val docs = spark.range(0, 50).selectExpr("id AS vec_id",
