@@ -69,13 +69,12 @@ class GraftRowLevelOperation(spark: SparkSession, catalogName: String,
     }
 
   private def parquetScanOver(files: Seq[FileEntry]): Scan = {
-    val paths = files.map(fe =>
-      new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(warehouse, tableName), fe.path).toString)
-    ParquetTable(s"$catalogName.$tableName@v${manifest.version}(cow)",
-      spark, CaseInsensitiveStringMap.empty(), paths, Some(tableSchema),
-      classOf[ParquetFileFormat])
-      .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    // Manifest-backed index: no filesystem listing at plan time (see
+    // [[org.apache.spark.sql.graft.ManifestFileIndex]]).
+    val root = new org.apache.hadoop.fs.Path(warehouse, tableName)
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+      spark, new org.apache.spark.sql.graft.ManifestFileIndex(spark, root, files),
+      tableSchema, tableSchema, CaseInsensitiveStringMap.empty()).build()
   }
 
   /** The operation's scan, with MERGE-time runtime group filtering: for a
@@ -111,7 +110,8 @@ class GraftRowLevelOperation(spark: SparkSession, catalogName: String,
       * column is the only one pruning can win on anyway. Empty when no
       * column separates files (the rule then skips the subquery). */
     override def filterAttributes(): Array[NamedReference] =
-      RuntimePruning.bestPruningColumn(manifest.files, tableSchema)
+      RuntimePruning.bestPruningColumn(manifest.files, tableSchema,
+          manifest.partitionBy)
         .map(c => Expressions.column(c)).toArray
 
     override def filter(predicates: Array[Predicate]): Unit = {

@@ -870,9 +870,19 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val f = fs(dir)
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).filter(_.getPath.getName.endsWith(".json")).toSeq.map { s =>
-      val in = f.open(s.getPath)
-      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-      parseManifest(txt)
+      // Manifests are immutable once committed (create-exclusive), so a
+      // (path, mtime, length)-keyed parse cache is safe and turns the
+      // per-query table load into a directory listing — on a
+      // daily-partitioned fact table the current manifest has thousands
+      // of file entries and is re-read by every query's planning.
+      val key = (f.makeQualified(s.getPath).toString,
+        s.getModificationTime, s.getLen)
+      TableStore.manifestCache.computeIfAbsent(key, { _ =>
+        val in = f.open(s.getPath)
+        val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+        if (TableStore.manifestCache.size > 4096) TableStore.manifestCache.clear()
+        parseManifest(txt)
+      })
     }.sortBy(_.version)
   }
 
@@ -1003,6 +1013,13 @@ object TableStore {
     * writer created that manifest first. Recompute against the new
     * snapshot and retry (appends do this automatically). */
   class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Process-wide parsed-manifest cache, keyed by (qualified path, mtime,
+    * length) — safe because manifests are create-exclusive-immutable.
+    * Bounded by wholesale clear (entries are cheap to re-parse). */
+  private[core] val manifestCache
+      : java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Manifest] =
+    new java.util.concurrent.ConcurrentHashMap()
 
   /** Shared bounded pool for commit-time footer harvesting. */
   private[core] lazy val harvestEc: scala.concurrent.ExecutionContext =

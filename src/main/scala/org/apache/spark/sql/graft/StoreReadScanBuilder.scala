@@ -38,11 +38,12 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
   }
 
   private def parquetBuilderOver(files: Seq[TableStore.FileEntry]): ScanBuilder = {
-    val paths = files.map(fe =>
-      new org.apache.hadoop.fs.Path(
-        new org.apache.hadoop.fs.Path(warehouse, tableName), fe.path).toString)
-    ParquetTable(name, spark, CaseInsensitiveStringMap.empty(), paths,
-      Some(tableSchema), classOf[ParquetFileFormat]).newScanBuilder(options)
+    // Manifest-backed index: scan planning from snapshot metadata alone,
+    // no filesystem listing (see [[ManifestFileIndex]]).
+    val root = new org.apache.hadoop.fs.Path(warehouse, tableName)
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+      spark, new ManifestFileIndex(spark, root, files),
+      tableSchema, tableSchema, options)
   }
 
   /** Fresh parquet scan over `files` with the builder's pushdown state
@@ -97,7 +98,7 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
 
   override def build(): Scan = new GraftStatsScan(spark, warehouse, tableName,
     innerBuilder.build(), keptFiles, tableSchema, scanOver,
-    options.getBoolean("skipRewrites", false))
+    options.getBoolean("skipRewrites", false), m.partitionBy)
 }
 
 /** Wraps the parquet scan of one pruned snapshot to (a) report EXACT
@@ -114,7 +115,8 @@ class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
     initialInner: Scan, initialFiles: Seq[TableStore.FileEntry],
     tableSchema: StructType,
     rebuild: Seq[TableStore.FileEntry] => Scan,
-    skipRewrites: Boolean = false)
+    skipRewrites: Boolean = false,
+    partitionBy: Seq[String] = Seq.empty)
     extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
@@ -137,6 +139,12 @@ class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
   override def description(): String =
     s"${innerScan.description()} [graft ${files.size}/${initialFiles.size} files]"
 
+  // Cached: planning rules may ask for filter attributes repeatedly, and
+  // the fallback scoring pass is quadratic in (sampled) file count.
+  private lazy val pruningColumn: Option[String] =
+    graft.catalog.RuntimePruning.bestPruningColumn(
+      initialFiles, readSchema(), partitionBy)
+
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     // Advertise only columns that survived column pruning: Spark resolves
@@ -145,7 +153,7 @@ class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
     // A best-separation column outside the projection cannot receive a
     // runtime IN-list anyway (runtime filters come from join keys, which
     // are always read).
-    graft.catalog.RuntimePruning.bestPruningColumn(initialFiles, readSchema())
+    pruningColumn
       .map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c))
       .toArray
 
