@@ -32,5 +32,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 20g: local[32] runs 32 concurrent tasks against ONE unified memory
+  // manager — at the bench's sf10 curation grid (28.8M-row wide-row CoW
+  // merges) 8g starves per-task execution memory into
+  // SparkOutOfMemoryError. The box has 128 GiB; still env-overridable.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )

@@ -75,6 +75,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Let AQE swap sort-merge for shuffled-hash when EVERY build-side
+      // partition is measured under this threshold — the analytic joins
+      // here are hash-friendly (DuckDB's default), and the conversion is
+      // scale-safe by construction: at 100× data the partitions exceed
+      // the bound and AQE leaves the sort-merge plan alone.
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -211,11 +217,75 @@ object Bench {
         f""""max_load":${st.its.map(_.sysLoad).max}%.2f}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"stats_detail","queries":$stats}""")
-    val qs = ok.map { case (k, st) => "\"" + k + f"\":${st.min}%.3f" }
+    // TPC-DS corpus section: the reference's literal 98 queries, timed in
+    // THIS artifact (one timed pass; 98/98 at sf1 was previously only a
+    // SURVEY prose claim). Skipped when the dsdgen dir is absent or
+    // SPARK_GRAFT_SKIP_TPCDS is set; failures never fail the bench.
+    val tpcdsJson = {
+      val dir = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_TPCDS_DIR", "target/tpcds-sf1"))
+      if (sys.env.contains("SPARK_GRAFT_SKIP_TPCDS") ||
+          !java.nio.file.Files.isDirectory(dir)) ""
+      else try {
+        val t0 = System.nanoTime()
+        val (times, tFailed) = graft.tools.TpcdsTime.runCorpus(
+          spark, dir, iters = 1, warmup = false,
+          log = m => System.err.println(s"[bench][tpcds] $m"))
+        val tOk = times.filterNot { case (n, _) => tFailed.contains(n) }
+        val secs = tOk.map(_._2).sorted
+        val med = if (secs.isEmpty) 0.0
+          else if (secs.size % 2 == 1) secs(secs.size / 2)
+          else (secs(secs.size / 2 - 1) + secs(secs.size / 2)) / 2
+        val fj = tFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
+        f""","tpcds":{"dir":"$dir","n_ok":${tOk.size},"total":${secs.sum}%.1f,""" +
+          f""""median":$med%.3f,"wall_incl_ingest":${(System.nanoTime() - t0) / 1e9}%.1f,"failed":$fj}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] tpcds section failed: ${e.getMessage}")
+        ""
+      }
+    }
+    // Curation-axis section (the reference's PRIMARY evaluation —
+    // BASELINE.md curation tables): bulk insert + SCD2 merges at update
+    // proportions 0.001-0.99 over store_sales-shaped sf1/sf10, plus the
+    // skewed-CDC cell. Skipped when dsdgen data is absent.
+    val curationJson = {
+      val data = sys.env.getOrElse("SPARK_GRAFT_CURATION_DATA",
+        "target/tpcds-sf1/store_sales.parquet")
+      val scales = sys.env.getOrElse("SPARK_GRAFT_CURATION_SCALES", "sf1:1,sf10:10")
+        .split(",").toSeq.map { s => val Array(n, c) = s.split(":"); (n, c.toInt) }
+      if (sys.env.contains("SPARK_GRAFT_SKIP_CURATION") ||
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(data))) ""
+      else try {
+        "," + "\"curation\":" + graft.tools.CurationBench.runAll(
+          spark, data, scales, Seq(0.001, 0.01, 0.1, 0.99),
+          m => System.err.println(s"[bench][curation] $m"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] curation section failed: ${e.getMessage}")
+        ""
+      }
+    }
+    // The driver records only the LAST ~2000 chars of stdout, so the
+    // final line is built to FIT that window whole: query keys are the
+    // unique qNN prefix ("q01_pricing_summary" → "q01" — full names live
+    // on the stats_detail line above), and stability is an aggregate —
+    // iteration count, worst mean/min, and the list of queries OVER the
+    // 1.5× spread bound (empty list = every query's mean is within 1.5×
+    // of its min, the r3/r4 stability criterion, now provable from the
+    // driver artifact alone).
+    def short(k: String): String = k.takeWhile(_ != '_')
+    val maxSpread = ok.map(st => st._2.mean / math.max(st._2.min, 1e-9))
+      .foldLeft(0.0)(math.max)
+    val spreadViolators = ok
+      .filter(st => st._2.mean / math.max(st._2.min, 1e-9) > 1.5)
+      .map(st => "\"" + short(st._1) + "\"").mkString("[", ",", "]")
+    val qs = ok.map { case (k, st) => "\"" + short(k) + f"\":${st.min}%.3f" }
       .mkString("{", ",", "}")
-    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failedNames.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2.min).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      f""""iters":$iters,"max_mean_over_min":$maxSpread%.2f,""" +
+      f""""spread_over_1.5":$spreadViolators$tpcdsJson$curationJson,""" +
+      f""""sf":"$sfDir","failed":$failedJson}""")
     spark.stop()
     if (failedNames.nonEmpty) sys.exit(1)
   }

@@ -1,0 +1,206 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.core.TableStore
+import graft.curation.Scd2
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's PRIMARY evaluation, reproduced locally: SCD2 curation
+  * cost as a function of update proportion over store_sales-shaped data
+  * (reference/docs/README.md:267-316; BASELINE.md curation tables).
+  *
+  * Protocol per scale factor:
+  *  - base table = dsdgen store_sales + `extraction_timestamp`/`op`/`pk`
+  *    columns (pk = md5 of the natural key, mirroring the reference's
+  *    surrogate — data_curation/glue_jobs/athena_functions.py:92);
+  *    sf10 = 10× key-offset replication of sf1 (ss_ticket_number domain),
+  *    the gen_sf1.py trick in-engine;
+  *  - `bulk_insert` timed once (CTAS + SCD2 columns —
+  *    athena_functions.py:56-100);
+  *  - update tables at proportions 0.001/0.01/0.1/0.99 simulated exactly
+  *    like the reference (tpcds_generator/update_tpcds.py:56-62: random
+  *    sample at the proportion, `ss_quantity = 1`, `op = 'U'`, next-day
+  *    extraction timestamp);
+  *  - `scd2_simple` and `scd2_complex` timed per proportion, each against
+  *    the SAME base snapshot: after every merge the table is rolled back
+  *    (metadata-only) and merge files expired, so cells are independent.
+  *
+  * The reference's own numbers for this protocol: Athena FAILS at the 99%
+  * proportion (both sf100 and sf3000 ≥10%); Glue PySpark passes sf100 in
+  * 449-1064 s but FAILS entirely at sf3000. The pass/fail pattern and the
+  * time-vs-proportion curve are the comparison axes, not absolute seconds
+  * (different hardware).
+  */
+object CurationBench {
+
+  /** store_sales + curation columns, replicated `copies`× with the
+    * ticket-number (pk-domain) key offset so uniqueness and join fan-out
+    * survive — gen_sf1.py's replication trick, in-engine. */
+  def baseFrame(spark: SparkSession, storeSalesDir: String, copies: Int): DataFrame = {
+    val raw = spark.read.parquet(storeSalesDir)
+    // dsdgen writes ss_ticket_number as INT at small SFs — read it
+    // numerically, not as a fixed JVM type
+    val maxTicket =
+      raw.agg(max(col("ss_ticket_number")).cast("long")).head.getLong(0) + 1
+    val one = raw.withColumn("__copy", lit(0))
+    val replicated =
+      if (copies <= 1) one
+      else (0 until copies).map(c => raw.withColumn("__copy", lit(c)))
+        .reduce(_ unionByName _)
+    replicated
+      .withColumn("ss_ticket_number",
+        col("ss_ticket_number") + col("__copy") * maxTicket)
+      .drop("__copy")
+      .withColumn("extraction_timestamp", to_timestamp(lit("2022-01-01")))
+      .withColumn("op", lit("I"))
+      .withColumn("pk",
+        md5(concat_ws("-", col("ss_item_sk"), col("ss_ticket_number"))))
+  }
+
+  /** update_tpcds.py:56-62 — random sample at `proportion`, quantity
+    * reset, op='U', next-day extraction timestamp. */
+  def updatesAt(base: DataFrame, proportion: Double): DataFrame =
+    base.sample(withReplacement = false, proportion, seed = 1)
+      .withColumn("extraction_timestamp", to_timestamp(lit("2022-01-02")))
+      .withColumn("op", lit("U"))
+      .withColumn("ss_quantity", lit(1).cast("integer"))
+
+  case class Cell(useCase: String, proportion: Double, seconds: Double,
+      ok: Boolean)
+
+  /** Pathologically skewed CDC batch: same row count as `updatesAt(base,
+    * p)` but 90% of the rows are successive versions of ONE hot pk
+    * (distinct extraction timestamps → a deep version chain), the rest a
+    * uniform sample. The merge's join and re-chain window both see the
+    * hot key; AQE skew splitting + the bounded per-key window sort must
+    * keep the cell within ~3× of the uniform one. */
+  def skewedUpdatesAt(spark: SparkSession, base: DataFrame,
+      proportion: Double): DataFrame = {
+    val n = (base.count() * proportion).toLong
+    val hotN = (n * 0.9).toLong
+    val hotRow = base.limit(1)
+    val hot = hotRow.crossJoin(
+        spark.range(hotN).select(col("id").as("__i")))
+      .withColumn("extraction_timestamp",
+        expr("timestamp'2022-01-02 00:00:00' + make_interval(0,0,0,0,0,0,__i)"))
+      .withColumn("ss_quantity", (col("__i") % 100).cast("integer"))
+      .drop("__i")
+      .withColumn("op", lit("U"))
+    val uniform = updatesAt(base, proportion * 0.1)
+    hot.unionByName(uniform)
+  }
+
+  /** Run the full grid at one scale. Returns (bulkInsertSeconds, cells). */
+  def runScale(spark: SparkSession, storeSalesDir: String, copies: Int,
+      proportions: Seq[Double], log: String => Unit): (Double, Seq[Cell]) = {
+    val wh = Files.createTempDirectory("graft_curation").toString
+    val store = new TableStore(spark, wh)
+    val table = "store_sales_scd2"
+
+    // materialize base once so delta sampling never recomputes the union
+    val baseDir = Files.createTempDirectory("graft_curation_base").toString
+    baseFrame(spark, storeSalesDir, copies).write.mode("overwrite").parquet(baseDir)
+    val base = spark.read.parquet(baseDir)
+
+    def timed[A](f: => A): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      try { f; ((System.nanoTime() - t0) / 1e9, true) }
+      catch { case e: Throwable =>
+        log(s"FAILED: ${Option(e.getMessage).getOrElse(e.toString).take(200)}")
+        ((System.nanoTime() - t0) / 1e9, false)
+      }
+    }
+
+    val (bulkSec, bulkOk) = timed(Scd2.bulkInsert(store, table, base))
+    log(f"bulk_insert ${bulkSec}%.1f s (ok=$bulkOk)")
+    // Every rollback mints a NEW version duplicating the base state, and
+    // the expiry that reclaims the previous cell's rewrite files deletes
+    // the older manifests — so the "base" to roll back to must chase the
+    // version each rollback returns, not pin the original.
+    var baseVersion = store.currentVersion(table)
+    def resetToBase(): Unit = {
+      baseVersion = store.rollbackTo(table, baseVersion)
+      store.expireSnapshots(table, keepLast = 1)
+    }
+
+    val cells = for {
+      p <- proportions
+      uc <- Seq("scd2_simple", "scd2_complex")
+    } yield {
+      val delta = updatesAt(base, p)
+      val (sec, ok) = timed {
+        if (uc == "scd2_simple") Scd2.scd2Simple(store, table, delta)
+        else Scd2.scd2Complex(store, table, delta)
+      }
+      log(f"$uc p=$p ${sec}%.1f s (ok=$ok)")
+      // metadata-only reset to the common base snapshot; expire the
+      // merge's snapshot so its rewrite files are reclaimed before the
+      // next cell (disk stays ~2× table size, not ×cells)
+      resetToBase()
+      Cell(uc, p, sec, ok)
+    }
+    // skew cell: same delta size as p=0.01, 90% of rows on one hot pk
+    val (skewSec, skewOk) = {
+      val delta = skewedUpdatesAt(spark, base, 0.01)
+      val r = timed(Scd2.scd2Complex(store, table, delta))
+      resetToBase()
+      r
+    }
+    log(f"scd2_complex skewed(p=0.01, 90%% one pk) ${skewSec}%.1f s (ok=$skewOk)")
+    // reclaim the scratch warehouse + materialized base
+    store.drop(table)
+    delete(Paths.get(baseDir))
+    (bulkSec, cells :+ Cell("skewed_complex", 0.01, skewSec, skewOk))
+  }
+
+  private def delete(p: java.nio.file.Path): Unit =
+    TpcdsIngest.deleteRecursively(p)
+
+  /** JSON fragment for the bench artifact:
+    * {"sf1":{"bulk_insert":s,"scd2_simple":{"0.001":s,...},...},...}. */
+  def runAll(outerSpark: SparkSession, storeSalesDir: String,
+      scales: Seq[(String, Int)], proportions: Seq[Double],
+      log: String => Unit): String = {
+    // Isolated session: the wide-row sf10 merges want smaller tasks than
+    // the caller's 32 shuffle partitions give (900k × 23-col rows per
+    // sort otherwise); AQE coalesces the excess away at sf1, so the
+    // higher count costs nothing small.
+    val spark = outerSpark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "128")
+    scales.map { case (name, copies) =>
+      val (bulkSec, cells) = runScale(spark, storeSalesDir, copies,
+        proportions, m => log(s"[$name] $m"))
+      val byCase = cells.groupBy(_.useCase).toSeq.sortBy(_._1).map {
+        case (uc, cs) =>
+          val ps = cs.sortBy(_.proportion).map { c =>
+            val v = if (c.ok) f"${c.seconds}%.1f" else "\"FAILED\""
+            s""""${c.proportion}":$v"""
+          }.mkString("{", ",", "}")
+          s""""$uc":$ps"""
+      }.mkString(",")
+      f""""$name":{"bulk_insert":$bulkSec%.1f,$byCase}"""
+    }.mkString("{", ",", "}")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val storeSales = args.headOption.getOrElse("target/tpcds-sf1/store_sales.parquet")
+    val scales = args.lift(1).getOrElse("sf1:1,sf10:10").split(",").toSeq
+      .map { s => val Array(n, c) = s.split(":"); (n, c.toInt) }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val json = runAll(spark, storeSales, scales,
+      Seq(0.001, 0.01, 0.1, 0.99),
+      m => System.err.println(s"[curation] $m"))
+    println(s"""{"metric":"curation","scales":$json}""")
+    spark.stop()
+  }
+}

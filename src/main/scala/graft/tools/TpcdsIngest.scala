@@ -40,6 +40,19 @@ object TpcdsIngest {
     }
   }
 
+  /** Depth-first delete. `Files.list` streams are CLOSED per directory —
+    * the stream holds the directory fd, and an unclosed recursive walk
+    * over a partitioned warehouse (thousands of partition dirs) exhausts
+    * the process fd limit, poisoning every open() that follows. */
+  def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator().asScala.foreach(deleteRecursively) finally s.close()
+    }
+    Files.deleteIfExists(p)
+    ()
+  }
+
   /** Ingest every `*.parquet` table under `dataDir`. With `partitioned`
     * (the reference's benchmark layout) the 7 fact tables go through
     * `commitPartitioned` on their declared date sk. */

@@ -1,6 +1,6 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -21,41 +21,32 @@ import org.apache.spark.sql.SparkSession
   * Prints one JSON line: {"queries":{q:sec,...},"total":sec,"failed":[...]}.
   */
 object TpcdsTime {
-  def main(args: Array[String]): Unit = {
-    val dataDir = Paths.get(args.headOption.getOrElse("fixtures/tpcds-sf0.01"))
-    val iters = args.lift(1).map(_.toInt).getOrElse(2)
-    val sqlDir =
-      Paths.get("/root/reference/src/data_derivation/query_performance/sql")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+  private val sqlDir =
+    Paths.get("/root/reference/src/data_derivation/query_performance/sql")
 
+  /** Ingest `dataDir` into a fresh warehouse (fact tables partitioned per
+    * the reference metadata unless disabled) and time every corpus query.
+    * Returns (query → best seconds, failed query names). Runs on an
+    * ISOLATED `newSession()` — the caller's temp views must not shadow
+    * corpus catalog tables (a TPC-H-ish `customer` temp view otherwise
+    * captures TPC-DS's `customer` and every query on it fails
+    * resolution), and ANSI/current-catalog settings stay the caller's —
+    * [[graft.Bench]] runs this as its corpus section mid-benchmark. */
+  def runCorpus(outerSpark: SparkSession, dataDir: Path, iters: Int,
+      warmup: Boolean, partitioned: Boolean = true,
+      log: String => Unit = _ => ()): (Seq[(String, Double)], List[String]) = {
+    val spark = outerSpark.newSession()
     val wh = Files.createTempDirectory("tpcds-time").toString
     val store = new TableStore(spark, wh)
-    Files.list(dataDir).iterator().asScala
-      .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-      .foreach { p =>
-        val name = p.getFileName.toString.stripSuffix(".parquet")
-        store.commit(name, spark.read.parquet(p.toString), "ctas")
-        System.err.println(s"[tpcds-time] ingested $name")
-      }
+    TpcdsIngest.ingest(spark, store, dataDir, partitioned, log)
 
-    spark.conf.set("spark.sql.catalog.graftds", classOf[GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graftds.warehouse", wh)
-    spark.sql("USE graftds")
+    val cat = s"graftds${java.lang.Long.toHexString(System.nanoTime())}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"USE $cat")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
-
-    val files = Files.list(sqlDir).iterator().asScala
-      .filter(_.getFileName.toString.matches("q.*\\.sql")).toSeq
-      .sortBy(_.getFileName.toString)
 
     def run(text: String): Unit =
       try { spark.sql(text).collect(); () }
@@ -69,28 +60,60 @@ object TpcdsTime {
           finally spark.conf.set("spark.sql.ansi.enabled", "true")
       }
 
-    // one untimed pass over the whole corpus absorbs codegen/JIT
-    files.foreach { p =>
-      val text = new String(Files.readAllBytes(p), "UTF-8")
-      try run(text) catch { case _: Throwable => }
-    }
+    try {
+      val files = Files.list(sqlDir).iterator().asScala
+        .filter(_.getFileName.toString.matches("q.*\\.sql")).toSeq
+        .sortBy(_.getFileName.toString)
 
-    var failed = List.empty[String]
-    val times = files.map { p =>
-      val name = p.getFileName.toString.stripSuffix(".sql")
-      val text = new String(Files.readAllBytes(p), "UTF-8")
-      val ts = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        try run(text)
-        catch { case e: Throwable =>
-          if (!failed.contains(name)) failed ::= name
-          System.err.println(s"[tpcds-time] $name FAILED: ${e.getMessage.take(200)}")
-        }
-        (System.nanoTime() - t0) / 1e9
+      // one untimed pass over the whole corpus absorbs codegen/JIT
+      if (warmup) files.foreach { p =>
+        val text = new String(Files.readAllBytes(p), "UTF-8")
+        try run(text) catch { case _: Throwable => }
       }
-      System.err.println(f"[tpcds-time] $name min=${ts.min}%.3f mean=${ts.sum / ts.size}%.3f")
-      name -> ts.min
+
+      var failed = List.empty[String]
+      val times = files.map { p =>
+        val name = p.getFileName.toString.stripSuffix(".sql")
+        val text = new String(Files.readAllBytes(p), "UTF-8")
+        val ts = (1 to iters).map { _ =>
+          val t0 = System.nanoTime()
+          try run(text)
+          catch { case e: Throwable =>
+            if (!failed.contains(name)) failed ::= name
+            log(s"$name FAILED: ${Option(e.getMessage).getOrElse(e.toString).take(200)}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        log(f"$name min=${ts.min}%.3f mean=${ts.sum / ts.size}%.3f")
+        name -> ts.min
+      }
+      (times, failed)
+    } finally {
+      // Scratch warehouse: the isolated session dies with this call frame,
+      // but the files don't — reclaim them (the sf1 corpus is ~1.6 GB).
+      // Never let cleanup failure mask a successful run.
+      try TpcdsIngest.deleteRecursively(Paths.get(wh))
+      catch { case e: Exception => log(s"cleanup failed: ${e.getMessage}") }
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dataDir = Paths.get(args.headOption.getOrElse("fixtures/tpcds-sf0.01"))
+    val iters = args.lift(1).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val (times, failed) = runCorpus(spark, dataDir, iters, warmup = true,
+      partitioned = !sys.env.contains("GRAFT_TPCDS_UNPARTITIONED"),
+      log = m => System.err.println(s"[tpcds-time] $m"))
     val ok = times.filterNot { case (n, _) => failed.contains(n) }
     val qs = ok.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")

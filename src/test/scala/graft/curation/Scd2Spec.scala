@@ -120,6 +120,32 @@ class Scd2Spec extends SparkSpec {
     assert(broken == 0, "version intervals must partition time")
   }
 
+  test("skewed CDC batch: 90% of delta rows on ONE pk still yields a " +
+    "correct chain (the CurationBench skew cell's correctness anchor)") {
+    val store = setup()
+    // 1000 successive versions of hot pk "A" + a handful on other keys —
+    // the re-chain window sees one deep partition, the merge join one
+    // heavy key; results must match the batch-derived chain exactly.
+    val hot = (1 to 1000).map(i =>
+      ("A", i, f"2022-02-01 ${i / 3600}%02d:${(i / 60) % 60}%02d:${i % 60}%02d", "U"))
+    val cold = Seq(("B", 7, "2022-02-01 00:00:01", "U"),
+      ("ZZZ", 1, "2022-02-01 00:00:02", "U"))
+    Scd2.scd2Complex(store, "t", batch((hot ++ cold): _*))
+    val df = store.read("t")
+    // exactly one current row per pk, chain contiguous
+    assert(df.filter(col("is_current")).groupBy("pk").count()
+      .filter(col("count") =!= 1).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pk").orderBy("start_datetime")
+    assert(df.withColumn("next_start", lead(col("start_datetime"), 1).over(w))
+      .filter(col("next_start").isNotNull &&
+        col("end_datetime") =!= col("next_start")).count() == 0)
+    // hot key: bulk row + 1000 versions; current one is the max-ts version
+    assert(df.filter(col("pk") === "A").count() == 1001)
+    assert(df.filter(col("pk") === "A" && col("is_current"))
+      .select("qty").as[Int].head() == 1000)
+  }
+
   test("latestPerKey keeps exactly the newest row per key") {
     val df = Seq(
       (1, "2024-01-01 00:00:00", "old"),
