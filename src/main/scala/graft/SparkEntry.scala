@@ -691,10 +691,16 @@ object SparkEntry {
     "q08_window_rank" -> ((s, dir) => {
       val li = Tables.load(s, dir, "lineitem")
       val p = Tables.load(s, dir, "part")
-      val rev = li.join(p, col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_brand"), col("p_partkey"))
+      // Aggregate below the join: p_partkey is part's key, so grouping by
+      // (p_brand, p_partkey) ≡ grouping lineitem by l_partkey and
+      // attaching the brand afterwards — the join consumes |part|-sized
+      // input and the |lineitem|-sized join result is never re-shuffled
+      // (Catalyst has no aggregate-pushdown rule to find this itself).
+      val rev = li.groupBy(col("l_partkey"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
           .as("revenue"))
+        .join(p.select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
       val w = Window.partitionBy(col("p_brand"))
         .orderBy(col("revenue").desc, col("p_partkey"))
       // rank over the exact decimal; only the OUTPUT column is double.
