@@ -81,6 +81,19 @@ object Bench {
       // scale-safe by construction: at 100× data the partitions exceed
       // the bound and AQE leaves the sort-merge plan alone.
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "256m")
+      // 64 MB broadcast threshold (default 10 MB predates boxes like this
+      // one): a 2M-row projected dimension broadcasts and the fact side
+      // joins map-side with NO shuffle. Scale-safe by the same mechanism
+      // that makes the default safe — a dimension that outgrows the
+      // threshold at a bigger SF simply stops broadcasting.
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // The fixtures are one parquet file per table; default 128 MB splits
+      // leave a 1.3 GB lineitem scanning on 11 of 32 cores and a 112 MB
+      // events table on ONE. 32 MB splits spread single-file scans wide;
+      // on a real multi-file layout at scale the knob is simply neutral
+      // (files already outnumber cores).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SPLIT_BYTES", "33554432"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

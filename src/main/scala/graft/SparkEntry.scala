@@ -130,15 +130,23 @@ object SparkEntry {
       val c = Tables.load(s, dir, "customer")
       val n = Tables.load(s, dir, "nation")
       val r = Tables.load(s, dir, "region")
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
+      // Per-order partial aggregate BELOW the join: lineitem is clustered
+      // by orderkey so the map-side combine collapses ~4:1 pre-shuffle,
+      // and every join above consumes |orders|-sized input. Decimal sums
+      // re-associate exactly, so the two-level total is bit-identical.
+      val perOrder = l.groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("__rev"),
+          count(lit(1)).as("__n"))
+      perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          dsumd(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          sum(col("__rev")).cast(DecimalType(18, 4)).cast(DoubleType)
             .as("revenue"),
-          count(lit(1)).as("n_items"))
+          sum(col("__n")).as("n_items"))
         .orderBy(col("r_name"), col("n_name"))
     }),
 
@@ -538,12 +546,21 @@ object SparkEntry {
       // three flags". The naive 3-way intersect executes the orders ⋈
       // lineitem distinct once per channel; one conditional aggregate
       // computes set membership in a single pass — same rows, 3× less work,
-      // and the gap grows linearly with data.
-      val flagged = o.join(l, col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_returnflag").isin("R", "A", "N"))
+      // and the gap grows linearly with data. Flags fold per orderkey
+      // BELOW the join (lineitem is clustered by orderkey, so map-side
+      // combine collapses ~4:1 before the shuffle) and the join consumes
+      // |orders|-sized input instead of |lineitem|.
+      val perOrder = l.filter(col("l_returnflag").isin("R", "A", "N"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("fR"),
+          max(when(col("l_returnflag") === "A", 1).otherwise(0)).as("fA"),
+          max(when(col("l_returnflag") === "N", 1).otherwise(0)).as("fN"))
+      val flagged = o.join(perOrder, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey"))
-        .agg(countDistinct(col("l_returnflag")).as("__nf"))
-        .filter(col("__nf") === 3)
+        .agg(max(col("fR")).as("fR"), max(col("fA")).as("fA"),
+          max(col("fN")).as("fN"))
+        .filter(col("fR") === 1 && col("fA") === 1 && col("fN") === 1)
         .select(col("o_custkey"))
       flagged
         .join(c, col("c_custkey") === col("o_custkey"))
