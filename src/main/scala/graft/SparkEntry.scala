@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Merge, TableStore}
 import graft.curation.{Sampling, Scd2}
-import graft.ext.{Clustering, Contamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.ext.{Chunking, Clustering, Contamination, Dedup, Multimodal, Packing, Redaction, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1322,6 +1322,180 @@ object SparkEntry {
           sum(col("n_frames").cast(LongType)).as("total_frames"),
           sum(col("thumb_w").cast(LongType)).as("total_thumb_w"))
         .orderBy(col("kind"))
+    }),
+
+    // ext: PII detection + redaction — synthetic PII (email per doc, IPv4
+    // on even ids, dashed phone on ids %3=0, all derived from doc_id so
+    // the oracle can inject the identical text) counted and redacted in
+    // one codegen'd projection; `chars_removed` proves the replacement
+    // actually rewrote the text, `n_residual` proves idempotence (a tag
+    // never re-matches a pattern).
+    "q73_pii_redaction" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit(" call 555-867-5309"))
+          .otherwise(lit("")))
+      val red = Redaction.redact(pii)
+      docs.select(col("source"), pii.as("__t"), red.as("__r"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Redaction.emailCount(col("__t")).cast("long")).as("n_emails"),
+          sum(Redaction.ipv4Count(col("__t")).cast("long")).as("n_ips"),
+          sum(Redaction.phoneCount(col("__t")).cast("long")).as("n_phones"),
+          sum((length(col("__t")) - length(col("__r"))).cast("long"))
+            .as("chars_removed"),
+          sum((Redaction.emailCount(col("__r")) + Redaction.ipv4Count(col("__r"))
+            + Redaction.phoneCount(col("__r"))).cast("long")).as("n_residual"))
+        .orderBy(col("source"))
+    }),
+
+    // ext: URL/domain extraction — synthetic URLs injected from doc_id
+    // (sharded cdn domain per doc + a fixed host on ids %5=0), domains
+    // pulled by regex group and exploded, frequency per domain. The
+    // explode is a narrow op; the only shuffle is the domain agg.
+    "q74_url_domains" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val urled = concat(col("text"),
+        lit(" see https://cdn"), (col("doc_id") % 40).cast("string"),
+        lit(".example.org/p/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 5 === 0, lit(" and http://www.test-site.io/home"))
+          .otherwise(lit("")))
+      docs.select(col("doc_id"),
+          explode(Redaction.urlDomains(urled)).as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("domain"))
+    }),
+
+    // ext: overlapping-window chunking (240-char windows, stride 180) —
+    // per-doc chunk counts and exact char totals, grouped into a
+    // distribution so the result is small at any corpus size.
+    "q75_doc_chunking" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Chunking.chunkSummary(
+        Chunking.chunk(docs, "doc_id", "text", size = 240, stride = 180),
+        "doc_id")
+        .orderBy(col("n_chunks"))
+    }),
+
+    // Streaming first-occurrence dedup, oracle-anchored: a deterministic
+    // 10% slice of events replayed in event-time order as three
+    // micro-batches through the parquet file-stream source; each event is
+    // keyed (user_id, event_type, event-day) and
+    // dropDuplicatesWithinWatermark emits exactly the first occurrence
+    // per key — duplicates all share the key's day, so under the 48 h
+    // delay the result equals a batch DISTINCT (the state-eviction
+    // exactness window the operator documents). foreachBatch appends the
+    // emitted uniques to the versioned store; the final count per
+    // event_type must equal the batch oracle's COUNT(DISTINCT ...).
+    "q77_stream_dedup" -> ((s, dir) => {
+      val store = tmpStore(s)
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val replay = new FileReplay(s, ev.schema)
+      val keyed = replay.source
+        .withColumn("day", date_trunc("day", col("ts")))
+      val uniq = graft.streaming.CdcStream.dedupFirstWithinWatermark(
+        keyed, Seq("user_id", "event_type", "day"), "48 hours")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = uniq.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              val out = b.select(col("user_id"), col("event_type"), col("day"))
+              if (!store.exists("uniq")) store.commit("uniq", out, "create")
+              else store.append("uniq", out)
+            }
+            ()
+          }
+          .start()
+        try timeSlices(ev, "ts", 3).foreach(b => replay.feed(q, b))
+        finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      store.read("uniq")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Table format: sort-clustered rewrite (rewrite_data_files with a
+    // sort strategy) — ingest events hash-scattered so every file's
+    // [min,max] on `value` spans the whole domain (pruning can skip
+    // nothing), rewriteSorted on `value`, then prove the SAME stats-pruned
+    // range read now skips files: `files_pruned` must be true, and the
+    // aggregate must still match the plain SQL oracle exactly.
+    "q78_sorted_rewrite" -> ((s, dir) => {
+      val store = tmpStore(s)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      // Hash-scatter on event_id ⇒ each of the 8 files holds a uniform
+      // slice of `value` — the adversarial layout for range pruning.
+      store.commit("ev", ev.repartition(8, col("event_id")), "create")
+      val lo = 10.0
+      val hi = 20.0
+      val (beforeKept, beforeTotal) = store.prunedFileCount("ev", "value", lo, hi)
+      // Target ~8 sorted files at ANY scale factor (size-relative, not
+      // absolute — an absolute target degenerates to one file at small SF
+      // and thousands at large).
+      val totalBytes = store.manifests("ev").maxBy(_.version)
+        .files.map(_.sizeBytes).sum
+      store.rewriteSorted("ev", Seq("value"),
+        targetFileBytes = math.max(1L, totalBytes / 8))
+      val (afterKept, afterTotal) = store.prunedFileCount("ev", "value", lo, hi)
+      store.readWhere("ev", "value", lo, hi)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
+        .withColumn("files_pruned",
+          lit(beforeKept == beforeTotal && afterKept < afterTotal))
+        .orderBy(col("event_type"))
+    }),
+
+    // Table format: write-audit-publish — half the events commit normally;
+    // the other half is STAGED (invisible to readers, no version slot
+    // consumed), audited via readStaged, then published metadata-only.
+    // `staged_invisible` proves isolation (main still equals the first
+    // half while staged), and the final aggregate = the full table.
+    "q79_write_audit_publish" -> ((s, dir) => {
+      val store = tmpStore(s)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      store.commit("ev", ev.filter(col("event_id") % 2 === 0), "create")
+      val beforeRows = store.read("ev").count()
+      val id = store.stageAppend("ev", ev.filter(col("event_id") % 2 === 1))
+      // Audit: staged rows are exactly the odd half; main is unchanged.
+      val stagedRows = store.readStaged("ev", id).count()
+      val mainDuringStage = store.read("ev").count()
+      store.publishStaged("ev", id)
+      store.read("ev")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
+        .withColumn("staged_invisible",
+          lit(mainDuringStage == beforeRows && stagedRows > 0))
+        .orderBy(col("event_type"))
+    }),
+
+    // ext: deterministic corpus shuffle → 8 round-robin training shards;
+    // per-shard count plus an order-sensitive checksum (sum of
+    // shard_pos·doc_id) so the oracle verifies the exact permutation, not
+    // just the partition sizes.
+    "q76_corpus_shuffle" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      Sampling.deterministicShuffle(docs, "doc_id", numShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("shard_pos") * col("doc_id")).as("order_checksum"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -2272,6 +2446,104 @@ object SparkEntry {
         |    CASE WHEN doc_id % 3 = 0 THEN greatest(1, ((n_chars % 64) + 1) // 8)
         |      ELSE 0 END AS thumb_w
         |  FROM documents) t
-        |GROUP BY kind ORDER BY kind""".stripMargin
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // Same PII injection (from doc_id), same regexes — the patterns are
+    // written in the Java-regex ∩ RE2 common subset so both engines match
+    // identically; DuckDB needs the 'g' flag for replace-all.
+    "q73_pii_redaction" ->
+      """WITH p AS (
+        |  SELECT source,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      || CASE WHEN doc_id % 2 = 0
+        |           THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |                || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+        |      || CASE WHEN doc_id % 3 = 0 THEN ' call 555-867-5309' ELSE '' END AS t
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, t,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS rr
+        |  FROM p)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT) AS n_emails,
+        |  CAST(SUM(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) AS BIGINT) AS n_ips,
+        |  CAST(SUM(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b'))) AS BIGINT) AS n_phones,
+        |  CAST(SUM(length(t) - length(rr)) AS BIGINT) AS chars_removed,
+        |  CAST(SUM(len(regexp_extract_all(rr, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(rr, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |     + len(regexp_extract_all(rr, '\b\d{3}-\d{3}-\d{4}\b'))) AS BIGINT) AS n_residual
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    // Same URL injection; domains = regex group 1 of every match.
+    "q74_url_domains" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' see https://cdn' || CAST(doc_id % 40 AS VARCHAR)
+        |      || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+        |      || CASE WHEN doc_id % 5 = 0
+        |           THEN ' and http://www.test-site.io/home' ELSE '' END AS t
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+        |  FROM p)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // Chunk starts 0, 180, 360, … below max(len,1); chunk = 240-char
+    // substring; distribution over per-doc chunk counts.
+    "q75_doc_chunking" ->
+      """WITH starts AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, greatest(length(text), 1), 180)) AS s
+        |  FROM documents),
+        |per_doc AS (
+        |  SELECT doc_id, COUNT(*) AS n_chunks,
+        |    SUM(length(substring(text, CAST(s + 1 AS INT), 240))) AS doc_chunk_chars
+        |  FROM starts GROUP BY doc_id)
+        |SELECT n_chunks, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(doc_chunk_chars) AS BIGINT) AS total_chunk_chars
+        |FROM per_doc GROUP BY n_chunks ORDER BY n_chunks""".stripMargin,
+
+    // Batch DISTINCT over the same keys the stream dedups on — exactness
+    // holds because every duplicate of a (user, type, day) key arrives
+    // within the 48 h watermark delay of its first occurrence.
+    "q77_stream_dedup" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique
+        |FROM (SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS d
+        |      FROM events WHERE event_id % 10 = 0) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The rewrite only relocates rows across files — the range read's
+    // result must equal the plain filter.
+    "q78_sorted_rewrite" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS files_pruned
+        |FROM events WHERE value >= 10.0 AND value <= 20.0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Stage + publish of the odd half on top of the even half = the whole
+    // table.
+    "q79_write_audit_publish" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS staged_invisible
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Global md5(doc_id) rank → round-robin shard + within-shard position;
+    // the checksum pins the exact permutation.
+    "q76_corpus_shuffle" ->
+      """WITH ranked AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+        |  FROM documents)
+        |SELECT CAST(pos % 8 AS INT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM((pos // 8) * doc_id) AS BIGINT) AS order_checksum
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

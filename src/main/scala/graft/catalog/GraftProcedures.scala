@@ -21,11 +21,14 @@ object GraftProcedures {
       case "expire_snapshots" => Some(expireSnapshots(store))
       case "rollback_to_version" => Some(rollbackToVersion(store))
       case "remove_orphan_files" => Some(removeOrphanFiles(store))
+      case "rewrite_sorted" => Some(rewriteSorted(store))
+      case "publish_staged" => Some(publishStaged(store))
       case _ => None
     }
 
   val names: Seq[String] =
-    Seq("compact", "expire_snapshots", "rollback_to_version", "remove_orphan_files")
+    Seq("compact", "expire_snapshots", "rollback_to_version",
+      "remove_orphan_files", "rewrite_sorted", "publish_staged")
 
   private def result(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
     java.util.Collections.singletonList[Scan](new LocalScan {
@@ -103,6 +106,58 @@ object GraftProcedures {
         result(
           StructType(Seq(StructField("orphans_removed", LongType))),
           new GenericInternalRow(Array[Any](removed.size.toLong)))
+      }
+    }
+  }
+
+  private def rewriteSorted(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "rewrite_sorted"
+    override def description(): String =
+      "rewrite the current snapshot range-clustered + sorted on columns so stat pruning skips files"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "rewrite_sorted"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("sort_columns", StringType).build(), // comma-separated
+        ProcedureParameter.in("target_file_bytes", LongType)
+          .defaultValue("134217728").build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val cols = input.getUTF8String(1).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val target = input.getLong(2)
+        val s = store
+        val before = s.manifests(table).maxBy(_.version).files.size.toLong
+        val v = s.rewriteSorted(table, cols, target)
+        val after = s.manifests(table).maxBy(_.version).files.size.toLong
+        result(
+          StructType(Seq(StructField("version", LongType),
+            StructField("files_before", LongType), StructField("files_after", LongType))),
+          new GenericInternalRow(Array[Any](v, before, after)))
+      }
+    }
+  }
+
+  private def publishStaged(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "publish_staged"
+    override def description(): String =
+      "publish a write-audit-publish staged snapshot (metadata-only fast-append cherry-pick)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "publish_staged"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("stage_id", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val stageId = input.getUTF8String(1).toString
+        val v = store.publishStaged(table, stageId)
+        result(
+          StructType(Seq(StructField("published_version", LongType))),
+          new GenericInternalRow(Array[Any](v)))
       }
     }
   }

@@ -130,54 +130,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val v = currentVersion(table) + 1
     val newEntries = newData match {
       case Some(df) =>
-        val dataDir = versionDir(table, v)
-        // Write timestamps as TIMESTAMP_MICROS *for store files only*:
-        // INT96 (Spark's session default) has no orderable footer stats.
-        // Scoped set-and-restore so the session's own writes are untouched.
-        val key = "spark.sql.parquet.outputTimestampType"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, "TIMESTAMP_MICROS")
-        try {
-          val bloomOpts = bloomColumns
-            .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
-          if (partitionBy.isEmpty)
-            df.write.mode("overwrite").options(bloomOpts).parquet(dataDir.toString)
-          else {
-            // duplicate the partition cols so the data files keep them
-            val withDirs = partitionBy.foldLeft(df)((d, c) =>
-              d.withColumn(s"__p_$c", col(c)))
-            withDirs.write.mode("overwrite").options(bloomOpts)
-              .partitionBy(partitionBy.map(c => s"__p_$c"): _*)
-              .parquet(dataDir.toString)
-          }
-        } finally prev match {
-          case Some(p) => spark.conf.set(key, p)
-          case None => spark.conf.unset(key)
-        }
-        // Partition-directory values are only foldable into min=max stats
-        // when the path rendering round-trips through the comparison domain.
-        // Timestamps do NOT (path "2024-01-01 00:00:00" vs literal
-        // ".0"-suffixed toString — utf8Cmp would prune every file of the
-        // matching partition); decimals are ambiguous ("1.5" vs "1.50").
-        // Those kinds yield None: the partition value is still recorded in
-        // `partitionValues`, just never used for stat pruning.
-        val kinds: Map[String, Option[String]] =
-          newData.map(d => statKindsOf(d.schema)).getOrElse(Map.empty)
-        val f = fs(dataDir)
-        val qualified = f.makeQualified(dataDir).toString
-        harvestInParallel(listPartFiles(dataDir, f)) { s =>
-          val rel = f.makeQualified(s.getPath).toString.stripPrefix(qualified)
-            .stripPrefix("/")
-          val pvals = partitionValuesOf(rel)
-          val (rows, stats) = footerStats(s.getPath)
-          // partition value = exact min=max stat for every pruning path
-          val pstats = pvals.flatMap {
-            case (c, pv) if pv != "__HIVE_DEFAULT_PARTITION__" =>
-              kinds.get(c).flatten.map(k => c -> ColStats(pv, pv, k))
-            case _ => None
-          }
-          FileEntry(s"v=$v/$rel", s.getLen, rows, stats ++ pstats, pvals)
-        }
+        writeDataFiles(versionDir(table, v), s"v=$v", df, partitionBy, bloomColumns)
       case None => Seq.empty
     }
     val files = keptFiles ++ newEntries
@@ -192,6 +145,60 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       droppedColumnsCarry(table, keptFiles)))
     swapPointer(table, v)
     v
+  }
+
+  /** Write `df`'s parquet files under `dataDir` and harvest their manifest
+    * entries (paths prefixed `relPrefix/…`, table-relative). Extracted from
+    * [[commitFiles]] so staged (write-audit-publish) snapshots share the
+    * exact write + footer-stat path of published ones. */
+  private def writeDataFiles(dataDir: Path, relPrefix: String, df: DataFrame,
+      partitionBy: Seq[String], bloomColumns: Seq[String]): Seq[FileEntry] = {
+    // Write timestamps as TIMESTAMP_MICROS *for store files only*:
+    // INT96 (Spark's session default) has no orderable footer stats.
+    // Scoped set-and-restore so the session's own writes are untouched.
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try {
+      val bloomOpts = bloomColumns
+        .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+      if (partitionBy.isEmpty)
+        df.write.mode("overwrite").options(bloomOpts).parquet(dataDir.toString)
+      else {
+        // duplicate the partition cols so the data files keep them
+        val withDirs = partitionBy.foldLeft(df)((d, c) =>
+          d.withColumn(s"__p_$c", col(c)))
+        withDirs.write.mode("overwrite").options(bloomOpts)
+          .partitionBy(partitionBy.map(c => s"__p_$c"): _*)
+          .parquet(dataDir.toString)
+      }
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+    // Partition-directory values are only foldable into min=max stats
+    // when the path rendering round-trips through the comparison domain.
+    // Timestamps do NOT (path "2024-01-01 00:00:00" vs literal
+    // ".0"-suffixed toString — utf8Cmp would prune every file of the
+    // matching partition); decimals are ambiguous ("1.5" vs "1.50").
+    // Those kinds yield None: the partition value is still recorded in
+    // `partitionValues`, just never used for stat pruning.
+    val kinds: Map[String, Option[String]] = statKindsOf(df.schema)
+    val f = fs(dataDir)
+    val qualified = f.makeQualified(dataDir).toString
+    harvestInParallel(listPartFiles(dataDir, f)) { s =>
+      val rel = f.makeQualified(s.getPath).toString.stripPrefix(qualified)
+        .stripPrefix("/")
+      val pvals = partitionValuesOf(rel)
+      val (rows, stats) = footerStats(s.getPath)
+      // partition value = exact min=max stat for every pruning path
+      val pstats = pvals.flatMap {
+        case (c, pv) if pv != "__HIVE_DEFAULT_PARTITION__" =>
+          kinds.get(c).flatten.map(k => c -> ColStats(pv, pv, k))
+        case _ => None
+      }
+      FileEntry(s"$relPrefix/$rel", s.getLen, rows, stats ++ pstats, pvals)
+    }
   }
 
   /** The dropped-column tombstones of the prior snapshot must survive any
@@ -805,6 +812,129 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     commit(table, packed, "compact")
   }
 
+  /** Sort-clustered rewrite (Iceberg's `rewrite_data_files` with a sort
+    * strategy): rewrite the current snapshot range-partitioned AND sorted
+    * on `sortCols`, so per-file [min,max] ranges on the leading sort
+    * column become (near-)disjoint and every stats-pruned path —
+    * [[readWhere]], MERGE planning, runtime IN-list pruning — skips all
+    * but the files that actually hold the range. The write is one range
+    * shuffle + local sort (the same cost shape as a global `orderBy`
+    * write); on an append-heavy table this is the periodic maintenance
+    * action that restores data-skipping after many interleaved appends,
+    * exactly as in Iceberg. `repartitionByRange` samples the sort key, so
+    * file boundaries adapt to skew (a hot key gets its own files instead
+    * of widening every file's range). */
+  def rewriteSorted(table: String, sortCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    require(sortCols.nonEmpty, "rewriteSorted needs at least one sort column")
+    val m = manifests(table).maxBy(_.version)
+    val totalBytes = m.files.map(_.sizeBytes).sum
+    val want = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val cols = sortCols.map(col)
+    val sorted = read(table)
+      .repartitionByRange(want, cols: _*)
+      .sortWithinPartitions(cols: _*)
+    commit(table, sorted, "rewrite_sorted")
+  }
+
+  // ------------------------------------------------- write-audit-publish
+
+  /** Stage an append as an UNPUBLISHED candidate snapshot (Iceberg's
+    * write-audit-publish pattern): the data files are written and
+    * footer-stats harvested exactly like a real append, but into a
+    * `stage-<id>/` directory with a side manifest under `_staged/` —
+    * readers of the table see nothing, `_current` does not move, and no
+    * version slot is consumed (a staged snapshot can never block or leak
+    * into the main lineage). The auditor reads it back with
+    * [[readStaged]], then [[publishStaged]] folds it into the table as a
+    * normal optimistic commit — or [[abandonStaged]] deletes it.
+    * Returns the stage id. */
+  def stageAppend(table: String, df: DataFrame): String = {
+    require(exists(table), s"stageAppend: table $table does not exist")
+    val m = manifests(table).maxBy(_.version)
+    val existing = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val aligned = df.select(existing.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val entries = writeDataFiles(new Path(tableDir(table), s"stage-$id"),
+      s"stage-$id", aligned, m.partitionBy, Seq.empty)
+    // The staged manifest reuses the snapshot JSON shape (version 0 =
+    // "not a version") and records ONLY the new entries: publish composes
+    // them with whatever the table's files are AT PUBLISH time, so an
+    // append-shaped stage stays publishable even if main advanced
+    // (Iceberg fast-append cherry-pick semantics).
+    writeManifestAt(stagedPath(table, id), Manifest(0L,
+      System.currentTimeMillis(), "wap_stage",
+      entries.map(_.rowCount).sum, entries, m.schemaJson, m.partitionBy,
+      Seq.empty))
+    id
+  }
+
+  private def stagedPath(table: String, id: String): Path =
+    new Path(new Path(tableDir(table), "_staged"), s"$id.json")
+
+  private def stagedManifest(table: String, id: String): Manifest = {
+    val p = stagedPath(table, id)
+    val f = fs(p)
+    require(f.exists(p), s"table $table has no staged snapshot $id")
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    parseManifest(txt)
+  }
+
+  /** Audit read: the staged rows only (what the candidate ADDS). */
+  def readStaged(table: String, stageId: String): DataFrame =
+    readManifest(table, stagedManifest(table, stageId))
+
+  /** Publish a staged snapshot: commit current-files ∪ staged-files as the
+    * next version. Append-shaped, so an optimistic-commit conflict retries
+    * against the advanced snapshot like [[append]]. The staged side
+    * manifest is removed on success; the data files are referenced
+    * in place (metadata-only publish — no byte of data moves). Publishing
+    * is refused if the table's schema changed since the stage was written
+    * (the staged files were aligned to the old schema — re-stage). */
+  def publishStaged(table: String, stageId: String): Long = {
+    val st = stagedManifest(table, stageId)
+    var attempt = 0
+    while (true) {
+      val m = manifests(table).maxBy(_.version)
+      require(m.schemaJson == st.schemaJson,
+        s"table $table schema changed since stage $stageId was written; " +
+          "abandon and re-stage")
+      try {
+        val v = commitFiles(table, m.files ++ st.files, None, "wap_publish")
+        fs(stagedPath(table, stageId)).delete(stagedPath(table, stageId), false)
+        return v
+      } catch {
+        case _: TableStore.CommitConflictException if attempt < 3 =>
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Drop a staged snapshot: delete its side manifest and data files. */
+  def abandonStaged(table: String, stageId: String): Unit = {
+    val p = stagedPath(table, stageId)
+    val f = fs(p)
+    if (f.exists(p)) { f.delete(p, false); () }
+    val dir = new Path(tableDir(table), s"stage-$stageId")
+    if (f.exists(dir)) { f.delete(dir, true); () }
+  }
+
+  /** Staged snapshot ids currently on disk (audit inbox). */
+  def stagedIds(table: String): Seq[String] = {
+    val dir = new Path(tableDir(table), "_staged")
+    val f = fs(dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.endsWith(".json") => n.stripSuffix(".json") }
+      .toSeq.sorted
+  }
+
   /** DROP TABLE incl. file cleanup (A17 —
     * reference/src/data_curation/glue_jobs/pyspark_functions.py:348-355). */
   def drop(table: String): Unit = {
@@ -847,6 +977,10 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val f = fs(dir)
     if (!f.exists(dir)) return Seq.empty
     val referenced = manifests(table).flatMap(_.files.map(_.path)).toSet
+    // Live write-audit-publish stages keep their files: a stage-<id>/ file
+    // is an orphan only once its _staged/<id>.json side manifest is gone
+    // (crashed before the manifest landed, or abandoned mid-delete).
+    val liveStages = stagedIds(table).map(id => s"stage-$id").toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val base = f.getFileStatus(dir).getPath.toUri.getPath.stripSuffix("/")
     val deleted = ArrayBuffer[String]()
@@ -854,8 +988,11 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     while (it.hasNext) {
       val s = it.next()
       val rel = s.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/")
-      if (rel.startsWith("v=") && !referenced.contains(rel) &&
-          s.getModificationTime < cutoff) {
+      val versionOrphan = rel.startsWith("v=") && !referenced.contains(rel)
+      val stageOrphan = rel.startsWith("stage-") &&
+        !liveStages.exists(st => rel.startsWith(st + "/")) &&
+        !referenced.contains(rel)
+      if ((versionOrphan || stageOrphan) && s.getModificationTime < cutoff) {
         f.delete(s.getPath, false)
         deleted += rel
       }
@@ -926,7 +1063,10 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       case c => c.toString
     } + "\""
 
-  private def writeManifest(table: String, m: Manifest): Unit = {
+  private def writeManifest(table: String, m: Manifest): Unit =
+    writeManifestAt(manifestPath(table, m.version), m)
+
+  private def writeManifestAt(dest: Path, m: Manifest): Unit = {
     val filesJson = m.files.map { fe =>
       val statsJson = fe.stats.toSeq.sortBy(_._1).map { case (c, s) =>
         s"""${jsonStr(c)}:{"min":${jsonStr(s.min)},"max":${jsonStr(s.max)},"kind":${jsonStr(s.kind)}}"""
@@ -949,7 +1089,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       s"""{"version":${m.version},"timestampMs":${m.timestampMs},
          |"operation":${jsonStr(m.operation)},"rowCount":${m.rowCount},
          |"files":$filesJson,"schemaJson":${jsonStr(m.schemaJson)}$specJson$droppedJson}""".stripMargin
-    atomicWriteExclusive(manifestPath(table, m.version), json)
+    atomicWriteExclusive(dest, json)
   }
 
   /** Advance `_current` to `v`, never backwards: manifest creation is

@@ -41,6 +41,36 @@ object Sampling {
   def byKeyHash(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(keyHashByte(col(keyCol)) < math.floor(fraction * 256).toInt)
 
+  /** Deterministic corpus shuffle + round-robin sharding — the "global
+    * shuffle" trainers want before writing training shards: every row gets
+    * a global position in md5(key) order (reproducible across engines,
+    * partitionings, and retries — unlike `orderBy(rand(seed))`, whose
+    * result depends on partitioning), then shard `pos % numShards` at
+    * within-shard position `pos div numShards`, so consecutive corpus
+    * neighbors land in different shards and every shard is a uniform
+    * stratum of the corpus.
+    *
+    * Scale design: the global position is [[graft.ext.Packing]]'s two-pass
+    * distributed prefix sum over a unit weight (bucket by an md5 prefix of
+    * the order key itself → intra-bucket running counts at full
+    * parallelism → broadcast tiny per-bucket offsets) — NOT a global-order
+    * window, which would funnel 100 TB through one task. One scan, one
+    * hash shuffle, no sampling pass.
+    *
+    * Output: input columns plus `shard` and `shard_pos`. */
+  def deterministicShuffle(df: DataFrame, keyCol: String, numShards: Int)
+      : DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val pos = graft.ext.Packing.contiguousFill(
+      df.select(col(keyCol), lit(1L).as("__one")),
+      keyCol, "__one", budgetTokens = 1L)
+      .select(col(keyCol), col("offset").as("__pos"))
+    df.join(pos, Seq(keyCol))
+      .withColumn("shard", (col("__pos") % numShards).cast("int"))
+      .withColumn("shard_pos", expr(s"__pos div $numShards"))
+      .drop("__pos")
+  }
+
   /** Stratified fixed-size sample: up to `k` rows per stratum, chosen by
     * md5(key) order (ties broken by the key itself) — a deterministic,
     * partitioning-independent per-group reservoir. The hash order makes

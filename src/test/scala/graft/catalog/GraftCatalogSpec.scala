@@ -214,6 +214,40 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL rewrite_sorted clusters files so SQL range scans prune") {
+    withCatalog { (store, cat) =>
+      store.commit("t",
+        (1L to 4000L).toDF("id")
+          .withColumn("g", org.apache.spark.sql.functions.md5($"id".cast("string")))
+          .repartition(8, $"g"), "create")
+      val (k0, t0) = store.prunedFileCount("t", "id", 100L, 200L)
+      assert(k0 == t0, "scattered layout should not prune")
+      val bytes = store.manifests("t").maxBy(_.version).files.map(_.sizeBytes).sum
+      val res = spark.sql(
+        s"CALL $cat.system.rewrite_sorted(`table` => 't', sort_columns => 'id', " +
+          s"target_file_bytes => ${math.max(1L, bytes / 8)})")
+        .as[(Long, Long, Long)].head()
+      assert(res._1 == 2L && res._2 == 8L && res._3 > 1L)
+      val (k1, t1) = store.prunedFileCount("t", "id", 100L, 200L)
+      assert(k1 < t1, s"sorted layout must prune ($k1/$t1)")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t WHERE id BETWEEN 100 AND 200")
+        .as[Long].head() == 101L)
+    }
+  }
+
+  test("CALL publish_staged folds a staged snapshot into the table via SQL") {
+    withCatalog { (store, cat) =>
+      store.commit("t", Seq((1L, "a")).toDF("id", "s"), "create")
+      val id = store.stageAppend("t", Seq((2L, "b")).toDF("id", "s"))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").as[Long].head() == 1L)
+      val v = spark.sql(
+        s"CALL $cat.system.publish_staged(`table` => 't', stage_id => '$id')")
+        .as[Long].head()
+      assert(v == 2L)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").as[Long].head() == 2L)
+    }
+  }
+
   test("CALL remove_orphan_files deletes unreferenced data files via SQL") {
     withCatalog { (store, cat) =>
       store.commit("t", Seq((1L, "a")).toDF("id", "s"), "create")

@@ -366,4 +366,78 @@ class TableStoreSpec extends SparkSpec {
       Seq(java.sql.Date.valueOf("2030-06-06")).toDF("day"))
     assert(hitNone.isEmpty && untouchedNone.size == 2)
   }
+
+  test("rewriteSorted makes range pruning effective; content unchanged") {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark, tmpDir("ts"))
+    // hash-scatter: every file spans the whole id domain → nothing prunes
+    val df = (1L to 4000L).toDF("id")
+      .withColumn("payload", org.apache.spark.sql.functions.md5(col("id").cast("string")))
+    store.commit("t", df.repartition(8, col("payload")), "create")
+    val (kept0, total0) = store.prunedFileCount("t", "id", 100L, 200L)
+    assert(kept0 == total0 && total0 == 8, s"scattered layout must not prune ($kept0/$total0)")
+    val bytes = store.manifests("t").maxBy(_.version).files.map(_.sizeBytes).sum
+    store.rewriteSorted("t", Seq("id"), targetFileBytes = math.max(1L, bytes / 8))
+    val (kept1, total1) = store.prunedFileCount("t", "id", 100L, 200L)
+    assert(total1 > 1 && kept1 < total1,
+      s"sorted layout must prune: kept=$kept1 of $total1")
+    // content identical, range read exact
+    assert(store.read("t").count() == 4000L)
+    assert(store.readWhere("t", "id", 100L, 200L).count() == 101L)
+    assert(store.manifests("t").maxBy(_.version).operation == "rewrite_sorted")
+  }
+
+  test("write-audit-publish: staged rows invisible until published; audit + abandon work") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", Seq((1L, "a"), (2L, "b")).toDF("id", "s"), "create")
+    val v1 = store.currentVersion("t")
+    val id = store.stageAppend("t", Seq((3L, "c"), (4L, "d")).toDF("id", "s"))
+    // isolation: readers see nothing, no version slot consumed
+    assert(store.read("t").count() == 2)
+    assert(store.currentVersion("t") == v1)
+    assert(store.stagedIds("t") == Seq(id))
+    // audit: the staged candidate is exactly what was written
+    assert(store.readStaged("t", id).as[(Long, String)].collect().sorted.toSeq
+      == Seq((3L, "c"), (4L, "d")))
+    // a concurrent append between stage and publish must survive publish
+    store.append("t", Seq((5L, "e")).toDF("id", "s"))
+    val v = store.publishStaged("t", id)
+    assert(v == store.currentVersion("t"))
+    assert(store.read("t").as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+    assert(store.stagedIds("t").isEmpty, "published stage manifest is removed")
+    // time travel to the pre-publish version still excludes staged rows
+    assert(store.readVersion("t", v - 1).count() == 3)
+
+    // abandon: files + side manifest gone, table untouched
+    val id2 = store.stageAppend("t", Seq((9L, "z")).toDF("id", "s"))
+    store.abandonStaged("t", id2)
+    assert(store.stagedIds("t").isEmpty)
+    assert(store.read("t").count() == 5)
+    // crashed stage (files but no side manifest) is collected as orphan,
+    // while published stage files (referenced by a live manifest) survive
+    val f = new org.apache.hadoop.fs.Path(store.warehouse + "/t/stage-dead/part-x.parquet")
+    val out = f.getFileSystem(spark.sparkContext.hadoopConfiguration).create(f)
+    out.write(Array[Byte](1)); out.close()
+    val deleted = store.removeOrphanFiles("t", olderThanMs = -1000)
+    assert(deleted.exists(_.startsWith("stage-dead/")), s"dead stage not collected: $deleted")
+    assert(store.read("t").count() == 5, "published stage files must survive orphan GC")
+  }
+
+  test("publishStaged refuses after schema change; re-stage required") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", Seq((1L, "a")).toDF("id", "s"), "create")
+    val id = store.stageAppend("t", Seq((2L, "b")).toDF("id", "s"))
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.DataType.fromJson(
+        store.manifests("t").maxBy(_.version).schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fields :+
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.StringType))
+    store.evolveSchema("t", schema.json)
+    intercept[IllegalArgumentException] {
+      store.publishStaged("t", id)
+    }
+    store.abandonStaged("t", id)
+  }
 }

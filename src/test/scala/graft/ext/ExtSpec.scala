@@ -310,4 +310,69 @@ class ExtSpec extends SparkSpec {
       .rdd.getNumPartitions
     assert(parts >= 1 && parts <= docs.count())
   }
+
+  test("redact replaces every PII occurrence, is idempotent, counts match") {
+    val df = Seq(
+      (1L, "mail a.b@x.io and c@y.org, ip 10.1.2.3, call 555-123-4567"),
+      (2L, "clean text, version 1.2 dots 1.2.3 are not ips"),
+      (3L, "edge: 999.999.999.999 still redacts (syntactic), 12-34-5678 not a phone")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      Redaction.emailCount(col("text")).as("e"),
+      Redaction.ipv4Count(col("text")).as("i"),
+      Redaction.phoneCount(col("text")).as("p"),
+      Redaction.redact(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(1L)._4 == "mail [EMAIL] and [EMAIL], ip [IP], call [PHONE]")
+    assert(out(2L) == ((0, 0, 0, "clean text, version 1.2 dots 1.2.3 are not ips")))
+    assert(out(3L)._2 == 1 && out(3L)._3 == 0)
+    // Idempotence: redacting redacted text is a no-op.
+    val twice = df.select(Redaction.redact(Redaction.redact(col("text"))).as("r2"),
+      Redaction.redact(col("text")).as("r1"))
+      .filter(col("r1") =!= col("r2")).count()
+    assert(twice == 0)
+  }
+
+  test("urlDomains extracts every host, in order, duplicates kept") {
+    val df = Seq(
+      (1L, "see https://a.example.com/x and http://b.io then https://a.example.com again"),
+      (2L, "no urls here")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Redaction.urlDomains(col("text")).as("d"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("a.example.com", "b.io", "a.example.com"))
+    assert(got(2L) == Seq.empty)
+  }
+
+  test("chunk covers the text with the declared overlap; empty docs survive") {
+    val text = "x" * 500 // starts 0,180,360 → chunks 240,240,140
+    val df = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
+    val rows = Chunking.chunk(df, "doc_id", "text", size = 240, stride = 180)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+      .as[(Long, Int, String)].collect().toSeq.sorted
+    assert(rows.map(_._1).count(_ == 1L) == 3)
+    assert(rows.filter(_._1 == 1L).map(_._3.length) == Seq(240, 240, 140))
+    // overlap: chunk k's first (size-stride) chars == chunk k-1's last
+    val c = rows.filter(_._1 == 1L).map(_._3)
+    assert(c(0).takeRight(60) == c(1).take(60))
+    assert(rows.filter(_._1 == 2L) == Seq((2L, 0, ""))) // empty doc → one empty chunk
+  }
+
+  test("deterministicShuffle is a permutation: balanced shards, stable across partitionings") {
+    val df = docs.select(col("doc_id"))
+    val a = graft.curation.Sampling.deterministicShuffle(df, "doc_id", 8)
+      .select("doc_id", "shard", "shard_pos").as[(Long, Int, Long)].collect().toSet
+    val b = graft.curation.Sampling.deterministicShuffle(df.repartition(13), "doc_id", 8)
+      .select("doc_id", "shard", "shard_pos").as[(Long, Int, Long)].collect().toSet
+    assert(a == b, "shard assignment must not depend on input partitioning")
+    val n = df.count()
+    val sizes = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.values.max - sizes.values.min <= 1, s"round-robin must balance: $sizes")
+    // positions within each shard are 0..size-1 (a true permutation)
+    sizes.foreach { case (sh, sz) =>
+      assert(a.filter(_._2 == sh).map(_._3).toSeq.sorted == (0L until sz).toSeq)
+    }
+    assert(a.size == n)
+  }
 }
