@@ -1485,6 +1485,89 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Table format: z-order rewrite — events hash-scattered (no pruning on
+    // any column), clustered on the z-curve of (user_id, value), then the
+    // SAME stats-pruned reads on EACH dimension must skip files while
+    // matching the SQL oracle exactly (a lexicographic sort would pass
+    // only its leading column).
+    "q81_zorder_rewrite" -> ((s, dir) => {
+      val store = tmpStore(s)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      store.commit("ev", ev.repartition(8, col("event_id")), "create")
+      val uHi = 50L
+      val (ku0, t0) = store.prunedFileCount("ev", "user_id", 0L, uHi)
+      val (kv0, _) = store.prunedFileCount("ev", "value", 10.0, 20.0)
+      val totalBytes = store.manifests("ev").maxBy(_.version)
+        .files.map(_.sizeBytes).sum
+      store.rewriteZOrder("ev", Seq("user_id", "value"), bitsPerCol = 8,
+        targetFileBytes = math.max(1L, totalBytes / 16))
+      val (ku1, t1) = store.prunedFileCount("ev", "user_id", 0L, uHi)
+      val (kv1, _) = store.prunedFileCount("ev", "value", 10.0, 20.0)
+      val byUser = store.readWhere("ev", "user_id", 0L, uHi)
+        .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
+        .withColumn("dim", lit("user_id"))
+      val byValue = store.readWhere("ev", "value", 10.0, 20.0)
+        .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
+        .withColumn("dim", lit("value"))
+      byUser.unionByName(byValue)
+        .withColumn("files_pruned",
+          lit(ku0 == t0 && kv0 == t0 && ku1 < t1 && kv1 < t1))
+        .select(col("dim"), col("n"), col("total_value"), col("files_pruned"))
+        .orderBy(col("dim"))
+    }),
+
+    // Table format: named snapshot tags — a third of events is committed
+    // and tagged as a dataset release, the rest appended after; snapshot
+    // expiry then drops every untagged old version. The tagged snapshot
+    // must stay byte-identical forever (expiry retains tag targets, as in
+    // Iceberg) while `current` reflects all appends — the reproducibility
+    // contract a training-data release needs.
+    "q80_snapshot_tags" -> ((s, dir) => {
+      val store = tmpStore(s)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      store.commit("ev", ev.filter(col("event_id") % 3 === 0), "create")
+      store.createTag("ev", "train-v1", store.currentVersion("ev"))
+      store.append("ev", ev.filter(col("event_id") % 3 === 1))
+      store.append("ev", ev.filter(col("event_id") % 3 === 2))
+      store.expireSnapshots("ev", keepLast = 1)
+      val tagged = store.readTag("ev", "train-v1")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
+        .withColumn("snapshot", lit("train-v1"))
+      val current = store.read("ev")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
+        .withColumn("snapshot", lit("current"))
+      tagged.unionByName(current)
+        .select(col("snapshot"), col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("snapshot"), col("event_type"))
+    }),
+
+    // ext: int8-quantized ANN — top-k in the compressed domain (cosine is
+    // scale-invariant, so ranking needs only the int8 codes; the corpus
+    // side streams 4× fewer bytes than float32). The oracle re-derives
+    // the identical integer codes and ranking; recall vs the float top-k
+    // is reported alongside (exact integers, not a float compare).
+    "q82_quantized_topk" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") % 100 === 0)
+      val qtop = Similarity.quantizedTopK(e, queries, k = 10)
+        .select(col("query_id"), col("rk"), col("vec_id"))
+      val ftop = Similarity.bruteForceTopK(e, queries, k = 10)
+        .select(col("query_id"), col("vec_id").as("__fv"))
+      // recall@10 numerator per query: |quantized ∩ float| (exact ints)
+      val hits = qtop.join(ftop,
+          qtop("query_id") === ftop("query_id") && qtop("vec_id") === ftop("__fv"))
+        .groupBy(qtop("query_id").as("qid"))
+        .agg(count(lit(1)).as("n_hits"))
+      qtop.join(hits, qtop("query_id") === hits("qid"), "left")
+        .select(col("query_id"), col("rk"), col("vec_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // ext: deterministic corpus shuffle → 8 round-robin training shards;
     // per-shard count plus an order-sensitive checksum (sum of
     // shard_pos·doc_id) so the oracle verifies the exact permutation, not
@@ -2534,6 +2617,75 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  true AS staged_invisible
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Bit-identical replay of the int8 quantization (floor round-half-up,
+    // same MIN_NORMAL guard), integer-dot cosine ranking, and float-top-k
+    // recall join.
+    "q82_quantized_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |        greatest(list_max(list_transform(e, x -> abs(x))),
+        |                 2.2250738585072014e-308) AS sc
+        |      FROM v),
+        |qz AS (SELECT vec_id, list_transform(e, x -> floor(x * 127.0 / sc + 0.5)) AS c
+        |       FROM s),
+        |qq AS (SELECT vec_id AS qid, c AS qc FROM qz WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT qq.qid AS query_id, qz.vec_id,
+        |    CASE WHEN list_inner_product(qq.qc, qq.qc) = 0
+        |           OR list_inner_product(qz.c, qz.c) = 0 THEN -2.0
+        |         ELSE list_inner_product(qq.qc, qz.c)
+        |           / (sqrt(list_inner_product(qq.qc, qq.qc))
+        |              * sqrt(list_inner_product(qz.c, qz.c)))
+        |    END AS qsim
+        |  FROM qq, qz WHERE qz.vec_id <> qq.qid),
+        |qtop AS (
+        |  SELECT query_id, rk, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY qsim DESC, vec_id) AS BIGINT) AS rk
+        |    FROM scored) t WHERE rk <= 10),
+        |ftop AS (
+        |  SELECT qid AS query_id, vec_id FROM (
+        |    SELECT q.vec_id AS qid, c.vec_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(q.e, c.e) DESC, c.vec_id) AS rk
+        |    FROM (SELECT * FROM v WHERE vec_id % 100 = 0) q, v c
+        |    WHERE c.vec_id <> q.vec_id) t WHERE rk <= 10),
+        |hits AS (SELECT qtop.query_id AS hq, COUNT(*) AS n_hits
+        |         FROM qtop JOIN ftop ON qtop.query_id = ftop.query_id
+        |                            AND qtop.vec_id = ftop.vec_id
+        |         GROUP BY qtop.query_id)
+        |SELECT query_id, rk, vec_id,
+        |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits
+        |FROM qtop LEFT JOIN hits ON query_id = hq
+        |ORDER BY query_id, rk""".stripMargin,
+
+    // The z-curve rewrite only relocates rows — each dimension's range
+    // read must equal the plain filter.
+    "q81_zorder_rewrite" ->
+      """SELECT 'user_id' AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS files_pruned
+        |FROM events WHERE user_id >= 0 AND user_id <= 50
+        |UNION ALL
+        |SELECT 'value' AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS files_pruned
+        |FROM events WHERE value >= 10.0 AND value <= 20.0
+        |ORDER BY dim""".stripMargin,
+
+    // The tagged snapshot is exactly the %3==0 third; current is the whole
+    // table — expiry must have changed neither.
+    "q80_snapshot_tags" ->
+      """SELECT 'train-v1' AS snapshot, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_id % 3 = 0 GROUP BY event_type
+        |UNION ALL
+        |SELECT 'current' AS snapshot, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type
+        |ORDER BY snapshot, event_type""".stripMargin,
 
     // Global md5(doc_id) rank → round-robin shard + within-shard position;
     // the checksum pins the exact permutation.

@@ -80,9 +80,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.names.map(n => Identifier.of(namespace, n)).toArray
 
-  /** `VERSION AS OF <n>`. */
-  override def loadTable(ident: Identifier, version: String): Table =
-    tableAt(ident, manifestOrThrow(ident, Some(version.toLong)))
+  /** `VERSION AS OF <n>` — or `VERSION AS OF '<tag>'`: a non-numeric
+    * version string resolves through the table's named tags
+    * (TableStore.createTag), Iceberg's tag time travel. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v =
+      if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
+      else store.tagVersion(ident.name, version)
+    tableAt(ident, manifestOrThrow(ident, Some(v)))
+  }
 
   /** `TIMESTAMP AS OF <ts>` — micros since epoch per the DSv2 contract. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {

@@ -48,6 +48,28 @@ object GraftMetadata {
     }.toArray
   }
 
+  val partitionsSchema: StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("file_count", LongType, nullable = false),
+    StructField("row_count", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false)))
+
+  /** Per-partition rollup of the CURRENT snapshot (Iceberg's `$partitions`):
+    * partition rendered as `col=value/...` in spec order; unpartitioned
+    * tables roll up into a single `<unpartitioned>` row. Manifest-resident
+    * like the others — O(files) driver work, no Spark job. */
+  def partitionsRows(ms: Seq[TableStore.Manifest]): Array[InternalRow] = {
+    val m = ms.maxBy(_.version)
+    m.files.groupBy { fe =>
+      if (m.partitionBy.isEmpty || fe.partitionValues.isEmpty) "<unpartitioned>"
+      else m.partitionBy.map(c =>
+        s"$c=${fe.partitionValues.getOrElse(c, "null")}").mkString("/")
+    }.toSeq.sortBy(_._1).map { case (p, fes) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(p),
+        fes.size.toLong, fes.map(_.rowCount).sum, fes.map(_.sizeBytes).sum))
+    }.toArray
+  }
+
   /** `<table>$<meta>` resolution, or None if `name` has no '$' suffix. */
   def resolve(name: String, store: TableStore): Option[Table] = {
     val i = name.indexOf('$')
@@ -59,6 +81,7 @@ object GraftMetadata {
       else meta match {
         case "history" => Some(new LocalTable(s"$base$$history", historySchema, historyRows(ms)))
         case "files" => Some(new LocalTable(s"$base$$files", filesSchema, filesRows(ms)))
+        case "partitions" => Some(new LocalTable(s"$base$$partitions", partitionsSchema, partitionsRows(ms)))
         case _ => None
       }
     }

@@ -22,13 +22,15 @@ object GraftProcedures {
       case "rollback_to_version" => Some(rollbackToVersion(store))
       case "remove_orphan_files" => Some(removeOrphanFiles(store))
       case "rewrite_sorted" => Some(rewriteSorted(store))
+      case "rewrite_zorder" => Some(rewriteZOrder(store))
       case "publish_staged" => Some(publishStaged(store))
       case _ => None
     }
 
   val names: Seq[String] =
     Seq("compact", "expire_snapshots", "rollback_to_version",
-      "remove_orphan_files", "rewrite_sorted", "publish_staged")
+      "remove_orphan_files", "rewrite_sorted", "rewrite_zorder",
+      "publish_staged")
 
   private def result(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
     java.util.Collections.singletonList[Scan](new LocalScan {
@@ -131,6 +133,36 @@ object GraftProcedures {
         val s = store
         val before = s.manifests(table).maxBy(_.version).files.size.toLong
         val v = s.rewriteSorted(table, cols, target)
+        val after = s.manifests(table).maxBy(_.version).files.size.toLong
+        result(
+          StructType(Seq(StructField("version", LongType),
+            StructField("files_before", LongType), StructField("files_after", LongType))),
+          new GenericInternalRow(Array[Any](v, before, after)))
+      }
+    }
+  }
+
+  private def rewriteZOrder(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "rewrite_zorder"
+    override def description(): String =
+      "rewrite the current snapshot clustered on the z-curve of several columns (multi-dim pruning)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "rewrite_zorder"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("zorder_columns", StringType).build(), // comma-separated
+        ProcedureParameter.in("target_file_bytes", LongType)
+          .defaultValue("134217728").build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val cols = input.getUTF8String(1).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val target = input.getLong(2)
+        val s = store
+        val before = s.manifests(table).maxBy(_.version).files.size.toLong
+        val v = s.rewriteZOrder(table, cols, targetFileBytes = target)
         val after = s.manifests(table).maxBy(_.version).files.size.toLong
         result(
           StructType(Seq(StructField("version", LongType),

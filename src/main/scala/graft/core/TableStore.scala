@@ -6,6 +6,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.io.api.Binary
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions
 import org.apache.spark.sql.functions.col
 
 import scala.collection.mutable.ArrayBuffer
@@ -679,7 +680,11 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }: _*)
-      commitFiles(table, m.files, Some(aligned), "append")
+      // Appends inherit the table's partition spec (Iceberg semantics):
+      // the batch splits into per-partition files with exact min=max
+      // partition stats, instead of one file spanning every partition the
+      // batch touches — which no range predicate could ever prune.
+      commitFiles(table, m.files, Some(aligned), "append", m.partitionBy)
     }
 
   /** Read the latest snapshot. */
@@ -837,6 +842,107 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     commit(table, sorted, "rewrite_sorted")
   }
 
+  /** Z-order rewrite (Iceberg's `rewrite_data_files` ZORDER strategy):
+    * cluster the current snapshot on the bit-interleaving of several
+    * columns so range pruning works on EVERY clustered column at once —
+    * where a lexicographic sort gives perfect skipping on the first
+    * column and none on the rest, the z-curve gives each of k columns
+    * ~|files|^(1/k)-grade skipping. Each column is normalized to a
+    * `bitsPerCol`-bit bucket by min/max (one tiny column-pruned agg job),
+    * buckets are bit-interleaved into one long z-value with pure codegen'd
+    * bit arithmetic, and the table is range-partitioned + sorted on it —
+    * the same one-shuffle cost shape as [[rewriteSorted]]. Nulls bucket
+    * to 0 (files holding nulls keep honest stats and are never wrongly
+    * pruned — stat pruning only ever skips on non-null ranges). */
+  def rewriteZOrder(table: String, cols: Seq[String], bitsPerCol: Int = 16,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    require(cols.size >= 2, "z-order needs >= 2 columns (use rewriteSorted for 1)")
+    require(bitsPerCol * cols.size <= 62,
+      s"bitsPerCol * cols must fit a long, got ${bitsPerCol * cols.size} bits")
+    val df = read(table)
+    val bounds = df.agg(
+      functions.array(cols.flatMap(c =>
+        Seq(functions.min(col(c).cast("double")),
+          functions.max(col(c).cast("double")))): _*).as("b")).head
+      .getSeq[Double](0)
+    val maxBucket = (1L << bitsPerCol) - 1
+    val z = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (bounds(2 * i), bounds(2 * i + 1))
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      val bucket = functions.least(functions.lit(maxBucket),
+        functions.greatest(functions.lit(0L),
+          functions.floor((functions.coalesce(col(c).cast("double"),
+            functions.lit(lo)) - lo) / span * maxBucket).cast("long")))
+      // spread bucket bits of column i to positions k*ncols + i
+      (0 until bitsPerCol).map { k =>
+        functions.shiftleft(
+          functions.shiftrightunsigned(bucket, k).bitwiseAND(1L),
+          k * cols.size + i)
+      }.reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
+    val m = manifests(table).maxBy(_.version)
+    val totalBytes = m.files.map(_.sizeBytes).sum
+    val want = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val sorted = df.withColumn("__z", z)
+      .repartitionByRange(want, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    commit(table, sorted, "rewrite_zorder")
+  }
+
+  // ----------------------------------------------------------- named tags
+
+  private def refPath(table: String, name: String): Path =
+    new Path(new Path(tableDir(table), "_refs"), name)
+
+  /** Tag a snapshot version with an immutable name (Iceberg tags): named
+    * time travel for audits and reproducible training runs — a dataset
+    * release is `createTag("corpus", "v2-release", v)` and every consumer
+    * reads `readTag`/SQL `VERSION AS OF 'v2-release'` forever, immune to
+    * later commits AND to snapshot expiry ([[expireSnapshots]] never drops
+    * a tagged version). Create-exclusive: re-pointing a name requires
+    * [[dropTag]] first — silent retargeting is the failure mode tags exist
+    * to prevent. */
+  def createTag(table: String, name: String, version: Long): Unit = {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"tag name '$name' must not be purely numeric (collides with versions)")
+    require(fs(manifestPath(table, version)).exists(manifestPath(table, version)),
+      s"table $table has no version $version")
+    atomicWriteExclusive(refPath(table, name), version.toString)
+  }
+
+  def tagVersion(table: String, name: String): Long = {
+    val p = refPath(table, name)
+    val f = fs(p)
+    require(f.exists(p), s"table $table has no tag '$name'")
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+    finally in.close()
+  }
+
+  /** Read the snapshot a tag points at (named time travel). */
+  def readTag(table: String, name: String): DataFrame =
+    readVersion(table, tagVersion(table, name))
+
+  def dropTag(table: String, name: String): Unit = {
+    val p = refPath(table, name)
+    val f = fs(p)
+    if (f.exists(p)) { f.delete(p, false); () }
+  }
+
+  /** All (tag, version) pairs, sorted by tag name. */
+  def tags(table: String): Seq[(String, Long)] = {
+    val dir = new Path(tableDir(table), "_refs")
+    val f = fs(dir)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).filterNot(_.getPath.getName.startsWith("."))
+      .map(s => s.getPath.getName -> {
+        val in = f.open(s.getPath)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      }).toSeq.sortBy(_._1)
+  }
+
   // ------------------------------------------------- write-audit-publish
 
   /** Stage an append as an UNPUBLISHED candidate snapshot (Iceberg's
@@ -946,10 +1052,15 @@ class TableStore(spark: SparkSession, val warehouse: String) {
   /** Expire all snapshots except the last `keepLast` (housekeeping; keeps
     * time travel bounded like Iceberg's `expire_snapshots`). Data files
     * still referenced by a surviving snapshot are NOT deleted — after
-    * copy-on-write commits a snapshot may share files with older ones. */
+    * copy-on-write commits a snapshot may share files with older ones.
+    * Tagged versions ([[createTag]]) are always retained, as in Iceberg:
+    * a release tag must stay readable no matter the retention policy. */
   def expireSnapshots(table: String, keepLast: Int = 1): Unit = {
     val ms = manifests(table).sortBy(-_.version)
-    val (kept, dropped) = ms.splitAt(keepLast)
+    val tagged = tags(table).map(_._2).toSet
+    val recent = ms.take(keepLast).map(_.version).toSet
+    val (kept, dropped) = ms.partition(m =>
+      recent.contains(m.version) || tagged.contains(m.version))
     val referenced = kept.flatMap(_.files.map(_.path)).toSet
     dropped.foreach { m =>
       val f = fs(manifestPath(table, m.version))

@@ -214,6 +214,27 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("VERSION AS OF resolves tag names; $partitions rolls up the layout") {
+    withCatalog { (store, cat) =>
+      val d1 = java.sql.Date.valueOf("2024-01-01")
+      val d2 = java.sql.Date.valueOf("2024-01-02")
+      store.commitPartitioned("t",
+        Seq((1L, d1), (2L, d1), (3L, d2)).toDF("id", "day"), Seq("day"), "create")
+      store.createTag("t", "v1-release", 1L)
+      store.append("t", Seq((4L, d2)).toDF("id", "day"))
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t VERSION AS OF 'v1-release'")
+        .as[Long].head() == 3L)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").as[Long].head() == 4L)
+      intercept[Exception](
+        spark.sql(s"SELECT * FROM $cat.ns.t VERSION AS OF 'no-such-tag'").collect())
+      val parts = spark.sql(
+        s"SELECT partition, file_count, row_count FROM $cat.ns.`t$$partitions` ORDER BY partition")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(parts.map(_._1) == Seq("day=2024-01-01", "day=2024-01-02"))
+      assert(parts.map(_._3) == Seq(2L, 2L), s"got $parts")
+    }
+  }
+
   test("CALL rewrite_sorted clusters files so SQL range scans prune") {
     withCatalog { (store, cat) =>
       store.commit("t",

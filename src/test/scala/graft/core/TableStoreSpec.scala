@@ -345,14 +345,17 @@ class TableStoreSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val store = new TableStore(spark, tmpDir("ts"))
     // partitioned create → date column gets partition-derived "string"
-    // stats; later unpartitioned append → footer "long" (epoch-day) stats.
-    // One key per commit: both files must be hit despite divergent kinds
-    // (applying either file's kind to the other would compare a
-    // "2024-01-0x" string against an epoch-day integer and wrongly prune).
+    // stats; a later SPEC-LESS commit (append now inherits the partition
+    // spec, so reach for commitFiles directly — the external-writer /
+    // legacy-file shape) → footer "long" (epoch-day) stats. One key per
+    // commit: both files must be hit despite divergent kinds (applying
+    // either file's kind to the other would compare a "2024-01-0x" string
+    // against an epoch-day integer and wrongly prune).
     val d1 = java.sql.Date.valueOf("2024-01-01")
     val d2 = java.sql.Date.valueOf("2024-01-02")
     store.commitPartitioned("t", Seq((1L, d1)).toDF("id", "day"), Seq("day"), "create")
-    store.append("t", Seq((2L, d2)).toDF("id", "day"))
+    store.commitFiles("t", store.manifests("t").maxBy(_.version).files,
+      Some(Seq((2L, d2)).toDF("id", "day")), "append")
     val m = store.manifests("t").maxBy(_.version)
     val kinds = m.files.flatMap(_.stats.get("day")).map(_.kind).distinct
     assert(kinds.size == 2, s"fixture should have divergent kinds, got $kinds")
@@ -422,6 +425,58 @@ class TableStoreSpec extends SparkSpec {
     val deleted = store.removeOrphanFiles("t", olderThanMs = -1000)
     assert(deleted.exists(_.startsWith("stage-dead/")), s"dead stage not collected: $deleted")
     assert(store.read("t").count() == 5, "published stage files must survive orphan GC")
+  }
+
+  test("rewriteZOrder prunes on BOTH clustered columns; content unchanged") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val store = new TableStore(spark, tmpDir("ts"))
+    // two independent uniform dims — the layout where single-column sort
+    // can only ever skip on its leading column
+    val df = (0L until 4096L).toDF("i")
+      .select((col("i") % 64).as("x"), (col("i") / 64).cast("long").as("y"),
+        md5(col("i").cast("string")).as("payload"))
+    store.commit("t", df.repartition(8, col("payload")), "create")
+    val (kx0, t0) = store.prunedFileCount("t", "x", 0L, 7L)
+    val (ky0, _) = store.prunedFileCount("t", "y", 0L, 7L)
+    assert(kx0 == t0 && ky0 == t0, "scattered layout must not prune")
+    val bytes = store.manifests("t").maxBy(_.version).files.map(_.sizeBytes).sum
+    store.rewriteZOrder("t", Seq("x", "y"), bitsPerCol = 8,
+      targetFileBytes = math.max(1L, bytes / 16))
+    val (kx1, t1) = store.prunedFileCount("t", "x", 0L, 7L)
+    val (ky1, _) = store.prunedFileCount("t", "y", 0L, 7L)
+    assert(t1 >= 8, s"want >= 8 files after rewrite, got $t1")
+    assert(kx1 < t1 && ky1 < t1,
+      s"z-order must prune on both dims: x=$kx1/$t1 y=$ky1/$t1")
+    assert(store.read("t").count() == 4096L)
+    assert(store.readWhere("t", "x", 0L, 7L).count() == 8 * 64L)
+    assert(store.readWhere("t", "y", 0L, 7L).count() == 8 * 64L)
+    assert(store.manifests("t").maxBy(_.version).operation == "rewrite_zorder")
+  }
+
+  test("tags: named time travel, create-exclusive, survive snapshot expiry") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", Seq((1L, "a")).toDF("id", "s"), "create")
+    store.createTag("t", "release-1", 1L)
+    store.append("t", Seq((2L, "b")).toDF("id", "s"))
+    store.append("t", Seq((3L, "c")).toDF("id", "s"))
+    assert(store.readTag("t", "release-1").count() == 1)
+    assert(store.tags("t") == Seq("release-1" -> 1L))
+    // create-exclusive: silent re-pointing refused
+    intercept[TableStore.CommitConflictException] {
+      store.createTag("t", "release-1", 2L)
+    }
+    // numeric names collide with version literals in SQL — refused
+    intercept[IllegalArgumentException](store.createTag("t", "42", 1L))
+    intercept[IllegalArgumentException](store.createTag("t", "nope", 99L))
+    // expiry keeps the tagged version alive alongside the latest
+    store.expireSnapshots("t", keepLast = 1)
+    assert(store.manifests("t").map(_.version).sorted == Seq(1L, 3L))
+    assert(store.readTag("t", "release-1").count() == 1)
+    assert(store.read("t").count() == 3)
+    // after dropTag, expiry reclaims it
+    store.dropTag("t", "release-1")
+    store.expireSnapshots("t", keepLast = 1)
+    assert(store.manifests("t").map(_.version) == Seq(3L))
   }
 
   test("publishStaged refuses after schema change; re-stage required") {

