@@ -1568,6 +1568,80 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // ext: corpus-duplication quality signal (the C4/CCNet "duplicate
+    // span fraction"): per document, the fraction of its distinct 8-token
+    // shingles that also appear in ANY other document — rolled up per
+    // source with a majority-duplicated doc count. Two shuffles (shingle
+    // frequency agg + join back on the shingle), the canonical web-scale
+    // shape; shingle generation itself is narrow codegen.
+    "q83_dup_shingle_fraction" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val sh = docs.select(col("doc_id"), col("source"),
+        explode(Dedup.shingles(col("text"), 8)).as("sh"))
+      // shingles are distinct per doc, so count(*) = containing-doc count
+      val cnt = sh.groupBy(col("sh")).agg(count(lit(1)).as("ndocs"))
+      val perDoc = sh.join(cnt, Seq("sh"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_dup"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_sh")).as("total_shingles"),
+          sum(col("n_dup")).as("dup_shingles"),
+          sum(when(col("n_dup") * 2 > col("n_sh"), 1L).otherwise(0L))
+            .as("n_docs_majority_dup"))
+        .orderBy(col("source"))
+    }),
+
+    // Streaming stream-stream interval join, oracle-anchored: left =
+    // every 10th event, right = events %10==5, joined on user within a
+    // 1-hour lookback. Both sides replay through parquet file-stream
+    // sources in aligned event-time slices; 48 h watermarks bound the
+    // join state, and (replay in order + lookback ≪ delay) makes the
+    // streamed result equal the batch interval join exactly.
+    "q84_stream_interval_join" -> ((s, dir) => {
+      val store = tmpStore(s)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val left = ev.filter(col("event_id") % 10 === 0)
+      val right = ev.filter(col("event_id") % 10 === 5)
+      val lr = new FileReplay(s, left.schema)
+      val rr = new FileReplay(s, right.schema)
+      val joined = graft.streaming.CdcStream.intervalJoin(
+        lr.source, rr.source, "user_id", "ts", "1 HOUR", "48 hours")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      // 4 state partitions: the interval join keeps BOTH sides' state, and
+      // the dominant anchor cost is per-partition state-store commit files
+      // per micro-batch (each feed = one batch × partitions × 2 sides),
+      // not data volume — see the q68 note.
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = joined.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              val out = b.select(col("r_event_type"), col("value"))
+              if (!store.exists("pairs")) store.commit("pairs", out, "create")
+              else store.append("pairs", out)
+            }
+            ()
+          }
+          .start()
+        try {
+          val ls = timeSlices(left, "ts", 2)
+          val rs = timeSlices(right, "ts", 2)
+          (0 until 2).foreach { i => rr.feed(q, rs(i)); lr.feed(q, ls(i)) }
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      store.read("pairs")
+        .groupBy(col("r_event_type").as("r_type"))
+        .agg(count(lit(1)).as("n_pairs"), dsumd(col("value")).as("total_l_value"))
+        .orderBy(col("r_type"))
+    }),
+
     // ext: deterministic corpus shuffle → 8 round-robin training shards;
     // per-shard count plus an order-sensitive checksum (sum of
     // shard_pos·doc_id) so the oracle verifies the exact permutation, not
@@ -2617,6 +2691,42 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  true AS staged_invisible
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same 8-token shingle replica as q31's 3-token one; a shingle's
+    // containing-doc count is COUNT(*) because shingles are distinct per
+    // doc.
+    "q83_dup_shingle_fraction" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 7, 1) + 1),
+        |    i -> array_to_string(t[i:i+7], ' ')))) AS s
+        |  FROM toks),
+        |cnt AS (SELECT s, COUNT(*) AS ndocs FROM sh GROUP BY s),
+        |perdoc AS (
+        |  SELECT sh.doc_id, sh.source, COUNT(*) AS n_sh,
+        |    SUM(CASE WHEN cnt.ndocs > 1 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM sh JOIN cnt ON sh.s = cnt.s
+        |  GROUP BY sh.doc_id, sh.source)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_sh) AS BIGINT) AS total_shingles,
+        |  CAST(SUM(n_dup) AS BIGINT) AS dup_shingles,
+        |  CAST(SUM(CASE WHEN n_dup * 2 > n_sh THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_majority_dup
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
+
+    // The batch interval join the stream must reproduce exactly.
+    "q84_stream_interval_join" ->
+      """SELECT r.event_type AS r_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CAST(l.value AS DECIMAL(18,2))) AS DOUBLE) AS total_l_value
+        |FROM (SELECT * FROM events WHERE event_id % 10 = 0) l
+        |JOIN (SELECT * FROM events WHERE event_id % 10 = 5) r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+        |GROUP BY r.event_type ORDER BY r_type""".stripMargin,
 
     // Bit-identical replay of the int8 quantization (floor round-half-up,
     // same MIN_NORMAL guard), integer-dot cosine ranking, and float-top-k
