@@ -1642,6 +1642,57 @@ object SparkEntry {
         .orderBy(col("r_type"))
     }),
 
+    // Streaming sessionization, oracle-anchored: the deterministic 10%
+    // event slice replayed in event-time order; flatMapGroupsWithState
+    // with a 30-min inactivity gap and event-time timeout emits closed
+    // sessions; a far-future sentinel advances the watermark so every
+    // open session flushes. Per-user session/event counts must equal the
+    // batch gap-sessionization SQL (gap compares at full microsecond
+    // precision on both sides).
+    "q85_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val store = tmpStore(s)
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") % 10 === 0)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      val replay = new FileReplay(s, ev.schema)
+      val sessions = graft.streaming.CdcStream.sessionize(
+        replay.source.as[graft.streaming.Event], gapMinutes = 30, "1 hour")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = sessions.toDF().writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              val out = b.select(col("user_id"), col("n_events"))
+              if (!store.exists("sess")) store.commit("sess", out, "create")
+              else store.append("sess", out)
+            }
+            ()
+          }
+          .start()
+        try {
+          timeSlices(ev, "ts", 3).foreach(b => replay.feed(q, b))
+          val flushTs = new java.sql.Timestamp(
+            ev.agg(max(col("ts"))).head.getTimestamp(0).getTime +
+              72L * 3600 * 1000)
+          replay.feed(q,
+            Seq((-1L, flushTs, "__sentinel", 0.0))
+              .toDF("user_id", "ts", "event_type", "value"))
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      store.read("sess")
+        .filter(col("user_id") =!= -1L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events").cast("long")).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // ext: deterministic corpus shuffle → 8 round-robin training shards;
     // per-shard count plus an order-sensitive checksum (sum of
     // shard_pos·doc_id) so the oracle verifies the exact permutation, not
@@ -2691,6 +2742,21 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  true AS staged_invisible
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Batch gap-sessionization over the same slice (q45's SQL shape with
+    // the slice filter): session starts where the micros gap exceeds
+    // 30 min.
+    "q85_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, ts FROM events WHERE event_id % 10 = 0),
+        |g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |SELECT user_id, CAST(SUM(ns) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Same 8-token shingle replica as q31's 3-token one; a shingle's
     // containing-doc count is COUNT(*) because shingles are distinct per

@@ -117,11 +117,23 @@ object CdcStream {
 
   /** Event-time sessionization with a `gap` inactivity timeout via
     * `flatMapGroupsWithState` — one state object per active user, emitted
-    * when the watermark passes last-event + gap. */
+    * when the watermark passes last-event + gap.
+    *
+    * Gap comparisons run at MICROsecond precision (Spark's timestamp
+    * resolution) — `Timestamp.getTime` is millis and silently truncates,
+    * so a gap within 1 ms of the threshold would split sessions
+    * differently from an exact (batch SQL) sessionization. */
   def sessionize(events: Dataset[Event], gapMinutes: Int,
       watermark: String = "10 minutes")(implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
+    def micros(t: java.sql.Timestamp): Long =
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    def fromMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -131,21 +143,21 @@ object CdcStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionOut(userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.last), s.n, s.totalValue))
+            Iterator(SessionOut(userId, fromMicros(s.start),
+              fromMicros(s.last), s.n, s.totalValue))
           } else {
-            val evs = rows.toSeq.sortBy(_.ts.getTime)
+            val evs = rows.toSeq.sortBy(e => micros(e.ts))
             var out = List.empty[SessionOut]
             var st = state.getOption
             evs.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               st match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   st = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
                     totalValue = s.totalValue + e.value))
                 case Some(s) => // gap exceeded → close previous session
-                  out ::= SessionOut(userId, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.last), s.n, s.totalValue)
+                  out ::= SessionOut(userId, fromMicros(s.start),
+                    fromMicros(s.last), s.n, s.totalValue)
                   st = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   st = Some(SessionState(t, t, 1, e.value))
@@ -153,7 +165,10 @@ object CdcStream {
             }
             st.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // The event-time timeout contract is millisecond-based:
+              // round UP so the timer never fires a microsecond early.
+              state.setTimeoutTimestamp(
+                math.floorDiv(s.last + gapUs + 999L, 1000L))
             }
             out.reverseIterator
           }
