@@ -1693,6 +1693,30 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // Table format: changelog scan (CDC read) — v1 creates the even
+    // events, v2 appends the odds, v3 MERGEs a delta (update value+100 on
+    // event_id%4==0 except %8==4, which delete). readChangelog(0,3) must
+    // emit exactly the logical row changes: the CoW rewrite's untouched
+    // rows cancel in the content diff, updated rows surface as
+    // delete(old)+insert(new), and planning touches only changed files.
+    "q86_changelog_scan" -> ((s, dir) => {
+      val store = tmpStore(s)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      store.commit("ev", ev.filter(col("event_id") % 2 === 0), "create")
+      store.append("ev", ev.filter(col("event_id") % 2 === 1))
+      val delta = ev.filter(col("event_id") % 4 === 0)
+        .select(col("event_id"), (col("value") + 100.0).as("value"))
+      Merge.into(store, "ev").using(delta).on(Seq("event_id"))
+        .whenMatchedDelete(Some(Merge.source("event_id") % 8 === 4))
+        .whenMatchedUpdate(set = Some(Map("value" -> Merge.source("value"))))
+        .run()
+      store.readChangelog("ev", 0, 3)
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
+        .orderBy(col("_commit_version"), col("_change_type"))
+    }),
+
     // ext: deterministic corpus shuffle → 8 round-robin training shards;
     // per-shard count plus an order-sensitive checksum (sum of
     // shard_pos·doc_id) so the oracle verifies the exact permutation, not
@@ -2742,6 +2766,28 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  true AS staged_invisible
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Expected change feed, constructed from the known commit plan:
+    // v1 = even inserts, v2 = odd inserts, v3 = delete every %4==0 old
+    // image + insert the updated (+100) images except the %8==4 deletes.
+    "q86_changelog_scan" ->
+      """SELECT CAST(1 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'insert', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM events WHERE event_id % 2 = 1
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'delete', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM events WHERE event_id % 4 = 0
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'insert', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)) + 100) AS DOUBLE)
+        |FROM events WHERE event_id % 4 = 0 AND event_id % 8 <> 4
+        |ORDER BY _commit_version, _change_type""".stripMargin,
 
     // Batch gap-sessionization over the same slice (q45's SQL shape with
     // the slice filter): session starts where the micros gap exceeds

@@ -860,11 +860,15 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     require(bitsPerCol * cols.size <= 62,
       s"bitsPerCol * cols must fit a long, got ${bitsPerCol * cols.size} bits")
     val df = read(table)
-    val bounds = df.agg(
+    val boundsRow = df.agg(
       functions.array(cols.flatMap(c =>
         Seq(functions.min(col(c).cast("double")),
           functions.max(col(c).cast("double")))): _*).as("b")).head
-      .getSeq[Double](0)
+    val rawBounds = boundsRow.getSeq[Any](0)
+    // An empty table (or an all-null column) has no min/max — there is
+    // nothing to cluster; recommit as-is rather than NPE on the unboxing.
+    if (rawBounds.exists(_ == null)) return commit(table, df, "rewrite_zorder")
+    val bounds = rawBounds.map(_.asInstanceOf[Double])
     val maxBucket = (1L << bitsPerCol) - 1
     val z = cols.zipWithIndex.map { case (c, i) =>
       val (lo, hi) = (bounds(2 * i), bounds(2 * i + 1))
@@ -888,6 +892,80 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
     commit(table, sorted, "rewrite_zorder")
+  }
+
+  /** Row-level change feed between snapshots (Iceberg's changelog scan /
+    * `create_changelog_view`): for each version step a→b inside
+    * [fromVersion, toVersion], emit the step's row-level delta tagged
+    * `_change_type` ('insert' | 'delete') and `_commit_version` (= b).
+    * `fromVersion = 0` starts before table creation, so v1's rows arrive
+    * as inserts.
+    *
+    * Planning is metadata-only (manifest path diff) and each step scans
+    * ONLY its changed files; rows present in both the removed and the
+    * added files cancel via `exceptAll`, so a copy-on-write rewrite emits
+    * exactly its logically-changed rows — an updated row becomes one
+    * 'delete' (old image) + one 'insert' (new image), and a pure
+    * compaction (rows only relocated) emits nothing. Appends
+    * short-circuit to added-file reads with no diff at all. At 100 TB
+    * the cost is bounded by the churn, never the table: untouched files
+    * are never opened, and the exceptAll shuffle covers only rewritten
+    * files' rows. Rows are aligned to `toVersion`'s schema (pre-evolution
+    * images surface missing columns as null). Steps between EXPIRED
+    * intermediate snapshots collapse into one combined diff — net-exact,
+    * per-commit attribution is just coarser. */
+  def readChangelog(table: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion >= 0 && toVersion >= fromVersion,
+      s"need 0 <= fromVersion <= toVersion, got $fromVersion..$toVersion")
+    val inRange = manifests(table)
+      .filter(m => m.version >= fromVersion && m.version <= toVersion)
+      .sortBy(_.version)
+    require(inRange.nonEmpty || fromVersion == toVersion,
+      s"table $table has no snapshots in $fromVersion..$toVersion")
+    val chain =
+      if (fromVersion == 0 && inRange.nonEmpty)
+        inRange.head.copy(files = Seq.empty) +: inRange
+      else inRange
+    val outSchema = org.apache.spark.sql.types.DataType
+      .fromJson(chain.last.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    def align(df: DataFrame): DataFrame =
+      df.select(outSchema.fields.toSeq.map { f =>
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else functions.lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    val steps = chain.zip(chain.drop(1)).flatMap { case (a, b) =>
+      val aPaths = a.files.map(_.path).toSet
+      val bPaths = b.files.map(_.path).toSet
+      val added = b.files.filterNot(f => aPaths.contains(f.path))
+      val removed = a.files.filterNot(f => bPaths.contains(f.path))
+      if (added.isEmpty && removed.isEmpty) None
+      else {
+        val addedRows =
+          if (added.isEmpty) None
+          else Some(align(readManifest(table, b.copy(files = added))))
+        val removedRows =
+          if (removed.isEmpty) None
+          else Some(align(readManifest(table, a.copy(files = removed))))
+        val (ins, del) = (addedRows, removedRows) match {
+          case (Some(ar), Some(rr)) => (Some(ar.exceptAll(rr)), Some(rr.exceptAll(ar)))
+          case other => other
+        }
+        def tag(df: DataFrame, kind: String) = df
+          .withColumn("_change_type", functions.lit(kind))
+          .withColumn("_commit_version", functions.lit(b.version))
+        Some((ins.map(tag(_, "insert")) ++ del.map(tag(_, "delete")))
+          .reduce(_ unionByName _))
+      }
+    }
+    val taggedSchema = org.apache.spark.sql.types.StructType(outSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    if (steps.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), taggedSchema)
+    else steps.reduce(_ unionByName _)
   }
 
   // ----------------------------------------------------------- named tags

@@ -57,6 +57,11 @@ object Sampling {
     * window, which would funnel 100 TB through one task. One scan, one
     * hash shuffle, no sampling pass.
     *
+    * `keyCol` must be UNIQUE: positions are assigned per row and joined
+    * back on the key, so a duplicated key would cross-match its position
+    * rows (run exact dedup first, or pass a surrogate like
+    * `monotonically_increasing_id` materialized to a column).
+    *
     * Output: input columns plus `shard` and `shard_pos`. */
   def deterministicShuffle(df: DataFrame, keyCol: String, numShards: Int)
       : DataFrame = {

@@ -453,6 +453,32 @@ class TableStoreSpec extends SparkSpec {
     assert(store.manifests("t").maxBy(_.version).operation == "rewrite_zorder")
   }
 
+  test("readChangelog emits row-level deltas; pure compaction emits nothing") {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", Seq((1L, "a"), (2L, "b")).toDF("id", "s"), "create") // v1
+    store.append("t", Seq((3L, "c")).toDF("id", "s"))                      // v2
+    // full overwrite changing ONE row: content diff must cancel the rest
+    store.commit("t", Seq((1L, "a"), (2L, "b2"), (3L, "c")).toDF("id", "s"),
+      "overwrite")                                                         // v3
+    store.compact("t")                                                     // v4: rows only move
+    val cl = store.readChangelog("t", 0, 4)
+      .select(col("id").cast("long"), col("s"), col("_change_type"), col("_commit_version"))
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(cl == Set(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (3L, "c", "insert", 2L),
+      (2L, "b", "delete", 3L), (2L, "b2", "insert", 3L)),
+      s"got $cl")
+    // windowed feed: only the v3 step
+    val w = store.readChangelog("t", 2, 3)
+      .select(col("id").cast("long"), col("_change_type"))
+      .as[(Long, String)].collect().toSet
+    assert(w == Set((2L, "insert"), (2L, "delete")))
+    // empty range
+    assert(store.readChangelog("t", 4, 4).count() == 0)
+  }
+
   test("tags: named time travel, create-exclusive, survive snapshot expiry") {
     val store = new TableStore(spark, tmpDir("ts"))
     store.commit("t", Seq((1L, "a")).toDF("id", "s"), "create")
