@@ -1717,6 +1717,43 @@ object SparkEntry {
         .orderBy(col("_commit_version"), col("_change_type"))
     }),
 
+    // Table format: bucket-transform CDC merge — orders keyed by a
+    // RANDOM md5 surrogate (min/max ranges useless) committed into 64
+    // hash buckets; a small CDC delta (updates + inserts) must plan to
+    // ≤ |delta-keys| buckets (`files_pruned`), merge through the normal
+    // 2-branch path, and land on the oracle's final state exactly.
+    "q87_bucketed_merge" -> ((s, dir) => {
+      val store = tmpStore(s)
+      val key = md5(concat_ws("#", col("o_orderkey")))
+      val o = Tables.load(s, dir, "orders")
+        .select(key.as("k"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      store.commitBucketed("ord", o, "k", numBuckets = 64, "create")
+      val base = Tables.load(s, dir, "orders")
+      val bcol = graft.core.TableStore.bucketColumn("k", 64)
+      // delta: +100 on %2000==3 (same key → update); fresh "#ins" keys
+      // for %2000==7 (no match → insert). Inserts must carry the bucket.
+      val updates = base.filter(col("o_orderkey") % 2000 === 3)
+        .select(key.as("k"), col("o_orderkey"), col("o_orderstatus"),
+          (col("o_totalprice") + 100.0).as("o_totalprice"))
+      val inserts = base.filter(col("o_orderkey") % 2000 === 7)
+        .select(md5(concat_ws("#", col("o_orderkey"), lit("ins"))).as("k"),
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val delta = updates.unionByName(inserts)
+        .withColumn(bcol, graft.core.TableStore.bucketOf(col("k"), 64))
+      val (hit, untouched) =
+        store.filesHitByKeys("ord", "k", delta.select(col("k")))
+      Merge.into(store, "ord").using(delta).on(Seq("k"))
+        .whenMatchedUpdate()
+        .whenNotMatchedInsert()
+        .run()
+      store.read("ord")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsumd(col("o_totalprice")).as("total"))
+        .withColumn("files_pruned", lit(untouched.size > hit.size))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ext: deterministic corpus shuffle → 8 round-robin training shards;
     // per-shard count plus an order-sensitive checksum (sum of
     // shard_pos·doc_id) so the oracle verifies the exact permutation, not
@@ -2788,6 +2825,21 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2)) + 100) AS DOUBLE)
         |FROM events WHERE event_id % 4 = 0 AND event_id % 8 <> 4
         |ORDER BY _commit_version, _change_type""".stripMargin,
+
+    // Final state of the bucketed merge: every order (updated rows +100
+    // on %2000==3), plus the %2000==7 rows duplicated under fresh keys.
+    "q87_bucketed_merge" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total, true AS files_pruned
+        |FROM (
+        |  SELECT o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2))
+        |      + CASE WHEN o_orderkey % 2000 = 3 THEN 100 ELSE 0 END AS price
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders WHERE o_orderkey % 2000 = 7) t
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // Batch gap-sessionization over the same slice (q45's SQL shape with
     // the slice filter): session starts where the micros gap exceeds

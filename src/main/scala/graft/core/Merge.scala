@@ -208,12 +208,17 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
           store.filesHitByKeys(table, tk, src.select(col(sk)).na.drop())
         if (untouched.nonEmpty) Some((hit, untouched)) else None
       } else None
+    // Rewritten files inherit the table's partition spec (identity or
+    // bucket transform): a spec-less rewrite would strand the new files
+    // without partition values, so every later merge/lookup on them
+    // falls back to conservative full hits.
+    val spec = store.manifests(table).maxBy(_.version).partitionBy
     pruned match {
       case Some((hit, untouched)) =>
         val merged = planAgainst(store.readFiles(table, hit))
-        store.commitFiles(table, untouched, Some(merged), "merge")
+        store.commitFiles(table, untouched, Some(merged), "merge", spec)
       case None =>
-        store.commit(table, plan(), "merge")
+        store.commit(table, plan(), "merge", spec)
     }
   }
 }

@@ -119,6 +119,31 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       operation: String): Long =
     commitFiles(table, Seq.empty, Some(df), operation, partitionBy)
 
+  /** Bucketed commit: rows land in `numBuckets` hash-bucket partitions of
+    * `keyCol` (see [[TableStore.bucketOf]]). The derived bucket column is
+    * materialized into the data (and its directory layout) like any
+    * identity partition, so every existing pruning path works on it —
+    * and [[filesHitByKeys]] recognizes the transform from the manifest
+    * and maps raw KEYS to buckets, giving CDC merges on random keys
+    * exact partition pruning. A merge source must carry the bucket
+    * column for inserted rows (compute it with the same
+    * `TableStore.bucketOf`). */
+  def commitBucketed(table: String, df: DataFrame, keyCol: String,
+      numBuckets: Int, operation: String): Long = {
+    require(numBuckets > 0 && numBuckets <= (1 << 20),
+      s"numBuckets out of range: $numBuckets")
+    val bc = TableStore.bucketColumn(keyCol, numBuckets)
+    // Cluster on the bucket before the partitioned write: every bucket
+    // lands in exactly one task, so the layout is one file per bucket
+    // (an unclustered write makes every input task write every bucket
+    // dir — numBuckets × tasks small files whose footer harvest swamps
+    // the commit). Size numBuckets so a bucket ≈ a healthy file.
+    commitPartitioned(table,
+      df.withColumn(bc, TableStore.bucketOf(col(keyCol), numBuckets))
+        .repartition(numBuckets, col(bc)),
+      Seq(bc), operation)
+  }
+
   /** Copy-on-write commit: the new snapshot = `keptFiles` (entries carried
     * over from a previous manifest — file paths are version-qualified, so
     * nothing is copied) ∪ the freshly-written `newData`. This is what makes
@@ -479,6 +504,25 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       : (Seq[FileEntry], Seq[FileEntry]) = {
     import org.apache.spark.sql.functions.{broadcast, unix_micros, datediff, to_date}
     val m = manifests(table).maxBy(_.version)
+    // Bucket-transform partitions: map the raw keys to their buckets and
+    // hit only matching bucket partitions. The distinct-bucket set is
+    // ≤ numBuckets values — bounded metadata, safe to collect. Files
+    // without the bucket partition value (written by a later spec-less
+    // rewrite) are conservatively hit, so the layout degrades gracefully
+    // instead of losing merge rows.
+    m.partitionBy.collectFirst {
+      case TableStore.BucketRe(n, c) if c == column => n.toInt
+    } match {
+      case Some(n) =>
+        val bc = TableStore.bucketColumn(column, n)
+        val wanted = keys
+          .select(TableStore.bucketOf(col(keys.columns.head), n)
+            .cast("string").as("__b"))
+          .distinct().collect().flatMap(r => Option(r.getString(0))).toSet
+        return m.files.partition(fe =>
+          fe.partitionValues.get(bc).forall(wanted.contains))
+      case None => ()
+    }
     val (statFiles, noStat) = m.files.partition(_.stats.contains(column))
     if (statFiles.isEmpty) return (m.files, Seq.empty)
     val keyRaw = col(keys.columns.head)
@@ -920,7 +964,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val inRange = manifests(table)
       .filter(m => m.version >= fromVersion && m.version <= toVersion)
       .sortBy(_.version)
-    require(inRange.nonEmpty || fromVersion == toVersion,
+    require(inRange.nonEmpty,
       s"table $table has no snapshots in $fromVersion..$toVersion")
     val chain =
       if (fromVersion == 0 && inRange.nonEmpty)
@@ -1342,6 +1386,24 @@ object TableStore {
     * writer created that manifest first. Recompute against the new
     * snapshot and retry (appends do this automatically). */
   class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Bucket partition transform (Iceberg's `bucket(N, col)` re-expressed
+    * portably): bucket = first 6 md5 nibbles of the key's string
+    * rendering, mod N — uniform, engine-reproducible (md5 exists
+    * everywhere the store's other portable hashes do), and recoverable
+    * from the manifest alone because N is encoded in the partition
+    * column's name. The layout answer for RANDOM keys (md5 surrogates),
+    * where min/max ranges span every file and only blooms helped before:
+    * key lookups and CDC-merge planning prune to the keys' buckets. */
+  def bucketColumn(keyCol: String, numBuckets: Int): String =
+    s"__bucket${numBuckets}_$keyCol"
+
+  def bucketOf(key: Column, numBuckets: Int): Column =
+    functions.conv(functions.substring(
+      functions.md5(key.cast("string")), 1, 6), 16, 10)
+      .cast("long") % numBuckets
+
+  private[core] val BucketRe = "__bucket(\\d+)_(.+)".r
 
   /** Process-wide parsed-manifest cache, keyed by (qualified path, mtime,
     * length) — safe because manifests are create-exclusive-immutable.

@@ -453,6 +453,41 @@ class TableStoreSpec extends SparkSpec {
     assert(store.manifests("t").maxBy(_.version).operation == "rewrite_zorder")
   }
 
+  test("bucketed layout: key lookups hit only their buckets; null keys safe") {
+    import org.apache.spark.sql.functions.{col, md5, concat_ws}
+    val store = new TableStore(spark, tmpDir("ts"))
+    // random md5 surrogate keys: min/max ranges span every file, so only
+    // the bucket transform (or blooms) can prune
+    val df = (1L to 2000L).toDF("i")
+      .select(md5(concat_ws("#", col("i"))).as("k"), col("i").as("v"))
+    store.commitBucketed("t", df, "k", numBuckets = 16, "create")
+    val m = store.manifests("t").maxBy(_.version)
+    assert(m.partitionBy == Seq("__bucket16_k"))
+    assert(m.files.flatMap(_.partitionValues.get("__bucket16_k")).distinct.size == 16)
+    // 3 keys → at most 3 buckets hit
+    val probe = df.filter(col("v").isin(5L, 900L, 1500L)).select("k")
+    val (hit, untouched) = store.filesHitByKeys("t", "k", probe)
+    val hitBuckets = hit.flatMap(_.partitionValues.get("__bucket16_k")).distinct
+    assert(hit.nonEmpty && hitBuckets.size <= 3,
+      s"3 keys must hit <=3 buckets, got $hitBuckets")
+    assert(hit.size + untouched.size == m.files.size)
+    assert(untouched.size > hit.size, "most files must be untouched")
+    // correctness: the hit files contain ALL probed keys
+    val found = readFilesOf(store, "t", hit).filter(col("k").isin(
+      probe.collect().map(_.getString(0)).toSeq: _*)).count()
+    assert(found == 3)
+    // null keys hit nothing (not NPE)
+    import spark.implicits._
+    val (hitN, _) = store.filesHitByKeys("t", "k",
+      Seq[Option[String]](None).toDF("k"))
+    assert(hitN.isEmpty)
+    // read-back equals the source (bucket column rides along, prefixed)
+    assert(store.read("t").count() == 2000)
+  }
+
+  private def readFilesOf(store: TableStore, table: String,
+      files: Seq[TableStore.FileEntry]) = store.readFiles(table, files)
+
   test("readChangelog emits row-level deltas; pure compaction emits nothing") {
     import org.apache.spark.sql.functions.col
     val store = new TableStore(spark, tmpDir("ts"))
