@@ -1754,6 +1754,42 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // Table format: merge-on-read — three churn batches (re-image, delete,
+    // re-image again) land as O(churn) delta + equality-delete files; NOT
+    // ONE prior data file is rewritten (`no_rewrite` checks the v1 file
+    // set survives verbatim and ≥3 delete files exist). The read applies
+    // the deletes and must equal the oracle's last-image-wins state —
+    // the write mode that stays flat where copy-on-write rewrites the
+    // table at high update proportions.
+    "q88_merge_on_read" -> ((s, dir) => {
+      val store = tmpStore(s)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      store.commit("ev", ev, "create")
+      val v1Files = store.manifests("ev").maxBy(_.version).files.map(_.path).toSet
+      store.upsertMoR("ev",
+        ev.filter(col("event_id") % 100 === 1)
+          .select(col("event_id"), col("event_type"),
+            (col("value") + 100.0).as("value")),
+        Seq("event_id"))
+      store.deleteKeysMoR("ev",
+        ev.filter(col("event_id") % 100 === 2).select(col("event_id")),
+        Seq("event_id"))
+      store.upsertMoR("ev",
+        ev.filter(col("event_id") % 100 === 1)
+          .select(col("event_id"), col("event_type"),
+            (col("value") + 200.0).as("value")),
+        Seq("event_id"))
+      val m = store.manifests("ev").maxBy(_.version)
+      val noRewrite = v1Files.subsetOf(m.files.map(_.path).toSet) &&
+        m.deleteFiles.size >= 3
+      store.read("ev")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
+        .withColumn("no_rewrite", lit(noRewrite))
+        .orderBy(col("event_type"))
+    }),
+
     // ext: deterministic corpus shuffle → 8 round-robin training shards;
     // per-shard count plus an order-sensitive checksum (sum of
     // shard_pos·doc_id) so the oracle verifies the exact permutation, not
@@ -2840,6 +2876,17 @@ object SparkEntry {
         |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
         |  FROM orders WHERE o_orderkey % 2000 = 7) t
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // Last-image-wins state: %100==1 carries the second (+200) image,
+    // %100==2 is deleted, everything else is the original row.
+    "q88_merge_on_read" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN event_id % 100 = 1
+        |       THEN CAST(value AS DECIMAL(18,2)) + 200
+        |       ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS total_value,
+        |  true AS no_rewrite
+        |FROM events WHERE event_id % 100 <> 2
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Batch gap-sessionization over the same slice (q45's SQL shape with
     // the slice filter): session starts where the micros gap exceeds

@@ -52,8 +52,19 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def tableExists(ident: Identifier): Boolean = store.exists(ident.name)
 
-  private def tableAt(ident: Identifier, m: TableStore.Manifest): Table =
+  private def tableAt(ident: Identifier, m: TableStore.Manifest): Table = {
+    // The catalog's scan path plans raw parquet over the manifest's file
+    // list; it cannot apply merge-on-read equality deletes, and silently
+    // resurrecting deleted rows is worse than refusing. Library reads
+    // (TableStore.read*) serve MoR tables; SQL reads resume after
+    // `CALL compact(...)` materializes the deletes away.
+    if (m.deleteFiles.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"table ${ident.name} has merge-on-read delete files; run " +
+          s"CALL $catalogName.system.compact(`table` => '${ident.name}') " +
+          "to materialize them before SQL reads")
     new GraftTable(spark, catalogName, warehouse, ident.name, m)
+  }
 
   private def manifestOrThrow(ident: Identifier, v: Option[Long]): TableStore.Manifest = {
     val ms = store.manifests(ident.name)

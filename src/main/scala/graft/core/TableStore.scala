@@ -168,10 +168,22 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       else manifests(table).lastOption.map(_.partitionBy).getOrElse(Seq.empty)
     writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
       files.map(_.rowCount).sum, files, schemaJson, spec,
-      droppedColumnsCarry(table, keptFiles)))
+      droppedColumnsCarry(table, keptFiles),
+      deleteFilesCarry(table, keptFiles)))
     swapPointer(table, v)
     v
   }
+
+  /** Like dropped-column tombstones, merge-on-read delete files must
+    * survive every commit that carries prior data files forward (append,
+    * CoW merge of a file subset) — dropping them would resurrect deleted
+    * rows in the carried files. A full rewrite (no kept files) reads
+    * through the MoR view, so its output already excludes the dead rows
+    * and the delete files are materialized away. */
+  private def deleteFilesCarry(table: String,
+      keptFiles: Seq[FileEntry]): Seq[DeleteEntry] =
+    if (keptFiles.isEmpty) Seq.empty
+    else manifests(table).lastOption.map(_.deleteFiles).getOrElse(Seq.empty)
 
   /** Write `df`'s parquet files under `dataDir` and harvest their manifest
     * entries (paths prefixed `relPrefix/…`, table-relative). Extracted from
@@ -747,9 +759,38 @@ class TableStore(spark: SparkSession, val warehouse: String) {
   private def readManifest(table: String, m: Manifest): DataFrame = {
     val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    if (m.files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-    else spark.read.schema(schema)
-      .parquet(m.files.map(fe => new Path(tableDir(table), fe.path).toString): _*)
+    val plain =
+      if (m.files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+      else spark.read.schema(schema)
+        .parquet(m.files.map(fe => new Path(tableDir(table), fe.path).toString): _*)
+    if (m.deleteFiles.isEmpty) plain
+    else {
+      // Merge-on-read: drop rows whose key appears in a delete file with a
+      // LARGER sequence than the data file's own (same-version new images
+      // survive — Iceberg v2 equality-delete semantics). Data files group
+      // by their version prefix (≤ #commits groups, so the union is
+      // shallow); the delete side is churn-sized and AQE broadcasts it,
+      // so the read amplification is one small hash join — the trade
+      // that makes O(churn) writes possible.
+      val keyCols = m.deleteFiles.head.keyCols
+      val bySeq = m.files.groupBy(fe => TableStore.fileSeqOf(fe.path)).toSeq.sortBy(_._1)
+      val tagged = bySeq.map { case (s, fes) =>
+        spark.read.schema(schema)
+          .parquet(fes.map(fe => new Path(tableDir(table), fe.path).toString): _*)
+          .withColumn("__seq", functions.lit(s))
+      }.reduceOption(_ unionByName _).getOrElse(
+        spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+          .withColumn("__seq", functions.lit(0L)))
+      val dels = m.deleteFiles.map { d =>
+        spark.read.parquet(new Path(tableDir(table), d.path).toString)
+          .withColumn("__dseq", functions.lit(d.seq))
+      }.reduce(_ unionByName _)
+        .groupBy(keyCols.map(col): _*)
+        .agg(functions.max(col("__dseq")).as("__dmax"))
+      tagged.join(dels, keyCols, "left")
+        .filter(col("__dmax").isNull || col("__dmax") <= col("__seq"))
+        .select(schema.fields.toSeq.map(f => col(f.name)): _*)
+    }
   }
 
   /** Time travel (A14): latest version committed at or before `tsMillis`. */
@@ -938,6 +979,74 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     commit(table, sorted, "rewrite_zorder")
   }
 
+  // -------------------------------------------------------- merge-on-read
+
+  /** Merge-on-read upsert (Iceberg v2 equality deletes): the new snapshot
+    * carries EVERY prior data file untouched, plus the source rows as new
+    * data files, plus an equality-delete file of the source's distinct
+    * keys — readers drop older images of those keys at scan time
+    * ([[readManifest]]'s delete join). Write cost is O(source) no matter
+    * the update proportion: at the 99%-updates cell where copy-on-write
+    * rewrites the whole table, this writes one churn-sized delta — the
+    * read side pays one broadcast-sized anti-join until
+    * [[compact]]/[[rewriteSorted]] materializes the deletes away (any
+    * full rewrite clears them, since it reads through the MoR view).
+    * Library reads ([[read]]/[[readWhere]]/[[readVersion]]/time travel)
+    * apply deletes; SQL catalog reads REFUSE a table with live deletes
+    * (`CALL compact` first) rather than silently resurrect dead rows;
+    * [[readChangelog]] likewise requires materialization. */
+  def upsertMoR(table: String, source: DataFrame, keyCols: Seq[String]): Long =
+    morWrite(table, source, keyCols, insertRows = true, "upsert_mor")
+
+  /** Merge-on-read delete: `keys` (exactly the key columns) are dropped
+    * from every existing data file at scan time; nothing is rewritten. */
+  def deleteKeysMoR(table: String, keys: DataFrame, keyCols: Seq[String]): Long =
+    morWrite(table, keys, keyCols, insertRows = false, "delete_mor")
+
+  private def morWrite(table: String, source: DataFrame, keyCols: Seq[String],
+      insertRows: Boolean, operation: String): Long = {
+    require(exists(table), s"$operation: table $table does not exist")
+    require(keyCols.nonEmpty, s"$operation needs at least one key column")
+    val m = manifests(table).maxBy(_.version)
+    require(m.files.forall(_.path.startsWith("v=")),
+      s"$operation needs version-sequenced data files; compact $table first")
+    require(m.deleteFiles.forall(_.keyCols == keyCols),
+      s"$operation: existing delete files use keys " +
+        s"${m.deleteFiles.map(_.keyCols).distinct}; compact $table first")
+    val existing = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    keyCols.foreach(k => require(existing.fieldNames.contains(k),
+      s"$operation: key column $k not in table schema"))
+    val v = currentVersion(table) + 1
+    val dataEntries =
+      if (!insertRows) Seq.empty
+      else {
+        val aligned = source.select(existing.fields.toSeq.map { f =>
+          if (source.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else functions.lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+        writeDataFiles(versionDir(table, v), s"v=$v", aligned, m.partitionBy,
+          Seq.empty)
+      }
+    // Distinct delete keys land under v=N/deletes/ (their own subdir so
+    // they can never be confused with the version's data files).
+    val delDir = new Path(versionDir(table, v), "deletes")
+    val keyTypes = keyCols.map(k => existing.fields(existing.fieldIndex(k)))
+    source.select(keyTypes.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      .distinct().write.mode("overwrite").parquet(delDir.toString)
+    val f = fs(delDir)
+    val delEntries = listPartFiles(delDir, f).map { s =>
+      val (rows, _) = footerStats(s.getPath)
+      DeleteEntry(s"v=$v/deletes/${s.getPath.getName}", keyCols, v, rows)
+    }
+    writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
+      (m.files ++ dataEntries).map(_.rowCount).sum, m.files ++ dataEntries,
+      m.schemaJson, m.partitionBy, m.droppedColumns,
+      m.deleteFiles ++ delEntries))
+    swapPointer(table, v)
+    v
+  }
+
   /** Row-level change feed between snapshots (Iceberg's changelog scan /
     * `create_changelog_view`): for each version step a→b inside
     * [fromVersion, toVersion], emit the step's row-level delta tagged
@@ -966,6 +1075,9 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       .sortBy(_.version)
     require(inRange.nonEmpty,
       s"table $table has no snapshots in $fromVersion..$toVersion")
+    require(inRange.forall(_.deleteFiles.isEmpty),
+      s"changelog across merge-on-read snapshots of $table requires " +
+        "materializing the deletes first (compact the table)")
     val chain =
       if (fromVersion == 0 && inRange.nonEmpty)
         inRange.head.copy(files = Seq.empty) +: inRange
@@ -1080,6 +1192,9 @@ class TableStore(spark: SparkSession, val warehouse: String) {
   def stageAppend(table: String, df: DataFrame): String = {
     require(exists(table), s"stageAppend: table $table does not exist")
     val m = manifests(table).maxBy(_.version)
+    require(m.deleteFiles.isEmpty,
+      s"stageAppend: $table has merge-on-read delete files; staged paths " +
+        "carry no version sequence, so compact the table first")
     val existing = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val aligned = df.select(existing.fields.toSeq.map { f =>
@@ -1132,6 +1247,10 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       require(m.schemaJson == st.schemaJson,
         s"table $table schema changed since stage $stageId was written; " +
           "abandon and re-stage")
+      require(m.deleteFiles.isEmpty,
+        s"table $table gained merge-on-read delete files since stage " +
+          s"$stageId; staged paths carry no version sequence — compact, " +
+          "then publish")
       try {
         val v = commitFiles(table, m.files ++ st.files, None, "wap_publish")
         fs(stagedPath(table, stageId)).delete(stagedPath(table, stageId), false)
@@ -1183,12 +1302,14 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val recent = ms.take(keepLast).map(_.version).toSet
     val (kept, dropped) = ms.partition(m =>
       recent.contains(m.version) || tagged.contains(m.version))
-    val referenced = kept.flatMap(_.files.map(_.path)).toSet
+    val referenced = kept.flatMap(m =>
+      m.files.map(_.path) ++ m.deleteFiles.map(_.path)).toSet
     dropped.foreach { m =>
       val f = fs(manifestPath(table, m.version))
-      m.files.filterNot(fe => referenced.contains(fe.path)).foreach { fe =>
-        f.delete(new Path(tableDir(table), fe.path), false)
-      }
+      (m.files.map(_.path) ++ m.deleteFiles.map(_.path))
+        .filterNot(referenced.contains).foreach { p =>
+          f.delete(new Path(tableDir(table), p), false)
+        }
       f.delete(manifestPath(table, m.version), false)
     }
   }
@@ -1209,7 +1330,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val dir = tableDir(table)
     val f = fs(dir)
     if (!f.exists(dir)) return Seq.empty
-    val referenced = manifests(table).flatMap(_.files.map(_.path)).toSet
+    val referenced = manifests(table).flatMap(m =>
+      m.files.map(_.path) ++ m.deleteFiles.map(_.path)).toSet
     // Live write-audit-publish stages keep their files: a stage-<id>/ file
     // is an orphan only once its _staged/<id>.json side manifest is gone
     // (crashed before the manifest landed, or abandoned mid-delete).
@@ -1280,9 +1402,18 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val dropped = ArrayBuffer[String]()
     val dn = n.get("droppedColumns")
     if (dn != null) dn.forEach(e => dropped += e.asText())
+    val dels = ArrayBuffer[DeleteEntry]()
+    val deln = n.get("deleteFiles")
+    if (deln != null) deln.forEach { e =>
+      val kcs = ArrayBuffer[String]()
+      e.get("keyCols").forEach(k => kcs += k.asText())
+      dels += DeleteEntry(e.get("path").asText(), kcs.toSeq,
+        e.get("seq").asLong(),
+        if (e.has("rowCount")) e.get("rowCount").asLong() else 0L)
+    }
     Manifest(n.get("version").asLong(), n.get("timestampMs").asLong(),
       n.get("operation").asText(), n.get("rowCount").asLong(), files.toSeq,
-      n.get("schemaJson").asText(), spec.toSeq, dropped.toSeq)
+      n.get("schemaJson").asText(), spec.toSeq, dropped.toSeq, dels.toSeq)
   }
 
   private def jsonStr(s: String): String =
@@ -1318,10 +1449,16 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val droppedJson =
       if (m.droppedColumns.isEmpty) ""
       else m.droppedColumns.map(jsonStr).mkString(""","droppedColumns":[""", ",", "]")
+    val deleteJson =
+      if (m.deleteFiles.isEmpty) ""
+      else m.deleteFiles.map { d =>
+        s"""{"path":${jsonStr(d.path)},"keyCols":[${d.keyCols.map(jsonStr).mkString(",")}],""" +
+          s""""seq":${d.seq},"rowCount":${d.rowCount}}"""
+      }.mkString(""","deleteFiles":[""", ",", "]")
     val json =
       s"""{"version":${m.version},"timestampMs":${m.timestampMs},
          |"operation":${jsonStr(m.operation)},"rowCount":${m.rowCount},
-         |"files":$filesJson,"schemaJson":${jsonStr(m.schemaJson)}$specJson$droppedJson}""".stripMargin
+         |"files":$filesJson,"schemaJson":${jsonStr(m.schemaJson)}$specJson$droppedJson$deleteJson}""".stripMargin
     atomicWriteExclusive(dest, json)
   }
 
@@ -1404,6 +1541,16 @@ object TableStore {
       .cast("long") % numBuckets
 
   private[core] val BucketRe = "__bucket(\\d+)_(.+)".r
+
+  /** A data file's sequence = the version encoded in its `v=N/` path
+    * prefix (files are written into their commit's version directory and
+    * never renamed). Non-version paths (staged files published in place)
+    * sequence as 0 — merge-on-read writes refuse such tables up front. */
+  private[core] def fileSeqOf(path: String): Long =
+    if (path.startsWith("v=")) {
+      val i = path.indexOf('/')
+      if (i > 2) scala.util.Try(path.substring(2, i).toLong).getOrElse(0L) else 0L
+    } else 0L
 
   /** Process-wide parsed-manifest cache, keyed by (qualified path, mtime,
     * length) — safe because manifests are create-exclusive-immutable.
@@ -1493,8 +1640,18 @@ object TableStore {
     * reads resolve by NAME (no field ids), re-adding a dropped name would
     * silently resurrect the stale values instead of reading null — so
     * ADD COLUMN of a dropped name is rejected (see GraftCatalog.alterTable). */
+  /** Equality-delete file (Iceberg v2 merge-on-read): `path` holds the
+    * DISTINCT `keyCols` tuples invalidated at sequence `seq` — readers
+    * drop matching rows from data files with a SMALLER sequence (a data
+    * file's sequence is the version encoded in its `v=N/` path prefix).
+    * Write cost of an upsert/delete is O(churn); the rewrite is deferred
+    * to [[TableStore.compact]]-style maintenance. */
+  case class DeleteEntry(path: String, keyCols: Seq[String], seq: Long,
+    rowCount: Long = 0L)
+
   case class Manifest(version: Long, timestampMs: Long, operation: String,
     rowCount: Long, files: Seq[FileEntry], schemaJson: String,
     partitionBy: Seq[String] = Seq.empty,
-    droppedColumns: Seq[String] = Seq.empty)
+    droppedColumns: Seq[String] = Seq.empty,
+    deleteFiles: Seq[DeleteEntry] = Seq.empty)
 }

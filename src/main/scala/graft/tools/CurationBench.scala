@@ -127,11 +127,18 @@ object CurationBench {
 
     val cells = for {
       p <- proportions
-      uc <- Seq("scd2_simple", "scd2_complex")
+      // upsert_mor is the merge-on-read counterpoint: latest-state upsert
+      // as O(churn) delta + equality-delete files, no rewrite — the write
+      // mode whose cost stays FLAT across the proportion axis where the
+      // CoW SCD2 merges climb (and where the reference's Athena failed
+      // outright at 99%). Not SCD2 semantics (no history rows) — it is
+      // the upsert-cost comparison, labeled as such.
+      uc <- Seq("scd2_simple", "scd2_complex", "upsert_mor")
     } yield {
       val delta = updatesAt(base, p)
       val (sec, ok) = timed {
         if (uc == "scd2_simple") Scd2.scd2Simple(store, table, delta)
+        else if (uc == "upsert_mor") store.upsertMoR(table, delta, Seq("pk"))
         else Scd2.scd2Complex(store, table, delta)
       }
       log(f"$uc p=$p ${sec}%.1f s (ok=$ok)")

@@ -235,6 +235,19 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL reads refuse merge-on-read tables until CALL compact materializes") {
+    withCatalog { (store, cat) =>
+      store.commit("t", Seq((1L, "a"), (2L, "b")).toDF("id", "s"), "create")
+      store.upsertMoR("t", Seq((2L, "b2")).toDF("id", "s"), Seq("id"))
+      val e = intercept[UnsupportedOperationException](
+        spark.sql(s"SELECT count(*) FROM $cat.ns.t").collect())
+      assert(e.getMessage.contains("compact"))
+      spark.sql(s"CALL $cat.system.compact(`table` => 't')").collect()
+      assert(spark.sql(s"SELECT s FROM $cat.ns.t WHERE id = 2").as[String].head() == "b2")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").as[Long].head() == 2L)
+    }
+  }
+
   test("CALL rewrite_sorted clusters files so SQL range scans prune") {
     withCatalog { (store, cat) =>
       store.commit("t",

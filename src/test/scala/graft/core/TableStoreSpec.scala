@@ -488,6 +488,52 @@ class TableStoreSpec extends SparkSpec {
   private def readFilesOf(store: TableStore, table: String,
       files: Seq[TableStore.FileEntry]) = store.readFiles(table, files)
 
+  test("merge-on-read: O(churn) upserts/deletes, correct reads, compact materializes") {
+    import org.apache.spark.sql.functions.col
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), "create")
+    val v1Files = store.manifests("t").maxBy(_.version).files.map(_.path).toSet
+    // upsert: new image of 2, brand-new 4 — NO prior file rewritten
+    store.upsertMoR("t", Seq((2L, "b2"), (4L, "d")).toDF("id", "s"), Seq("id"))
+    val m2 = store.manifests("t").maxBy(_.version)
+    assert(v1Files.subsetOf(m2.files.map(_.path).toSet), "no rewrite on upsert")
+    assert(m2.deleteFiles.nonEmpty && m2.deleteFiles.forall(_.seq == 2L))
+    assert(store.read("t").as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d")))
+    // second upsert of the SAME key: only the newest image survives
+    store.upsertMoR("t", Seq((2L, "b3")).toDF("id", "s"), Seq("id"))
+    assert(store.read("t").as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "b3"), (3L, "c"), (4L, "d")))
+    // MoR delete: nothing rewritten, row gone at read
+    store.deleteKeysMoR("t", Seq(Tuple1(1L)).toDF("id"), Seq("id"))
+    assert(store.read("t").as[(Long, String)].collect().sorted.toSeq
+      == Seq((2L, "b3"), (3L, "c"), (4L, "d")))
+    // time travel still sees the pre-delete states through their views
+    assert(store.readVersion("t", 2).as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d")))
+    assert(store.readVersion("t", 1).count() == 3)
+    // readWhere prunes files AND applies deletes
+    assert(store.readWhere("t", "id", 2L, 4L).as[(Long, String)]
+      .collect().sorted.toSeq == Seq((2L, "b3"), (3L, "c"), (4L, "d")))
+    // incremental refuses to span MoR snapshots by default
+    intercept[IllegalArgumentException](store.readIncremental("t", 1, 4))
+    // changelog refuses until materialized
+    intercept[IllegalArgumentException](store.readChangelog("t", 0, 4))
+    // append on top of MoR keeps the deletes effective
+    store.append("t", Seq((5L, "e")).toDF("id", "s"))
+    assert(store.read("t").as[(Long, String)].collect().sorted.toSeq
+      == Seq((2L, "b3"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // compact materializes: deletes gone, content identical, CoW again
+    store.compact("t")
+    val mc = store.manifests("t").maxBy(_.version)
+    assert(mc.deleteFiles.isEmpty)
+    assert(store.read("t").as[(Long, String)].collect().sorted.toSeq
+      == Seq((2L, "b3"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // expiry after materialization reclaims the old delete files safely
+    store.expireSnapshots("t", keepLast = 1)
+    assert(store.read("t").count() == 4)
+  }
+
   test("readChangelog emits row-level deltas; pure compaction emits nothing") {
     import org.apache.spark.sql.functions.col
     val store = new TableStore(spark, tmpDir("ts"))
