@@ -531,8 +531,12 @@ class TableStore(spark: SparkSession, val warehouse: String) {
           .select(TableStore.bucketOf(col(keys.columns.head), n)
             .cast("string").as("__b"))
           .distinct().collect().flatMap(r => Option(r.getString(0))).toSet
+        // A file in the null-bucket dir (a writer that didn't compute the
+        // bucket column) holds rows of UNKNOWN buckets — conservatively
+        // hit, like files without stats, never skipped.
         return m.files.partition(fe =>
-          fe.partitionValues.get(bc).forall(wanted.contains))
+          fe.partitionValues.get(bc).forall(v =>
+            v == "__HIVE_DEFAULT_PARTITION__" || wanted.contains(v)))
       case None => ()
     }
     val (statFiles, noStat) = m.files.partition(_.stats.contains(column))

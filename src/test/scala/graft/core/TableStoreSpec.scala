@@ -481,6 +481,16 @@ class TableStoreSpec extends SparkSpec {
     val (hitN, _) = store.filesHitByKeys("t", "k",
       Seq[Option[String]](None).toDF("k"))
     assert(hitN.isEmpty)
+    // a null-BUCKET file (writer skipped the bucket column) is
+    // conservatively hit by ANY key — skipping it would lose merge rows
+    store.append("t", Seq(("zzz-unbucketed", 9999L)).toDF("k", "v")
+      .withColumn("__bucket16_k",
+        org.apache.spark.sql.functions.lit(null).cast("long")))
+    val (hit1, _) = store.filesHitByKeys("t", "k",
+      df.filter(col("v") === 5L).select("k"))
+    assert(hit1.exists(_.partitionValues.get("__bucket16_k")
+        .contains("__HIVE_DEFAULT_PARTITION__")),
+      "null-bucket file must be conservatively hit")
     // read-back equals the source (bucket column rides along, prefixed)
     assert(store.read("t").count() == 2000)
   }
