@@ -491,8 +491,8 @@ class TableStoreSpec extends SparkSpec {
     assert(hit1.exists(_.partitionValues.get("__bucket16_k")
         .contains("__HIVE_DEFAULT_PARTITION__")),
       "null-bucket file must be conservatively hit")
-    // read-back equals the source (bucket column rides along, prefixed)
-    assert(store.read("t").count() == 2000)
+    // read-back equals the source plus the one appended null-bucket row
+    assert(store.read("t").count() == 2001)
   }
 
   private def readFilesOf(store: TableStore, table: String,
