@@ -1801,6 +1801,47 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("shard_pos") * col("doc_id")).as("order_checksum"))
         .orderBy(col("shard"))
+    }),
+
+    // Table format as a streaming SINK: a deterministic slice of events
+    // replayed as three micro-batches through the parquet file source
+    // ([[FileReplay]]) and written with `writeStream.toTable` into a
+    // GraftCatalog table — one epoch-stamped snapshot per batch. The
+    // (queryId, epochId) manifest ledger is the exactly-once guard: a
+    // restarted stream that replays a committed epoch finds the marker in
+    // commitStaged and no-ops (StreamSinkSpec proves the replay path).
+    // The streamed table must equal the batch slice; `epoch_ledger_ok`
+    // asserts every streamed snapshot carries a ledger entry under one
+    // stable query id with consecutive epochs.
+    "q89_stream_sink" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") % 10 === 3)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val wh = java.nio.file.Files.createTempDirectory("graft_snk").toString
+      val cat = s"gq89x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE TABLE $cat.ns.sink (event_id BIGINT, ts TIMESTAMP, " +
+        "event_type STRING, value DOUBLE)")
+      val replay = new FileReplay(s, ev.schema)
+      val q = replay.source.writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ck").toString)
+        .toTable(s"$cat.ns.sink")
+      try timeSlices(ev, "ts", 3).foreach(b => replay.feed(q, b))
+      finally q.stop()
+      val store = new TableStore(s, wh)
+      val epochs = store.manifests("sink")
+        .filter(_.operation == "stream-append").flatMap(_.streamEpoch)
+      val ledgerOk = epochs.nonEmpty &&
+        epochs.map(_._1).distinct.size == 1 &&
+        epochs.map(_._2).sorted == (0L until epochs.size.toLong)
+      s.table(s"$cat.ns.sink")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
+        .withColumn("epoch_ledger_ok", lit(ledgerOk))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2886,6 +2927,14 @@ object SparkEntry {
         |       ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS total_value,
         |  true AS no_rewrite
         |FROM events WHERE event_id % 100 <> 2
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The streamed sink table must equal the batch slice it replayed.
+    "q89_stream_sink" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS epoch_ledger_ok
+        |FROM events WHERE event_id % 10 = 3
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Batch gap-sessionization over the same slice (q45's SQL shape with

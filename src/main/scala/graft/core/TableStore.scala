@@ -332,7 +332,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         s"table $table has no version $toVersion"))
     val v = ms.map(_.version).max + 1
     writeManifest(table, target.copy(version = v,
-      timestampMs = System.currentTimeMillis(), operation = "rollback"))
+      timestampMs = System.currentTimeMillis(), operation = "rollback",
+      streamEpoch = None))
     swapPointer(table, v)
     v
   }
@@ -364,7 +365,14 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * [[commitFiles]]'s partitioned layout, so SQL-written partitions prune
     * identically to library-written ones. */
   def commitStaged(table: String, keptFiles: Seq[FileEntry],
-      staged: Seq[(Path, String)], operation: String, schemaJson: String): Long = {
+      staged: Seq[(Path, String)], operation: String, schemaJson: String,
+      streamEpoch: Option[(String, Long)] = None): Long = {
+    // Exactly-once for streaming sinks: a replayed epoch (driver restart
+    // re-running a batch whose commit already landed) is a no-op. Checked
+    // here, not in the sink, so every retry path hits the ledger.
+    streamEpoch.foreach { case (qid, e) =>
+      if (lastStreamEpoch(table, qid).exists(_ >= e)) return currentVersion(table)
+    }
     val v = currentVersion(table) + 1
     val dataDir = versionDir(table, v)
     val f = fs(dataDir)
@@ -391,9 +399,22 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
       files.map(_.rowCount).sum, files, schemaJson,
       manifests(table).lastOption.map(_.partitionBy).getOrElse(Seq.empty),
-      droppedColumnsCarry(table, keptFiles)))
+      droppedColumnsCarry(table, keptFiles),
+      deleteFilesCarry(table, keptFiles), streamEpoch))
     swapPointer(table, v)
     v
+  }
+
+  /** Highest streaming-sink epoch already committed by `queryId` — the
+    * exactly-once check a restarted stream's replayed epoch consults.
+    * Scans live manifests only: expiring every snapshot of an epoch while
+    * its stream is stopped AND will later replay that exact epoch would
+    * defeat the check (bounded by the checkpoint's retained window in
+    * practice; epochs commit in order, so the max is the frontier). */
+  def lastStreamEpoch(table: String, queryId: String): Option[Long] = {
+    val es = manifests(table).flatMap(_.streamEpoch)
+      .collect { case (q, e) if q == queryId => e }
+    if (es.isEmpty) None else Some(es.max)
   }
 
   /** Row count + per-column min/max from a parquet footer (metadata only).
@@ -1415,9 +1436,14 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         e.get("seq").asLong(),
         if (e.has("rowCount")) e.get("rowCount").asLong() else 0L)
     }
+    val epoch =
+      if (n.has("streamQueryId") && n.has("streamEpochId"))
+        Some((n.get("streamQueryId").asText(), n.get("streamEpochId").asLong()))
+      else None
     Manifest(n.get("version").asLong(), n.get("timestampMs").asLong(),
       n.get("operation").asText(), n.get("rowCount").asLong(), files.toSeq,
-      n.get("schemaJson").asText(), spec.toSeq, dropped.toSeq, dels.toSeq)
+      n.get("schemaJson").asText(), spec.toSeq, dropped.toSeq, dels.toSeq,
+      epoch)
   }
 
   private def jsonStr(s: String): String =
@@ -1459,10 +1485,13 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         s"""{"path":${jsonStr(d.path)},"keyCols":[${d.keyCols.map(jsonStr).mkString(",")}],""" +
           s""""seq":${d.seq},"rowCount":${d.rowCount}}"""
       }.mkString(""","deleteFiles":[""", ",", "]")
+    val epochJson = m.streamEpoch.map { case (qid, e) =>
+      s""","streamQueryId":${jsonStr(qid)},"streamEpochId":$e"""
+    }.getOrElse("")
     val json =
       s"""{"version":${m.version},"timestampMs":${m.timestampMs},
          |"operation":${jsonStr(m.operation)},"rowCount":${m.rowCount},
-         |"files":$filesJson,"schemaJson":${jsonStr(m.schemaJson)}$specJson$droppedJson$deleteJson}""".stripMargin
+         |"files":$filesJson,"schemaJson":${jsonStr(m.schemaJson)}$specJson$droppedJson$deleteJson$epochJson}""".stripMargin
     atomicWriteExclusive(dest, json)
   }
 
@@ -1653,9 +1682,15 @@ object TableStore {
   case class DeleteEntry(path: String, keyCols: Seq[String], seq: Long,
     rowCount: Long = 0L)
 
+  /** `streamEpoch` marks a snapshot committed by a Structured Streaming
+    * sink epoch (streaming query id, epoch id). It is the exactly-once
+    * ledger: a restarted stream that replays an epoch finds the marker and
+    * skips the re-commit. Never carried forward — each manifest records
+    * only its own epoch. */
   case class Manifest(version: Long, timestampMs: Long, operation: String,
     rowCount: Long, files: Seq[FileEntry], schemaJson: String,
     partitionBy: Seq[String] = Seq.empty,
     droppedColumns: Seq[String] = Seq.empty,
-    deleteFiles: Seq[DeleteEntry] = Seq.empty)
+    deleteFiles: Seq[DeleteEntry] = Seq.empty,
+    streamEpoch: Option[(String, Long)] = None)
 }

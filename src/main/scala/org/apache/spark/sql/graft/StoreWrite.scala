@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.{StringType, StructType}
@@ -55,7 +56,7 @@ object StoreWrite {
         val store = new TableStore(SparkSession.active, warehouse)
         if (store.exists(table)) store.manifests(table).maxBy(_.version).files
         else Seq.empty
-      })
+      }, info.queryId())
 
   /** WriteBuilder for a group-based row-level operation (MERGE / UPDATE /
     * DELETE): the rewritten rows replace the files the operation's scan
@@ -63,11 +64,13 @@ object StoreWrite {
     * copy-on-write, resolved at commit time). */
   def cowBuilder(warehouse: String, table: String, info: LogicalWriteInfo,
       operation: String, kept: () => Seq[TableStore.FileEntry]): WriteBuilder =
-    new GraftWriteBuilder(warehouse, table, info.schema(), operation, kept)
+    new GraftWriteBuilder(warehouse, table, info.schema(), operation, kept,
+      info.queryId())
 }
 
 private class GraftWriteBuilder(warehouse: String, table: String,
-    schema: StructType, operation: String, kept: () => Seq[TableStore.FileEntry])
+    schema: StructType, operation: String, kept: () => Seq[TableStore.FileEntry],
+    queryId: String)
     extends WriteBuilder with SupportsTruncate {
   private var op = operation
   private var keptFiles = kept
@@ -75,13 +78,28 @@ private class GraftWriteBuilder(warehouse: String, table: String,
     op = "overwrite"; keptFiles = () => Seq.empty; this
   }
   override def build(): Write =
-    new GraftWrite(warehouse, table, schema, op, keptFiles)
+    new GraftWrite(warehouse, table, schema, op, keptFiles, queryId)
 }
 
+/** One logical write, usable as batch OR streaming. Streaming
+  * (`df.writeStream.toTable`) appends one snapshot per micro-batch epoch,
+  * stamped `streamEpoch = (queryId, epochId)` in the manifest — the
+  * exactly-once ledger: Spark's streaming query id is stable across
+  * restarts (it lives in checkpoint metadata), so a restarted query that
+  * replays an already-committed epoch finds the marker in
+  * [[TableStore.commitStaged]] and no-ops instead of double-appending.
+  * Iceberg's Spark streaming sink uses the same design. Each epoch stages
+  * under its own `e<epoch>/` subdirectory so concurrent task retries from
+  * different epochs never collide. */
 private class GraftWrite(warehouse: String, table: String, schema: StructType,
-    operation: String, kept: () => Seq[TableStore.FileEntry])
-    extends Write with BatchWrite with RequiresDistributionAndOrdering {
+    operation: String, kept: () => Seq[TableStore.FileEntry], queryId: String)
+    extends Write with BatchWrite with StreamingWrite
+    with RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite = this
+  override def toStreaming: StreamingWrite = this
+  // BatchWrite and StreamingWrite both default this; scalac requires an
+  // explicit override when inheriting from both
+  override def useCommitCoordinator(): Boolean = true
 
   private def spark = SparkSession.active
   private val stagingDir = s"$warehouse/$table/_staging/${UUID.randomUUID()}"
@@ -105,7 +123,7 @@ private class GraftWrite(warehouse: String, table: String, schema: StructType,
     partitionBy.map(c =>
       Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
 
-  override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory = {
+  private def writerFactory: GraftWriterFactory = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val factory = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
     // after prepareWrite: it stamps the session's timestamp type; store
@@ -116,28 +134,54 @@ private class GraftWrite(warehouse: String, table: String, schema: StructType,
       partitionBy, spark.sessionState.conf.sessionLocalTimeZone)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.collect { case GraftCommitMessage(ps) =>
-      ps.map { case (abs, rel) => (new Path(abs), rel) } }.flatten.toSeq
-    val store = new TableStore(spark, warehouse)
-    // The table's declared schema stays authoritative across writes: the
-    // query's schema may carry tighter nullability (e.g. literal VALUES),
-    // which would make added-then-null columns unreadable in old files.
-    val schemaJson = store.manifests(table).lastOption
+  override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory =
+    writerFactory
+
+  override def createStreamingWriterFactory(
+      pinfo: PhysicalWriteInfo): StreamingDataWriterFactory = writerFactory
+
+  // The table's declared schema stays authoritative across writes: the
+  // query's schema may carry tighter nullability (e.g. literal VALUES),
+  // which would make added-then-null columns unreadable in old files.
+  private def resolvedSchemaJson(store: TableStore): String =
+    store.manifests(table).lastOption
       .map(_.schemaJson)
       .filter { sj =>
         org.apache.spark.sql.types.DataType.fromJson(sj)
           .asInstanceOf[StructType].fieldNames.toSet == schema.fieldNames.toSet
       }
       .getOrElse(schema.json)
-    store.commitStaged(table, kept(), staged, operation, schemaJson)
-    cleanup()
+
+  private def stagedOf(messages: Array[WriterCommitMessage]): Seq[(Path, String)] =
+    messages.collect { case GraftCommitMessage(ps) =>
+      ps.map { case (abs, rel) => (new Path(abs), rel) } }.flatten.toSeq
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val store = new TableStore(spark, warehouse)
+    store.commitStaged(table, kept(), stagedOf(messages), operation,
+      resolvedSchemaJson(store))
+    cleanup(stagingDir)
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    cleanup(stagingDir)
 
-  private def cleanup(): Unit = {
-    val p = new Path(stagingDir)
+  /** Epoch commit: kept files re-resolved NOW (each epoch appends to the
+    * table as of its own commit, not as of query start); truncate-mode
+    * (outputMode Complete) keeps `kept` empty so each epoch replaces. */
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val store = new TableStore(spark, warehouse)
+    store.commitStaged(table, kept(), stagedOf(messages),
+      s"stream-$operation", resolvedSchemaJson(store),
+      Some((queryId, epochId)))
+    cleanup(s"$stagingDir/e$epochId")
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    cleanup(s"$stagingDir/e$epochId")
+
+  private def cleanup(dir: String): Unit = {
+    val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
@@ -151,9 +195,19 @@ private case class GraftCommitMessage(paths: Seq[(String, String)])
 private class GraftWriterFactory(factory: OutputWriterFactory,
     schema: StructType, conf: SerializableConfiguration, stagingDir: String,
     partitionBy: Seq[String], timeZone: String)
-    extends DataWriterFactory {
+    extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    writerInto(stagingDir, partitionId, taskId)
+
+  // streaming: stage under e<epoch>/ so a replayed epoch's files never
+  // collide with a live one's
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    writerInto(s"$stagingDir/e$epochId", partitionId, taskId)
+
+  private def writerInto(stagingDir: String, partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       // lazily opened so empty partitions produce no file at all
       private var writer: OutputWriter = _
