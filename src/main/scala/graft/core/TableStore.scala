@@ -53,25 +53,36 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     new Path(new Path(tableDir(t), "_manifests"), s"$v.json")
   private def currentPtr(t: String) = new Path(tableDir(t), "_current")
 
-  /** Latest committed version, or 0 if the table does not exist. If the
-    * `_current` pointer is momentarily absent (atomicWrite deletes before
-    * rename on filesystems without overwrite-rename), fall back to the max
-    * manifest version so a concurrent reader never sees a committed table
-    * as empty. */
+  /** Latest committed version, or 0 if the table does not exist. The
+    * `_current` pointer is a read-fast CACHE of the authoritative value —
+    * the max manifest version (manifests are create-exclusive and never
+    * rewritten; rollback commits a NEW version, so max is always current).
+    * Any pointer read anomaly therefore falls back to the manifest
+    * listing: momentary absence (atomicWrite deletes before rename on
+    * filesystems without overwrite-rename), a torn read, or local
+    * ChecksumFileSystem's `.crc` side-file racing the swap's rename (the
+    * data file and its checksum rename separately, so a concurrent reader
+    * can pair new bytes with the old checksum — observed as a flaky
+    * ChecksumException under a streaming reader + concurrent commits). */
   def currentVersion(table: String): Long = {
     val p = currentPtr(table)
     val f = fs(p)
-    if (!f.exists(p)) {
+    def fromManifests: Long = {
       val dir = new Path(tableDir(table), "_manifests")
       if (!f.exists(dir)) 0L
       else f.listStatus(dir).map(_.getPath.getName)
         .collect { case n if n.endsWith(".json") => n.stripSuffix(".json").toLong }
         .foldLeft(0L)(math.max)
-    } else {
-      val in = f.open(p)
-      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-      finally in.close()
     }
+    if (!f.exists(p)) fromManifests
+    else
+      try {
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      } catch {
+        case _: java.io.IOException | _: NumberFormatException => fromManifests
+      }
   }
 
   def exists(table: String): Boolean = currentVersion(table) > 0
@@ -294,7 +305,11 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     })).toMap
 
   /** Parse `__p_<col>=<value>` segments of a version-relative path. */
-  private def partitionValuesOf(rel: String): Map[String, String] =
+  /** Partition tuple encoded in a version-relative file path's
+    * `__p_<col>=<value>/` directories (empty for unpartitioned layouts).
+    * Public because the DSv2 write path parses staged paths with it when
+    * resolving dynamic partition overwrites. */
+  def partitionValuesOf(rel: String): Map[String, String] =
     rel.split('/').dropRight(1).collect {
       case seg if seg.startsWith("__p_") && seg.contains('=') =>
         val Array(k, vv) = seg.split("=", 2)
@@ -1020,18 +1035,38 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * apply deletes; SQL catalog reads REFUSE a table with live deletes
     * (`CALL compact` first) rather than silently resurrect dead rows;
     * [[readChangelog]] likewise requires materialization. */
-  def upsertMoR(table: String, source: DataFrame, keyCols: Seq[String]): Long =
-    morWrite(table, source, keyCols, insertRows = true, "upsert_mor")
+  def upsertMoR(table: String, source: DataFrame, keyCols: Seq[String],
+      streamEpoch: Option[(String, Long)] = None): Long =
+    morWrite(table, Some(source), source, keyCols, "upsert_mor", streamEpoch)
 
   /** Merge-on-read delete: `keys` (exactly the key columns) are dropped
     * from every existing data file at scan time; nothing is rewritten. */
-  def deleteKeysMoR(table: String, keys: DataFrame, keyCols: Seq[String]): Long =
-    morWrite(table, keys, keyCols, insertRows = false, "delete_mor")
+  def deleteKeysMoR(table: String, keys: DataFrame, keyCols: Seq[String],
+      streamEpoch: Option[(String, Long)] = None): Long =
+    morWrite(table, None, keys, keyCols, "delete_mor", streamEpoch)
 
-  private def morWrite(table: String, source: DataFrame, keyCols: Seq[String],
-      insertRows: Boolean, operation: String): Long = {
+  /** One-commit CDC apply (merge-on-read): `cdc` carries upsert rows and
+    * delete markers (`deleteCol` = true drops the key). New images land as
+    * data files; EVERY key in the batch (upserted or deleted) lands in one
+    * delete file masking its older images — so a whole CDC batch is a
+    * single atomic O(churn) snapshot. That one-commit shape is what a
+    * streaming upsert sink needs: one epoch = one ledger entry, so the
+    * replay check can never skip half a batch. */
+  def applyCdcMoR(table: String, cdc: DataFrame, keyCols: Seq[String],
+      deleteCol: String, streamEpoch: Option[(String, Long)] = None): Long =
+    morWrite(table,
+      Some(cdc.filter(!col(deleteCol).cast("boolean")).drop(deleteCol)),
+      cdc, keyCols, "cdc_mor", streamEpoch)
+
+  private def morWrite(table: String, dataRows: Option[DataFrame],
+      keySource: DataFrame, keyCols: Seq[String], operation: String,
+      streamEpoch: Option[(String, Long)]): Long = {
     require(exists(table), s"$operation: table $table does not exist")
     require(keyCols.nonEmpty, s"$operation needs at least one key column")
+    // Same exactly-once ledger as commitStaged: a replayed sink epoch no-ops.
+    streamEpoch.foreach { case (qid, e) =>
+      if (lastStreamEpoch(table, qid).exists(_ >= e)) return currentVersion(table)
+    }
     val m = manifests(table).maxBy(_.version)
     require(m.files.forall(_.path.startsWith("v=")),
       s"$operation needs version-sequenced data files; compact $table first")
@@ -1043,21 +1078,21 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     keyCols.foreach(k => require(existing.fieldNames.contains(k),
       s"$operation: key column $k not in table schema"))
     val v = currentVersion(table) + 1
-    val dataEntries =
-      if (!insertRows) Seq.empty
-      else {
+    val dataEntries = dataRows match {
+      case None => Seq.empty
+      case Some(source) =>
         val aligned = source.select(existing.fields.toSeq.map { f =>
           if (source.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
           else functions.lit(null).cast(f.dataType).as(f.name)
         }: _*)
         writeDataFiles(versionDir(table, v), s"v=$v", aligned, m.partitionBy,
           Seq.empty)
-      }
+    }
     // Distinct delete keys land under v=N/deletes/ (their own subdir so
     // they can never be confused with the version's data files).
     val delDir = new Path(versionDir(table, v), "deletes")
     val keyTypes = keyCols.map(k => existing.fields(existing.fieldIndex(k)))
-    source.select(keyTypes.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    keySource.select(keyTypes.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
       .distinct().write.mode("overwrite").parquet(delDir.toString)
     val f = fs(delDir)
     val delEntries = listPartFiles(delDir, f).map { s =>
@@ -1067,7 +1102,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
       (m.files ++ dataEntries).map(_.rowCount).sum, m.files ++ dataEntries,
       m.schemaJson, m.partitionBy, m.droppedColumns,
-      m.deleteFiles ++ delEntries))
+      m.deleteFiles ++ delEntries, streamEpoch))
     swapPointer(table, v)
     v
   }
@@ -1506,11 +1541,27 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val f = fs(p)
     val cur =
       if (!f.exists(p)) 0L
-      else {
-        val in = f.open(p)
-        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-        finally in.close()
-      }
+      else
+        try {
+          val in = f.open(p)
+          try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+          finally in.close()
+        } catch {
+          // Torn/checksum-raced read of the cache. The manifest listing is
+          // authoritative but ALREADY contains our own version v, so: skip
+          // the swap only when a strictly newer manifest exists (that
+          // writer's swap covers ours); otherwise we are the newest commit
+          // and must still advance the pointer.
+          case _: java.io.IOException | _: NumberFormatException =>
+            val dir = new Path(tableDir(table), "_manifests")
+            val mx =
+              if (!f.exists(dir)) 0L
+              else f.listStatus(dir).map(_.getPath.getName)
+                .collect { case n if n.endsWith(".json") =>
+                  n.stripSuffix(".json").toLong }
+                .foldLeft(0L)(math.max)
+            if (mx <= v) v - 1 else mx
+        }
     if (v > cur) atomicWrite(p, v.toString)
   }
 
@@ -1607,7 +1658,7 @@ object TableStore {
     * footer stats and Spark's string comparison use. Java's
     * String.compareTo (UTF-16 code units) diverges for supplementary-plane
     * characters, which would make min/max pruning silently drop rows. */
-  private[graft] def utf8Cmp(a: String, b: String): Int = {
+  def utf8Cmp(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0

@@ -98,6 +98,38 @@ object CdcStream {
       }
       .start()
 
+  /** Streaming CDC upsert into the table format (merge-on-read): each
+    * micro-batch applies as ONE atomic O(churn) snapshot via
+    * [[TableStore.applyCdcMoR]] — new images as data files plus a delete
+    * file masking every batch key's older images; rows with
+    * `deleteCol` = true just drop their key. Nothing is ever rewritten, so
+    * per-epoch cost is the churn, never the table — the CDC-ingestion
+    * contract at 100 TB (Iceberg's Flink upsert sink shape). Exactly-once
+    * on top of foreachBatch's at-least-once replay: every commit is
+    * stamped with the stream's stable (queryId, batchId) and a replayed
+    * batch no-ops inside the store. The table must already exist — schema
+    * authority stays with the table, extra CDC columns are dropped. */
+  def upsertMoRSink(cdc: DataFrame, store: TableStore, table: String,
+      keyCols: Seq[String], deleteCol: String,
+      checkpointDir: String): StreamingQuery =
+    cdc.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // The stream execution thread tags itself with the query id
+          // (StreamExecution.QUERY_ID_KEY) — stable across restarts, it
+          // lives in checkpoint metadata, unlike the per-run runId.
+          val qid = Option(batch.sparkSession.sparkContext
+            .getLocalProperty("sql.streaming.queryId"))
+          store.applyCdcMoR(table, batch, keyCols, deleteCol,
+            qid.map((_, batchId)))
+          ()
+        }
+        ()
+      }
+      .start()
+
   /** Stream-stream interval join: enrich each left event with right-side
     * events of the same key whose timestamp falls within
     * [left.ts − lookback, left.ts]. Both sides carry watermarks, so the

@@ -81,6 +81,55 @@ class StreamSinkSpec extends SparkSpec {
     }
   }
 
+  test("applyCdcMoR: upserts + deletes land as one atomic snapshot") {
+    withCatalog { (store, _) =>
+      store.commit("t",
+        Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("id", "s", "v"),
+        "create")
+      val v0 = store.currentVersion("t")
+      // one batch: update id=1, insert id=4, delete id=2
+      val cdc = Seq((1L, "a2", 10.0, false), (4L, "d", 4.0, false),
+        (2L, "b", 0.0, true)).toDF("id", "s", "v", "_deleted")
+      store.applyCdcMoR("t", cdc, Seq("id"), "_deleted")
+      assert(store.currentVersion("t") == v0 + 1) // ONE commit for the batch
+      assert(store.read("t").as[(Long, String, Double)].collect().toSet ==
+        Set((1L, "a2", 10.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+      val m = store.manifests("t").maxBy(_.version)
+      assert(m.operation == "cdc_mor" && m.deleteFiles.nonEmpty)
+    }
+  }
+
+  test("upsertMoRSink streams CDC batches exactly-once into the store") {
+    withCatalog { (store, _) =>
+      store.commit("t",
+        Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "s", "v"), "create")
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, String, Double, Boolean)]
+      val q = graft.streaming.CdcStream.upsertMoRSink(
+        in.toDF().toDF("id", "s", "v", "_deleted"), store, "t",
+        Seq("id"), "_deleted", tmpDir("ck"))
+      try {
+        in.addData((1L, "a2", 10.0, false), (3L, "c", 3.0, false))
+        q.processAllAvailable()
+        in.addData((2L, "b", 0.0, true))
+        q.processAllAvailable()
+        assert(store.read("t").as[(Long, String, Double)].collect().toSet ==
+          Set((1L, "a2", 10.0), (3L, "c", 3.0)))
+        // each epoch committed once, under one stable query id
+        val epochs = store.manifests("t")
+          .filter(_.operation == "cdc_mor").flatMap(_.streamEpoch)
+        assert(epochs.map(_._2).sorted == Seq(0L, 1L))
+        assert(epochs.map(_._1).distinct == Seq(q.id.toString))
+        // a replayed epoch (same qid, batch 1) no-ops at the store layer
+        val v = store.currentVersion("t")
+        store.applyCdcMoR("t",
+          Seq((2L, "b", 0.0, true)).toDF("id", "s", "v", "_deleted"),
+          Seq("id"), "_deleted", Some((q.id.toString, 1L)))
+        assert(store.currentVersion("t") == v)
+      } finally q.stop()
+    }
+  }
+
   test("streaming writes into a partitioned table land in the partition layout") {
     withCatalog { (store, cat) =>
       spark.sql(s"CREATE TABLE $cat.ns.psink (id BIGINT, k STRING) " +
