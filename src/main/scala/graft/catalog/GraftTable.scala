@@ -30,9 +30,23 @@ class GraftTable(spark: SparkSession, catalogName: String, warehouse: String,
 
   override def name(): String = s"$catalogName.$tableName"
   override def schema(): StructType = tableSchema
+
+  /** Advertise the manifest's partition spec (identity columns, or bucket
+    * transforms recovered from their name-encoded `__bucket<N>_<col>`
+    * form) — the analyzer validates `INSERT OVERWRITE ... PARTITION (...)`
+    * clauses against this, and DESCRIBE shows it. */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    val Bucketed = """__bucket(\d+)_(.+)""".r
+    m.partitionBy.map {
+      case Bucketed(n, c) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n.toInt, c)
+      case c => org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+    }.toArray
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

@@ -10,7 +10,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, SortDirection, SortOrder}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
@@ -71,15 +72,46 @@ object StoreWrite {
 private class GraftWriteBuilder(warehouse: String, table: String,
     schema: StructType, operation: String, kept: () => Seq[TableStore.FileEntry],
     queryId: String)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate with SupportsDynamicOverwrite
+    with SupportsOverwriteV2 {
   private var op = operation
   private var keptFiles = kept
+  private var overwriteMode: OverwriteMode = KeepKept
   override def truncate(): WriteBuilder = {
     op = "overwrite"; keptFiles = () => Seq.empty; this
   }
+  /** `INSERT OVERWRITE` under `partitionOverwriteMode=dynamic`: replace
+    * exactly the partitions the query writes, keep every other file —
+    * Iceberg's dynamic overwrite, the daily re-materialization pattern. */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    op = "overwrite_dynamic"; overwriteMode = DynamicParts; this
+  }
+  /** Static `INSERT OVERWRITE t PARTITION (p = 'x')` / `REPLACE WHERE`:
+    * the predicate may reference ONLY identity partition columns —
+    * anything finer would need row-level rewrite, and approximating it
+    * with file drops would silently lose rows. ALWAYS_TRUE (no static
+    * partition spec) degrades to truncate, Spark's semantics. The tree is
+    * kept whole and evaluated per file at commit time: partitioned files
+    * carry exact (min = max) partition values, so evaluation is exact. */
+  override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
+    if (predicates.forall(_.name() == "ALWAYS_TRUE")) return truncate()
+    op = "overwrite_where"
+    overwriteMode = PartitionFilter(predicates.toSeq)
+    this
+  }
   override def build(): Write =
-    new GraftWrite(warehouse, table, schema, op, keptFiles, queryId)
+    new GraftWrite(warehouse, table, schema, op, keptFiles, queryId,
+      overwriteMode)
 }
+
+/** How the commit resolves the files KEPT alongside the staged ones. */
+private sealed trait OverwriteMode
+/** Append / truncate / CoW: the builder's kept-files closure decides. */
+private case object KeepKept extends OverwriteMode
+/** Keep files whose partition tuple the staged write did not touch. */
+private case object DynamicParts extends OverwriteMode
+/** Keep files whose partition tuple fails the static overwrite filter. */
+private case class PartitionFilter(preds: Seq[Predicate]) extends OverwriteMode
 
 /** One logical write, usable as batch OR streaming. Streaming
   * (`df.writeStream.toTable`) appends one snapshot per micro-batch epoch,
@@ -92,7 +124,8 @@ private class GraftWriteBuilder(warehouse: String, table: String,
   * under its own `e<epoch>/` subdirectory so concurrent task retries from
   * different epochs never collide. */
 private class GraftWrite(warehouse: String, table: String, schema: StructType,
-    operation: String, kept: () => Seq[TableStore.FileEntry], queryId: String)
+    operation: String, kept: () => Seq[TableStore.FileEntry], queryId: String,
+    mode: OverwriteMode = KeepKept)
     extends Write with BatchWrite with StreamingWrite
     with RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite = this
@@ -156,9 +189,56 @@ private class GraftWrite(warehouse: String, table: String, schema: StructType,
     messages.collect { case GraftCommitMessage(ps) =>
       ps.map { case (abs, rel) => (new Path(abs), rel) } }.flatten.toSeq
 
+  /** The files kept alongside the staged ones — partition-level overwrite
+    * granularity: a file is dropped only when its WHOLE partition tuple is
+    * being replaced, which is exact because partitioned files carry exact
+    * (min = max) partition values. Both overwrite modes are metadata-only
+    * decisions over the manifest; no data file is read. */
+  private def resolveKept(store: TableStore,
+      staged: Seq[(Path, String)]): Seq[TableStore.FileEntry] = {
+    def current = if (store.exists(table))
+      store.manifests(table).maxBy(_.version).files else Seq.empty
+    def requireSpecOn(files: Seq[TableStore.FileEntry], what: String): Unit =
+      require(files.forall(f => partitionBy.forall(f.partitionValues.contains)),
+        s"$what of $table needs every live file to carry partition values " +
+          s"for (${partitionBy.mkString(", ")}); rewrite or compact first")
+    mode match {
+      case KeepKept => kept()
+      case DynamicParts =>
+        // unpartitioned table: the whole table is one partition (Spark
+        // semantics) — a dynamic overwrite replaces it entirely
+        if (partitionBy.isEmpty) Seq.empty
+        else {
+          val cur = current
+          requireSpecOn(cur, "dynamic partition overwrite")
+          val touched = staged
+            .map { case (_, rel) => store.partitionValuesOf(rel) }.toSet
+          cur.filterNot(f =>
+            touched.contains(partitionBy.map(c => c -> f.partitionValues(c)).toMap))
+        }
+      case PartitionFilter(preds) =>
+        val refs = preds.flatMap(PredicateEval.references).distinct
+        refs.foreach { c =>
+          require(partitionBy.contains(c),
+            s"overwrite filter column $c is not an identity partition column " +
+              s"of $table (spec: ${partitionBy.mkString(", ")}); use " +
+              "MERGE/DELETE for row-level overwrites") }
+        val cur = current
+        requireSpecOn(cur, "partition-filtered overwrite")
+        val tz = spark.sessionState.conf.sessionLocalTimeZone
+        // drop a file only when the filter is definitively TRUE on its
+        // exact partition tuple; NULL/false keep it (SQL filter semantics)
+        cur.filterNot { f =>
+          preds.forall(p =>
+            PredicateEval.eval(p, f.partitionValues, tz).contains(true))
+        }
+    }
+  }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val store = new TableStore(spark, warehouse)
-    store.commitStaged(table, kept(), stagedOf(messages), operation,
+    val staged = stagedOf(messages)
+    store.commitStaged(table, resolveKept(store, staged), staged, operation,
       resolvedSchemaJson(store))
     cleanup(stagingDir)
   }
@@ -184,6 +264,82 @@ private class GraftWrite(warehouse: String, table: String, schema: StructType,
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+}
+
+/** Exact three-valued (Kleene) evaluation of a DSv2 overwrite predicate
+  * against one file's partition tuple. Field values are the writer's own
+  * string renderings (null = the Hive default-partition marker), literals
+  * are rendered through the same Cast-to-string path, so comparison is
+  * exact by construction. `None` = SQL NULL. Unsupported predicate names
+  * throw — refusal is always safer than approximating an overwrite. */
+private object PredicateEval {
+  import org.apache.spark.sql.connector.expressions.Expression
+
+  private val NullMarker =
+    ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+
+  def references(e: Expression): Seq[String] = e match {
+    case f: NamedReference => Seq(f.fieldNames().mkString("."))
+    case other => other.children().toSeq.flatMap(references)
+  }
+
+  private def render(l: Literal[_], tz: String): Option[String] =
+    Option(l.value).map { _ =>
+      String.valueOf(Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(l.value, l.dataType),
+        StringType, Option(tz)).eval(null))
+    }
+
+  private def valueOf(e: Expression, vals: Map[String, String],
+      tz: String): Option[String] = e match {
+    case f: NamedReference =>
+      vals.get(f.fieldNames().mkString(".")).filter(_ != NullMarker)
+    case l: Literal[_] => render(l, tz)
+    case other => throw new UnsupportedOperationException(
+      s"overwrite filter operand $other is not a column or literal")
+  }
+
+  def eval(p: Predicate, vals: Map[String, String],
+      tz: String): Option[Boolean] = {
+    def kids = p.children()
+    def sub(i: Int): Option[Boolean] =
+      eval(kids(i).asInstanceOf[Predicate], vals, tz)
+    p.name() match {
+      case "ALWAYS_TRUE" => Some(true)
+      case "ALWAYS_FALSE" => Some(false)
+      case "AND" => (sub(0), sub(1)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case "OR" => (sub(0), sub(1)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case "NOT" => sub(0).map(!_)
+      case "=" => for {
+        a <- valueOf(kids(0), vals, tz); b <- valueOf(kids(1), vals, tz)
+      } yield a == b
+      case "<=>" =>
+        Some(valueOf(kids(0), vals, tz) == valueOf(kids(1), vals, tz))
+      case "IS_NULL" => Some(valueOf(kids(0), vals, tz).isEmpty)
+      case "IS_NOT_NULL" => Some(valueOf(kids(0), vals, tz).isDefined)
+      case "IN" =>
+        val v = valueOf(kids(0), vals, tz)
+        val list = kids.toSeq.tail.map(valueOf(_, vals, tz))
+        v match {
+          case None => if (list.isEmpty) Some(false) else None
+          case Some(x) =>
+            if (list.contains(Some(x))) Some(true)
+            else if (list.exists(_.isEmpty)) None
+            else Some(false)
+        }
+      case other => throw new UnsupportedOperationException(
+        s"overwrite filter $p (op $other) cannot be proven to pin whole " +
+          "partitions; use MERGE/DELETE for row-level overwrites")
+    }
   }
 }
 
