@@ -1842,6 +1842,163 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
         .withColumn("epoch_ledger_ok", lit(ledgerOk))
         .orderBy(col("event_type"))
+    }),
+
+    // Streaming CDC upsert sink (merge-on-read): base = an events slice;
+    // the CDC stream carries updated images (+1000 on %3==1) and delete
+    // markers (%3==2), replayed as three micro-batches through the parquet
+    // file source. Each batch applies as ONE atomic O(churn) snapshot
+    // (applyCdcMoR: new images + one delete file; nothing rewritten) with
+    // the (queryId, batchId) exactly-once stamp. Final table state must
+    // equal the batch-computed expectation; `epoch_ledger_ok` asserts one
+    // stable query id over consecutive epochs and that no data file of the
+    // base snapshot was rewritten.
+    "q90_stream_upsert_mor" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "events")
+        .filter(col("event_id") % 10 === 4)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val store = tmpStore(s)
+      store.commit("state", base, "create")
+      val v1Files = store.manifests("state").maxBy(_.version)
+        .files.map(_.path).toSet
+      val cdc = base.filter(col("event_id") % 3 === 1)
+        .withColumn("value", col("value") + 1000.0)
+        .withColumn("_deleted", lit(false))
+        .unionByName(base.filter(col("event_id") % 3 === 2)
+          .withColumn("_deleted", lit(true)))
+      val replay = new FileReplay(s, cdc.schema)
+      val q = graft.streaming.CdcStream.upsertMoRSink(
+        replay.source, store, "state", Seq("event_id"), "_deleted",
+        java.nio.file.Files.createTempDirectory("graft_ck").toString)
+      try timeSlices(cdc, "ts", 3).foreach(b => replay.feed(q, b))
+      finally q.stop()
+      val ms = store.manifests("state")
+      val epochs = ms.filter(_.operation == "cdc_mor").flatMap(_.streamEpoch)
+      val ledgerOk = epochs.nonEmpty &&
+        epochs.map(_._1).distinct.size == 1 &&
+        epochs.map(_._2).sorted == (0L until epochs.size.toLong) &&
+        v1Files.subsetOf(ms.maxBy(_.version).files.map(_.path).toSet)
+      store.read("state")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
+        .withColumn("epoch_ledger_ok", lit(ledgerOk))
+        .orderBy(col("event_type"))
+    }),
+
+    // Dynamic partition overwrite (Iceberg's overwrite semantics; the
+    // daily re-materialization pattern): events ingested partitioned on
+    // event_type, then `INSERT OVERWRITE` under partitionOverwriteMode=
+    // dynamic rewrites ONE partition (the lexicographically-first type,
+    // value+500) — every other partition must keep its ORIGINAL files
+    // (`untouched_kept`, a metadata-only decision over the manifest), and
+    // the final state must match the batch oracle exactly.
+    "q91_dynamic_overwrite" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val wh = java.nio.file.Files.createTempDirectory("graft_dow").toString
+      val cat = s"gq91x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val view = s"q91_ev_${System.nanoTime()}"
+      ev.createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.ns.ev PARTITIONED BY (event_type) " +
+        s"AS SELECT * FROM $view")
+      val minType = s.sql(s"SELECT min(event_type) FROM $view").head.getString(0)
+      val store = new TableStore(s, wh)
+      def otherFiles(): Set[String] =
+        store.manifests("ev").maxBy(_.version).files
+          .filterNot(_.partitionValues.get("event_type").contains(minType))
+          .map(_.path).toSet
+      val before = otherFiles()
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.get(modeKey)
+      s.conf.set(modeKey, "dynamic")
+      try s.sql(s"INSERT OVERWRITE $cat.ns.ev " +
+        s"SELECT event_id, event_type, value + 500 AS value " +
+        s"FROM $view WHERE event_type = '$minType'")
+      finally s.conf.set(modeKey, prev)
+      val untouchedKept = otherFiles() == before &&
+        store.manifests("ev").maxBy(_.version).operation == "overwrite_dynamic"
+      s.table(s"$cat.ns.ev")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
+        .withColumn("untouched_kept", lit(untouchedKept))
+        .orderBy(col("event_type"))
+    }),
+
+    // Metadata-only aggregates (Iceberg's `SELECT count(*)` answer): an
+    // unfiltered, ungrouped COUNT(*)/MIN/MAX over a catalog table is
+    // served from the manifest's footer-harvested row counts and min/max
+    // — the plan collapses to a LocalTableScan and reads ZERO data files
+    // at ANY table size (`metadata_only` asserts no scan node survives in
+    // the executed plan). Values must still match the DuckDB oracle
+    // exactly, proving the stats round-trip the data.
+    "q92_metadata_agg" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val wh = java.nio.file.Files.createTempDirectory("graft_magg").toString
+      val cat = s"gq92x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val store = new TableStore(s, wh)
+      store.commit("ev", ev.filter(col("ts") < lit("2024-01-15")), "create")
+      store.append("ev", ev.filter(col("ts") >= lit("2024-01-15")))
+      val agg = s.sql(
+        s"""SELECT COUNT(*) AS n_rows, MIN(event_id) AS min_id,
+           |  MAX(event_id) AS max_id, MIN(value) AS min_value,
+           |  MAX(value) AS max_value, MIN(event_type) AS first_type,
+           |  MAX(event_type) AS last_type
+           |FROM $cat.ns.ev""".stripMargin)
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        p +: (p match {
+          case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+          case st: QueryStageExec => nodes(st.plan)
+          case o => o.children.flatMap(nodes)
+        })
+      }
+      val metadataOnly = !nodes(agg.queryExecution.executedPlan).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec])
+      agg.withColumn("metadata_only", lit(metadataOnly))
+    }),
+
+    // Metadata-only aggregates, grouped: COUNT/MIN/MAX GROUP BY an
+    // identity partition column — each partitioned file holds exactly one
+    // partition tuple, so grouping files by tuple IS grouping rows by
+    // value, and the per-partition answer is a driver-side manifest fold
+    // (Iceberg's `$partitions` rollup as a plain SQL GROUP BY). Still
+    // zero data files read; values must hash-match the DuckDB oracle.
+    "q93_metadata_agg_grouped" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val wh = java.nio.file.Files.createTempDirectory("graft_mgg").toString
+      val cat = s"gq93x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val view = s"q93_ev_${System.nanoTime()}"
+      ev.createOrReplaceTempView(view)
+      s.sql(s"CREATE TABLE $cat.ns.ev PARTITIONED BY (event_type) " +
+        s"AS SELECT * FROM $view")
+      val agg = s.sql(
+        s"""SELECT event_type, COUNT(*) AS n, MIN(value) AS min_value,
+           |  MAX(value) AS max_value, MIN(event_id) AS min_id
+           |FROM $cat.ns.ev GROUP BY event_type""".stripMargin)
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        p +: (p match {
+          case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+          case st: QueryStageExec => nodes(st.plan)
+          case o => o.children.flatMap(nodes)
+        })
+      }
+      val metadataOnly = !nodes(agg.queryExecution.executedPlan).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec])
+      agg.withColumn("metadata_only", lit(metadataOnly))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -2935,6 +3092,48 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  true AS epoch_ledger_ok
         |FROM events WHERE event_id % 10 = 3
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The manifest-served aggregate must equal the data's true aggregate.
+    "q92_metadata_agg" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MIN(event_id) AS BIGINT) AS min_id,
+        |  CAST(MAX(event_id) AS BIGINT) AS max_id,
+        |  CAST(MIN(value) AS DOUBLE) AS min_value,
+        |  CAST(MAX(value) AS DOUBLE) AS max_value,
+        |  MIN(event_type) AS first_type, MAX(event_type) AS last_type,
+        |  true AS metadata_only
+        |FROM events""".stripMargin,
+
+    // Per-partition manifest fold must equal the true grouped aggregate.
+    "q93_metadata_agg_grouped" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(value) AS DOUBLE) AS min_value,
+        |  CAST(MAX(value) AS DOUBLE) AS max_value,
+        |  CAST(MIN(event_id) AS BIGINT) AS min_id,
+        |  true AS metadata_only
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // One partition's rows re-materialized at value+500, the rest original.
+    "q91_dynamic_overwrite" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN event_type = (SELECT min(event_type) FROM events)
+        |       THEN CAST(value AS DECIMAL(18,2)) + 500
+        |       ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS total_value,
+        |  true AS untouched_kept
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Post-CDC state of the %10==4 slice: %3==1 carries the +1000 image,
+    // %3==2 is deleted, the rest is the original row.
+    "q90_stream_upsert_mor" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN event_id % 3 = 1
+        |       THEN CAST(value AS DECIMAL(18,2)) + 1000
+        |       ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS total_value,
+        |  true AS epoch_ledger_ok
+        |FROM events WHERE event_id % 10 = 4 AND event_id % 3 <> 2
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // Batch gap-sessionization over the same slice (q45's SQL shape with

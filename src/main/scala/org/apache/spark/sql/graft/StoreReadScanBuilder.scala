@@ -25,12 +25,37 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
     warehouse: String, tableName: String, m: TableStore.Manifest,
     tableSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownCatalystFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var inner: ScanBuilder = _
   private var required: Option[StructType] = None
   private var lastFilters: Seq[Expression] = Seq.empty
   private var keptFiles: Seq[TableStore.FileEntry] = m.files
+  private var aggResult: Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = None
+
+  /** Metadata-only aggregates (Iceberg's `SELECT count(*)` answer): an
+    * unfiltered COUNT(*)/MIN/MAX — ungrouped, or GROUPed BY identity
+    * partition columns — is answered from the manifest alone: row counts
+    * and per-file min/max were harvested from parquet footers at COMMIT
+    * time, and partitioned files each hold exactly one partition tuple,
+    * so the query reads ZERO data files at ANY table size. Pushed
+    * completely (the scan emits the final row per group on the driver via
+    * [[org.apache.spark.sql.connector.read.LocalScan]]). Bails to the
+    * normal scan path whenever exactness is not provable: any pushed
+    * filter, a GROUP BY on a non-partition column, merge-on-read delete
+    * files, a file with rows but no recorded count or no stats at all, a
+    * stat kind that does not round-trip the column's type, or a column
+    * that ever went through DROP COLUMN. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    MetadataAgg.compute(m, lastFilters.nonEmpty, agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggResult = MetadataAgg.compute(m, lastFilters.nonEmpty, agg)
+    aggResult.isDefined
+  }
 
   private def innerBuilder: ScanBuilder = {
     if (inner == null) inner = parquetBuilderOver(m.files)
@@ -96,9 +121,176 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
     }
   }
 
-  override def build(): Scan = new GraftStatsScan(spark, warehouse, tableName,
-    innerBuilder.build(), keptFiles, tableSchema, scanOver,
-    options.getBoolean("skipRewrites", false), m.partitionBy)
+  override def build(): Scan = aggResult match {
+    case Some((schema, rows)) => new MetadataAggScan(name, schema, rows)
+    case None => new GraftStatsScan(spark, warehouse, tableName,
+      innerBuilder.build(), keptFiles, tableSchema, scanOver,
+      options.getBoolean("skipRewrites", false), m.partitionBy)
+  }
+}
+
+/** Pre-computed aggregate rows (one per group) served driver-locally —
+  * the plan becomes a `LocalTableScan`; no task, no file, no shuffle. */
+private final class MetadataAggScan(name: String, schema: StructType,
+    aggRows: Seq[org.apache.spark.sql.catalyst.InternalRow])
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    aggRows.toArray
+  override def description(): String = s"GraftMetadataAgg $name"
+}
+
+/** Computes a completely-pushed aggregation from manifest metadata, or
+  * None when any exactness condition fails (the caller then scans). */
+private object MetadataAgg {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.expressions.FieldReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** The manifest stat kind that round-trips `dt` exactly (None = never
+    * push this type). Timestamps/dates store their internal long/int form;
+    * strings store the FULL footer min/max (never truncated). */
+  private def expectedKind(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType => Some("long")
+    case FloatType | DoubleType => Some("double")
+    case StringType => Some("string")
+    case d: DecimalType => Some(s"dec${d.scale}")
+    case _ => None
+  }
+
+  private def internalValue(dt: DataType, s: String): Any = dt match {
+    case ByteType => s.toLong.toByte
+    case ShortType => s.toLong.toShort
+    case IntegerType | DateType => s.toLong.toInt
+    case LongType | TimestampType => s.toLong
+    case FloatType => s.toDouble.toFloat
+    case DoubleType => s.toDouble
+    case StringType => UTF8String.fromString(s)
+    case d: DecimalType => org.apache.spark.sql.types.Decimal(
+      new java.math.BigDecimal(new java.math.BigInteger(s), d.scale),
+      d.precision, d.scale)
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  private def cmpInKind(kind: String, a: String, b: String): Int =
+    if (kind == "long") java.lang.Long.compare(a.toLong, b.toLong)
+    else if (kind == "double") java.lang.Double.compare(a.toDouble, b.toDouble)
+    else if (kind.startsWith("dec"))
+      new java.math.BigInteger(a).compareTo(new java.math.BigInteger(b))
+    else TableStore.utf8Cmp(a, b)
+
+  /** MIN or MAX of `c` over the whole snapshot from per-file stats.
+    * Outer None = cannot push; Some(null) = SQL NULL (no non-null value
+    * anywhere). A harvested file (it has stats for SOME column) missing
+    * stats for a stat-able column holds only nulls there — parquet omits
+    * footer min/max exactly when no non-null value exists — so it
+    * contributes nothing to MIN/MAX; the same holds for files written
+    * before the column was added (they read as null). A file with rows
+    * but NO stats at all has unknown provenance and bails, as does a
+    * column that ever went through DROP COLUMN (old files' stats would
+    * describe values the tombstone nulls out). */
+  private def extremeOf(m: TableStore.Manifest, dt: DataType, c: String,
+      isMin: Boolean): Option[Any] = {
+    val kind = expectedKind(dt).getOrElse(return None)
+    if (m.droppedColumns.contains(c)) return None
+    val contributing = scala.collection.mutable.ArrayBuffer.empty[String]
+    m.files.foreach { f =>
+      f.stats.get(c) match {
+        case Some(cs) =>
+          if (cs.kind != kind) return None
+          contributing += (if (isMin) cs.min else cs.max)
+        case None =>
+          if (f.rowCount > 0 && f.stats.isEmpty) return None
+      }
+    }
+    if (contributing.isEmpty) return Some(null)
+    val best = contributing.reduce { (a, b) =>
+      val better = if (isMin) cmpInKind(kind, a, b) <= 0
+                   else cmpInKind(kind, a, b) >= 0
+      if (better) a else b
+    }
+    try Some(internalValue(dt, best)) catch { case _: Exception => None }
+  }
+
+  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression,
+      schema: StructType): Option[StructField] = e match {
+    case f: FieldReference if f.fieldNames().length == 1 =>
+      schema.fields.find(_.name == f.fieldNames().head)
+    case _ => None
+  }
+
+  /** Parse a partition-directory string back to the column's catalyst
+    * internal value through Spark's own string cast (the inverse of the
+    * writer's Cast-to-string rendering). */
+  private def partitionInternalValue(dt: DataType, s: String): Option[Any] = {
+    if (s == org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .DEFAULT_PARTITION_NAME) return Some(null)
+    val v = org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        UTF8String.fromString(s), StringType), dt, Option("UTC")).eval(null)
+    // a value the cast cannot parse (corrupt dir name) must bail, not
+    // silently group under null
+    if (v == null) None else Some(v)
+  }
+
+  def compute(m: TableStore.Manifest, filtered: Boolean, agg: Aggregation)
+      : Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = {
+    if (filtered || m.deleteFiles.nonEmpty) return None
+    // a sized file with no recorded row count would falsify COUNT(*)
+    if (m.files.exists(f => f.rowCount <= 0 && f.sizeBytes > 0)) return None
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[StructType]
+    // GROUP BY is served only over identity partition columns: each file
+    // holds exactly one partition tuple (clustered writes roll files per
+    // value; appends inherit the spec), so grouping files by tuple is
+    // grouping rows by value.
+    val groupFields = agg.groupByExpressions().toSeq.map { e =>
+      val f = fieldOf(e, schema).getOrElse(return None)
+      if (!m.partitionBy.contains(f.name) ||
+          m.droppedColumns.contains(f.name)) return None
+      f
+    }
+    if (groupFields.nonEmpty &&
+        m.files.exists(f => !groupFields.forall(g =>
+          f.partitionValues.contains(g.name)))) return None
+    val groups: Seq[(Seq[String], Seq[TableStore.FileEntry])] =
+      if (groupFields.isEmpty) Seq((Seq.empty, m.files))
+      else m.files.groupBy(f => groupFields.map(g => f.partitionValues(g.name)))
+        .toSeq.sortBy(_._1.mkString(" "))
+    val rows = groups.map { case (tuple, files) =>
+      val sub = m.copy(files = files)
+      val groupVals = groupFields.zip(tuple).map { case (g, s) =>
+        partitionInternalValue(g.dataType, s).getOrElse(return None)
+      }
+      val aggVals = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => files.map(_.rowCount).sum: Any
+        case mn: Min =>
+          val f = fieldOf(mn.column(), schema).getOrElse(return None)
+          extremeOf(sub, f.dataType, f.name, isMin = true).getOrElse(return None)
+        case mx: Max =>
+          val f = fieldOf(mx.column(), schema).getOrElse(return None)
+          extremeOf(sub, f.dataType, f.name, isMin = false).getOrElse(return None)
+        case _ => return None
+      }
+      new GenericInternalRow((groupVals ++ aggVals).toArray)
+        : org.apache.spark.sql.catalyst.InternalRow
+    }
+    val aggFields = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => StructField("count(*)", LongType, nullable = false)
+      case mn: Min =>
+        val f = fieldOf(mn.column(), schema).getOrElse(return None)
+        StructField(s"min(${f.name})", f.dataType)
+      case mx: Max =>
+        val f = fieldOf(mx.column(), schema).getOrElse(return None)
+        StructField(s"max(${f.name})", f.dataType)
+      case _ => return None
+    }
+    Some((StructType(groupFields.map(g => StructField(g.name, g.dataType))
+      ++ aggFields), rows))
+  }
 }
 
 /** Wraps the parquet scan of one pruned snapshot to (a) report EXACT
