@@ -1999,6 +1999,44 @@ object SparkEntry {
         _.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec])
       agg.withColumn("metadata_only", lit(metadataOnly))
         .orderBy(col("event_type"))
+    }),
+
+    // Partition evolution (Iceberg's headline spec flexibility): the first
+    // half of events lands identity-partitioned on event_type; the spec
+    // then evolves METADATA-ONLY to bucket(16, event_id) and the second
+    // half lands bucketed. `evo_ok` asserts the evolution moved no data
+    // (same files before/after the spec commit), old files still prune on
+    // their identity value, a key lookup prunes new bucketed files while
+    // conservatively hitting every old file, and the mixed-layout read
+    // must equal the whole-table oracle exactly.
+    "q94_partition_evolution" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      val store = tmpStore(s)
+      val first = ev.filter(col("ts") < lit("2024-01-15"))
+      val second = ev.filter(col("ts") >= lit("2024-01-15"))
+      store.commitPartitioned("ev", first, Seq("event_type"), "create")
+      val v1Files = store.manifests("ev").maxBy(_.version).files.map(_.path).toSet
+      val bc = TableStore.bucketColumn("event_id", 16)
+      store.setPartitionSpec("ev", Seq(bc))
+      val evolved = store.manifests("ev").maxBy(_.version)
+      store.append("ev",
+        second.withColumn(bc, TableStore.bucketOf(col("event_id"), 16)))
+      val (typeHit, typeTotal) =
+        store.prunedFileCount("ev", "event_type", "click", "click")
+      val probe = second.select(col("event_id")).limit(1)
+      val (hit, skipped) = store.filesHitByKeys("ev", "event_id", probe)
+      val evoOk = evolved.operation == "set-partition-spec" &&
+        evolved.files.map(_.path).toSet == v1Files &&   // metadata-only
+        typeHit < typeTotal &&                          // old identity pruning
+        skipped.nonEmpty &&                             // bucket pruning fired
+        skipped.forall(_.partitionValues.contains(bc)) && // …only on new files
+        v1Files.subsetOf(hit.map(_.path).toSet)         // old files never skipped
+      store.read("ev")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
+        .withColumn("evo_ok", lit(evoOk))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -3112,6 +3150,15 @@ object SparkEntry {
         |  CAST(MAX(value) AS DOUBLE) AS max_value,
         |  CAST(MIN(event_id) AS BIGINT) AS min_id,
         |  true AS metadata_only
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The mixed-layout table reads whole: identity-partitioned first half
+    // plus bucket-partitioned second half must equal all of events.
+    "q94_partition_evolution" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS evo_ok
         |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 

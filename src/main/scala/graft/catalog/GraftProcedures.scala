@@ -24,13 +24,14 @@ object GraftProcedures {
       case "rewrite_sorted" => Some(rewriteSorted(store))
       case "rewrite_zorder" => Some(rewriteZOrder(store))
       case "publish_staged" => Some(publishStaged(store))
+      case "set_partition_spec" => Some(setPartitionSpec(store))
       case _ => None
     }
 
   val names: Seq[String] =
     Seq("compact", "expire_snapshots", "rollback_to_version",
       "remove_orphan_files", "rewrite_sorted", "rewrite_zorder",
-      "publish_staged")
+      "publish_staged", "set_partition_spec")
 
   private def result(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
     java.util.Collections.singletonList[Scan](new LocalScan {
@@ -60,6 +61,34 @@ object GraftProcedures {
           StructType(Seq(StructField("version", LongType),
             StructField("files_before", LongType), StructField("files_after", LongType))),
           new GenericInternalRow(Array[Any](v, before, after)))
+      }
+    }
+  }
+
+  /** `CALL g.system.set_partition_spec(table => 't', columns => 'a,b')` —
+    * partition evolution, metadata-only (see TableStore.setPartitionSpec);
+    * empty `columns` returns the table to unpartitioned writes. */
+  private def setPartitionSpec(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "set_partition_spec"
+    override def description(): String =
+      "change the partition spec for future writes (metadata-only, Iceberg partition evolution)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "set_partition_spec"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("columns", StringType).defaultValue("''").build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val cols = input.getUTF8String(1).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val v = store.setPartitionSpec(table, cols)
+        result(
+          StructType(Seq(StructField("version", LongType),
+            StructField("partition_spec", StringType))),
+          new GenericInternalRow(Array[Any](v,
+            org.apache.spark.unsafe.types.UTF8String.fromString(cols.mkString(",")))))
       }
     }
   }

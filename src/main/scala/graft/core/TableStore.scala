@@ -330,6 +330,41 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     v
   }
 
+  /** Partition evolution (Iceberg's headline spec flexibility): change the
+    * table's partition spec METADATA-ONLY — no byte of data moves.
+    * Existing files keep their own layout and still prune exactly: every
+    * pruning path decides per FILE from its recorded partition values and
+    * stats, and planning paths treat files lacking the current spec's
+    * values conservatively (hit, never wrongly skipped). FUTURE writes —
+    * appends, staged SQL writes, merge rewrites — lay out and cluster by
+    * the new spec. A sorted/z-order rewrite (or any full rewrite through a
+    * partitioned commit) materializes the evolution across the whole
+    * table; dynamic partition overwrite refuses mixed layouts until then.
+    * Columns are schema fields (identity) or [[TableStore.bucketColumn]]
+    * names (`bucket(N, col)` transform); empty returns the table to
+    * unpartitioned writes. */
+  def setPartitionSpec(table: String, partitionBy: Seq[String]): Long = {
+    val ms = manifests(table)
+    require(ms.nonEmpty, s"table $table does not exist")
+    val m = ms.maxBy(_.version)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    partitionBy.foreach {
+      case TableStore.BucketRe(n, c) =>
+        require(n.toInt > 0 && schema.fieldNames.contains(c),
+          s"bucket transform on unknown column $c")
+      case c => require(schema.fieldNames.contains(c),
+        s"partition column $c is not in the table schema")
+    }
+    val v = m.version + 1
+    writeManifest(table, m.copy(version = v,
+      timestampMs = System.currentTimeMillis(),
+      operation = "set-partition-spec", partitionBy = partitionBy,
+      streamEpoch = None))
+    swapPointer(table, v)
+    v
+  }
+
   /** Rollback (time travel made current): a NEW snapshot that duplicates
     * `toVersion`'s content — files, schema, partition spec, dropped-column
     * tombstones — so the table's current state returns to that version
