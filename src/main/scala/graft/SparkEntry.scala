@@ -2037,6 +2037,60 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
         .withColumn("evo_ok", lit(evoOk))
         .orderBy(col("event_type"))
+    }),
+
+    // SQL reads over a merge-on-read table: the DSv2 scan applies the
+    // equality deletes itself (per-sequence-group parquet scans + a
+    // broadcast delete filter — GraftMorScan), so the same q88 CDC state
+    // is read through plain `spark.sql` with NO compaction. `mor_scan`
+    // asserts the plan actually went through the MoR scan and that no
+    // base data file was rewritten.
+    "q95_mor_sql_read" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val wh = java.nio.file.Files.createTempDirectory("graft_msr").toString
+      val cat = s"gq95x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val store = new TableStore(s, wh)
+      store.commit("ev", ev, "create")
+      val v1Files = store.manifests("ev").maxBy(_.version).files.map(_.path).toSet
+      store.upsertMoR("ev",
+        ev.filter(col("event_id") % 100 === 1)
+          .select(col("event_id"), col("event_type"),
+            (col("value") + 100.0).as("value")),
+        Seq("event_id"))
+      store.deleteKeysMoR("ev",
+        ev.filter(col("event_id") % 100 === 2).select(col("event_id")),
+        Seq("event_id"))
+      store.upsertMoR("ev",
+        ev.filter(col("event_id") % 100 === 1)
+          .select(col("event_id"), col("event_type"),
+            (col("value") + 200.0).as("value")),
+        Seq("event_id"))
+      val agg = s.sql(
+        s"""SELECT event_type, COUNT(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM $cat.ns.ev GROUP BY event_type""".stripMargin)
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        p +: (p match {
+          case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+          case st: QueryStageExec => nodes(st.plan)
+          case o => o.children.flatMap(nodes)
+        })
+      }
+      val morScanUsed = nodes(agg.queryExecution.executedPlan).exists {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.isInstanceOf[org.apache.spark.sql.graft.GraftMorScan]
+        case _ => false
+      }
+      val m = store.manifests("ev").maxBy(_.version)
+      val morOk = morScanUsed &&
+        v1Files.subsetOf(m.files.map(_.path).toSet) && m.deleteFiles.size >= 3
+      agg.withColumn("mor_scan", lit(morOk)).orderBy(col("event_type"))
     })
   )
 
@@ -3160,6 +3214,16 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  true AS evo_ok
         |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Same last-image-wins state as q88, read through SQL with no compact.
+    "q95_mor_sql_read" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN event_id % 100 = 1
+        |       THEN CAST(value AS DECIMAL(18,2)) + 200
+        |       ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS total_value,
+        |  true AS mor_scan
+        |FROM events WHERE event_id % 100 <> 2
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // One partition's rows re-materialized at value+500, the rest original.

@@ -52,19 +52,12 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def tableExists(ident: Identifier): Boolean = store.exists(ident.name)
 
-  private def tableAt(ident: Identifier, m: TableStore.Manifest): Table = {
-    // The catalog's scan path plans raw parquet over the manifest's file
-    // list; it cannot apply merge-on-read equality deletes, and silently
-    // resurrecting deleted rows is worse than refusing. Library reads
-    // (TableStore.read*) serve MoR tables; SQL reads resume after
-    // `CALL compact(...)` materializes the deletes away.
-    if (m.deleteFiles.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"table ${ident.name} has merge-on-read delete files; run " +
-          s"CALL $catalogName.system.compact(`table` => '${ident.name}') " +
-          "to materialize them before SQL reads")
+  private def tableAt(ident: Identifier, m: TableStore.Manifest): Table =
+    // Merge-on-read snapshots are served by the scan itself (GraftMorScan
+    // applies equality deletes per reader); row-level SQL writes on them
+    // still refuse inside GraftTable — a CoW rewrite planned without the
+    // delete view would resurrect dead rows.
     new GraftTable(spark, catalogName, warehouse, ident.name, m)
-  }
 
   private def manifestOrThrow(ident: Identifier, v: Option[Long]): TableStore.Manifest = {
     val ms = store.manifests(ident.name)

@@ -1665,7 +1665,7 @@ object TableStore {
     * prefix (files are written into their commit's version directory and
     * never renamed). Non-version paths (staged files published in place)
     * sequence as 0 — merge-on-read writes refuse such tables up front. */
-  private[core] def fileSeqOf(path: String): Long =
+  def fileSeqOf(path: String): Long =
     if (path.startsWith("v=")) {
       val i = path.indexOf('/')
       if (i > 2) scala.util.Try(path.substring(2, i).toLong).getOrElse(0L) else 0L

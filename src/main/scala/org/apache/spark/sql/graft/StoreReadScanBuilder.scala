@@ -123,9 +123,34 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
 
   override def build(): Scan = aggResult match {
     case Some((schema, rows)) => new MetadataAggScan(name, schema, rows)
+    case None if m.deleteFiles.nonEmpty => buildMorScan()
     case None => new GraftStatsScan(spark, warehouse, tableName,
       innerBuilder.build(), keptFiles, tableSchema, scanOver,
       options.getBoolean("skipRewrites", false), m.partitionBy)
+  }
+
+  /** Merge-on-read snapshot: per-sequence-group parquet scans + a
+    * broadcast delete filter (see [[GraftMorScan]]). Key columns are
+    * forced into the pruned schema — Spark projects them back out. */
+  private def buildMorScan(): Scan = {
+    val keyCols = m.deleteFiles.head.keyCols
+    val base = required.getOrElse(tableSchema)
+    val withKeys = StructType(base.fields ++
+      keyCols.filterNot(base.fieldNames.contains).map(k =>
+        tableSchema.fields(tableSchema.fieldIndex(k))))
+    required = Some(withKeys)
+    val groups = keptFiles.groupBy(fe => TableStore.fileSeqOf(fe.path))
+      .toSeq.sortBy(_._1)
+      .map { case (seq, fes) => (seq, scanOver(fes)) }
+    val keySchema = StructType(keyCols.map(k =>
+      tableSchema.fields(tableSchema.fieldIndex(k))))
+    val root = new org.apache.hadoop.fs.Path(warehouse, tableName).toString
+    val lookup = MorScan.deleteLookup(spark, root, m, keySchema,
+      options.getLong("morMaxDeleteKeys", 4000000L))
+    val keyOrdinals = keyCols.map(withKeys.fieldIndex).toArray
+    val keyTypes = keyOrdinals.map(i => withKeys.fields(i).dataType)
+    new GraftMorScan(spark, name, withKeys, groups, lookup, keyOrdinals,
+      keyTypes, keptFiles)
   }
 }
 

@@ -235,14 +235,16 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
-  test("SQL reads refuse merge-on-read tables until CALL compact materializes") {
+  test("SQL reads serve merge-on-read tables directly; compact still works") {
     withCatalog { (store, cat) =>
       store.commit("t", Seq((1L, "a"), (2L, "b")).toDF("id", "s"), "create")
       store.upsertMoR("t", Seq((2L, "b2")).toDF("id", "s"), Seq("id"))
-      val e = intercept[UnsupportedOperationException](
-        spark.sql(s"SELECT count(*) FROM $cat.ns.t").collect())
-      assert(e.getMessage.contains("compact"))
+      // reads apply the deletes at scan time (GraftMorScan, MorReadSpec)
+      assert(spark.sql(s"SELECT s FROM $cat.ns.t WHERE id = 2").as[String].head() == "b2")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").as[Long].head() == 2L)
+      // compaction materializes the deletes away; results unchanged
       spark.sql(s"CALL $cat.system.compact(`table` => 't')").collect()
+      assert(store.manifests("t").maxBy(_.version).deleteFiles.isEmpty)
       assert(spark.sql(s"SELECT s FROM $cat.ns.t WHERE id = 2").as[String].head() == "b2")
       assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").as[Long].head() == 2L)
     }

@@ -1,0 +1,105 @@
+package graft.catalog
+
+import graft.SparkSpec
+import graft.core.TableStore
+import org.apache.spark.sql.functions._
+
+/** SQL reads over merge-on-read tables: the DSv2 scan applies equality
+  * deletes itself (per-sequence-group parquet scans + a broadcast delete
+  * filter), so SELECTs — filtered, pruned, aggregated, time-traveled —
+  * work without materializing; row-level SQL writes still refuse.
+  */
+class MorReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withCatalog(f: (TableStore, String) => Unit): Unit = {
+    val wh = tmpDir("graft_morread")
+    val cat = s"gmor${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    f(new TableStore(spark, wh), cat)
+  }
+
+  private def seed(store: TableStore): Unit = {
+    store.commit("t",
+      (1 to 100).map(i => (i.toLong, s"s$i", i * 1.0)).toDF("id", "s", "v"),
+      "create")
+    // update ids 1-10 (+1000), delete ids 91-100, then update id 1 again
+    store.upsertMoR("t",
+      (1 to 10).map(i => (i.toLong, s"u$i", i + 1000.0)).toDF("id", "s", "v"),
+      Seq("id"))
+    store.deleteKeysMoR("t", (91 to 100).map(_.toLong).toDF("id"), Seq("id"))
+    store.upsertMoR("t",
+      Seq((1L, "uu1", 2000.0)).toDF("id", "s", "v"), Seq("id"))
+  }
+
+  test("SELECT over a MoR table applies deletes; matches the library read") {
+    withCatalog { (store, cat) =>
+      seed(store)
+      val sql = spark.sql(s"SELECT id, s, v FROM $cat.ns.t")
+        .as[(Long, String, Double)].collect().toSet
+      val lib = store.read("t").select(col("id"), col("s"), col("v"))
+        .as[(Long, String, Double)].collect().toSet
+      assert(sql == lib)
+      assert(sql.size == 90)                       // 100 - 10 deleted
+      assert(sql.contains((1L, "uu1", 2000.0)))    // last image wins
+      assert(sql.contains((5L, "u5", 1005.0)))     // first upsert's image
+      assert(!sql.exists(_._1 > 90))               // deletes applied
+      assert(sql.contains((50L, "s50", 50.0)))     // untouched row
+    }
+  }
+
+  test("filters, column pruning, and aggregates stay exact through the MoR scan") {
+    withCatalog { (store, cat) =>
+      seed(store)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head.getLong(0) == 90L)
+      assert(spark.sql(
+        s"SELECT sum(v) FROM $cat.ns.t WHERE id <= 10").head.getDouble(0) ==
+        (2000.0 + (2 to 10).map(_ + 1000.0).sum))
+      // pruned projection that does NOT include the key column still works
+      // (the scan forces the key in, Spark projects it away)
+      assert(spark.sql(s"SELECT s FROM $cat.ns.t WHERE id = 1")
+        .head.getString(0) == "uu1")
+    }
+  }
+
+  test("time travel reads each snapshot's own delete view") {
+    withCatalog { (store, cat) =>
+      seed(store)
+      // version 1 = pre-MoR full table
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t VERSION AS OF 1")
+        .head.getLong(0) == 100L)
+      // version 3 = after first upsert + deletes, before the second upsert
+      val v3 = spark.sql(s"SELECT s FROM $cat.ns.t VERSION AS OF 3 WHERE id = 1")
+      assert(v3.head.getString(0) == "u1")
+    }
+  }
+
+  test("row-level SQL writes on a MoR table still refuse") {
+    withCatalog { (store, cat) =>
+      seed(store)
+      val e = intercept[Exception] {
+        spark.sql(s"DELETE FROM $cat.ns.t WHERE id = 5")
+      }
+      assert(e.getMessage.contains("merge-on-read") ||
+        Option(e.getCause).exists(_.getMessage.contains("merge-on-read")))
+      // plain INSERT INTO still lands (append keeps the delete files)
+      spark.sql(s"INSERT INTO $cat.ns.t VALUES (200, 'new', 1.0)")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head.getLong(0) == 91L)
+      assert(store.manifests("t").maxBy(_.version).deleteFiles.nonEmpty)
+    }
+  }
+
+  test("the delete-key broadcast cap refuses with a compact hint") {
+    withCatalog { (store, cat) =>
+      seed(store)
+      val e = intercept[Exception] {
+        spark.read.option("morMaxDeleteKeys", "3")
+          .table(s"$cat.ns.t").count()
+      }
+      assert(e.getMessage.contains("CALL compact") ||
+        Option(e.getCause).exists(_.getMessage.contains("CALL compact")))
+    }
+  }
+}
