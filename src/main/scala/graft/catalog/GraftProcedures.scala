@@ -231,13 +231,17 @@ object GraftProcedures {
       override def description(): String = "graft maintenance procedure"
       override def parameters(): Array[ProcedureParameter] = Array(
         ProcedureParameter.in("table", StringType).build(),
-        ProcedureParameter.in("keep_last", IntegerType).defaultValue("1").build())
+        ProcedureParameter.in("keep_last", IntegerType).defaultValue("1").build(),
+        // epoch millis; snapshots at/after this instant are retained
+        // (Iceberg's older_than axis — composes with keep_last)
+        ProcedureParameter.in("older_than_ms", LongType)
+          .defaultValue(Long.MaxValue.toString + "L").build())
       override def isDeterministic: Boolean = false
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val table = input.getUTF8String(0).toString
         val keep = input.getInt(1)
         val s = store
-        s.expireSnapshots(table, keep)
+        s.expireSnapshots(table, keep, input.getLong(2))
         result(
           StructType(Seq(StructField("current_version", LongType),
             StructField("snapshots_remaining", LongType))),

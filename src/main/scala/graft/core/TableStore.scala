@@ -1391,12 +1391,17 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * copy-on-write commits a snapshot may share files with older ones.
     * Tagged versions ([[createTag]]) are always retained, as in Iceberg:
     * a release tag must stay readable no matter the retention policy. */
-  def expireSnapshots(table: String, keepLast: Int = 1): Unit = {
+  /** `olderThanMs`: additionally retain every snapshot committed at or
+    * after this timestamp (Iceberg's `older_than` retention axis — time
+    * AND count compose; the newest `keepLast` survive regardless). */
+  def expireSnapshots(table: String, keepLast: Int = 1,
+      olderThanMs: Long = Long.MaxValue): Unit = {
     val ms = manifests(table).sortBy(-_.version)
     val tagged = tags(table).map(_._2).toSet
     val recent = ms.take(keepLast).map(_.version).toSet
     val (kept, dropped) = ms.partition(m =>
-      recent.contains(m.version) || tagged.contains(m.version))
+      recent.contains(m.version) || tagged.contains(m.version) ||
+        m.timestampMs >= olderThanMs)
     val referenced = kept.flatMap(m =>
       m.files.map(_.path) ++ m.deleteFiles.map(_.path)).toSet
     dropped.foreach { m =>

@@ -241,6 +241,21 @@ class TableStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](store.readVersion("t", 1))
   }
 
+  test("expireSnapshots older_than_ms retains everything committed after the cutoff") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", Seq(1).toDF("id"), "create")
+    Thread.sleep(5)
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(5)
+    store.append("t", Seq(2).toDF("id"))
+    store.append("t", Seq(3).toDF("id"))
+    // keep_last alone would drop v1 AND v2; the time axis keeps v2+v3
+    store.expireSnapshots("t", keepLast = 1, olderThanMs = cutoff)
+    assert(store.manifests("t").map(_.version).sorted == Seq(2L, 3L))
+    assert(store.readVersion("t", 2).count() == 2)
+    intercept[IllegalArgumentException](store.readVersion("t", 1))
+  }
+
   test("removeOrphanFiles collects failed-commit orphans; live snapshots unaffected") {
     val store = new TableStore(spark, tmpDir("ts"))
     store.commit("t", Seq((1, "a"), (2, "b")).toDF("id", "s"), "create")
