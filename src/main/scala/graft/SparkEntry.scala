@@ -1731,12 +1731,18 @@ object SparkEntry {
       store.commitBucketed("ord", o, "k", numBuckets = 64, "create")
       val base = Tables.load(s, dir, "orders")
       val bcol = graft.core.TableStore.bucketColumn("k", 64)
-      // delta: +100 on %2000==3 (same key → update); fresh "#ins" keys
+      // delta: a FIXED-size key set (smallest 8 of each residue class) so
+      // the touched-bucket count stays ≪ 64 at every scale factor — a
+      // proportional delta would occupy all buckets at sf0.1+ and the
+      // pruning assertion would be measuring the delta, not the layout.
+      // +100 on the %2000==3 keys (same key → update); fresh "#ins" keys
       // for %2000==7 (no match → insert). Inserts must carry the bucket.
       val updates = base.filter(col("o_orderkey") % 2000 === 3)
+        .orderBy(col("o_orderkey")).limit(8)
         .select(key.as("k"), col("o_orderkey"), col("o_orderstatus"),
           (col("o_totalprice") + 100.0).as("o_totalprice"))
       val inserts = base.filter(col("o_orderkey") % 2000 === 7)
+        .orderBy(col("o_orderkey")).limit(8)
         .select(md5(concat_ws("#", col("o_orderkey"), lit("ins"))).as("k"),
           col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       val delta = updates.unionByName(inserts)
@@ -1946,10 +1952,13 @@ object SparkEntry {
       store.append("ev", ev.filter(col("ts") >= lit("2024-01-15")))
       val agg = s.sql(
         s"""SELECT COUNT(*) AS n_rows, MIN(event_id) AS min_id,
-           |  MAX(event_id) AS max_id, MIN(value) AS min_value,
-           |  MAX(value) AS max_value, MIN(event_type) AS first_type,
-           |  MAX(event_type) AS last_type
+           |  MAX(event_id) AS max_id, MAX(value) AS max_value,
+           |  MIN(event_type) AS first_type, MAX(event_type) AS last_type
            |FROM $cat.ns.ev""".stripMargin)
+      // MIN(value) is deliberately absent: a float/double extreme of ±0.0
+      // is un-pushable (parquet widens zero bounds in footer stats), so a
+      // zero data minimum would legitimately fall back to a scan and make
+      // this anchor's metadata_only flag scale-dependent.
       def nodes(p: org.apache.spark.sql.execution.SparkPlan)
           : Seq[org.apache.spark.sql.execution.SparkPlan] = {
         import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -1983,8 +1992,8 @@ object SparkEntry {
       s.sql(s"CREATE TABLE $cat.ns.ev PARTITIONED BY (event_type) " +
         s"AS SELECT * FROM $view")
       val agg = s.sql(
-        s"""SELECT event_type, COUNT(*) AS n, MIN(value) AS min_value,
-           |  MAX(value) AS max_value, MIN(event_id) AS min_id
+        s"""SELECT event_type, COUNT(*) AS n, MAX(value) AS max_value,
+           |  MIN(event_id) AS min_id
            |FROM $cat.ns.ev GROUP BY event_type""".stripMargin)
       def nodes(p: org.apache.spark.sql.execution.SparkPlan)
           : Seq[org.apache.spark.sql.execution.SparkPlan] = {
@@ -3152,19 +3161,25 @@ object SparkEntry {
         |FROM events WHERE event_id % 4 = 0 AND event_id % 8 <> 4
         |ORDER BY _commit_version, _change_type""".stripMargin,
 
-    // Final state of the bucketed merge: every order (updated rows +100
-    // on %2000==3), plus the %2000==7 rows duplicated under fresh keys.
+    // Final state of the bucketed merge: every order (+100 on the smallest
+    // 8 keys of the %2000==3 class), plus the smallest 8 of %2000==7
+    // duplicated under fresh keys — fixed-size sets, scale-stable.
     "q87_bucketed_merge" ->
-      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      """WITH upd AS (SELECT o_orderkey FROM orders
+        |  WHERE o_orderkey % 2000 = 3 ORDER BY o_orderkey LIMIT 8),
+        |ins AS (SELECT o_orderkey FROM orders
+        |  WHERE o_orderkey % 2000 = 7 ORDER BY o_orderkey LIMIT 8)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(price) AS DOUBLE) AS total, true AS files_pruned
         |FROM (
         |  SELECT o_orderstatus,
         |    CAST(o_totalprice AS DECIMAL(18,2))
-        |      + CASE WHEN o_orderkey % 2000 = 3 THEN 100 ELSE 0 END AS price
+        |      + CASE WHEN o_orderkey IN (SELECT o_orderkey FROM upd)
+        |        THEN 100 ELSE 0 END AS price
         |  FROM orders
         |  UNION ALL
         |  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
-        |  FROM orders WHERE o_orderkey % 2000 = 7) t
+        |  FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM ins)) t
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // Last-image-wins state: %100==1 carries the second (+200) image,
@@ -3187,11 +3202,12 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // The manifest-served aggregate must equal the data's true aggregate.
+    // (No MIN(value): a ±0.0 float extreme is un-pushable — parquet widens
+    // zero bounds — so it would make the metadata_only flag scale-vary.)
     "q92_metadata_agg" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(MIN(event_id) AS BIGINT) AS min_id,
         |  CAST(MAX(event_id) AS BIGINT) AS max_id,
-        |  CAST(MIN(value) AS DOUBLE) AS min_value,
         |  CAST(MAX(value) AS DOUBLE) AS max_value,
         |  MIN(event_type) AS first_type, MAX(event_type) AS last_type,
         |  true AS metadata_only
@@ -3200,7 +3216,6 @@ object SparkEntry {
     // Per-partition manifest fold must equal the true grouped aggregate.
     "q93_metadata_agg_grouped" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(MIN(value) AS DOUBLE) AS min_value,
         |  CAST(MAX(value) AS DOUBLE) AS max_value,
         |  CAST(MIN(event_id) AS BIGINT) AS min_id,
         |  true AS metadata_only

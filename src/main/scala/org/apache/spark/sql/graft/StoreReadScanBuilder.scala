@@ -221,6 +221,7 @@ private object MetadataAgg {
       isMin: Boolean): Option[Any] = {
     val kind = expectedKind(dt).getOrElse(return None)
     if (m.droppedColumns.contains(c)) return None
+    val floating = dt == FloatType || dt == DoubleType
     val contributing = scala.collection.mutable.ArrayBuffer.empty[String]
     m.files.foreach { f =>
       f.stats.get(c) match {
@@ -228,7 +229,10 @@ private object MetadataAgg {
           if (cs.kind != kind) return None
           contributing += (if (isMin) cs.min else cs.max)
         case None =>
-          if (f.rowCount > 0 && f.stats.isEmpty) return None
+          // For floats, parquet DROPS the stats when a NaN was seen — the
+          // file may still hold real values, so the all-null inference is
+          // unsound there and absence must bail.
+          if (floating || (f.rowCount > 0 && f.stats.isEmpty)) return None
       }
     }
     if (contributing.isEmpty) return Some(null)
@@ -236,6 +240,14 @@ private object MetadataAgg {
       val better = if (isMin) cmpInKind(kind, a, b) <= 0
                    else cmpInKind(kind, a, b) >= 0
       if (better) a else b
+    }
+    // Parquet's footer convention widens zero bounds (min written as -0.0,
+    // max as +0.0 whenever either zero is present), so a zero extreme
+    // cannot be attributed to the data's actual sign — and a NaN extreme
+    // means total-order stats from an old writer. Both bail to the scan.
+    if (floating) {
+      val d = best.toDouble
+      if (d == 0.0 || d.isNaN) return None
     }
     try Some(internalValue(dt, best)) catch { case _: Exception => None }
   }
