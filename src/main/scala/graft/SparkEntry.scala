@@ -2100,6 +2100,46 @@ object SparkEntry {
       val morOk = morScanUsed &&
         v1Files.subsetOf(m.files.map(_.path).toSet) && m.deleteFiles.size >= 3
       agg.withColumn("mor_scan", lit(morOk)).orderBy(col("event_type"))
+    }),
+
+    // Storage-partitioned SQL write: INSERT INTO a bucket-partitioned
+    // table resolves the catalog's `bucket(n, key)` V2 function for write
+    // clustering (Spark shuffles by OUR md5 arithmetic) and the writer
+    // derives each row's bucket directory — so SQL-written files land one
+    // per touched bucket with the exact layout library writes produce.
+    // `bucketed_ok` asserts every staged file carries a bucket value,
+    // clustering held (files == touched buckets, not tasks × buckets),
+    // and a key lookup prunes; the read-back must equal the oracle.
+    "q96_bucket_sql_write" -> ((s, dir) => {
+      import s.implicits._
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val wh = java.nio.file.Files.createTempDirectory("graft_bsw").toString
+      val cat = s"gq96x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val store = new TableStore(s, wh)
+      val bc = TableStore.bucketColumn("o_orderkey", 32)
+      store.commit("ord", o.limit(0), "create")
+      store.setPartitionSpec("ord", Seq(bc))
+      val view = s"q96_o_${System.nanoTime()}"
+      o.createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.ns.ord SELECT * FROM $view")
+      val staged = store.manifests("ord").maxBy(_.version)
+        .files.filter(_.path.contains("__p_"))
+      val buckets = staged.flatMap(_.partitionValues.get(bc)).toSet
+      val (hit, untouched) =
+        store.filesHitByKeys("ord", "o_orderkey", Seq(1L).toDF("o_orderkey"))
+      val bucketedOk = staged.nonEmpty &&
+        staged.forall(_.partitionValues.contains(bc)) &&
+        staged.size == buckets.size &&      // one file per touched bucket
+        untouched.nonEmpty && hit.size < staged.size
+      s.table(s"$cat.ns.ord")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsumd(col("o_totalprice")).as("total"))
+        .withColumn("bucketed_ok", lit(bucketedOk))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
@@ -3230,6 +3270,14 @@ object SparkEntry {
         |  true AS evo_ok
         |FROM events
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The SQL-bucketed table must read back as plain orders.
+    "q96_bucket_sql_write" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  true AS bucketed_ok
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // Same last-image-wins state as q88, read through SQL with no compact.
     "q95_mor_sql_read" ->

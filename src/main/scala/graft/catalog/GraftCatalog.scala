@@ -31,9 +31,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ours. Writes go through the [[TableStore]] API (atomic commit protocol);
   * SQL DDL/DML against the catalog is intentionally read-only this round.
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
+
+  /** V2 functions (the `bucket` transform) — the FunctionCatalog face is
+    * what lets a write request clustering on `bucket(n, col)` and have
+    * Spark shuffle by OUR bucket arithmetic (storage-partitioned writes). */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.load(ident.name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(
+        ident))
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    GraftFunctions.names.map(n => Identifier.of(namespace, n)).toArray
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

@@ -1664,7 +1664,21 @@ object TableStore {
       functions.md5(key.cast("string")), 1, 6), 16, 10)
       .cast("long") % numBuckets
 
-  private[core] val BucketRe = "__bucket(\\d+)_(.+)".r
+  /** Name-encoded bucket transform: `__bucket<N>_<col>`. Public so the
+    * DSv2 write path can recognize and compute bucket layouts. */
+  val BucketRe = "__bucket(\\d+)_(.+)".r
+
+  /** Row-side twin of [[bucketOf]] (same md5-prefix arithmetic) for the
+    * catalog's SQL `bucket(n, key)` function — `key` must already be the
+    * Cast-to-string rendering [[bucketOf]] hashes. Null-safe: null in,
+    * null out (the null bucket). */
+  def bucketOfString(key: String, n: Int): Integer = {
+    if (key == null) return null
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex6 = f"${d(0) & 0xff}%02x${d(1) & 0xff}%02x${d(2) & 0xff}%02x"
+    (java.lang.Long.parseLong(hex6, 16) % n).toInt
+  }
 
   /** A data file's sequence = the version encoded in its `v=N/` path
     * prefix (files are written into their commit's version directory and

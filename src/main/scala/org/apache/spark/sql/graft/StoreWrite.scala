@@ -137,24 +137,40 @@ private class GraftWrite(warehouse: String, table: String, schema: StructType,
   private def spark = SparkSession.active
   private val stagingDir = s"$warehouse/$table/_staging/${UUID.randomUUID()}"
 
-  /** The table's identity partition spec (empty for unpartitioned),
-    * resolved once at write build. */
+  /** The table's partition spec entries the write can honor: identity
+    * columns present in the write schema, and name-encoded bucket
+    * transforms whose BASE column is (the bucket value is derived, so the
+    * bucket pseudo-column need not be written). Resolved once at build. */
   private val partitionBy: Seq[String] = {
     val store = new TableStore(spark, warehouse)
     if (store.exists(table))
       store.manifests(table).maxBy(_.version).partitionBy
-        .filter(schema.fieldNames.contains)
+        .filter {
+          case TableStore.BucketRe(_, c) => schema.fieldNames.contains(c)
+          case c => schema.fieldNames.contains(c)
+        }
     else Seq.empty
+  }
+
+  private def specTransform(entry: String)
+      : org.apache.spark.sql.connector.expressions.Expression = entry match {
+    // resolved against GraftCatalog's FunctionCatalog `bucket` function —
+    // Spark shuffles rows by OUR md5 arithmetic, so each task holds whole
+    // buckets and the writer rolls exactly one file per touched bucket
+    // (Iceberg's storage-partitioned write)
+    case TableStore.BucketRe(n, c) =>
+      Expressions.apply("bucket",
+        Expressions.literal(n.toInt), Expressions.column(c))
+    case c => Expressions.identity(c)
   }
 
   override def requiredDistribution(): Distribution =
     if (partitionBy.isEmpty) Distributions.unspecified()
-    else Distributions.clustered(
-      partitionBy.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+    else Distributions.clustered(partitionBy.map(specTransform).toArray)
 
   override def requiredOrdering(): Array[SortOrder] =
-    partitionBy.map(c =>
-      Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
+    partitionBy.map(e =>
+      Expressions.sort(specTransform(e), SortDirection.ASCENDING)).toArray
 
   private def writerFactory: GraftWriterFactory = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
@@ -380,12 +396,30 @@ private class GraftWriterFactory(factory: OutputWriterFactory,
       private var checked = false
       // Partition-value renderers bound to the PROJECTED row: Cast to
       // string in the session timezone — the same rendering
-      // `df.write.partitionBy` uses for directory names.
-      private val partCasts = partitionBy.map { c =>
-        val i = schema.fieldIndex(c)
-        val f = schema.fields(i)
-        c -> Cast(BoundReference(i, f.dataType, f.nullable), StringType,
-          Option(timeZone))
+      // `df.write.partitionBy` uses for directory names. Bucket-transform
+      // entries derive their value from the base column with the exact
+      // md5-prefix arithmetic of TableStore.bucketOf (conv(substr(md5(
+      // cast(k as string)),1,6),16,10) % n), so SQL-staged files land in
+      // the same bucket dirs as library-bucketed ones.
+      private val partCasts = partitionBy.map {
+        case bc @ TableStore.BucketRe(n, c) =>
+          import org.apache.spark.sql.catalyst.expressions.{Conv, Literal, Md5, Remainder, Substring}
+          import org.apache.spark.sql.types.{BinaryType, LongType}
+          val i = schema.fieldIndex(c)
+          val f = schema.fields(i)
+          val asStr = Cast(BoundReference(i, f.dataType, f.nullable),
+            StringType, Option(timeZone))
+          val sixHex = Substring(Md5(Cast(asStr, BinaryType)),
+            Literal(1), Literal(6))
+          val bucket = Remainder(
+            Cast(Conv(sixHex, Literal(16), Literal(10)), LongType),
+            Literal(n.toLong))
+          bc -> Cast(bucket, StringType, Option(timeZone))
+        case c =>
+          val i = schema.fieldIndex(c)
+          val f = schema.fields(i)
+          c -> Cast(BoundReference(i, f.dataType, f.nullable), StringType,
+            Option(timeZone))
       }
 
       private def relDirOf(row: InternalRow): String =
