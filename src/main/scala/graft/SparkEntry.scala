@@ -2140,6 +2140,61 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsumd(col("o_totalprice")).as("total"))
         .withColumn("bucketed_ok", lit(bucketedOk))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // Storage-partitioned JOIN (Iceberg's SPJ): orders and lineitem are
+    // ingested co-bucketed on their order key (32 md5 buckets); with
+    // v2 bucketing enabled both scans report bucket(32, key)
+    // KeyGroupedPartitioning through the catalog's bucket() function and
+    // Spark plans the fact-fact equi-join with ZERO shuffle below the
+    // join — the repeated-big-join answer at 100 TB, where re-shuffling
+    // both sides every run dwarfs the join itself. `spj_zero_shuffle`
+    // asserts no exchange exists under the join node; the aggregate above
+    // still shuffles normally and must match the oracle exactly.
+    "q97_spj_join" -> ((s, dir) => {
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+      val store = tmpStore(s)
+      store.commitBucketed("ord", o, "o_orderkey", numBuckets = 32, "create")
+      store.commitBucketed("li", l, "l_orderkey", numBuckets = 32, "create")
+      val cat = s"gq97x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", store.warehouse)
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val joined = s.sql(
+          s"""SELECT o.o_orderstatus, l.l_extendedprice
+             |FROM $cat.ns.ord o JOIN $cat.ns.li l
+             |  ON o.o_orderkey = l.l_orderkey""".stripMargin)
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+        def nodes(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(nodes)
+        val plan = joined.queryExecution.executedPlan
+        val joinNodes = nodes(plan).filter(n =>
+          n.isInstanceOf[SortMergeJoinExec] || n.isInstanceOf[ShuffledHashJoinExec])
+        val zeroShuffle = joinNodes.nonEmpty && joinNodes.forall(j =>
+          !nodes(j).exists(_.isInstanceOf[
+            org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]))
+        joined
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), dsumd(col("l_extendedprice")).as("revenue"))
+          .withColumn("spj_zero_shuffle", lit(zeroShuffle))
+          .orderBy(col("o_orderstatus"))
+          // materialize INSIDE the conf window so the exec plan is SPJ's
+          .localCheckpoint(true)
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     })
   )
 
@@ -3277,6 +3332,14 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  true AS bucketed_ok
         |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // The co-bucketed zero-shuffle join must agree with a plain join.
+    "q97_spj_join" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  true AS spj_zero_shuffle
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     // Same last-image-wins state as q88, read through SQL with no compact.

@@ -154,6 +154,53 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
   }
 }
 
+/** Bucket-grouped batch for storage-partitioned joins: every inner
+  * parquet partition is tagged with its bucket id ([[HasPartitionKey]]),
+  * so Spark groups both join sides by key and plans the join with NO
+  * exchange. Reader creation (row AND columnar — vectorized parquet is
+  * preserved) delegates to each bucket scan's own factory. */
+private final class BucketGroupedBatch(
+    groups: Seq[(Int, Scan)])
+    extends org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+
+  private lazy val inner = groups.map(_._2.toBatch)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    inner.zipWithIndex.flatMap { case (b, gi) =>
+      val key = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](groups(gi)._1))
+      b.planInputPartitions().map(p =>
+        BucketKeyedPartition(gi, key, p): InputPartition)
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new BucketDelegatingFactory(inner.map(_.createReaderFactory()).toArray)
+}
+
+private case class BucketKeyedPartition(group: Int,
+    key: org.apache.spark.sql.catalyst.expressions.GenericInternalRow,
+    inner: org.apache.spark.sql.connector.read.InputPartition)
+    extends org.apache.spark.sql.connector.read.InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+}
+
+private class BucketDelegatingFactory(
+    inner: Array[org.apache.spark.sql.connector.read.PartitionReaderFactory])
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+  private def un(p: InputPartition) = p.asInstanceOf[BucketKeyedPartition]
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner(un(p).group).supportColumnarReads(un(p).inner)
+  override def createReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+    inner(un(p).group).createReader(un(p).inner)
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    inner(un(p).group).createColumnarReader(un(p).inner)
+}
+
 /** Pre-computed aggregate rows (one per group) served driver-locally —
   * the plan becomes a `LocalTableScan`; no task, no file, no shuffle. */
 private final class MetadataAggScan(name: String, schema: StructType,
@@ -347,7 +394,8 @@ class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
     skipRewrites: Boolean = false,
     partitionBy: Seq[String] = Seq.empty)
     extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private var files = initialFiles
   private var innerScan: Scan = initialInner
@@ -357,8 +405,61 @@ class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
   def table: String = tableName
   def inner: Scan = innerScan
 
+  // ------------------------------------------------ storage-partitioned join
+  /** The single-bucket-transform spec, when the table has one. */
+  private val spjBucket: Option[(String, Int, String)] = partitionBy match {
+    case Seq(bc @ TableStore.BucketRe(n, c)) => Some((bc, n.toInt, c))
+    case _ => None
+  }
+
+  private def spjConfOn: Boolean =
+    spark.sessionState.conf.getConfString(
+      "spark.sql.sources.v2.bucketing.enabled", "false") == "true"
+
+  /** Per-bucket file groups when a storage-partitioned join is possible:
+    * the table is bucket-partitioned, the user opted in
+    * (spark.sql.sources.v2.bucketing.enabled), and every surviving file
+    * carries an exact bucket value (a null-bucket or spec-less file holds
+    * rows of unknown buckets — SPJ must not claim co-partitioning then). */
+  private def spjGroups: Option[Seq[(Int, Seq[TableStore.FileEntry])]] =
+    if (!spjConfOn) None
+    else spjBucket.flatMap { case (bc, _, _) =>
+      val parsed = files.map { f =>
+        f.partitionValues.get(bc)
+          .filter(_ != "__HIVE_DEFAULT_PARTITION__")
+          .flatMap(v => scala.util.Try(v.toInt).toOption)
+          .map(_ -> f)
+      }
+      if (parsed.exists(_.isEmpty)) None
+      else Some(parsed.flatten.groupBy(_._1).toSeq
+        .map { case (b, fs) => b -> fs.map(_._2) }.sortBy(_._1))
+    }
+
+  /** Reported clustering: `bucket(n, col)` over OUR catalog function —
+    * two graft tables bucketed the same way then join with ZERO shuffle
+    * (Spark matches the transforms via the FunctionCatalog, the
+    * mechanism behind Iceberg's storage-partitioned joins). */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    (spjBucket, spjGroups) match {
+      case (Some((_, n, c)), Some(groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.apply(
+            "bucket",
+            org.apache.spark.sql.connector.expressions.Expressions.literal(n),
+            org.apache.spark.sql.connector.expressions.Expressions.column(c))),
+          groups.size)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   override def readSchema(): StructType = innerScan.readSchema()
-  override def toBatch: org.apache.spark.sql.connector.read.Batch = innerScan.toBatch
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    spjGroups match {
+      case Some(groups) =>
+        new BucketGroupedBatch(groups.map { case (b, fs) => (b, rebuild(fs)) })
+      case None => innerScan.toBatch
+    }
 
   /** Streaming face: micro-batches of newly committed snapshots, planned
     * through the same pruned-parquet `rebuild` as batch reads. */
@@ -381,8 +482,11 @@ class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
     // so naming a pruned-away column fails the whole query at planning.
     // A best-separation column outside the projection cannot receive a
     // runtime IN-list anyway (runtime filters come from join keys, which
-    // are always read).
-    pruningColumn
+    // are always read). When a storage-partitioned join is in play the
+    // scan must NOT shrink its reported bucket groups after planning, so
+    // runtime filtering is disabled — SPJ supersedes it for joins anyway.
+    if (spjGroups.isDefined) Array.empty
+    else pruningColumn
       .map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c))
       .toArray
 
