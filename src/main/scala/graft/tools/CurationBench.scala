@@ -133,12 +133,19 @@ object CurationBench {
       // CoW SCD2 merges climb (and where the reference's Athena failed
       // outright at 99%). Not SCD2 semantics (no history rows) — it is
       // the upsert-cost comparison, labeled as such.
-      uc <- Seq("scd2_simple", "scd2_complex", "upsert_mor")
+      // cdc_mor: the one-commit CDC apply (upserts + delete markers in a
+      // SINGLE atomic O(churn) snapshot — the streaming upsert sink's
+      // per-epoch shape). ~10% of each batch are deletes, the realistic
+      // CDC mix; cost should track upsert_mor, flat across proportions.
+      uc <- Seq("scd2_simple", "scd2_complex", "upsert_mor", "cdc_mor")
     } yield {
       val delta = updatesAt(base, p)
       val (sec, ok) = timed {
         if (uc == "scd2_simple") Scd2.scd2Simple(store, table, delta)
         else if (uc == "upsert_mor") store.upsertMoR(table, delta, Seq("pk"))
+        else if (uc == "cdc_mor") store.applyCdcMoR(table,
+          delta.withColumn("_deleted", abs(hash(col("pk"))) % 10 === 0),
+          Seq("pk"), "_deleted")
         else Scd2.scd2Complex(store, table, delta)
       }
       log(f"$uc p=$p ${sec}%.1f s (ok=$ok)")
