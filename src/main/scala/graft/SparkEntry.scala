@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{Merge, TableStore}
 import graft.curation.{Sampling, Scd2}
-import graft.ext.{Chunking, Clustering, Contamination, Dedup, Multimodal, Packing, Redaction, Similarity, TextAnalysis}
+import graft.ext.{Chunking, Clustering, Contamination, Dedup, KMeans, Multimodal, Packing, Redaction, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2195,7 +2195,26 @@ object SparkEntry {
         case (k, Some(v)) => s.conf.set(k, v)
         case (k, None) => s.conf.unset(k)
       }
-    })
+    }),
+
+    // ext: portable k-means over the embedding corpus — fixed-point
+    // integer centroids (scale 128, round-half-up) over int8-quantized
+    // codes, so assignment distances and argmins are EXACT in both int64
+    // and float64 and the oracle replays the full 4-iteration run
+    // bit-identically. Per iteration: one scan of the checkpointed codes,
+    // assignment as a pure projection against literal centroids (no join,
+    // no shuffle), one partial-aggregated k×dim shuffle. The clustering
+    // stage of SemDeDup and of cluster-balanced data mixing.
+    "q98_kmeans" -> ((s, dir) =>
+      KMeans.assign(Tables.load(s, dir, "embeddings"), k = 8, iters = 4)),
+
+    // ext: SemDeDup — semantic near-duplicate removal: all-pairs
+    // quantized-cosine ONLY within each k-means cluster (the cluster step
+    // bounds the quadratic term; k grows with the corpus), exact integer
+    // threshold test, drop every doc with a smaller-id near-twin.
+    "q99_semdedup" -> ((s, dir) =>
+      KMeans.semDedup(Tables.load(s, dir, "embeddings"),
+        k = 8, iters = 4, thrPct = 90))
   )
 
   /** SQL texts valid in BOTH Spark SQL and DuckDB, run verbatim on each
@@ -3502,6 +3521,74 @@ object SparkEntry {
         |  FROM documents)
         |SELECT CAST(pos % 8 AS INT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM((pos // 8) * doc_id) AS BIGINT) AS order_checksum
-        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Bit-identical replay of the portable k-means: same int8 codes, same
+    // md5-ordered seeds, fixed-point centroids floor((S·256+n)/(2n)), and
+    // the same exact distance 16384·q·q − 256·q·c + c·c — every term
+    // < 2^53, so double arithmetic is exact on both engines.
+    "q98_kmeans" ->
+      s"""WITH ${kmeansCtes(8, 4)}
+         |SELECT vec_id, CAST(cid AS INT) AS cluster, dist FROM fin""".stripMargin,
+
+    // SemDeDup on the final assignment: within-cluster pairs under the
+    // exact integer cosine² threshold (thr = 90% → 10⁴·dot² ≥ 8100·na·nb).
+    "q99_semdedup" ->
+      s"""WITH ${kmeansCtes(8, 4)},
+         |base AS (SELECT f.vec_id, f.cid AS cluster, f.q,
+         |           list_inner_product(f.q, f.q) AS nn FROM fin f),
+         |dup AS (SELECT DISTINCT b.vec_id AS dupid
+         |  FROM base a JOIN base b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  WHERE list_inner_product(a.q, b.q) > 0
+         |    AND 10000 * CAST(list_inner_product(a.q, b.q)
+         |                     * list_inner_product(a.q, b.q) AS BIGINT)
+         |        >= 8100 * CAST(a.nn * b.nn AS BIGINT))
+         |SELECT vec_id, CAST(cluster AS INT) AS cluster,
+         |  (dupid IS NOT NULL) AS is_dup
+         |FROM base LEFT JOIN dup ON vec_id = dupid""".stripMargin
   )
+
+  /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:
+    * quantize → md5 seeds → `iters` assign/update rounds → final
+    * assignment `fin(vec_id, q, cid, dist)`. Generated per-iteration —
+    * the unrolled chain IS the spec of the fixed iteration count. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    def distExpr(c: String): String =
+      s"16384*list_inner_product(z.q,z.q) - 256*list_inner_product(z.q,$c.c)" +
+        s" + list_inner_product($c.c,$c.c)"
+    val head =
+      s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |s AS (SELECT vec_id, e,
+         |  greatest(list_max(list_transform(e, x -> abs(x))),
+         |           2.2250738585072014e-308) AS sc FROM v),
+         |qz AS (SELECT vec_id,
+         |  list_transform(e, x -> floor(x * 127.0 / sc + 0.5)) AS q FROM s),
+         |seeds AS (SELECT q, CAST(row_number() OVER (
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cid
+         |  FROM qz ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k),
+         |c0 AS (SELECT cid, list_transform(q, x -> x * 128.0) AS c FROM seeds)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""a$t AS (SELECT vec_id, q, cid FROM (
+         |  SELECT z.vec_id, z.q, c.cid, row_number() OVER (
+         |    PARTITION BY z.vec_id ORDER BY ${distExpr("c")}, c.cid) AS rk
+         |  FROM qz z, c${t - 1} c) t WHERE rk = 1),
+         |cr$t AS (SELECT a.cid, r.d, CAST(SUM(a.q[r.d]) AS BIGINT) AS sm,
+         |    COUNT(*) AS n
+         |  FROM a$t a, (SELECT CAST(range AS INT) + 1 AS d FROM range(64)) r
+         |  GROUP BY a.cid, r.d),
+         |c$t AS (SELECT p.cid, COALESCE(u.c, p.c) AS c FROM c${t - 1} p
+         |  LEFT JOIN (SELECT cid,
+         |      list(CAST(floor((sm*256.0 + n)/(2*n)) AS DOUBLE) ORDER BY d) AS c
+         |    FROM cr$t GROUP BY cid) u ON p.cid = u.cid)""".stripMargin
+    }
+    val fin =
+      s"""fin AS (SELECT vec_id, q, cid, CAST(dist AS BIGINT) AS dist FROM (
+         |  SELECT z.vec_id, z.q, c.cid, ${distExpr("c")} AS dist,
+         |    row_number() OVER (
+         |      PARTITION BY z.vec_id ORDER BY ${distExpr("c")}, c.cid) AS rk
+         |  FROM qz z, c$iters c) t WHERE rk = 1)""".stripMargin
+    (head +: rounds :+ fin).mkString(",\n")
+  }
 }

@@ -1,0 +1,67 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Deterministic synthetic corpus: 3 well-separated groups on axes of an
+  // 8-dim space plus per-vector jitter (scale 0 makes group members
+  // identical, so group purity holds by construction for any seeding).
+  private def corpus(n: Int, jitter: Double = 0.1) = {
+    val rows = (0 until n).map { i =>
+      val g = i % 3
+      val base = Array.fill(8)(jitter * ((i * 7 + 3) % 5))
+      base(g) = 1.0
+      (i.toLong, base.map(_.toFloat).toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("assignment is independent of partitioning (exact integer sums)") {
+    val df = corpus(90)
+    val a = KMeans.assign(df.repartition(7), k = 3, iters = 3)
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    val b = KMeans.assign(df.repartition(2), k = 3, iters = 3)
+      .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    assert(a.map(_._2).distinct.sorted == Seq(0, 1, 2))
+  }
+
+  test("well-separated groups land in pure clusters") {
+    val df = corpus(90, jitter = 0.0)
+    val byGroup = KMeans.assign(df, k = 3, iters = 4)
+      .withColumn("g", (col("vec_id") % 3).cast("int"))
+      .groupBy(col("g")).agg(countDistinct(col("cluster")).as("nc"))
+      .as[(Int, Long)].collect().toMap
+    assert(byGroup.values.toSet == Set(1L), s"mixed clusters: $byGroup")
+  }
+
+  test("empty clusters keep their centroid (k > natural groups)") {
+    // k=6 over 3 groups: some clusters may end empty; assign must still
+    // return a defined, stable result using the carried-forward centroids.
+    val df = corpus(30)
+    val a = KMeans.assign(df, k = 6, iters = 4).count()
+    assert(a == 30)
+  }
+
+  test("semDedup flags the higher id of an identical-vector pair") {
+    val base = corpus(30)
+    val clone = base.filter(col("vec_id") === 4L)
+      .select(lit(1000L).as("vec_id"), col("embedding"))
+    val out = KMeans.semDedup(base.union(clone), k = 3, iters = 3, thrPct = 99)
+      .as[(Long, Int, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(1000L), "identical clone not flagged")
+    assert(!out(4L), "lower-id representative must survive")
+  }
+
+  test("semDedup is deterministic across partitionings") {
+    val df = corpus(60)
+    val a = KMeans.semDedup(df.repartition(5), k = 3, iters = 3, thrPct = 95)
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1).toSeq
+    val b = KMeans.semDedup(df.repartition(1), k = 3, iters = 3, thrPct = 95)
+      .as[(Long, Int, Boolean)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+}
