@@ -2214,7 +2214,62 @@ object SparkEntry {
     // threshold test, drop every doc with a smaller-id near-twin.
     "q99_semdedup" -> ((s, dir) =>
       KMeans.semDedup(Tables.load(s, dir, "embeddings"),
-        k = 8, iters = 4, thrPct = 90))
+        k = 8, iters = 4, thrPct = 90)),
+
+    // format: row-level SQL writes over a merge-on-read table — the
+    // rewrite's scan reads THROUGH the equality deletes (dead rows are
+    // never copied into replacement files), and the commit drops every
+    // delete file the rewrite made dead. DELETE runs against one MoR
+    // overlay (and, being unboundable by stats, rewrites every file —
+    // shearing the overlay off entirely, asserted in `mor_write_ok`);
+    // MERGE then runs against a SECOND overlay, where a dead key must
+    // plan as NOT MATCHED and re-insert.
+    "q100_mor_sql_write" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val wh = java.nio.file.Files.createTempDirectory("graft_msw").toString
+      val cat = s"gq100x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val store = new TableStore(s, wh)
+      store.commit("ev", ev, "create")
+      store.upsertMoR("ev",
+        ev.filter(col("event_id") % 100 === 1)
+          .select(col("event_id"), col("event_type"),
+            (col("value") + 100.0).as("value")),
+        Seq("event_id"))
+      store.deleteKeysMoR("ev",
+        ev.filter(col("event_id") % 100 === 2).select(col("event_id")),
+        Seq("event_id"))
+      // CoW DELETE through the MoR view: %100=3 rows go; the dead %100=2
+      // rows and the stale %100=1 images must NOT resurrect.
+      s.sql(s"DELETE FROM $cat.ns.ev WHERE event_id % 100 = 3")
+      val overlayGone =
+        store.manifests("ev").maxBy(_.version).deleteFiles.isEmpty
+      // a fresh overlay for the MERGE to read through
+      store.upsertMoR("ev",
+        ev.filter(col("event_id") % 100 === 4)
+          .select(col("event_id"), col("event_type"),
+            (col("value") + 300.0).as("value")),
+        Seq("event_id"))
+      val src = s"ev_src_$cat"
+      ev.filter(col("event_id") % 100 === 2 || col("event_id") % 100 === 5)
+        .select(col("event_id"), col("event_type"),
+          (col("value") + 500.0).as("value"))
+        .createOrReplaceTempView(src)
+      s.sql(
+        s"""MERGE INTO $cat.ns.ev t USING $src s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET t.value = s.value
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql(
+        s"""SELECT event_type, COUNT(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM $cat.ns.ev GROUP BY event_type""".stripMargin)
+        .withColumn("mor_write_ok", lit(overlayGone))
+        .orderBy(col("event_type"))
+    })
   )
 
   /** SQL texts valid in BOTH Spark SQL and DuckDB, run verbatim on each
@@ -3546,7 +3601,22 @@ object SparkEntry {
          |        >= 8100 * CAST(a.nn * b.nn AS BIGINT))
          |SELECT vec_id, CAST(cluster AS INT) AS cluster,
          |  (dupid IS NOT NULL) AS is_dup
-         |FROM base LEFT JOIN dup ON vec_id = dupid""".stripMargin
+         |FROM base LEFT JOIN dup ON vec_id = dupid""".stripMargin,
+
+    // Final state after: +100 upsert (%100=1), MoR delete (%100=2), SQL
+    // DELETE (%100=3), +300 upsert (%100=4), MERGE upsert +500 (%100∈{2,5}
+    // — the dead 2s re-insert, the live 5s update).
+    "q100_mor_sql_write" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CASE
+        |    WHEN event_id % 100 = 1 THEN value + 100.0
+        |    WHEN event_id % 100 = 2 THEN value + 500.0
+        |    WHEN event_id % 100 = 4 THEN value + 300.0
+        |    WHEN event_id % 100 = 5 THEN value + 500.0
+        |    ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS mor_write_ok
+        |FROM events WHERE event_id % 100 <> 3
+        |GROUP BY event_type""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

@@ -67,9 +67,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   private def tableAt(ident: Identifier, m: TableStore.Manifest): Table =
     // Merge-on-read snapshots are served by the scan itself (GraftMorScan
-    // applies equality deletes per reader); row-level SQL writes on them
-    // still refuse inside GraftTable — a CoW rewrite planned without the
-    // delete view would resurrect dead rows.
+    // applies equality deletes per reader); row-level SQL writes plan
+    // their rewrite over the same delete-aware scan, so MERGE/UPDATE/
+    // DELETE work directly on MoR tables and materialize the overlay
+    // they touch.
     new GraftTable(spark, catalogName, warehouse, ident.name, m)
 
   private def manifestOrThrow(ident: Identifier, v: Option[Long]): TableStore.Manifest = {

@@ -77,6 +77,31 @@ class GraftRowLevelOperation(spark: SparkSession, catalogName: String,
       tableSchema, tableSchema, CaseInsensitiveStringMap.empty()).build()
   }
 
+  /** The operation's source scan over `files`. On a merge-on-read snapshot
+    * this is a [[org.apache.spark.sql.graft.GraftMorScan]] — the rewrite
+    * reads THROUGH the equality deletes, so masked rows are never copied
+    * into the replacement files (a raw scan would resurrect them). The
+    * commit then carries only the delete files that still mask a kept
+    * file; an unfiltered rewrite shears the whole MoR overlay off. */
+  private def scanOverFiles(files: Seq[FileEntry]): Scan =
+    if (manifest.deleteFiles.isEmpty) parquetScanOver(files)
+    else {
+      import org.apache.spark.sql.graft.{GraftMorScan, MorScan}
+      val keyCols = manifest.deleteFiles.head.keyCols
+      val groups = files.groupBy(fe => TableStore.fileSeqOf(fe.path))
+        .toSeq.sortBy(_._1)
+        .map { case (seq, fes) => (seq, parquetScanOver(fes)) }
+      val keySchema = StructType(keyCols.map(k =>
+        tableSchema.fields(tableSchema.fieldIndex(k))))
+      val root = new org.apache.hadoop.fs.Path(warehouse, tableName).toString
+      val lookup = MorScan.deleteLookup(spark, root, manifest, keySchema,
+        4000000L)
+      val keyOrdinals = keyCols.map(tableSchema.fieldIndex).toArray
+      val keyTypes = keyOrdinals.map(i => tableSchema.fields(i).dataType)
+      new GraftMorScan(spark, s"$tableName rowlevel", tableSchema, groups,
+        lookup, keyOrdinals, keyTypes, files)
+    }
+
   /** The operation's scan, with MERGE-time runtime group filtering: for a
     * `MERGE INTO` the affected files are only known once the source is
     * available, so Spark plans a matching-rows subquery over this scan's
@@ -93,7 +118,7 @@ class GraftRowLevelOperation(spark: SparkSession, catalogName: String,
 
     private var inner: Scan = _
     private def innerScan: Scan = {
-      if (inner == null) inner = parquetScanOver(hitFiles)
+      if (inner == null) inner = scanOverFiles(hitFiles)
       inner
     }
 

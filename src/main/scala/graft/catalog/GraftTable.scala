@@ -58,17 +58,11 @@ class GraftTable(spark: SparkSession, catalogName: String, warehouse: String,
     StoreWrite.builder(warehouse, tableName, info)
 
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
-    // A row-level SQL write is a copy-on-write rewrite planned over the
-    // raw file list; on a merge-on-read snapshot that would resurrect
-    // deleted rows. Reads work (the scan applies deletes) — writes need
-    // the deletes materialized first.
-    if (m.deleteFiles.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"table $tableName has merge-on-read delete files; run " +
-          s"CALL $catalogName.system.compact(`table` => '$tableName') " +
-          "before SQL MERGE/UPDATE/DELETE")
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    // On a merge-on-read snapshot the operation's scan reads THROUGH the
+    // equality deletes (GraftRowLevelOperation.scanOverFiles), so the
+    // copy-on-write rewrite materializes them instead of resurrecting
+    // dead rows; the commit drops every delete file the rewrite made dead.
     () => new GraftRowLevelOperation(spark, catalogName, warehouse, tableName,
       info.command())
-  }
 }

@@ -191,10 +191,22 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * rows in the carried files. A full rewrite (no kept files) reads
     * through the MoR view, so its output already excludes the dead rows
     * and the delete files are materialized away. */
+  /** Equality-delete files to carry into the next snapshot. A delete file
+    * at sequence `s` masks rows only in data files with a SMALLER file
+    * sequence — so once every kept file's sequence is ≥ `s` (a rewrite
+    * replaced every older file, materializing the masked rows away), the
+    * delete file is dead and is dropped here: full rewrites (compact /
+    * unfiltered CoW) shed the whole MoR overlay, partial rewrites shed
+    * exactly the overlay they materialized. */
   private def deleteFilesCarry(table: String,
-      keptFiles: Seq[FileEntry]): Seq[DeleteEntry] =
-    if (keptFiles.isEmpty) Seq.empty
-    else manifests(table).lastOption.map(_.deleteFiles).getOrElse(Seq.empty)
+      keptFiles: Seq[FileEntry]): Seq[DeleteEntry] = {
+    val dels = manifests(table).lastOption.map(_.deleteFiles).getOrElse(Seq.empty)
+    if (dels.isEmpty || keptFiles.isEmpty) Seq.empty
+    else {
+      val minKeptSeq = keptFiles.map(fe => TableStore.fileSeqOf(fe.path)).min
+      dels.filter(_.seq > minKeptSeq)
+    }
+  }
 
   /** Write `df`'s parquet files under `dataDir` and harvest their manifest
     * entries (paths prefixed `relPrefix/…`, table-relative). Extracted from

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
 /** SQL reads over merge-on-read tables: the DSv2 scan applies equality
   * deletes itself (per-sequence-group parquet scans + a broadcast delete
   * filter), so SELECTs — filtered, pruned, aggregated, time-traveled —
-  * work without materializing; row-level SQL writes still refuse.
+  * work without materializing; row-level SQL writes plan their rewrite
+  * over the same delete-aware scan, materializing the overlay they touch.
   */
 class MorReadSpec extends SparkSpec {
   import spark.implicits._
@@ -76,15 +77,65 @@ class MorReadSpec extends SparkSpec {
     }
   }
 
-  test("row-level SQL writes on a MoR table still refuse") {
+  test("SQL DELETE on a MoR table rewrites through the delete view") {
     withCatalog { (store, cat) =>
       seed(store)
-      val e = intercept[Exception] {
-        spark.sql(s"DELETE FROM $cat.ns.t WHERE id = 5")
-      }
-      assert(e.getMessage.contains("merge-on-read") ||
-        Option(e.getCause).exists(_.getMessage.contains("merge-on-read")))
-      // plain INSERT INTO still lands (append keeps the delete files)
+      spark.sql(s"DELETE FROM $cat.ns.t WHERE id = 5")
+      val rows = spark.sql(s"SELECT id, s, v FROM $cat.ns.t")
+        .as[(Long, String, Double)].collect().toSet
+      assert(rows.size == 89)                      // 90 live - 1 deleted
+      assert(!rows.exists(_._1 == 5L))
+      assert(!rows.exists(_._1 > 90))              // dead rows NOT resurrected
+      assert(rows.contains((1L, "uu1", 2000.0)))   // MoR last image survives
+      assert(rows.contains((50L, "s50", 50.0)))    // untouched row intact
+      // the v1 base file (seq 1) was rewritten or kept; delete files that
+      // still mask a kept older file must survive the commit
+      val m = store.manifests("t").maxBy(_.version)
+      val minKept = m.files.map(fe => TableStore.fileSeqOf(fe.path)).min
+      assert(m.deleteFiles.forall(_.seq > minKept))
+    }
+  }
+
+  test("an unfiltered SQL UPDATE shears the whole MoR overlay off") {
+    withCatalog { (store, cat) =>
+      seed(store)
+      spark.sql(s"UPDATE $cat.ns.t SET v = v + 1.0")
+      val m = store.manifests("t").maxBy(_.version)
+      assert(m.deleteFiles.isEmpty,
+        "full rewrite must drop the now-dead delete files")
+      val rows = spark.sql(s"SELECT id, s, v FROM $cat.ns.t")
+        .as[(Long, String, Double)].collect().toSet
+      assert(rows.size == 90)
+      assert(rows.contains((1L, "uu1", 2001.0)))
+      assert(rows.contains((50L, "s50", 51.0)))
+      assert(!rows.exists(_._1 > 90))
+    }
+  }
+
+  test("SQL MERGE INTO a MoR table applies on the delete-aware view") {
+    withCatalog { (store, cat) =>
+      seed(store)
+      spark.sql(
+        s"""MERGE INTO $cat.ns.t t USING (
+           |  SELECT * FROM VALUES (1L, 'merged', 9.0), (95L, 'back', 5.0)
+           |    AS src(id, s, v)) s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET t.s = s.s, t.v = s.v
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val rows = spark.sql(s"SELECT id, s, v FROM $cat.ns.t")
+        .as[(Long, String, Double)].collect().toSet
+      // id 95 was MoR-deleted → NOT MATCHED → inserted fresh
+      assert(rows.contains((95L, "back", 5.0)))
+      // id 1's live image matched and updated; old images stay dead
+      assert(rows.contains((1L, "merged", 9.0)))
+      assert(rows.count(_._1 == 1L) == 1)
+      assert(rows.size == 91)
+    }
+  }
+
+  test("plain INSERT INTO a MoR table appends and keeps the delete files") {
+    withCatalog { (store, cat) =>
+      seed(store)
       spark.sql(s"INSERT INTO $cat.ns.t VALUES (200, 'new', 1.0)")
       assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head.getLong(0) == 91L)
       assert(store.manifests("t").maxBy(_.version).deleteFiles.nonEmpty)
