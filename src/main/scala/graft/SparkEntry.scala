@@ -2269,6 +2269,57 @@ object SparkEntry {
            |FROM $cat.ns.ev GROUP BY event_type""".stripMargin)
         .withColumn("mor_write_ok", lit(overlayGone))
         .orderBy(col("event_type"))
+    }),
+
+    // format: merge-on-read minor compaction (`rewrite_delete_files`) —
+    // consolidate the equality-delete overlay (dedup keys to their max
+    // sequence, merge sequence classes masking the same file set, drop
+    // dangling ones) WITHOUT touching a data file: the maintenance action
+    // a continuous CDC stream needs when per-epoch delete files accrete
+    // into a read-time tax. The anchor builds a 4-commit overlay with a
+    // duplicated key, CALLs the procedure, and must read identically
+    // through the consolidated overlay — with fewer delete files and
+    // byte-identical data files.
+    "q101_rewrite_delete_files" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val wh = java.nio.file.Files.createTempDirectory("graft_rdf").toString
+      val cat = s"gq101x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val store = new TableStore(s, wh)
+      store.commit("ev", ev, "create")
+      store.upsertMoR("ev",
+        ev.filter(col("event_id") % 100 === 1)
+          .select(col("event_id"), col("event_type"),
+            (col("value") + 100.0).as("value")),
+        Seq("event_id"))
+      store.deleteKeysMoR("ev",
+        ev.filter(col("event_id") % 100 === 2).select(col("event_id")),
+        Seq("event_id"))
+      store.deleteKeysMoR("ev",
+        ev.filter(col("event_id") % 100 === 3).select(col("event_id")),
+        Seq("event_id"))
+      // same keys again at a later sequence: max-collapse is exercised
+      store.upsertMoR("ev",
+        ev.filter(col("event_id") % 100 === 1)
+          .select(col("event_id"), col("event_type"),
+            (col("value") + 200.0).as("value")),
+        Seq("event_id"))
+      val dataBefore = store.manifests("ev").maxBy(_.version).files.map(_.path).toSet
+      val r = s.sql(
+        s"CALL $cat.system.rewrite_delete_files(`table` => 'ev')").head()
+      val mAfter = store.manifests("ev").maxBy(_.version)
+      val consolidated = r.getLong(2) < r.getLong(1) &&
+        mAfter.files.map(_.path).toSet == dataBefore &&
+        mAfter.deleteFiles.nonEmpty
+      s.sql(
+        s"""SELECT event_type, COUNT(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM $cat.ns.ev GROUP BY event_type""".stripMargin)
+        .withColumn("consolidated", lit(consolidated))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -3616,6 +3667,17 @@ object SparkEntry {
         |    ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  true AS mor_write_ok
         |FROM events WHERE event_id % 100 <> 3
+        |GROUP BY event_type""".stripMargin,
+
+    // Overlay consolidation changes no visible row: +100 then +200
+    // upserts on %100=1 (last image wins), %100∈{2,3} MoR-deleted.
+    "q101_rewrite_delete_files" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(CASE
+        |    WHEN event_id % 100 = 1 THEN value + 200.0
+        |    ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS consolidated
+        |FROM events WHERE event_id % 100 NOT IN (2, 3)
         |GROUP BY event_type""".stripMargin
   )
 

@@ -18,6 +18,7 @@ object GraftProcedures {
   def load(name: String, store: => TableStore): Option[UnboundProcedure] =
     name match {
       case "compact" => Some(compact(store))
+      case "rewrite_delete_files" => Some(rewriteDeleteFiles(store))
       case "expire_snapshots" => Some(expireSnapshots(store))
       case "rollback_to_version" => Some(rollbackToVersion(store))
       case "remove_orphan_files" => Some(removeOrphanFiles(store))
@@ -29,9 +30,9 @@ object GraftProcedures {
     }
 
   val names: Seq[String] =
-    Seq("compact", "expire_snapshots", "rollback_to_version",
-      "remove_orphan_files", "rewrite_sorted", "rewrite_zorder",
-      "publish_staged", "set_partition_spec")
+    Seq("compact", "rewrite_delete_files", "expire_snapshots",
+      "rollback_to_version", "remove_orphan_files", "rewrite_sorted",
+      "rewrite_zorder", "publish_staged", "set_partition_spec")
 
   private def result(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
     java.util.Collections.singletonList[Scan](new LocalScan {
@@ -60,6 +61,35 @@ object GraftProcedures {
         result(
           StructType(Seq(StructField("version", LongType),
             StructField("files_before", LongType), StructField("files_after", LongType))),
+          new GenericInternalRow(Array[Any](v, before, after)))
+      }
+    }
+  }
+
+  /** `CALL g.system.rewrite_delete_files(table => 't')` — merge-on-read
+    * minor compaction: consolidate the equality-delete overlay (dedup
+    * keys to their max sequence, merge equivalent sequence classes, drop
+    * dangling ones) without touching any data file. */
+  private def rewriteDeleteFiles(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "rewrite_delete_files"
+    override def description(): String =
+      "consolidate merge-on-read delete files (no data file is rewritten)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "rewrite_delete_files"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val s = store
+        val before = s.manifests(table).maxBy(_.version).deleteFiles.size.toLong
+        val v = s.compactDeletes(table)
+        val after = s.manifests(table).maxBy(_.version).deleteFiles.size.toLong
+        result(
+          StructType(Seq(StructField("version", LongType),
+            StructField("delete_files_before", LongType),
+            StructField("delete_files_after", LongType))),
           new GenericInternalRow(Array[Any](v, before, after)))
       }
     }

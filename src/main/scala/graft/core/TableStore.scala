@@ -1154,6 +1154,77 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     v
   }
 
+  /** Delete-file compaction (Iceberg's `rewrite_delete_files`): rewrite
+    * the merge-on-read overlay WITHOUT touching any data file — the minor
+    * compaction a continuous CDC stream needs, where one delete file per
+    * epoch accretes into a read-time tax (every scan loads every delete
+    * file) long before a full rewrite is worth its cost.
+    *
+    * Three exact reductions, each justified by the mask rule ("a delete at
+    * sequence s masks data files with fileSeq < s; readers take the max
+    * sequence per key"):
+    *   1. duplicate keys collapse to their maximum sequence (the lookup
+    *      every reader derives anyway);
+    *   2. delete sequences sharing the same greatest smaller DATA-file
+    *      sequence mask the identical file set, so each class merges to
+    *      its canonical minimum p(s)+1 — delete-only epochs (no data
+    *      files at their seq) collapse into their neighbors, one file
+    *      per surviving class instead of one per commit;
+    *   3. a class with no smaller data file masks nothing — dropped.
+    *
+    * Cost is O(overlay): one churn-sized shuffle, no data file is opened.
+    * The commit is a new snapshot carrying the same data files. */
+  def compactDeletes(table: String): Long = {
+    require(exists(table), s"compactDeletes: table $table does not exist")
+    val m = manifests(table).maxBy(_.version)
+    if (m.deleteFiles.isEmpty) return m.version
+    val keyCols = m.deleteFiles.head.keyCols
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val keySchema = org.apache.spark.sql.types.StructType(
+      keyCols.map(k => schema.fields(schema.fieldIndex(k))))
+    val root = tableDir(table)
+    val all = m.deleteFiles.groupBy(_.seq).toSeq.map { case (s, dels) =>
+      spark.read.schema(keySchema)
+        .parquet(dels.map(d => new Path(root, d.path).toString): _*)
+        .withColumn("__seq", functions.lit(s))
+    }.reduce(_.unionByName(_))
+    val maxed = all.groupBy(keyCols.map(col): _*)
+      .agg(functions.max(col("__seq")).as("__seq"))
+    // canonical class seq: outermost branch tests the LARGEST data seq,
+    // so the expression resolves to (greatest data seq < s) + 1
+    val dataSeqs = m.files.map(fe => TableStore.fileSeqOf(fe.path))
+      .distinct.sorted
+    val canon = dataSeqs.foldLeft(functions.lit(null).cast("long")) {
+      (acc, ds) => functions.when(col("__seq") > ds, functions.lit(ds + 1))
+        .otherwise(acc)
+    }
+    val keyed = maxed.withColumn("__c", canon).filter(col("__c").isNotNull)
+    val v = currentVersion(table) + 1
+    val delDir = new Path(versionDir(table, v), "deletes")
+    // distinct surviving classes: ≤ #data commits — bounded metadata
+    val classes = keyed.select(col("__c")).distinct().collect()
+      .map(_.getLong(0)).sorted
+    if (classes.nonEmpty)
+      // files must hold EXACTLY the key columns (readers schema-infer)
+      keyed.repartition(classes.length, col("__c"))
+        .select(keyCols.map(col) :+ col("__c"): _*)
+        .write.partitionBy("__c").mode("overwrite").parquet(delDir.toString)
+    val f = fs(delDir)
+    val delEntries = classes.flatMap { c =>
+      listPartFiles(new Path(delDir, s"__c=$c"), f).map { st =>
+        val (rows, _) = footerStats(st.getPath)
+        DeleteEntry(s"v=$v/deletes/__c=$c/${st.getPath.getName}",
+          keyCols, c, rows)
+      }
+    }.toSeq
+    writeManifest(table, Manifest(v, System.currentTimeMillis(),
+      "compact_deletes", m.files.map(_.rowCount).sum, m.files, m.schemaJson,
+      m.partitionBy, m.droppedColumns, delEntries, None))
+    swapPointer(table, v)
+    v
+  }
+
   /** Row-level change feed between snapshots (Iceberg's changelog scan /
     * `create_changelog_view`): for each version step a→b inside
     * [fromVersion, toVersion], emit the step's row-level delta tagged

@@ -559,6 +559,50 @@ class TableStoreSpec extends SparkSpec {
     assert(store.read("t").count() == 4)
   }
 
+  test("compactDeletes consolidates the MoR overlay without touching data") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", (1 to 40).map(i => (i.toLong, s"s$i")).toDF("id", "s"),
+      "create")                                                       // seq 1
+    // churn: one upsert (data at seq 2), then three delete-only commits
+    // (seqs 3,4,5 — no data files, so their classes all merge to seq 3)
+    store.upsertMoR("t", Seq((1L, "u1"), (2L, "u2")).toDF("id", "s"), Seq("id"))
+    store.deleteKeysMoR("t", Seq(Tuple1(11L)).toDF("id"), Seq("id"))
+    store.deleteKeysMoR("t", Seq(Tuple1(12L)).toDF("id"), Seq("id"))
+    // duplicate key 11 at a later seq: must collapse to its max
+    store.deleteKeysMoR("t", Seq(Tuple1(11L), Tuple1(13L)).toDF("id"), Seq("id"))
+    val before = store.manifests("t").maxBy(_.version)
+    val expect = store.read("t").as[(Long, String)].collect().toSet
+    val dataBefore = before.files.map(_.path).toSet
+
+    val v = store.compactDeletes("t")
+    val after = store.manifests("t").maxBy(_.version)
+    assert(after.version == v)
+    assert(after.files.map(_.path).toSet == dataBefore, "no data file touched")
+    assert(after.deleteFiles.size < before.deleteFiles.size)
+    // classes: upsert keys (seq 2 → class 2), all delete-only seqs (3,4,5
+    // → class 3, since the greatest smaller data seq is 2)
+    assert(after.deleteFiles.map(_.seq).distinct.sorted == Seq(2L, 3L))
+    assert(store.read("t").as[(Long, String)].collect().toSet == expect)
+    // upserting again on the consolidated overlay still works
+    store.upsertMoR("t", Seq((3L, "u3")).toDF("id", "s"), Seq("id"))
+    assert(store.read("t").as[(Long, String)].collect().toSet ==
+      expect - ((3L, "s3")) + ((3L, "u3")))
+    // a full rewrite still sheds the (consolidated) overlay
+    store.compact("t")
+    assert(store.manifests("t").maxBy(_.version).deleteFiles.isEmpty)
+  }
+
+  test("compactDeletes drops masks made dangling by earlier rewrites") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+      "create")
+    store.deleteKeysMoR("t", Seq(Tuple1(5L)).toDF("id"), Seq("id"))
+    // no-op on a table with no overlay after compaction materializes it
+    store.compact("t")
+    val v0 = store.manifests("t").maxBy(_.version).version
+    assert(store.compactDeletes("t") == v0, "no overlay → no new snapshot")
+  }
+
   test("readChangelog emits row-level deltas; pure compaction emits nothing") {
     import org.apache.spark.sql.functions.col
     val store = new TableStore(spark, tmpDir("ts"))
