@@ -2320,8 +2320,84 @@ object SparkEntry {
            |FROM $cat.ns.ev GROUP BY event_type""".stripMargin)
         .withColumn("consolidated", lit(consolidated))
         .orderBy(col("event_type"))
+    }),
+
+    // format: `add_files` in-place migration — adopt the fixture's OWN
+    // parquet file as a snapshot without copying a byte (the only sane
+    // 100 TB ingest for an already-parquet corpus: one manifest write vs
+    // a full CTAS rewrite). The adopted file is referenced by absolute
+    // URI, footer-stat harvested (prunable like native files), and
+    // composes with a native append; expiry must never delete it (the
+    // table borrows the file, it does not own it).
+    "q102_add_files" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val wh = java.nio.file.Files.createTempDirectory("graft_addf").toString
+      val cat = s"gq102x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val store = new TableStore(s, wh)
+      val srcPath = new org.apache.hadoop.fs.Path(dir, "events.parquet")
+      val srcFs = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      s.sql(s"CALL $cat.system.add_files(`table` => 'ev', " +
+        s"source => '${srcPath.toString}')").collect()
+      val m1 = store.manifests("ev").maxBy(_.version)
+      // metadata-only: every adopted path is external, nothing was copied
+      val adoptedExternal = m1.files.nonEmpty &&
+        m1.files.forall(fe => TableStore.isExternalPath(fe.path))
+      // native append over the adopted snapshot (metadata-only carry)
+      store.append("ev", ev.filter(col("event_id") <= 100)
+        .withColumn("value", col("value") + 1000.0))
+      // expiring the adopted-only snapshot must not touch the source file
+      store.expireSnapshots("ev", keepLast = 1)
+      val sourceIntact = srcFs.exists(srcPath)
+      s.sql(
+        s"""SELECT event_type, COUNT(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM $cat.ns.ev GROUP BY event_type""".stripMargin)
+        .withColumn("adopted_external", lit(adoptedExternal))
+        .withColumn("source_intact", lit(sourceIntact))
+        .orderBy(col("event_type"))
+    }),
+
+    // pipeline: domain-mixture sampling to a token budget — the "data
+    // mixing" step (so much of each source domain) as a DETERMINISTIC
+    // downsample: per-domain integer token targets from mixture weights,
+    // selection by exclusive running-token offset in md5(doc_id) order.
+    // The per-domain prefix sum is distributed via md5-prefix buckets
+    // (no whole-domain single-task window), so one scan + one shuffle at
+    // any corpus size. Weights 1:2:3:4 by source index mod 4, 10k budget.
+    "q103_domain_mixture" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val withTok = docs.withColumn("tok",
+        graft.ext.TextAnalysis.tokenCount(col("text")).cast("long"))
+      val sel = graft.ext.Mixing.sampleToBudget(withTok, "doc_id", "source",
+        "tok", budgetTokens = 10000L, parts = mixingParts)
+      graft.ext.Mixing.mixtureSummary(sel, "source")
+        .select(col("source"), col("n_docs"), col("sum_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // pipeline: hashed-feature linear quality classifier — the fastText
+    // application shape (token → hash bucket → weight → sum → threshold)
+    // as ONE codegen'd projection: no explode, no join, no shuffle of the
+    // corpus. Integer-exact end to end, so the oracle replays the scores
+    // bit-for-bit.
+    "q104_quality_classifier" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.withColumn("score", graft.ext.QualityModel.score(col("text")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("score") >= 0L, 1L).otherwise(0L)).as("n_keep"),
+          sum(col("score")).as("sum_score"))
+        .orderBy(col("source"))
     })
   )
+
+  /** Mixture weights for q103: source `src<i>` gets `(i % 4) + 1` parts
+    * of the 10 000-token budget (Σparts = 50 → targets 200/400/600/800). */
+  private val mixingParts: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> ((i % 4) + 1L)).toMap
 
   /** SQL texts valid in BOTH Spark SQL and DuckDB, run verbatim on each
     * engine — the two-engine differential exactly mirrors the reference's
@@ -3678,7 +3754,60 @@ object SparkEntry {
         |    ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  true AS consolidated
         |FROM events WHERE event_id % 100 NOT IN (2, 3)
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+
+    // Adopted fixture + native append of event_id<=100 at value+1000.
+    "q102_add_files" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS adopted_external, true AS source_intact
+        |FROM (SELECT event_type, value FROM events
+        |      UNION ALL
+        |      SELECT event_type, value + 1000.0 AS value FROM events
+        |      WHERE event_id <= 100)
+        |GROUP BY event_type""".stripMargin,
+
+    // Same selection rule replayed in SQL: exclusive per-domain running
+    // token offset in md5(doc_id) order, kept while below the domain's
+    // integer target (budget 10000, parts (i%4)+1 → floor targets
+    // 200/400/600/800).
+    "q103_domain_mixture" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    len(list_filter(string_split_regex(lower(text), '\W+'),
+        |        x -> x <> '')) AS tok
+        |  FROM documents),
+        |p AS (SELECT doc_id, source, tok,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM t)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS sum_tokens
+        |FROM p
+        |WHERE off < CASE CAST(substring(source, 4) AS INT) % 4
+        |    WHEN 0 THEN 200 WHEN 1 THEN 400 WHEN 2 THEN 600 ELSE 800 END
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Bit-identical classifier replay: 28-bit md5 token hash (nibble
+    // accumulation), bucket mod 1024, affine weight mod 4093 − 2046.
+    "q104_quality_classifier" -> {
+      def nib(k: Int) = {
+        val a = s"ascii(substr(md5(t), ${k + 1}, 1))"
+        s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)"
+      }
+      val x = (0 until 7).map(k => s"${nib(k)} * ${1L << (4 * k)}").mkString(" + ")
+      raw"""WITH scored AS (SELECT source,
+           |    COALESCE(list_sum(list_transform(
+           |      list_filter(string_split_regex(lower(text), '\W+'), x -> x <> ''),
+           |      t -> ((CAST($x AS BIGINT) % 1024) * 1103515245 + 12345)
+           |           % 4093 - 2046)), 0) AS score
+           |  FROM documents)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           |  CAST(SUM(score) AS BIGINT) AS sum_score
+           |FROM scored
+           |GROUP BY source ORDER BY source""".stripMargin
+    }
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

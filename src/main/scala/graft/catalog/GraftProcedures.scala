@@ -26,13 +26,15 @@ object GraftProcedures {
       case "rewrite_zorder" => Some(rewriteZOrder(store))
       case "publish_staged" => Some(publishStaged(store))
       case "set_partition_spec" => Some(setPartitionSpec(store))
+      case "add_files" => Some(addFiles(store))
       case _ => None
     }
 
   val names: Seq[String] =
     Seq("compact", "rewrite_delete_files", "expire_snapshots",
       "rollback_to_version", "remove_orphan_files", "rewrite_sorted",
-      "rewrite_zorder", "publish_staged", "set_partition_spec")
+      "rewrite_zorder", "publish_staged", "set_partition_spec",
+      "add_files")
 
   private def result(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
     java.util.Collections.singletonList[Scan](new LocalScan {
@@ -144,6 +146,39 @@ object GraftProcedures {
             StructField("restored_version", LongType),
             StructField("new_version", LongType))),
           new GenericInternalRow(Array[Any](v - 1, target, v)))
+      }
+    }
+  }
+
+  /** `CALL g.system.add_files(table => 't', source => '/path/to/parquet')`
+    * — adopt existing parquet files as a snapshot without copying them
+    * (Iceberg's `add_files`/`migrate`): one manifest write brings an
+    * already-parquet corpus under table management, stats-harvested and
+    * prunable, regardless of its size. */
+  private def addFiles(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "add_files"
+    override def description(): String =
+      "adopt existing parquet files as a snapshot without copying (metadata-only migrate)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "add_files"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("source", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val source = input.getUTF8String(1).toString
+        val s = store
+        val before = s.manifests(table).lastOption.map(_.files.size).getOrElse(0)
+        val v = s.addFiles(table, source)
+        val m = s.manifests(table).maxBy(_.version)
+        result(
+          StructType(Seq(StructField("version", LongType),
+            StructField("files_added", LongType),
+            StructField("row_count", LongType))),
+          new GenericInternalRow(Array[Any](v,
+            (m.files.size - before).toLong, m.rowCount)))
       }
     }
   }

@@ -830,6 +830,60 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       commitFiles(table, m.files, Some(aligned), "append", m.partitionBy)
     }
 
+  /** Adopt existing parquet files as the next snapshot WITHOUT copying or
+    * rewriting a byte — Iceberg's `add_files`/`migrate` path, and the only
+    * sane way to bring an already-parquet 100 TB corpus under table
+    * management (a CTAS ingest would rewrite all 100 TB; this writes one
+    * manifest). `source` may be a single parquet file or a directory
+    * (recursed). Adopted files are referenced by ABSOLUTE qualified URI
+    * while native files stay table-relative; footer stats are harvested
+    * exactly like written files, so min/max file skipping and metadata
+    * aggregates work on adopted files from the first query, and
+    * time-travel/append/MoR layers compose transparently (an adopted file
+    * has sequence 0 — the oldest — so later equality deletes mask it, the
+    * Iceberg `migrate` semantic). Ownership stays with the source:
+    * [[expireSnapshots]] never deletes external paths and
+    * [[removeOrphanFiles]] only scans the table directory, so dropping the
+    * adopted snapshot later leaves the source corpus untouched.
+    *
+    * When the table already exists this is a metadata-only append of the
+    * adopted files; reads project them through the table's schema
+    * (name-resolved, missing columns null — same rule as schema
+    * evolution). */
+  def addFiles(table: String, source: String): Long = {
+    val src = new Path(source)
+    val f = fs(src)
+    require(f.exists(src), s"add_files source not found: $source")
+    val statuses =
+      if (f.getFileStatus(src).isFile) Seq(f.getFileStatus(src))
+      else {
+        val it = f.listFiles(src, true)
+        val buf = ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+        while (it.hasNext) {
+          val s = it.next()
+          val n = s.getPath.getName
+          if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+            buf += s
+        }
+        buf.toSeq.sortBy(_.getPath.toString)
+      }
+    require(statuses.nonEmpty, s"add_files: no parquet files under $source")
+    val entries = harvestInParallel(statuses) { s =>
+      val (rows, stats) = footerStats(s.getPath)
+      FileEntry(f.makeQualified(s.getPath).toString, s.getLen, rows, stats)
+    }
+    val kept = manifests(table).lastOption.map(_.files).getOrElse(Seq.empty)
+    val schemaJson = manifests(table).lastOption.map(_.schemaJson).getOrElse(
+      spark.read.parquet(statuses.map(_.getPath.toString): _*).schema.json)
+    val spec = manifests(table).lastOption.map(_.partitionBy).getOrElse(Seq.empty)
+    val v = currentVersion(table) + 1
+    writeManifest(table, Manifest(v, System.currentTimeMillis(), "add_files",
+      (kept ++ entries).map(_.rowCount).sum, kept ++ entries, schemaJson, spec,
+      droppedColumnsCarry(table, kept), deleteFilesCarry(table, kept)))
+    swapPointer(table, v)
+    v
+  }
+
   /** Read the latest snapshot. */
   def read(table: String): DataFrame = readVersion(table, currentVersion(table))
 
@@ -939,7 +993,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     // rollback) rewrites or re-exposes old rows and is rejected — or,
     // with skipRewrites, contributes no files.
     val safeOps = Set("create", "append", "insert", "bulk_insert",
-      "alter", "expire_snapshots")
+      "add_files", "alter", "expire_snapshots")
     val nonAppend = range.filterNot(m => safeOps.contains(m.operation))
     if (!skipRewrites)
       require(nonAppend.isEmpty,
@@ -1490,7 +1544,10 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     dropped.foreach { m =>
       val f = fs(manifestPath(table, m.version))
       (m.files.map(_.path) ++ m.deleteFiles.map(_.path))
-        .filterNot(referenced.contains).foreach { p =>
+        // external (add_files-adopted) paths are borrowed, not owned —
+        // expiry must never reach outside the table directory
+        .filterNot(p => referenced.contains(p) || TableStore.isExternalPath(p))
+        .foreach { p =>
           f.delete(new Path(tableDir(table), p), false)
         }
       f.delete(manifestPath(table, m.version), false)
@@ -1767,6 +1824,13 @@ object TableStore {
     * prefix (files are written into their commit's version directory and
     * never renamed). Non-version paths (staged files published in place)
     * sequence as 0 — merge-on-read writes refuse such tables up front. */
+  /** True for a manifest path that points OUTSIDE the table directory —
+    * an `add_files`-adopted file, referenced by absolute/qualified URI
+    * rather than the table-relative `v=N/...` form. Maintenance
+    * (expiry, compaction cleanup) must never delete these. */
+  def isExternalPath(p: String): Boolean =
+    p.startsWith("/") || p.contains(":/")
+
   def fileSeqOf(path: String): Long =
     if (path.startsWith("v=")) {
       val i = path.indexOf('/')

@@ -250,7 +250,7 @@ object Dedup {
 
   /** 28-bit shingle key from the first 7 hex nibbles of md5(shingle) —
     * computable identically in any engine with md5/ascii/substr. */
-  private def md5Key28(sh: Column): Column = {
+  private[ext] def md5Key28(sh: Column): Column = {
     val hx = md5(sh)
     (0 until 7).map { k =>
       val a = ascii(substring(hx, k + 1, 1))

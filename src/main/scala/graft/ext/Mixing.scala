@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Domain-mixture sampling: cut a corpus down to a global token budget
+  * split across domains by target weights — the "data mixing" step of a
+  * training-data pipeline (so much web, so much code, so much books...),
+  * run as a deterministic downsample instead of a random one so every
+  * engine, retry, and rerun selects the SAME documents.
+  *
+  * Semantics: each domain `d` gets an exact integer token target
+  * `floor(budget · parts(d) / Σparts)`; its documents are ordered by
+  * md5(id) (a stable corpus shuffle) and taken while the domain's
+  * EXCLUSIVE running token offset is below the target — so the selection
+  * overshoots by at most one document per domain and never depends on
+  * partitioning or float summation order. Domains absent from `parts`
+  * are excluded entirely. A domain with fewer tokens than its target is
+  * taken whole (no upsampling — mixing epochs are the trainer's job).
+  *
+  * Scale design (the 100 TB contract): the per-domain prefix sum reuses
+  * [[Packing]]'s order-aligned md5-prefix bucket trick, partitioned one
+  * level deeper by domain: the running total is a window over
+  * (domain, bucket) — ~|corpus| / 16^nibbles rows per task, full
+  * parallelism, no per-domain single-task funnel (a plain
+  * `Window.partitionBy(domain)` would pull an entire domain — possibly
+  * 90% of the corpus — through one task). Per-(domain, bucket) totals are
+  * tiny (domains × 4096), cumulated by a window and broadcast back. One
+  * scan, one shuffle.
+  */
+object Mixing {
+
+  /** Selected documents: (idCol, domainCol, n_tokens, offset) where
+    * `offset` is the document's exclusive token offset within its domain
+    * in md5(id) order. `parts` are integer mixture weights; the domain
+    * target is `floor(budgetTokens · parts(d) / Σparts)` computed in
+    * BigInt (exact at any budget). */
+  def sampleToBudget(df: DataFrame, idCol: String, domainCol: String,
+      tokenCountCol: String, budgetTokens: Long, parts: Map[String, Long],
+      bucketNibbles: Int = 3): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(parts.nonEmpty && parts.values.forall(_ > 0),
+      "parts must be non-empty positive integer weights")
+    require(bucketNibbles >= 1 && bucketNibbles <= 7,
+      "bucketNibbles must be in [1, 7]")
+    val sumParts = parts.values.map(BigInt(_)).sum
+    val targets: Map[String, Long] = parts.map { case (d, p) =>
+      d -> (BigInt(budgetTokens) * p / sumParts).toLong
+    }
+    val ord = md5(col(idCol).cast("string"))
+    val (keyed, _) = Materialize.checkpointTracked(
+      df.filter(col(domainCol).isin(parts.keys.toSeq.map(lit): _*))
+        .select(col(idCol), col(domainCol),
+          col(tokenCountCol).cast("long").as("__tok"), ord.as("__ord"))
+        .withColumn("__b",
+          conv(substring(col("__ord"), 1, bucketNibbles), 16, 10).cast("long")))
+    val intra = keyed.withColumn("__run",
+      sum(col("__tok")).over(Window.partitionBy(col(domainCol), col("__b"))
+        .orderBy(col("__ord"), col(idCol))))
+    // per-(domain, bucket) totals → exclusive per-domain bucket offsets;
+    // |domains| × 16^nibbles rows, the per-domain window here is tiny
+    val offsets = keyed.groupBy(col(domainCol), col("__b"))
+      .agg(sum(col("__tok")).as("__btot"))
+      .withColumn("__boff",
+        coalesce(sum(col("__btot")).over(
+          Window.partitionBy(col(domainCol)).orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(domainCol), col("__b"), col("__boff"))
+    val target = targets.foldLeft(lit(0L)) { case (acc, (d, t)) =>
+      when(col(domainCol) === d, lit(t)).otherwise(acc)
+    }
+    val off = col("__boff") + col("__run") - col("__tok")
+    intra.join(broadcast(offsets), Seq(domainCol, "__b"))
+      .filter(off < target)
+      .select(col(idCol), col(domainCol), col("__tok").as("n_tokens"),
+        off.as("offset"))
+  }
+
+  /** Per-domain mixture summary over the selected set. */
+  def mixtureSummary(selected: DataFrame, domainCol: String): DataFrame =
+    selected.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+}

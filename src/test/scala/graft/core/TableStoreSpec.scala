@@ -671,4 +671,51 @@ class TableStoreSpec extends SparkSpec {
     }
     store.abandonStaged("t", id)
   }
+
+  test("addFiles adopts external parquet without copying; expiry never deletes it") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    // an "existing corpus" outside the warehouse
+    val ext = tmpDir("ext_corpus")
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s")
+      .repartition(2).write.mode("overwrite").parquet(ext)
+    val v = store.addFiles("t", ext)
+    assert(v == 1)
+    val m = store.manifests("t").maxBy(_.version)
+    assert(m.operation == "add_files")
+    assert(m.files.nonEmpty && m.files.forall(fe => TableStore.isExternalPath(fe.path)))
+    assert(m.rowCount == 3)
+    assert(store.read("t").as[(Int, String)].collect().sorted.toSeq ==
+      Seq((1, "a"), (2, "b"), (3, "c")))
+    // footer stats were harvested: min/max pruning works on adopted files
+    val (kept, total) = store.prunedFileCount("t", "id", 3, 3)
+    assert(total == 2 && kept == 1)
+    // native append composes; adopted files are carried as metadata
+    store.append("t", Seq((4, "d")).toDF("id", "s"))
+    assert(store.read("t").count() == 4)
+    // expiry of the adopted-only snapshot must not reach outside the table
+    store.expireSnapshots("t", keepLast = 1)
+    val extFs = new org.apache.hadoop.fs.Path(ext)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(extFs.listStatus(new org.apache.hadoop.fs.Path(ext))
+      .exists(_.getPath.getName.endsWith(".parquet")))
+    assert(store.read("t").count() == 4)
+  }
+
+  test("addFiles accepts a single file and an existing table (metadata append)") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    val ext = tmpDir("ext_one")
+    Seq((10, "x"), (11, "y")).toDF("id", "s")
+      .coalesce(1).write.mode("overwrite").parquet(ext)
+    val one = new org.apache.hadoop.fs.Path(ext)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new org.apache.hadoop.fs.Path(ext))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    store.commit("t", Seq((1, "a")).toDF("id", "s"), "create")
+    val v = store.addFiles("t", one.toString)
+    assert(v == 2)
+    assert(store.read("t").count() == 3)
+    // adopted rows are visible to time travel and incremental reads
+    assert(store.readVersion("t", 1).count() == 1)
+    assert(store.readIncremental("t", 1, 2).count() == 2)
+  }
 }
