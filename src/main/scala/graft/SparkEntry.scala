@@ -2391,6 +2391,25 @@ object SparkEntry {
           sum(when(col("score") >= 0L, 1L).otherwise(0L)).as("n_keep"),
           sum(col("score")).as("sum_score"))
         .orderBy(col("source"))
+    }),
+
+    // pipeline: repeated-span coverage — exact substring dedup's
+    // token-window formulation (duplicated ≥8-token spans marked across
+    // documents, the verbatim-boilerplate case document-level dedup can't
+    // see). One explode + one window-key shuffle; per-doc interval union
+    // bounds the window function by document length.
+    "q105_span_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val cov = graft.ext.SpanDedup.coverage(docs, "doc_id", "text", w = 8)
+      docs.select(col("doc_id"), col("source"))
+        .join(cov, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("dup_tokens")).as("dup_tokens"),
+          sum(when(col("dup_tokens") > 0L, 1L).otherwise(0L))
+            .as("n_docs_with_dup"))
+        .orderBy(col("source"))
     })
   )
 
@@ -3807,7 +3826,32 @@ object SparkEntry {
            |  CAST(SUM(score) AS BIGINT) AS sum_score
            |FROM scored
            |GROUP BY source ORDER BY source""".stripMargin
-    }
+    },
+
+    // Same window keys (md5 of the space-joined 8-token slice), same
+    // min≠max duplication test, same interval-union coverage.
+    "q105_span_dedup" ->
+      raw"""WITH toks AS (SELECT doc_id, source,
+           |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+           |  FROM documents),
+           |wins AS (SELECT doc_id, CAST(r.i AS INT) AS s,
+           |    md5(array_to_string(t[r.i:r.i+7], ' ')) AS k
+           |  FROM toks,
+           |    (SELECT unnest(range(1, (SELECT MAX(len(t)) FROM toks) + 1)) AS i) r
+           |  WHERE r.i + 7 <= len(t)),
+           |dup AS (SELECT k FROM wins GROUP BY k HAVING MIN(doc_id) <> MAX(doc_id)),
+           |dw AS (SELECT DISTINCT doc_id, s FROM wins JOIN dup USING (k)),
+           |cov AS (SELECT doc_id, SUM(c) AS covered FROM (
+           |    SELECT doc_id, LEAST(8, COALESCE(
+           |      LEAD(s) OVER (PARTITION BY doc_id ORDER BY s) - s, 8)) AS c
+           |    FROM dw) x GROUP BY doc_id)
+           |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(len(t)) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(COALESCE(covered, 0)) AS BIGINT) AS dup_tokens,
+           |  CAST(SUM(CASE WHEN COALESCE(covered, 0) > 0 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_docs_with_dup
+           |FROM toks LEFT JOIN cov USING (doc_id)
+           |GROUP BY source ORDER BY source""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:
