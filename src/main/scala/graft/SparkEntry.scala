@@ -2410,6 +2410,79 @@ object SparkEntry {
           sum(when(col("dup_tokens") > 0L, 1L).otherwise(0L))
             .as("n_docs_with_dup"))
         .orderBy(col("source"))
+    }),
+
+    // format: CHECK constraints (Delta-style) — a named SQL predicate
+    // validated against existing rows at ADD time, then enforced PER ROW
+    // inside every write job (append / SQL INSERT / MoR upsert): the
+    // violating batch aborts pre-commit and the table is untouched. The
+    // anchor adds a constraint via CALL, proves a violating SQL INSERT
+    // and a violating append both bounce (state unchanged), lands a
+    // conforming delta, and reads back the final state.
+    "q106_check_constraints" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val wh = java.nio.file.Files.createTempDirectory("graft_cons").toString
+      val cat = s"gq106x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val store = new TableStore(s, wh)
+      store.commit("ev", ev, "create")
+      s.sql(s"CALL $cat.system.add_check_constraint(`table` => 'ev', " +
+        "name => 'known_type', " +
+        "predicate => 'event_type IN (''click'',''signup'',''error''," +
+        "''view'',''purchase'')')").collect()
+      val vBefore = store.currentVersion("ev")
+      val sqlRejected =
+        try { s.sql(s"INSERT INTO $cat.ns.ev VALUES (-1, 'bogus', 1.0)"); false }
+        catch { case _: Exception => true }
+      val apiRejected =
+        try {
+          store.append("ev", ev.limit(1)
+            .withColumn("event_type", lit("unknown")))
+          false
+        } catch { case _: Exception => true }
+      val untouched = store.currentVersion("ev") == vBefore
+      // conforming delta: re-tag low ids as more purchases
+      store.append("ev", ev.filter(col("event_id") <= 100)
+        .withColumn("event_type", lit("purchase")))
+      s.sql(
+        s"""SELECT event_type, COUNT(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM $cat.ns.ev GROUP BY event_type""".stripMargin)
+        .withColumn("writes_rejected", lit(sqlRejected && apiRejected && untouched))
+        .orderBy(col("event_type"))
+    }),
+
+    // format: POSITIONAL delete files (Iceberg v2's second delete kind) —
+    // predicate DELETE as (file, row-index) markers from the scan's
+    // `_metadata` columns: no data file touched, no key columns needed
+    // (works on keyless tables), one filter-pushed scan + O(matched)
+    // delete write. A later append matching the old predicate SURVIVES
+    // (positions name old files, not values) — semantics equality
+    // deletes cannot express.
+    "q107_positional_delete" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val store = tmpStore(s)
+      store.commit("ev", ev, "create")
+      val filesBefore =
+        store.manifests("ev").maxBy(_.version).files.map(_.path)
+      store.deleteWhereMoR("ev", "event_type = 'error'")
+      val m = store.manifests("ev").maxBy(_.version)
+      val untouched = m.files.map(_.path) == filesBefore &&
+        m.deleteFiles.nonEmpty &&
+        m.deleteFiles.forall(TableStore.isPositional)
+      // new 'error' rows appended AFTER the positional delete survive
+      store.append("ev", ev.filter(col("event_type") === "error" &&
+          col("event_id") <= 100)
+        .withColumn("value", col("value") + 500.0))
+      store.read("ev").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsumd(col("value")).as("total_value"))
+        .withColumn("data_untouched", lit(untouched))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -3851,7 +3924,32 @@ object SparkEntry {
            |  CAST(SUM(CASE WHEN COALESCE(covered, 0) > 0 THEN 1 ELSE 0 END)
            |    AS BIGINT) AS n_docs_with_dup
            |FROM toks LEFT JOIN cov USING (doc_id)
-           |GROUP BY source ORDER BY source""".stripMargin
+           |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Final state: fixture + conforming purchase re-tag of event_id<=100
+    // (both violating writes bounced without a trace).
+    "q106_check_constraints" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS writes_rejected
+        |FROM (SELECT event_type, value FROM events
+        |      UNION ALL
+        |      SELECT 'purchase' AS event_type, value FROM events
+        |      WHERE event_id <= 100)
+        |GROUP BY event_type""".stripMargin,
+
+    // Positional delete of every 'error' position, then an append of
+    // error rows (event_id<=100, value+500) that must survive.
+    "q107_positional_delete" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS data_untouched
+        |FROM (SELECT event_type, value FROM events
+        |      WHERE event_type <> 'error'
+        |      UNION ALL
+        |      SELECT event_type, value + 500.0 AS value FROM events
+        |      WHERE event_type = 'error' AND event_id <= 100)
+        |GROUP BY event_type""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

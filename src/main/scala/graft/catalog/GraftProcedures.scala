@@ -27,6 +27,8 @@ object GraftProcedures {
       case "publish_staged" => Some(publishStaged(store))
       case "set_partition_spec" => Some(setPartitionSpec(store))
       case "add_files" => Some(addFiles(store))
+      case "add_check_constraint" => Some(addCheckConstraint(store))
+      case "drop_check_constraint" => Some(dropCheckConstraint(store))
       case _ => None
     }
 
@@ -34,7 +36,7 @@ object GraftProcedures {
     Seq("compact", "rewrite_delete_files", "expire_snapshots",
       "rollback_to_version", "remove_orphan_files", "rewrite_sorted",
       "rewrite_zorder", "publish_staged", "set_partition_spec",
-      "add_files")
+      "add_files", "add_check_constraint", "drop_check_constraint")
 
   private def result(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
     java.util.Collections.singletonList[Scan](new LocalScan {
@@ -179,6 +181,61 @@ object GraftProcedures {
             StructField("row_count", LongType))),
           new GenericInternalRow(Array[Any](v,
             (m.files.size - before).toLong, m.rowCount)))
+      }
+    }
+  }
+
+  /** `CALL g.system.add_check_constraint(table => 't', name => 'c',
+    * predicate => 'x > 0')` — Delta-style CHECK constraint: existing rows
+    * are validated first, then every write path enforces the predicate
+    * per row inside the write job. */
+  private def addCheckConstraint(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "add_check_constraint"
+    override def description(): String =
+      "add a named CHECK predicate enforced on every row written"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "add_check_constraint"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("predicate", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val cname = input.getUTF8String(1).toString
+        val pred = input.getUTF8String(2).toString
+        val s = store
+        val v = s.addCheckConstraint(table, cname, pred)
+        result(
+          StructType(Seq(StructField("version", LongType),
+            StructField("n_constraints", LongType))),
+          new GenericInternalRow(Array[Any](v,
+            s.checkConstraints(table).size.toLong)))
+      }
+    }
+  }
+
+  private def dropCheckConstraint(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "drop_check_constraint"
+    override def description(): String = "drop a named CHECK constraint (metadata-only)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "drop_check_constraint"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val cname = input.getUTF8String(1).toString
+        val s = store
+        val v = s.dropCheckConstraint(table, cname)
+        result(
+          StructType(Seq(StructField("version", LongType),
+            StructField("n_constraints", LongType))),
+          new GenericInternalRow(Array[Any](v,
+            s.checkConstraints(table).size.toLong)))
       }
     }
   }

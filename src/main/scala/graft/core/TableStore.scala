@@ -167,7 +167,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val v = currentVersion(table) + 1
     val newEntries = newData match {
       case Some(df) =>
-        writeDataFiles(versionDir(table, v), s"v=$v", df, partitionBy, bloomColumns)
+        writeDataFiles(versionDir(table, v), s"v=$v",
+          enforceConstraints(table, df), partitionBy, bloomColumns)
       case None => Seq.empty
     }
     val files = keptFiles ++ newEntries
@@ -180,7 +181,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
       files.map(_.rowCount).sum, files, schemaJson, spec,
       droppedColumnsCarry(table, keptFiles),
-      deleteFilesCarry(table, keptFiles)))
+      deleteFilesCarry(table, keptFiles),
+      constraints = constraintsCarry(table)))
     swapPointer(table, v)
     v
   }
@@ -274,6 +276,74 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       keptFiles: Seq[FileEntry]): Seq[String] =
     if (keptFiles.isEmpty) Seq.empty
     else manifests(table).lastOption.map(_.droppedColumns).getOrElse(Seq.empty)
+
+  /** CHECK constraints carry through every commit like the partition
+    * spec — dropping them on a rewrite would silently stop enforcement. */
+  private def constraintsCarry(table: String): Seq[(String, String)] =
+    manifests(table).lastOption.map(_.constraints).getOrElse(Seq.empty)
+
+  /** Wrap `df` so every row is validated against the table's CHECK
+    * constraints INSIDE the write job (one pass, no pre-scan): the filter
+    * evaluates per row and `raise_error` aborts the job on the first
+    * violation — Delta's invariant-check semantics. A predicate that is
+    * NULL for a row passes (SQL-standard CHECK). */
+  private def enforceConstraints(table: String, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, raise_error, when}
+    import org.apache.spark.sql.functions.{lit => flit}
+    constraintsCarry(table).foldLeft(df) { case (d, (nm, pred)) =>
+      d.filter(
+        when(expr(pred) <=> flit(false),
+          raise_error(flit(s"CHECK constraint $nm violated: $pred"))
+            .cast("boolean"))
+          .otherwise(flit(true)))
+    }
+  }
+
+  /** Add a named CHECK constraint (Delta `ADD CONSTRAINT`): validates the
+    * predicate against ALL existing rows first (one filter pass — a
+    * violation aborts and the constraint is not added), then commits a
+    * metadata-only snapshot carrying it. Every subsequent write through
+    * any path (commit/append/merge/MoR upsert/SQL INSERT/streaming sink)
+    * enforces it per row inside the write job. */
+  def addCheckConstraint(table: String, name: String,
+      predicateSql: String): Long = {
+    val m = manifests(table).maxBy(_.version)
+    require(!m.constraints.exists(_._1 == name),
+      s"constraint $name already exists on $table")
+    // validate existing data: the raise_error filter throws on violation
+    val probe = read(table)
+    import org.apache.spark.sql.functions.{expr, raise_error, when}
+    import org.apache.spark.sql.functions.{lit => flit}
+    probe.filter(
+      when(expr(predicateSql) <=> flit(false),
+        raise_error(flit(s"existing rows violate CHECK $name ($predicateSql)"))
+          .cast("boolean"))
+        .otherwise(flit(true))).count()
+    val v = m.version + 1
+    writeManifest(table, m.copy(version = v,
+      timestampMs = System.currentTimeMillis(), operation = "alter",
+      streamEpoch = None,
+      constraints = m.constraints :+ (name -> predicateSql)))
+    swapPointer(table, v)
+    v
+  }
+
+  /** Drop a CHECK constraint (metadata-only). */
+  def dropCheckConstraint(table: String, name: String): Long = {
+    val m = manifests(table).maxBy(_.version)
+    require(m.constraints.exists(_._1 == name),
+      s"no constraint $name on $table")
+    val v = m.version + 1
+    writeManifest(table, m.copy(version = v,
+      timestampMs = System.currentTimeMillis(), operation = "alter",
+      streamEpoch = None,
+      constraints = m.constraints.filterNot(_._1 == name)))
+    swapPointer(table, v)
+    v
+  }
+
+  def checkConstraints(table: String): Seq[(String, String)] =
+    constraintsCarry(table)
 
   /** Footer-stat harvesting is metadata-only but pays one storage
     * round-trip per file — run it on a bounded thread pool so a
@@ -458,11 +528,24 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         stats ++ pstats, pvals)
     }
     val files = keptFiles ++ newEntries
+    // staged files were written by the caller's job (DSv2 INSERT /
+    // streaming sink), so per-row enforcement couldn't ride the write —
+    // validate the NEW files with one bounded read before the manifest
+    // lands (a violation aborts pre-commit; the moved files become
+    // orphans, removable by remove_orphan_files like any failed commit).
+    if (constraintsCarry(table).nonEmpty && newEntries.nonEmpty) {
+      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      enforceConstraints(table, spark.read.schema(schema).parquet(
+        newEntries.map(fe => new Path(tableDir(table), fe.path).toString): _*))
+        .count()
+    }
     writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
       files.map(_.rowCount).sum, files, schemaJson,
       manifests(table).lastOption.map(_.partitionBy).getOrElse(Seq.empty),
       droppedColumnsCarry(table, keptFiles),
-      deleteFilesCarry(table, keptFiles), streamEpoch))
+      deleteFilesCarry(table, keptFiles), streamEpoch,
+      constraints = constraintsCarry(table)))
     swapPointer(table, v)
     v
   }
@@ -877,9 +960,17 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       spark.read.parquet(statuses.map(_.getPath.toString): _*).schema.json)
     val spec = manifests(table).lastOption.map(_.partitionBy).getOrElse(Seq.empty)
     val v = currentVersion(table) + 1
+    // adopted files are validated like staged ones when constraints exist
+    if (constraintsCarry(table).nonEmpty) {
+      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      enforceConstraints(table, spark.read.schema(schema)
+        .parquet(statuses.map(_.getPath.toString): _*)).count()
+    }
     writeManifest(table, Manifest(v, System.currentTimeMillis(), "add_files",
       (kept ++ entries).map(_.rowCount).sum, kept ++ entries, schemaJson, spec,
-      droppedColumnsCarry(table, kept), deleteFilesCarry(table, kept)))
+      droppedColumnsCarry(table, kept), deleteFilesCarry(table, kept),
+      constraints = constraintsCarry(table)))
     swapPointer(table, v)
     v
   }
@@ -906,31 +997,60 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         .parquet(m.files.map(fe => new Path(tableDir(table), fe.path).toString): _*)
     if (m.deleteFiles.isEmpty) plain
     else {
-      // Merge-on-read: drop rows whose key appears in a delete file with a
-      // LARGER sequence than the data file's own (same-version new images
-      // survive — Iceberg v2 equality-delete semantics). Data files group
-      // by their version prefix (≤ #commits groups, so the union is
-      // shallow); the delete side is churn-sized and AQE broadcasts it,
-      // so the read amplification is one small hash join — the trade
-      // that makes O(churn) writes possible.
-      val keyCols = m.deleteFiles.head.keyCols
+      // Merge-on-read. Equality deletes: drop rows whose key appears in a
+      // delete file with a LARGER sequence than the data file's own
+      // (same-version new images survive — Iceberg v2 semantics). Data
+      // files group by their version prefix (≤ #commits groups, so the
+      // union is shallow); the delete side is churn-sized and AQE
+      // broadcasts it, so the read amplification is one small hash
+      // join — the trade that makes O(churn) writes possible.
+      // Positional deletes: anti-join on the row's own (file, pos) from
+      // the scan's `_metadata` columns — no sequence logic, a positional
+      // delete names immutable file paths directly.
+      val (posDels, eqDels) = m.deleteFiles.partition(TableStore.isPositional)
+      val root = tableDir(table)
+      val qualBase = fs(root).makeQualified(root).toString.stripSuffix("/")
       val bySeq = m.files.groupBy(fe => TableStore.fileSeqOf(fe.path)).toSeq.sortBy(_._1)
       val tagged = bySeq.map { case (s, fes) =>
-        spark.read.schema(schema)
-          .parquet(fes.map(fe => new Path(tableDir(table), fe.path).toString): _*)
-          .withColumn("__seq", functions.lit(s))
-      }.reduceOption(_ unionByName _).getOrElse(
-        spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-          .withColumn("__seq", functions.lit(0L)))
-      val dels = m.deleteFiles.map { d =>
-        spark.read.parquet(new Path(tableDir(table), d.path).toString)
-          .withColumn("__dseq", functions.lit(d.seq))
-      }.reduce(_ unionByName _)
-        .groupBy(keyCols.map(col): _*)
-        .agg(functions.max(col("__dseq")).as("__dmax"))
-      tagged.join(dels, keyCols, "left")
-        .filter(col("__dmax").isNull || col("__dmax") <= col("__seq"))
-        .select(schema.fields.toSeq.map(f => col(f.name)): _*)
+        val base = spark.read.schema(schema)
+          .parquet(fes.map(fe => new Path(root, fe.path).toString): _*)
+        val withPos =
+          if (posDels.isEmpty) base
+          else base
+            .withColumn("__file", functions.expr(
+              s"substring(_metadata.file_path, ${qualBase.length + 2})"))
+            .withColumn("__pos", col("_metadata.row_index"))
+        withPos.withColumn("__seq", functions.lit(s))
+      }.reduceOption(_ unionByName _).getOrElse {
+        val empty = spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+          .withColumn("__seq", functions.lit(0L))
+        if (posDels.isEmpty) empty
+        else empty.withColumn("__file", functions.lit(""))
+          .withColumn("__pos", functions.lit(0L))
+      }
+      val afterEq =
+        if (eqDels.isEmpty) tagged
+        else {
+          val keyCols = eqDels.head.keyCols
+          val dels = eqDels.map { d =>
+            spark.read.parquet(new Path(root, d.path).toString)
+              .withColumn("__dseq", functions.lit(d.seq))
+          }.reduce(_ unionByName _)
+            .groupBy(keyCols.map(col): _*)
+            .agg(functions.max(col("__dseq")).as("__dmax"))
+          tagged.join(dels, keyCols, "left")
+            .filter(col("__dmax").isNull || col("__dmax") <= col("__seq"))
+        }
+      val afterPos =
+        if (posDels.isEmpty) afterEq
+        else {
+          val pd = posDels.map(d =>
+            spark.read.parquet(new Path(root, d.path).toString))
+            .reduce(_ unionByName _)
+            .select(col("__file"), col("__pos"))
+          afterEq.join(pd, Seq("__file", "__pos"), "left_anti")
+        }
+      afterPos.select(schema.fields.toSeq.map(f => col(f.name)): _*)
     }
   }
 
@@ -1146,6 +1266,53 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       streamEpoch: Option[(String, Long)] = None): Long =
     morWrite(table, None, keys, keyCols, "delete_mor", streamEpoch)
 
+  /** Predicate DELETE as a POSITIONAL merge-on-read commit (Iceberg v2's
+    * positional delete files): matching rows are recorded as
+    * `(__file, __pos)` — table-relative data-file path + row index from
+    * the scan's `_metadata` columns — in one delete file; NO data file is
+    * touched and no key columns are needed (works on keyless tables,
+    * duplicates and all; equality deletes can't express "this occurrence
+    * but not that one"). Write cost: one filter-pushed scan (parquet
+    * row-group skipping applies) + an O(matched) delete-file write. Read
+    * cost: one anti-join on (file, pos) — no sequence logic, since a
+    * positional delete names immutable file paths directly. Readers:
+    * library path applies them; SQL scans refuse and point at
+    * `CALL compact` (the per-row broadcast reader has no row-index
+    * access), same honest-cap pattern as the delete-key cap. */
+  def deleteWhereMoR(table: String, predicateSql: String): Long = {
+    require(exists(table), s"deleteWhereMoR: table $table does not exist")
+    val m = manifests(table).maxBy(_.version)
+    require(m.files.forall(_.path.startsWith("v=")),
+      s"deleteWhereMoR needs table-relative data files; compact $table first")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val v = currentVersion(table) + 1
+    val root = tableDir(table)
+    val qualBase = fs(root).makeQualified(root).toString.stripSuffix("/")
+    val hits = spark.read.schema(schema)
+      .parquet(m.files.map(fe => new Path(root, fe.path).toString): _*)
+      .filter(functions.expr(predicateSql))
+      .select(
+        functions.expr(
+          s"substring(_metadata.file_path, ${qualBase.length + 2})")
+          .as("__file"),
+        col("_metadata.row_index").as("__pos"))
+    val delDir = new Path(versionDir(table, v), "deletes")
+    hits.write.mode("overwrite").parquet(delDir.toString)
+    val f = fs(delDir)
+    val delEntries = listPartFiles(delDir, f).map { s =>
+      val (rows, _) = footerStats(s.getPath)
+      DeleteEntry(s"v=$v/deletes/${s.getPath.getName}",
+        TableStore.PosDeleteKey, v, rows)
+    }
+    writeManifest(table, Manifest(v, System.currentTimeMillis(),
+      "delete_where_mor", m.files.map(_.rowCount).sum, m.files, m.schemaJson,
+      m.partitionBy, m.droppedColumns, m.deleteFiles ++ delEntries, None,
+      m.constraints))
+    swapPointer(table, v)
+    v
+  }
+
   /** One-commit CDC apply (merge-on-read): `cdc` carries upsert rows and
     * delete markers (`deleteCol` = true drops the key). New images land as
     * data files; EVERY key in the batch (upserted or deleted) lands in one
@@ -1171,7 +1338,11 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val m = manifests(table).maxBy(_.version)
     require(m.files.forall(_.path.startsWith("v=")),
       s"$operation needs version-sequenced data files; compact $table first")
-    require(m.deleteFiles.forall(_.keyCols == keyCols),
+    // positional deletes coexist with any equality key set (they mask
+    // file positions, not key tuples) — only the EQUALITY overlay must
+    // agree on its key columns
+    require(m.deleteFiles.filterNot(TableStore.isPositional)
+        .forall(_.keyCols == keyCols),
       s"$operation: existing delete files use keys " +
         s"${m.deleteFiles.map(_.keyCols).distinct}; compact $table first")
     val existing = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
@@ -1186,8 +1357,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
           if (source.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
           else functions.lit(null).cast(f.dataType).as(f.name)
         }: _*)
-        writeDataFiles(versionDir(table, v), s"v=$v", aligned, m.partitionBy,
-          Seq.empty)
+        writeDataFiles(versionDir(table, v), s"v=$v",
+          enforceConstraints(table, aligned), m.partitionBy, Seq.empty)
     }
     // Distinct delete keys land under v=N/deletes/ (their own subdir so
     // they can never be confused with the version's data files).
@@ -1203,7 +1374,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
       (m.files ++ dataEntries).map(_.rowCount).sum, m.files ++ dataEntries,
       m.schemaJson, m.partitionBy, m.droppedColumns,
-      m.deleteFiles ++ delEntries, streamEpoch))
+      m.deleteFiles ++ delEntries, streamEpoch, m.constraints))
     swapPointer(table, v)
     v
   }
@@ -1231,14 +1402,17 @@ class TableStore(spark: SparkSession, val warehouse: String) {
   def compactDeletes(table: String): Long = {
     require(exists(table), s"compactDeletes: table $table does not exist")
     val m = manifests(table).maxBy(_.version)
-    if (m.deleteFiles.isEmpty) return m.version
-    val keyCols = m.deleteFiles.head.keyCols
+    // positional deletes are carried untouched (their reductions don't
+    // apply: they name file positions, not sequence-classed key tuples)
+    val (posCarry, eqDelsAll) = m.deleteFiles.partition(TableStore.isPositional)
+    if (eqDelsAll.isEmpty) return m.version
+    val keyCols = eqDelsAll.head.keyCols
     val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val keySchema = org.apache.spark.sql.types.StructType(
       keyCols.map(k => schema.fields(schema.fieldIndex(k))))
     val root = tableDir(table)
-    val all = m.deleteFiles.groupBy(_.seq).toSeq.map { case (s, dels) =>
+    val all = eqDelsAll.groupBy(_.seq).toSeq.map { case (s, dels) =>
       spark.read.schema(keySchema)
         .parquet(dels.map(d => new Path(root, d.path).toString): _*)
         .withColumn("__seq", functions.lit(s))
@@ -1274,7 +1448,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     }.toSeq
     writeManifest(table, Manifest(v, System.currentTimeMillis(),
       "compact_deletes", m.files.map(_.rowCount).sum, m.files, m.schemaJson,
-      m.partitionBy, m.droppedColumns, delEntries, None))
+      m.partitionBy, m.droppedColumns, delEntries ++ posCarry, None,
+      m.constraints))
     swapPointer(table, v)
     v
   }
@@ -1655,10 +1830,14 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       if (n.has("streamQueryId") && n.has("streamEpochId"))
         Some((n.get("streamQueryId").asText(), n.get("streamEpochId").asLong()))
       else None
+    val cons = ArrayBuffer[(String, String)]()
+    val cn = n.get("constraints")
+    if (cn != null) cn.forEach(e =>
+      cons += ((e.get("name").asText(), e.get("predicate").asText())))
     Manifest(n.get("version").asLong(), n.get("timestampMs").asLong(),
       n.get("operation").asText(), n.get("rowCount").asLong(), files.toSeq,
       n.get("schemaJson").asText(), spec.toSeq, dropped.toSeq, dels.toSeq,
-      epoch)
+      epoch, cons.toSeq)
   }
 
   private def jsonStr(s: String): String =
@@ -1703,10 +1882,15 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val epochJson = m.streamEpoch.map { case (qid, e) =>
       s""","streamQueryId":${jsonStr(qid)},"streamEpochId":$e"""
     }.getOrElse("")
+    val consJson =
+      if (m.constraints.isEmpty) ""
+      else m.constraints.map { case (nm, p) =>
+        s"""{"name":${jsonStr(nm)},"predicate":${jsonStr(p)}}"""
+      }.mkString(""","constraints":[""", ",", "]")
     val json =
       s"""{"version":${m.version},"timestampMs":${m.timestampMs},
          |"operation":${jsonStr(m.operation)},"rowCount":${m.rowCount},
-         |"files":$filesJson,"schemaJson":${jsonStr(m.schemaJson)}$specJson$droppedJson$deleteJson$epochJson}""".stripMargin
+         |"files":$filesJson,"schemaJson":${jsonStr(m.schemaJson)}$specJson$droppedJson$deleteJson$epochJson$consJson}""".stripMargin
     atomicWriteExclusive(dest, json)
   }
 
@@ -1824,6 +2008,16 @@ object TableStore {
     * prefix (files are written into their commit's version directory and
     * never renamed). Non-version paths (staged files published in place)
     * sequence as 0 — merge-on-read writes refuse such tables up front. */
+  /** Sentinel key set marking a POSITIONAL delete file (Iceberg v2's
+    * second delete kind): rows are `(__file, __pos)` — table-relative
+    * data-file path and row index within it — instead of data-key
+    * tuples. A positional delete masks exactly the named positions, so
+    * no sequence comparison is involved at read time (paths are never
+    * reused: `v=N/` is monotone). */
+  val PosDeleteKey: Seq[String] = Seq("__file", "__pos")
+
+  def isPositional(d: DeleteEntry): Boolean = d.keyCols == PosDeleteKey
+
   /** True for a manifest path that points OUTSIDE the table directory —
     * an `add_files`-adopted file, referenced by absolute/qualified URI
     * rather than the table-relative `v=N/...` form. Maintenance
@@ -1939,10 +2133,16 @@ object TableStore {
     * ledger: a restarted stream that replays an epoch finds the marker and
     * skips the re-commit. Never carried forward — each manifest records
     * only its own epoch. */
+  /** `constraints` are named CHECK predicates (SQL text) enforced on
+    * every row written to the table (Delta-style); carried forward by
+    * every commit like the partition spec. A row violates a constraint
+    * only when the predicate evaluates to FALSE — NULL passes, the SQL
+    * standard CHECK semantic. */
   case class Manifest(version: Long, timestampMs: Long, operation: String,
     rowCount: Long, files: Seq[FileEntry], schemaJson: String,
     partitionBy: Seq[String] = Seq.empty,
     droppedColumns: Seq[String] = Seq.empty,
     deleteFiles: Seq[DeleteEntry] = Seq.empty,
-    streamEpoch: Option[(String, Long)] = None)
+    streamEpoch: Option[(String, Long)] = None,
+    constraints: Seq[(String, String)] = Seq.empty)
 }

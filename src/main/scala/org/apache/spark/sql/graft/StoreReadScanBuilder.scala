@@ -133,6 +133,13 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
     * broadcast delete filter (see [[GraftMorScan]]). Key columns are
     * forced into the pruned schema — Spark projects them back out. */
   private def buildMorScan(): Scan = {
+    // positional delete files mask (file, row-index) pairs; the per-row
+    // broadcast reader has no row-index access, so SQL scans refuse —
+    // same honest-cap pattern as morMaxDeleteKeys. The library path
+    // (TableStore.read) applies them; CALL compact materializes them.
+    require(!m.deleteFiles.exists(TableStore.isPositional),
+      s"table $tableName carries positional delete files; read via " +
+        "TableStore.read or CALL compact to materialize them before SQL scans")
     val keyCols = m.deleteFiles.head.keyCols
     val base = required.getOrElse(tableSchema)
     val withKeys = StructType(base.fields ++

@@ -1,0 +1,81 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PositionalDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("deleteWhereMoR masks matching positions; data files untouched; later inserts survive") {
+    val store = new TableStore(spark, tmpDir("pd"))
+    store.commit("t",
+      Seq((1L, "a", 10.0), (2L, "b", -5.0), (3L, "c", 20.0), (4L, "d", -1.0))
+        .toDF("id", "s", "v"), "create")
+    val filesBefore = store.manifests("t").maxBy(_.version).files.map(_.path)
+    store.deleteWhereMoR("t", "v < 0")
+    val m = store.manifests("t").maxBy(_.version)
+    assert(m.files.map(_.path) == filesBefore)        // no data file touched
+    assert(m.deleteFiles.forall(TableStore.isPositional))
+    assert(store.read("t").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+    // a NEW row matching the old predicate survives: positional deletes
+    // name old file positions, not values
+    store.append("t", Seq((5L, "e", -9.0)).toDF("id", "s", "v"))
+    assert(store.read("t").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 5L))
+  }
+
+  test("works on keyless tables with duplicate rows") {
+    val store = new TableStore(spark, tmpDir("pd"))
+    store.commit("t",
+      Seq(("x", 1.0), ("x", 1.0), ("y", 2.0)).toDF("s", "v"), "create")
+    store.deleteWhereMoR("t", "s = 'x'")
+    assert(store.read("t").as[(String, Double)].collect().toSeq ==
+      Seq(("y", 2.0)))
+  }
+
+  test("coexists with equality deletes; compactDeletes carries positional untouched") {
+    val store = new TableStore(spark, tmpDir("pd"))
+    store.commit("t",
+      (1L to 10L).map(i => (i, s"s$i", i * 1.0)).toDF("id", "s", "v"), "create")
+    store.deleteWhereMoR("t", "id = 1")
+    store.deleteKeysMoR("t", Seq(2L).toDF("id"), Seq("id"))
+    store.deleteKeysMoR("t", Seq(3L).toDF("id"), Seq("id"))
+    val expect = (4L to 10L).map(i => (i, s"s$i", i * 1.0)).toSet
+    assert(store.read("t").as[(Long, String, Double)].collect().toSet == expect)
+    val before = store.manifests("t").maxBy(_.version)
+    store.compactDeletes("t")
+    val after = store.manifests("t").maxBy(_.version)
+    assert(after.deleteFiles.count(TableStore.isPositional) ==
+      before.deleteFiles.count(TableStore.isPositional))
+    assert(after.deleteFiles.count(!TableStore.isPositional(_)) <
+      before.deleteFiles.count(!TableStore.isPositional(_)))
+    assert(store.read("t").as[(Long, String, Double)].collect().toSet == expect)
+  }
+
+  test("SQL scans refuse positional deletes until compact materializes them") {
+    val wh = tmpDir("pd_cat")
+    val cat = s"gpos${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val store = new TableStore(spark, wh)
+    store.commit("t", Seq((1L, 1.0), (2L, -2.0)).toDF("id", "v"), "create")
+    store.deleteWhereMoR("t", "v < 0")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT COUNT(*) FROM $cat.ns.t").collect()
+    }
+    def hasMsg(t: Throwable): Boolean = {
+      var c: Throwable = t
+      while (c != null) {
+        if (c.getMessage != null && c.getMessage.contains("positional")) return true
+        c = c.getCause
+      }
+      false
+    }
+    assert(hasMsg(e), s"unexpected: $e")
+    store.compact("t")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ns.t").head.getLong(0) == 1)
+    assert(store.manifests("t").maxBy(_.version).deleteFiles.isEmpty)
+  }
+}
