@@ -2483,6 +2483,86 @@ object SparkEntry {
           dsumd(col("value")).as("total_value"))
         .withColumn("data_untouched", lit(untouched))
         .orderBy(col("event_type"))
+    }),
+
+    // format: standing write sort order (Iceberg `WRITE ORDERED BY`) —
+    // declared once via CALL, every subsequent write range-clusters and
+    // sorts on the columns, so files cover narrow disjoint ranges and
+    // min/max pruning works on every future scan without maintenance
+    // rewrites. The anchor proves a point lookup skips files of the
+    // ordered append and that content is untouched.
+    "q108_write_order" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val wh = java.nio.file.Files.createTempDirectory("graft_wo").toString
+      val cat = s"gq108x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val store = new TableStore(s, wh)
+      store.commit("ev", ev.filter(col("event_id") <= 10), "create")
+      s.sql(s"CALL $cat.system.set_write_order(`table` => 'ev', " +
+        "columns => 'event_id')").collect()
+      // a deliberately shuffled batch: md5 order destroys id locality
+      store.append("ev", ev.filter(col("event_id") > 10)
+        .orderBy(md5(col("event_id").cast("string"))).repartition(8))
+      val (kept, total) = store.prunedFileCount("ev", "event_id",
+        9000L, 10000L)
+      val pruned = total >= 2 && kept < total
+      s.sql(
+        s"""SELECT event_type, COUNT(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM $cat.ns.ev GROUP BY event_type""".stripMargin)
+        .withColumn("pruned", lit(pruned))
+        .orderBy(col("event_type"))
+    }),
+
+    // streaming: bounded-backlog streaming reads — reader option
+    // maxVersionsPerTrigger throttles each micro-batch to N snapshots
+    // via admission control (Delta's maxFilesPerTrigger shape): a stream
+    // started against a deep table drains it in bounded batches instead
+    // of one giant first batch. The anchor builds a 4-version backlog,
+    // streams it 1 version per trigger, and proves ≥4 bounded batches
+    // delivered exactly the table's rows.
+    "q109_stream_rate_limit" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val wh = java.nio.file.Files.createTempDirectory("graft_rl").toString
+      val cat = s"gq109x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val store = new TableStore(s, wh)
+      store.commit("ev", ev.filter(col("event_id") % 40 === 0), "create")
+      (1 to 3).foreach(i =>
+        store.append("ev", ev.filter(col("event_id") % 40 === i * 10)))
+      val sink = tmpStore(s)
+      val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = s.readStream.option("maxVersionsPerTrigger", "1")
+          .table(s"$cat.ns.ev")
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              nBatches.incrementAndGet()
+              if (!sink.exists("out")) sink.commit("out", b, "create")
+              else sink.append("out", b)
+            }
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      sink.read("out").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsumd(col("value")).as("total_value"))
+        .withColumn("bounded_batches", lit(nBatches.get() >= 4L))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -3949,6 +4029,22 @@ object SparkEntry {
         |      UNION ALL
         |      SELECT event_type, value + 500.0 AS value FROM events
         |      WHERE event_type = 'error' AND event_id <= 100)
+        |GROUP BY event_type""".stripMargin,
+
+    // Ordered-write layout changes no visible row.
+    "q108_write_order" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS pruned
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // Rate-limited streaming delivers exactly the backlog's rows
+    // (event_id % 10 = 0, i.e. % 40 in {0,10,20,30}).
+    "q109_stream_rate_limit" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS bounded_batches
+        |FROM events WHERE event_id % 10 = 0
         |GROUP BY event_type""".stripMargin
   )
 

@@ -29,6 +29,7 @@ object GraftProcedures {
       case "add_files" => Some(addFiles(store))
       case "add_check_constraint" => Some(addCheckConstraint(store))
       case "drop_check_constraint" => Some(dropCheckConstraint(store))
+      case "set_write_order" => Some(setWriteOrder(store))
       case _ => None
     }
 
@@ -36,7 +37,8 @@ object GraftProcedures {
     Seq("compact", "rewrite_delete_files", "expire_snapshots",
       "rollback_to_version", "remove_orphan_files", "rewrite_sorted",
       "rewrite_zorder", "publish_staged", "set_partition_spec",
-      "add_files", "add_check_constraint", "drop_check_constraint")
+      "add_files", "add_check_constraint", "drop_check_constraint",
+      "set_write_order")
 
   private def result(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
     java.util.Collections.singletonList[Scan](new LocalScan {
@@ -212,6 +214,36 @@ object GraftProcedures {
             StructField("n_constraints", LongType))),
           new GenericInternalRow(Array[Any](v,
             s.checkConstraints(table).size.toLong)))
+      }
+    }
+  }
+
+  /** `CALL g.system.set_write_order(table => 't', columns => 'a,b')` —
+    * Iceberg's `WRITE ORDERED BY`: every subsequent data-writing commit
+    * range-clusters and sorts on the columns (empty string clears). */
+  private def setWriteOrder(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "set_write_order"
+    override def description(): String =
+      "declare a standing write sort order applied by every subsequent write"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "set_write_order"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("columns", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val cols = input.getUTF8String(1).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val s = store
+        val v = s.setWriteOrder(table, cols)
+        result(
+          StructType(Seq(StructField("version", LongType),
+            StructField("write_order", StringType))),
+          new GenericInternalRow(Array[Any](v,
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              s.writeOrderOf(table).mkString(",")))))
       }
     }
   }

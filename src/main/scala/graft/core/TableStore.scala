@@ -168,7 +168,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val newEntries = newData match {
       case Some(df) =>
         writeDataFiles(versionDir(table, v), s"v=$v",
-          enforceConstraints(table, df), partitionBy, bloomColumns)
+          applyWriteOrder(table, enforceConstraints(table, df), partitionBy),
+          partitionBy, bloomColumns)
       case None => Seq.empty
     }
     val files = keptFiles ++ newEntries
@@ -182,7 +183,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       files.map(_.rowCount).sum, files, schemaJson, spec,
       droppedColumnsCarry(table, keptFiles),
       deleteFilesCarry(table, keptFiles),
-      constraints = constraintsCarry(table)))
+      constraints = constraintsCarry(table),
+      writeOrder = writeOrderCarry(table)))
     swapPointer(table, v)
     v
   }
@@ -276,6 +278,49 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       keptFiles: Seq[FileEntry]): Seq[String] =
     if (keptFiles.isEmpty) Seq.empty
     else manifests(table).lastOption.map(_.droppedColumns).getOrElse(Seq.empty)
+
+  /** Declared write sort order, carried like the partition spec. */
+  private def writeOrderCarry(table: String): Seq[String] =
+    manifests(table).lastOption.map(_.writeOrder).getOrElse(Seq.empty)
+
+  /** Apply the table's declared write order to an outgoing batch
+    * (Iceberg's `WRITE ORDERED BY`): unpartitioned writes range-cluster
+    * AND sort on the order columns (each file covers a narrow disjoint
+    * range, so min/max pruning works on every future scan and row-group
+    * stats tighten); partitioned writes sort within the caller's
+    * partition clustering so the directory layout is untouched. The cost
+    * is one range shuffle per write - the standing version of the
+    * one-shot `rewriteSorted`, paid at write time instead of by a
+    * maintenance rewrite. Order columns missing from the batch schema
+    * (pre-evolution writers) are ignored. */
+  private def applyWriteOrder(table: String, df: DataFrame,
+      partitionBy: Seq[String]): DataFrame = {
+    val order = writeOrderCarry(table).filter(df.columns.contains)
+    if (order.isEmpty) df
+    else if (partitionBy.nonEmpty)
+      df.sortWithinPartitions((partitionBy ++ order).map(col): _*)
+    else df.repartitionByRange(order.map(col): _*)
+      .sortWithinPartitions(order.map(col): _*)
+  }
+
+  /** Declare (or clear, with Seq.empty) the table's write sort order -
+    * metadata-only; every subsequent data-writing commit through any
+    * path applies it. */
+  def setWriteOrder(table: String, cols: Seq[String]): Long = {
+    val m = manifests(table).maxBy(_.version)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"write-order column $c not in table schema"))
+    val v = m.version + 1
+    writeManifest(table, m.copy(version = v,
+      timestampMs = System.currentTimeMillis(), operation = "alter",
+      streamEpoch = None, writeOrder = cols))
+    swapPointer(table, v)
+    v
+  }
+
+  def writeOrderOf(table: String): Seq[String] = writeOrderCarry(table)
 
   /** CHECK constraints carry through every commit like the partition
     * spec — dropping them on a rewrite would silently stop enforcement. */
@@ -545,7 +590,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       manifests(table).lastOption.map(_.partitionBy).getOrElse(Seq.empty),
       droppedColumnsCarry(table, keptFiles),
       deleteFilesCarry(table, keptFiles), streamEpoch,
-      constraints = constraintsCarry(table)))
+      constraints = constraintsCarry(table),
+      writeOrder = writeOrderCarry(table)))
     swapPointer(table, v)
     v
   }
@@ -970,7 +1016,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     writeManifest(table, Manifest(v, System.currentTimeMillis(), "add_files",
       (kept ++ entries).map(_.rowCount).sum, kept ++ entries, schemaJson, spec,
       droppedColumnsCarry(table, kept), deleteFilesCarry(table, kept),
-      constraints = constraintsCarry(table)))
+      constraints = constraintsCarry(table),
+      writeOrder = writeOrderCarry(table)))
     swapPointer(table, v)
     v
   }
@@ -1308,7 +1355,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     writeManifest(table, Manifest(v, System.currentTimeMillis(),
       "delete_where_mor", m.files.map(_.rowCount).sum, m.files, m.schemaJson,
       m.partitionBy, m.droppedColumns, m.deleteFiles ++ delEntries, None,
-      m.constraints))
+      m.constraints, m.writeOrder))
     swapPointer(table, v)
     v
   }
@@ -1358,7 +1405,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
           else functions.lit(null).cast(f.dataType).as(f.name)
         }: _*)
         writeDataFiles(versionDir(table, v), s"v=$v",
-          enforceConstraints(table, aligned), m.partitionBy, Seq.empty)
+          applyWriteOrder(table, enforceConstraints(table, aligned),
+            m.partitionBy), m.partitionBy, Seq.empty)
     }
     // Distinct delete keys land under v=N/deletes/ (their own subdir so
     // they can never be confused with the version's data files).
@@ -1374,7 +1422,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
       (m.files ++ dataEntries).map(_.rowCount).sum, m.files ++ dataEntries,
       m.schemaJson, m.partitionBy, m.droppedColumns,
-      m.deleteFiles ++ delEntries, streamEpoch, m.constraints))
+      m.deleteFiles ++ delEntries, streamEpoch, m.constraints,
+      m.writeOrder))
     swapPointer(table, v)
     v
   }
@@ -1449,7 +1498,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     writeManifest(table, Manifest(v, System.currentTimeMillis(),
       "compact_deletes", m.files.map(_.rowCount).sum, m.files, m.schemaJson,
       m.partitionBy, m.droppedColumns, delEntries ++ posCarry, None,
-      m.constraints))
+      m.constraints, m.writeOrder))
     swapPointer(table, v)
     v
   }
@@ -1834,10 +1883,13 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val cn = n.get("constraints")
     if (cn != null) cn.forEach(e =>
       cons += ((e.get("name").asText(), e.get("predicate").asText())))
+    val worder = ArrayBuffer[String]()
+    val wn = n.get("writeOrder")
+    if (wn != null) wn.forEach(e => worder += e.asText())
     Manifest(n.get("version").asLong(), n.get("timestampMs").asLong(),
       n.get("operation").asText(), n.get("rowCount").asLong(), files.toSeq,
       n.get("schemaJson").asText(), spec.toSeq, dropped.toSeq, dels.toSeq,
-      epoch, cons.toSeq)
+      epoch, cons.toSeq, worder.toSeq)
   }
 
   private def jsonStr(s: String): String =
@@ -1887,10 +1939,13 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       else m.constraints.map { case (nm, p) =>
         s"""{"name":${jsonStr(nm)},"predicate":${jsonStr(p)}}"""
       }.mkString(""","constraints":[""", ",", "]")
+    val orderJson =
+      if (m.writeOrder.isEmpty) ""
+      else m.writeOrder.map(jsonStr).mkString(""","writeOrder":[""", ",", "]")
     val json =
       s"""{"version":${m.version},"timestampMs":${m.timestampMs},
          |"operation":${jsonStr(m.operation)},"rowCount":${m.rowCount},
-         |"files":$filesJson,"schemaJson":${jsonStr(m.schemaJson)}$specJson$droppedJson$deleteJson$epochJson$consJson}""".stripMargin
+         |"files":$filesJson,"schemaJson":${jsonStr(m.schemaJson)}$specJson$droppedJson$deleteJson$epochJson$consJson$orderJson}""".stripMargin
     atomicWriteExclusive(dest, json)
   }
 
@@ -2144,5 +2199,6 @@ object TableStore {
     droppedColumns: Seq[String] = Seq.empty,
     deleteFiles: Seq[DeleteEntry] = Seq.empty,
     streamEpoch: Option[(String, Long)] = None,
-    constraints: Seq[(String, String)] = Seq.empty)
+    constraints: Seq[(String, String)] = Seq.empty,
+    writeOrder: Seq[String] = Seq.empty)
 }

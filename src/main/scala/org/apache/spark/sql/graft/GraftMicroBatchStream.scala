@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import graft.core.TableStore
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 
 /** Stream offset = table version: everything at or below it has been
   * emitted. */
@@ -26,10 +26,19 @@ case class GraftOffset(version: Long) extends Offset {
   * — their new files re-carry already-emitted rows; with reader option
   * `skipRewrites=true` they are skipped instead (the stream keeps its
   * append-only view; rewritten rows are not re-emitted).
+  *
+  * Reader option `maxVersionsPerTrigger=N` (0 = unlimited) bounds each
+  * micro-batch to N snapshots via admission control — the backfill
+  * throttle (Delta's maxFilesPerTrigger / Iceberg's streaming read
+  * limits): a stream started against a year-old table drains it in
+  * bounded batches instead of one giant first batch, and steady-state
+  * latency is unaffected once caught up.
   */
 class GraftMicroBatchStream(spark: SparkSession, warehouse: String,
     tableName: String, skipRewrites: Boolean,
-    rebuild: Seq[TableStore.FileEntry] => Scan) extends MicroBatchStream {
+    rebuild: Seq[TableStore.FileEntry] => Scan,
+    maxVersionsPerTrigger: Long = 0L)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def store = new TableStore(spark, warehouse)
 
@@ -41,6 +50,18 @@ class GraftMicroBatchStream(spark: SparkSession, warehouse: String,
   override def initialOffset(): Offset = GraftOffset(0L)
 
   override def latestOffset(): Offset =
+    GraftOffset(store.currentVersion(tableName))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = store.currentVersion(tableName)
+    val from = start.asInstanceOf[GraftOffset].version
+    if (maxVersionsPerTrigger <= 0L) GraftOffset(cur)
+    else GraftOffset(math.min(cur, from + maxVersionsPerTrigger))
+  }
+
+  override def reportLatestOffset(): Offset =
     GraftOffset(store.currentVersion(tableName))
 
   override def deserializeOffset(json: String): Offset =

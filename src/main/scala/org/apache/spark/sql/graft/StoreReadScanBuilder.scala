@@ -126,7 +126,8 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
     case None if m.deleteFiles.nonEmpty => buildMorScan()
     case None => new GraftStatsScan(spark, warehouse, tableName,
       innerBuilder.build(), keptFiles, tableSchema, scanOver,
-      options.getBoolean("skipRewrites", false), m.partitionBy)
+      options.getBoolean("skipRewrites", false), m.partitionBy,
+      options.getLong("maxVersionsPerTrigger", 0L))
   }
 
   /** Merge-on-read snapshot: per-sequence-group parquet scans + a
@@ -399,7 +400,8 @@ class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
     tableSchema: StructType,
     rebuild: Seq[TableStore.FileEntry] => Scan,
     skipRewrites: Boolean = false,
-    partitionBy: Seq[String] = Seq.empty)
+    partitionBy: Seq[String] = Seq.empty,
+    maxVersionsPerTrigger: Long = 0L)
     extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -472,7 +474,8 @@ class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
     * through the same pruned-parquet `rebuild` as batch reads. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(spark, warehouse, tableName, skipRewrites, rebuild)
+    new GraftMicroBatchStream(spark, warehouse, tableName, skipRewrites,
+      rebuild, maxVersionsPerTrigger)
   override def description(): String =
     s"${innerScan.description()} [graft ${files.size}/${initialFiles.size} files]"
 

@@ -93,4 +93,38 @@ class TableStreamSpec extends SparkSpec {
       } finally q2.stop()
     }
   }
+
+  test("maxVersionsPerTrigger bounds each micro-batch; backlog drains completely") {
+    withCatalog { (store, cat) =>
+      // a 6-version backlog BEFORE the stream starts
+      store.commit("t", Seq((1L, "a")).toDF("id", "s"), "create")
+      (2L to 6L).foreach(i =>
+        store.append("t", Seq((i, s"x$i")).toDF("id", "s")))
+      val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+      val total = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = spark.readStream.option("maxVersionsPerTrigger", "2")
+        .table(s"$cat.ns.t")
+        .writeStream
+        .option("checkpointLocation", tmpDir("ck"))
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count()
+          batchSizes.synchronized { batchSizes += n }
+          total.addAndGet(n); ()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        assert(total.get() == 6, s"backlog not fully drained: ${total.get()}")
+        // 2 versions per trigger = at most 2 rows per batch here, and the
+        // 6-version backlog needs at least 3 non-empty batches
+        val nonEmpty = batchSizes.synchronized(batchSizes.filter(_ > 0).toSeq)
+        assert(nonEmpty.size >= 3, s"backlog drained in $nonEmpty")
+        assert(nonEmpty.forall(_ <= 2), s"a batch exceeded the limit: $nonEmpty")
+        // steady state: one more append arrives as its own batch
+        store.append("t", Seq((7L, "y")).toDF("id", "s"))
+        q.processAllAvailable()
+        assert(total.get() == 7)
+      } finally q.stop()
+    }
+  }
 }
