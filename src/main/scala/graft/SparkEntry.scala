@@ -2563,6 +2563,44 @@ object SparkEntry {
           dsumd(col("value")).as("total_value"))
         .withColumn("bounded_batches", lit(nBatches.get() >= 4L))
         .orderBy(col("event_type"))
+    }),
+
+    // format: writable branch refs — the multi-commit write-audit-publish
+    // (Iceberg snapshot branching + fast_forward): two commits accumulate
+    // on a branch while main serves the untouched fork snapshot; audit
+    // reads the branch head; fast_forward publishes the chain as real
+    // main versions metadata-only (files referenced in place) and
+    // REFUSES a diverged main.
+    "q110_branch_fast_forward" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val wh = java.nio.file.Files.createTempDirectory("graft_br").toString
+      val cat = s"gq110x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val store = new TableStore(s, wh)
+      store.commit("ev", ev, "create")
+      s.sql(s"CALL $cat.system.create_branch(`table` => 'ev', " +
+        "name => 'staging')").collect()
+      store.appendToBranch("ev", "staging",
+        ev.filter(col("event_id") <= 100)
+          .withColumn("value", col("value") + 100.0))
+      store.appendToBranch("ev", "staging",
+        ev.filter(col("event_id") > 100 && col("event_id") <= 200)
+          .withColumn("value", col("value") + 200.0))
+      // main still serves the fork snapshot while the branch accumulates
+      val mainIsolated = store.read("ev").count() == ev.count() &&
+        store.currentVersion("ev") == 1L
+      val r = s.sql(s"CALL $cat.system.fast_forward(`table` => 'ev', " +
+        "name => 'staging')").head()
+      val published = r.getLong(2) == 2L
+      s.sql(
+        s"""SELECT event_type, COUNT(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM $cat.ns.ev GROUP BY event_type""".stripMargin)
+        .withColumn("branch_ok", lit(mainIsolated && published))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -4045,6 +4083,20 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  true AS bounded_batches
         |FROM events WHERE event_id % 10 = 0
+        |GROUP BY event_type""".stripMargin,
+
+    // Fixture + the branch's two published appends (+100 for id<=100,
+    // +200 for 100<id<=200).
+    "q110_branch_fast_forward" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS branch_ok
+        |FROM (SELECT event_type, value FROM events
+        |      UNION ALL
+        |      SELECT event_type, value + 100.0 FROM events WHERE event_id <= 100
+        |      UNION ALL
+        |      SELECT event_type, value + 200.0 FROM events
+        |      WHERE event_id > 100 AND event_id <= 200)
         |GROUP BY event_type""".stripMargin
   )
 

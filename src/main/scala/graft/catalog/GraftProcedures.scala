@@ -30,6 +30,9 @@ object GraftProcedures {
       case "add_check_constraint" => Some(addCheckConstraint(store))
       case "drop_check_constraint" => Some(dropCheckConstraint(store))
       case "set_write_order" => Some(setWriteOrder(store))
+      case "create_branch" => Some(createBranch(store))
+      case "fast_forward" => Some(fastForward(store))
+      case "drop_branch" => Some(dropBranch(store))
       case _ => None
     }
 
@@ -38,7 +41,7 @@ object GraftProcedures {
       "rollback_to_version", "remove_orphan_files", "rewrite_sorted",
       "rewrite_zorder", "publish_staged", "set_partition_spec",
       "add_files", "add_check_constraint", "drop_check_constraint",
-      "set_write_order")
+      "set_write_order", "create_branch", "fast_forward", "drop_branch")
 
   private def result(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
     java.util.Collections.singletonList[Scan](new LocalScan {
@@ -244,6 +247,87 @@ object GraftProcedures {
           new GenericInternalRow(Array[Any](v,
             org.apache.spark.unsafe.types.UTF8String.fromString(
               s.writeOrderOf(table).mkString(",")))))
+      }
+    }
+  }
+
+  /** Branch refs: `CALL create_branch(table => 't', name => 'b')` /
+    * `fast_forward` / `drop_branch` — the multi-commit write-audit-
+    * publish: commits accumulate on the branch, main is untouched until
+    * fast_forward publishes the chain (metadata-only; refuses if main
+    * diverged from the fork base). */
+  private def createBranch(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "create_branch"
+    override def description(): String = "fork a writable branch from the current (or given) snapshot"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "create_branch"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("from_version", LongType)
+          .defaultValue("-1").build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val bname = input.getUTF8String(1).toString
+        val from = input.getLong(2)
+        val s = store
+        s.createBranch(table, bname, from)
+        result(
+          StructType(Seq(StructField("branch", StringType),
+            StructField("fork_version", LongType))),
+          new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(bname),
+            if (from < 0) s.currentVersion(table) else from)))
+      }
+    }
+  }
+
+  private def fastForward(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "fast_forward"
+    override def description(): String =
+      "publish a branch's commits as main versions (refuses if main diverged)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "fast_forward"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val bname = input.getUTF8String(1).toString
+        val s = store
+        val before = s.currentVersion(table)
+        val v = s.fastForward(table, bname)
+        result(
+          StructType(Seq(StructField("previous_version", LongType),
+            StructField("current_version", LongType),
+            StructField("commits_published", LongType))),
+          new GenericInternalRow(Array[Any](before, v, v - before)))
+      }
+    }
+  }
+
+  private def dropBranch(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "drop_branch"
+    override def description(): String = "drop a branch ref and its own data files"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "drop_branch"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build(),
+        ProcedureParameter.in("name", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val bname = input.getUTF8String(1).toString
+        store.dropBranch(table, bname)
+        result(
+          StructType(Seq(StructField("dropped", StringType))),
+          new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(bname))))
       }
     }
   }

@@ -1738,6 +1738,135 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       .toSeq.sorted
   }
 
+  // ---------------------------------------------------------- branches
+
+  /** Writable branch refs (Iceberg's snapshot branching): a branch forks
+    * from a main snapshot and accumulates its OWN append chain in a side
+    * manifest namespace (`_branches/<name>/<k>.json`, data under
+    * `branch-<name>/v=<k>/`) without ever moving the main pointer — the
+    * multi-commit form of write-audit-publish (a staged snapshot is one
+    * commit; a branch is a publishable CHAIN). `fastForward` publishes
+    * the chain as real main versions — metadata-only, files referenced
+    * in place — and requires main to still sit at the fork base
+    * (Iceberg's `fast_forward` ancestry rule); a diverged main refuses.
+    * Branch data files are invisible to orphan GC while the branch
+    * lives, and [[expireSnapshots]] counts live branches' files as
+    * referenced, so expiring main history never breaks a branch. */
+  def createBranch(table: String, name: String,
+      fromVersion: Long = -1L): Unit = {
+    require(exists(table), s"createBranch: table $table does not exist")
+    require(name.matches("[A-Za-z0-9._-]+"), s"illegal branch name $name")
+    val base = if (fromVersion < 0) currentVersion(table) else fromVersion
+    val m = manifests(table).find(_.version == base).getOrElse(
+      throw new IllegalArgumentException(s"$table has no version $base"))
+    require(m.deleteFiles.isEmpty,
+      s"createBranch: $table@$base has merge-on-read delete files; branch " +
+        "data paths carry no version sequence — compact first")
+    val dir = branchDir(table, name)
+    val f = fs(dir)
+    require(!f.exists(dir), s"branch $name already exists on $table")
+    f.mkdirs(dir)
+    // branch manifest 0 records the fork point: same content as the base
+    // snapshot, base version encoded in the operation tag
+    writeManifestAt(branchManifestPath(table, name, 0L),
+      m.copy(version = 0L, operation = s"branch_base:$base",
+        streamEpoch = None))
+  }
+
+  private def branchDir(table: String, name: String): Path =
+    new Path(new Path(tableDir(table), "_branches"), name)
+
+  private def branchManifestPath(table: String, name: String, k: Long): Path =
+    new Path(branchDir(table, name), s"$k.json")
+
+  private def branchManifests(table: String, name: String): Seq[Manifest] = {
+    val dir = branchDir(table, name)
+    val f = fs(dir)
+    require(f.exists(dir), s"table $table has no branch $name")
+    f.listStatus(dir).filter(_.getPath.getName.endsWith(".json")).toSeq
+      .map { s =>
+        val in = f.open(s.getPath)
+        try parseManifest(scala.io.Source.fromInputStream(in).mkString)
+        finally in.close()
+      }.sortBy(_.version)
+  }
+
+  /** (branch name, commits ahead of the fork) for every live branch. */
+  def branches(table: String): Seq[(String, Long)] = {
+    val root = new Path(tableDir(table), "_branches")
+    val f = fs(root)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+      .toSeq.sorted
+      .map(n => n -> branchManifests(table, n).map(_.version).max)
+  }
+
+  /** Read the branch head (fork content + the branch's own appends). */
+  def readBranch(table: String, name: String): DataFrame =
+    readManifest(table, branchManifests(table, name).maxBy(_.version))
+
+  /** Append to a branch: a new side manifest referencing the head's files
+    * plus new data under `branch-<name>/v=<k>/`. Main is untouched.
+    * Fork-time CHECK constraints are enforced per row like main writes. */
+  def appendToBranch(table: String, name: String, df: DataFrame): Long = {
+    val ms = branchManifests(table, name)
+    val head = ms.maxBy(_.version)
+    val k = head.version + 1
+    val schema = org.apache.spark.sql.types.DataType.fromJson(head.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val aligned = df.select(schema.fields.toSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else functions.lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    val checked = head.constraints.foldLeft(aligned) { case (d, (nm, pred)) =>
+      import org.apache.spark.sql.functions.{expr, raise_error, when}
+      import org.apache.spark.sql.functions.{lit => flit}
+      d.filter(when(expr(pred) <=> flit(false),
+        raise_error(flit(s"CHECK constraint $nm violated: $pred"))
+          .cast("boolean")).otherwise(flit(true)))
+    }
+    val entries = writeDataFiles(
+      new Path(tableDir(table), s"branch-$name/v=$k"),
+      s"branch-$name/v=$k", checked, head.partitionBy, Seq.empty)
+    writeManifestAt(branchManifestPath(table, name, k),
+      Manifest(k, System.currentTimeMillis(), "append",
+        (head.files ++ entries).map(_.rowCount).sum, head.files ++ entries,
+        head.schemaJson, head.partitionBy, head.droppedColumns, Seq.empty,
+        None, head.constraints, head.writeOrder))
+    k
+  }
+
+  /** Publish the branch's commits as real main versions (metadata-only;
+    * every data file is referenced in place). Requires main to still sit
+    * at the fork base — a diverged main refuses, like Iceberg's
+    * `fast_forward`. The branch ref is removed on success; its data
+    * files live on, referenced by the published manifests. */
+  def fastForward(table: String, name: String): Long = {
+    val ms = branchManifests(table, name)
+    val baseTag = ms.find(_.version == 0L).getOrElse(
+      throw new IllegalStateException(s"branch $name has no fork record"))
+    val base = baseTag.operation.stripPrefix("branch_base:").toLong
+    val cur = currentVersion(table)
+    require(cur == base,
+      s"main advanced past fork base $base (now $cur); branch $name is " +
+        "not fast-forwardable — re-create it from the current snapshot")
+    ms.filter(_.version > 0L).sortBy(_.version).foreach { bm =>
+      commitFiles(table, bm.files, None, "branch_ff")
+    }
+    fs(branchDir(table, name)).delete(branchDir(table, name), true)
+    currentVersion(table)
+  }
+
+  /** Drop a branch: its manifests AND its own data files (never the
+    * referenced main files). */
+  def dropBranch(table: String, name: String): Unit = {
+    val f = fs(tableDir(table))
+    val d = branchDir(table, name)
+    if (f.exists(d)) { f.delete(d, true); () }
+    val data = new Path(tableDir(table), s"branch-$name")
+    if (f.exists(data)) { f.delete(data, true); () }
+  }
+
   /** DROP TABLE incl. file cleanup (A17 —
     * reference/src/data_curation/glue_jobs/pyspark_functions.py:348-355). */
   def drop(table: String): Unit = {
@@ -1763,8 +1892,13 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val (kept, dropped) = ms.partition(m =>
       recent.contains(m.version) || tagged.contains(m.version) ||
         m.timestampMs >= olderThanMs)
+    // live branches reference main files from their fork point — expiring
+    // main history must never break a branch
+    val branchRefs = branches(table).flatMap { case (n, _) =>
+      branchManifests(table, n).flatMap(_.files.map(_.path))
+    }.toSet
     val referenced = kept.flatMap(m =>
-      m.files.map(_.path) ++ m.deleteFiles.map(_.path)).toSet
+      m.files.map(_.path) ++ m.deleteFiles.map(_.path)).toSet ++ branchRefs
     dropped.foreach { m =>
       val f = fs(manifestPath(table, m.version))
       (m.files.map(_.path) ++ m.deleteFiles.map(_.path))
@@ -1800,6 +1934,10 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     // is an orphan only once its _staged/<id>.json side manifest is gone
     // (crashed before the manifest landed, or abandoned mid-delete).
     val liveStages = stagedIds(table).map(id => s"stage-$id").toSet
+    // crashed/abandoned branch data: a branch-<name>/ file is an orphan
+    // once its _branches/<name> ref is gone AND no published (fast-
+    // forwarded) manifest references it
+    val liveBranches = branches(table).map { case (n, _) => s"branch-$n" }.toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val base = f.getFileStatus(dir).getPath.toUri.getPath.stripSuffix("/")
     val deleted = ArrayBuffer[String]()
@@ -1811,7 +1949,11 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       val stageOrphan = rel.startsWith("stage-") &&
         !liveStages.exists(st => rel.startsWith(st + "/")) &&
         !referenced.contains(rel)
-      if ((versionOrphan || stageOrphan) && s.getModificationTime < cutoff) {
+      val branchOrphan = rel.startsWith("branch-") &&
+        !liveBranches.exists(b => rel.startsWith(b + "/")) &&
+        !referenced.contains(rel)
+      if ((versionOrphan || stageOrphan || branchOrphan) &&
+          s.getModificationTime < cutoff) {
         f.delete(s.getPath, false)
         deleted += rel
       }
