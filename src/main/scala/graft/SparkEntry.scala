@@ -2601,6 +2601,59 @@ object SparkEntry {
            |FROM $cat.ns.ev GROUP BY event_type""".stripMargin)
         .withColumn("branch_ok", lit(mainIsolated && published))
         .orderBy(col("event_type"))
+    }),
+
+    // pipeline: training-shard materialization — the step AFTER sequence
+    // packing: concatenate each bin's documents (corpus md5 order, <eos>
+    // separators) into the physical shard text a trainer consumes. Per-
+    // bin work is bounded by the token budget, never by corpus size: the
+    // only wide op is the bin shuffle, and each group collects ≤ budget
+    // tokens. Shards are hashed (not emitted) so the anchor stays small.
+    "q111_shard_materialize" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val withTok = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      val packed = Packing.contiguousFill(withTok, "doc_id", "n_tok",
+        budgetTokens = 2048L)
+      packed.join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          md5(concat_ws(" <eos> ",
+            transform(
+              array_sort(collect_list(struct(
+                md5(col("doc_id").cast("string")).as("o"),
+                col("doc_id").as("d"), col("text").as("t")))),
+              x => x.getField("t")))).as("shard_md5"))
+        .orderBy(col("bin"))
+    }),
+
+    // format: partial compaction (`rewrite_data_files(where => ...)`) —
+    // bin-pack ONLY the files overlapping a stats range; everything else
+    // is carried byte-identically. The 100 TB maintenance reality: a
+    // table is compacted region by region, never wholesale. The anchor
+    // builds 3 range-disjoint appends, compacts the low region, and
+    // proves the high file survived untouched while content is equal.
+    "q112_compact_where" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val store = tmpStore(s)
+      val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
+      val (t1, t2) = (maxId / 3, 2 * maxId / 3)
+      store.commit("ev", ev.filter(col("event_id") <= t1).coalesce(1),
+        "create")
+      store.append("ev",
+        ev.filter(col("event_id") > t1 && col("event_id") <= t2).coalesce(1))
+      store.append("ev", ev.filter(col("event_id") > t2).coalesce(1))
+      val before = store.manifests("ev").maxBy(_.version)
+      val highFile = before.files.maxBy(_.path) // v=3, the high region
+      store.compactWhere("ev", "event_id", 1L, t2)
+      val after = store.manifests("ev").maxBy(_.version)
+      val partial = after.files.map(_.path).contains(highFile.path) &&
+        after.files.size < before.files.size
+      store.read("ev").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
+        .withColumn("partial_rewrite", lit(partial))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -4097,7 +4150,33 @@ object SparkEntry {
         |      UNION ALL
         |      SELECT event_type, value + 200.0 FROM events
         |      WHERE event_id > 100 AND event_id <= 200)
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+
+    // Same packing prefix sum, same corpus order, same <eos> separator —
+    // the shard text hashes must agree byte-for-byte.
+    "q111_shard_materialize" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents),
+        |cum AS (
+        |  SELECT doc_id, ord, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM tok),
+        |b AS (SELECT doc_id, ord, CAST(off // 2048 AS BIGINT) AS bin FROM cum)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  md5(string_agg(d.text, ' <eos> ' ORDER BY b.ord, b.doc_id)) AS shard_md5
+        |FROM b JOIN documents d USING (doc_id)
+        |GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // Partial compaction changes no visible row.
+    "q112_compact_where" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS partial_rewrite
+        |FROM events GROUP BY event_type""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

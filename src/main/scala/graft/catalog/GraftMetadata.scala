@@ -70,6 +70,26 @@ object GraftMetadata {
     }.toArray
   }
 
+  val refsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
+  /** Iceberg's `$refs`: every named ref — tags (immutable, `version` =
+    * tagged main snapshot) and branches (writable, `version` = commits
+    * ahead of the fork). Driver-resident like the others. */
+  def refsRows(store: TableStore, base: String): Array[InternalRow] = {
+    val tagRows = store.tags(base).map { case (n, v) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(n),
+        UTF8String.fromString("tag"), v)): InternalRow
+    }
+    val branchRows = store.branches(base).map { case (n, k) =>
+      new GenericInternalRow(Array[Any](UTF8String.fromString(n),
+        UTF8String.fromString("branch"), k)): InternalRow
+    }
+    (tagRows ++ branchRows).toArray
+  }
+
   /** `<table>$<meta>` resolution, or None if `name` has no '$' suffix. */
   def resolve(name: String, store: TableStore): Option[Table] = {
     val i = name.indexOf('$')
@@ -82,6 +102,7 @@ object GraftMetadata {
         case "history" => Some(new LocalTable(s"$base$$history", historySchema, historyRows(ms)))
         case "files" => Some(new LocalTable(s"$base$$files", filesSchema, filesRows(ms)))
         case "partitions" => Some(new LocalTable(s"$base$$partitions", partitionsSchema, partitionsRows(ms)))
+        case "refs" => Some(new LocalTable(s"$base$$refs", refsSchema, refsRows(store, base)))
         case _ => None
       }
     }

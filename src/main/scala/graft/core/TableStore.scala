@@ -520,9 +520,41 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * columns by name against the stored schema, so added columns surface
     * as null in old files and dropped/renamed columns disappear without
     * touching a byte of data — Iceberg's schema-evolution semantics. */
+  /** Safe type promotions for schema evolution (Iceberg's rules): a
+    * column's type may only WIDEN — narrowing or domain changes would
+    * corrupt reads of existing files resolved by name. */
+  private def safePromotion(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision >= a.precision
+      case _ => false
+    }
+  }
+
   def evolveSchema(table: String, schemaJson: String,
       newlyDropped: Seq[String] = Seq.empty): Long = {
     val m = manifests(table).maxBy(_.version)
+    // every surviving column must keep its type or widen it safely;
+    // additions and removals are free (name-resolved reads null/skip)
+    val oldSchema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val newSchema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    newSchema.fields.foreach { f =>
+      oldSchema.fields.find(_.name == f.name).foreach { o =>
+        require(safePromotion(o.dataType, f.dataType),
+          s"unsafe type change for $table.${f.name}: " +
+            s"${o.dataType.simpleString} -> ${f.dataType.simpleString} " +
+            "(only widening promotions are allowed)")
+      }
+    }
     val v = m.version + 1
     writeManifest(table, m.copy(version = v,
       timestampMs = System.currentTimeMillis(), operation = "alter",
@@ -1208,6 +1240,28 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val df = read(table)
     val packed = if (want <= m.files.size) df.coalesce(want) else df.repartition(want)
     commit(table, packed, "compact")
+  }
+
+  /** Partial compaction (Iceberg's `rewrite_data_files(where => ...)`):
+    * bin-pack ONLY the files whose [min,max] stats overlap
+    * [lower, upper] on `column`; every other file is carried untouched —
+    * the 100 TB maintenance reality, where a table is compacted region
+    * by region (yesterday's partition, one tenant's range) and never
+    * wholesale. Stat-less files are conservatively included. The
+    * rewritten region reads THROUGH any merge-on-read overlay (masked
+    * rows are materialized away); the overlay is carried for the
+    * untouched files by the usual sequence rule, and the new files'
+    * higher sequence keeps them unmasked. */
+  def compactWhere(table: String, column: String, lower: Any, upper: Any,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val m = manifests(table).maxBy(_.version)
+    val (hit, kept) = filesOverlapping(table, column, lower, upper)
+    if (hit.isEmpty) return m.version
+    val df = readFiles(table, hit)
+    val want = math.max(1, math.ceil(
+      hit.map(_.sizeBytes).sum.toDouble / targetFileBytes).toInt)
+    val packed = if (want <= hit.size) df.coalesce(want) else df.repartition(want)
+    commitFiles(table, kept, Some(packed), "compact")
   }
 
   /** Sort-clustered rewrite (Iceberg's `rewrite_data_files` with a sort

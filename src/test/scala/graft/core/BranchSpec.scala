@@ -57,6 +57,22 @@ class BranchSpec extends SparkSpec {
       Seq((1L, "a")))
   }
 
+  test("$refs metadata table lists tags and branches") {
+    val wh = tmpDir("br_cat")
+    val cat = s"grefs${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val store = new TableStore(spark, wh)
+    store.commit("t", Seq((1L, "a")).toDF("id", "s"), "create")
+    store.createTag("t", "v1-release", 1L)
+    store.createBranch("t", "dev")
+    store.appendToBranch("t", "dev", Seq((2L, "b")).toDF("id", "s"))
+    val refs = spark.sql(s"SELECT name, type, version FROM $cat.ns.`t$$refs`")
+      .as[(String, String, Long)].collect().toSet
+    assert(refs == Set(("v1-release", "tag", 1L), ("dev", "branch", 1L)))
+  }
+
   test("branch appends enforce fork-time CHECK constraints") {
     val store = new TableStore(spark, tmpDir("br"))
     store.commit("t", Seq((1L, 1.0)).toDF("id", "v"), "create")

@@ -701,6 +701,57 @@ class TableStoreSpec extends SparkSpec {
     assert(store.read("t").count() == 4)
   }
 
+  test("compactWhere rewrites only the overlapping region; content unchanged") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    // three appends with disjoint id ranges → three range-disjoint files
+    store.commit("t", (1 to 100).map(i => (i.toLong, s"a$i")).toDF("id", "s")
+      .coalesce(1), "create")
+    store.append("t", (101 to 200).map(i => (i.toLong, s"a$i")).toDF("id", "s")
+      .coalesce(1))
+    store.append("t", (201 to 300).map(i => (i.toLong, s"a$i")).toDF("id", "s")
+      .coalesce(1))
+    val before = store.manifests("t").maxBy(_.version)
+    assert(before.files.size == 3)
+    // compact only the [1, 200] region: the third file must be carried
+    // byte-identically
+    val keptPath = before.files.map(_.path).max // v=3 file sorts last
+    store.compactWhere("t", "id", 1L, 200L)
+    val after = store.manifests("t").maxBy(_.version)
+    assert(after.files.map(_.path).contains(keptPath))
+    assert(after.files.size == 2) // two small files packed into one + carried
+    assert(store.read("t").count() == 300)
+    assert(store.read("t").agg(org.apache.spark.sql.functions.sum("id"))
+      .head.getLong(0) == (1L to 300L).sum)
+    // no-op outside any range
+    val v = store.compactWhere("t", "id", 5000L, 6000L)
+    assert(v == after.version)
+  }
+
+  test("evolveSchema allows widening promotions and rejects narrowing") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("t", Seq((1, 1.5f), (2, 2.5f)).toDF("id", "v"), "create")
+    val widened = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    store.evolveSchema("t", widened.json)
+    // old int/float files read through the widened schema
+    assert(store.read("t").as[(Long, Double)].collect().sorted.toSeq ==
+      Seq((1L, 1.5), (2L, 2.5)))
+    store.append("t", Seq((3L, 3.5)).toDF("id", "v"))
+    assert(store.read("t").count() == 3)
+    val narrowed = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    val e = intercept[IllegalArgumentException] {
+      store.evolveSchema("t", narrowed.json)
+    }
+    assert(e.getMessage.contains("unsafe type change"))
+  }
+
   test("addFiles accepts a single file and an existing table (metadata append)") {
     val store = new TableStore(spark, tmpDir("ts"))
     val ext = tmpDir("ext_one")
