@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{Merge, TableStore}
+import graft.core.{MatView, Merge, TableStore}
 import graft.curation.{Sampling, Scd2}
 import graft.ext.{Chunking, Clustering, Contamination, Dedup, KMeans, Multimodal, Packing, Redaction, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -2654,6 +2654,105 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
         .withColumn("partial_rewrite", lit(partial))
         .orderBy(col("event_type"))
+    }),
+
+    // catalog: persisted SQL views — `CALL create_view` stores the SQL
+    // in the warehouse and registers it for plain `SELECT * FROM v`;
+    // the registration stores the UNANALYZED plan, so the view expands
+    // over the LIVE tables and reflects an append made after its
+    // creation without recreation. Metadata-only at any table size.
+    // (Upstream Spark has no DSv2 ViewCatalog DDL wiring — Iceberg
+    // routes CREATE VIEW through its own session extensions — so the
+    // portable surface is the procedure.)
+    "q113_sql_views" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val wh = java.nio.file.Files.createTempDirectory("graft_vw").toString
+      val cat = s"gq113x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val store = new TableStore(s, wh)
+      val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
+      store.commit("ev", ev.filter(col("event_id") <= maxId / 2), "create")
+      val vn = s"${cat}_by_type"
+      s.sql(s"CALL $cat.system.create_view(name => '$vn', sql => " +
+        s"'SELECT event_type, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        s"FROM $cat.ns.ev GROUP BY event_type')").collect()
+      val listed =
+        graft.catalog.GraftViews.list(s, wh).contains(vn)
+      // the view must reflect data appended AFTER its creation
+      store.append("ev", ev.filter(col("event_id") > maxId / 2))
+      s.sql(s"SELECT * FROM $vn")
+        .withColumn("view_listed", lit(listed))
+        .orderBy(col("event_type"))
+    }),
+
+    // format: expectation-routing writes (DLT expect_or_drop with
+    // quarantine) — rows violating a CHECK constraint land in a tagged
+    // quarantine table instead of aborting the batch: the triage mode
+    // for pipelines where one bad row must not stall the feed. The
+    // batch is scanned twice (batch-sized, never table-sized).
+    "q114_quarantine" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val store = tmpStore(s)
+      store.commit("ev", ev, "create")
+      store.addCheckConstraint("ev", "value_cap", "value < 1000")
+      val batch = ev.withColumn("value", col("value") * 3.0)
+      val (_, nBad) = store.appendWithQuarantine("ev", batch, "ev_bad")
+      val quarantineTagged = store.read("ev_bad")
+        .filter(col("__violated") === "value_cap").count() == nBad
+      store.read("ev").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumd(col("value")).as("total_value"))
+        .withColumn("n_quarantined", lit(nBad))
+        .withColumn("tagged", lit(quarantineTagged && nBad > 0))
+        .orderBy(col("event_type"))
+    }),
+
+    // format: incremental materialized-aggregate maintenance — the view
+    // refreshes from the source's SNAPSHOT DELTA (metadata-planned
+    // incremental read), never a rescan: at 100 TB a refresh costs the
+    // appended files plus one rewrite of the group-count-sized view.
+    // Exact decimal running sums make the folded view bit-identical to
+    // a from-scratch aggregate at any refresh cadence.
+    "q115_incremental_matview" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val store = tmpStore(s)
+      val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
+      store.commit("ev", ev.filter(col("event_id") <= maxId / 2), "create")
+      MatView.create(store, "ev", "mv", Seq("event_type"), "value")
+      store.append("ev", ev.filter(col("event_id") > maxId / 2 &&
+        col("event_id") <= 3 * maxId / 4))
+      store.append("ev", ev.filter(col("event_id") > 3 * maxId / 4))
+      val (_, deltaRows, mode) =
+        MatView.refresh(store, "ev", "mv", Seq("event_type"), "value")
+      val totalRows = store.manifests("ev").maxBy(_.version).rowCount
+      val incremental = mode == "incremental" &&
+        deltaRows > 0 && deltaRows < totalRows
+      MatView.read(store, "mv")
+        .select(col("event_type"), col("cnt").as("n"),
+          col("sum_val").as("total_value"))
+        .withColumn("incremental", lit(incremental))
+        .orderBy(col("event_type"))
+    }),
+
+    // pipeline: inverted-index search — build the index as a TABLE
+    // stored write-ordered by token (term lookups become manifest-level
+    // file skips), then conjunctive top-k by summed term frequency. The
+    // corpus-wide cost is one explode + one hash agg; a query touches
+    // only the index files holding its terms' postings.
+    "q116_inverted_search" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val store = tmpStore(s)
+      val idx = graft.ext.Search.buildIndex(docs, "doc_id", "text")
+      store.commit("idx", idx.repartitionByRange(4, col("token"))
+        .sortWithinPartitions(col("token")), "create")
+      val hits = graft.ext.Search.searchAll(store.read("idx"), "doc_id",
+        Seq("table", "query"), k = 10)
+      hits.orderBy(col("score").desc, col("doc_id"))
     })
   )
 
@@ -4176,7 +4275,52 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
         |  true AS partial_rewrite
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // The view aggregates the FULL fixture (second half appended after
+    // CREATE VIEW — views expand over live tables).
+    "q113_sql_views" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS view_listed
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // Main = fixture + tripled rows under the 1000 cap; quarantined =
+    // tripled rows at or over it.
+    "q114_quarantine" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+        |   WHERE NOT (value * 3.0 < 1000)) AS n_quarantined,
+        |  true AS tagged
+        |FROM (SELECT event_type, value FROM events
+        |      UNION ALL
+        |      SELECT event_type, value * 3.0 AS value FROM events
+        |      WHERE value * 3.0 < 1000)
+        |GROUP BY event_type""".stripMargin,
+
+    // The incrementally-folded view equals a from-scratch aggregate.
+    "q115_incremental_matview" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS incremental
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // Same tokenizer, same conjunctive-AND + tf-sum scoring, same
+    // (score desc, doc_id) total order.
+    "q116_inverted_search" ->
+      raw"""WITH idx AS (
+           |  SELECT doc_id, tok AS token, CAST(COUNT(*) AS BIGINT) AS tf
+           |  FROM (SELECT doc_id,
+           |          unnest(list_filter(string_split_regex(lower(text), '\W+'),
+           |            x -> x <> '')) AS tok
+           |        FROM documents) t
+           |  GROUP BY doc_id, tok)
+           |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS score
+           |FROM idx WHERE token IN ('table', 'query')
+           |GROUP BY doc_id
+           |HAVING COUNT(DISTINCT token) = 2
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

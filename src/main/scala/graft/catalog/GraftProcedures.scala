@@ -33,6 +33,9 @@ object GraftProcedures {
       case "create_branch" => Some(createBranch(store))
       case "fast_forward" => Some(fastForward(store))
       case "drop_branch" => Some(dropBranch(store))
+      case "create_view" => Some(createView(store))
+      case "drop_view" => Some(dropView(store))
+      case "sync_views" => Some(syncViews(store))
       case _ => None
     }
 
@@ -41,7 +44,8 @@ object GraftProcedures {
       "rollback_to_version", "remove_orphan_files", "rewrite_sorted",
       "rewrite_zorder", "publish_staged", "set_partition_spec",
       "add_files", "add_check_constraint", "drop_check_constraint",
-      "set_write_order", "create_branch", "fast_forward", "drop_branch")
+      "set_write_order", "create_branch", "fast_forward", "drop_branch",
+      "create_view", "drop_view", "sync_views")
 
   private def result(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
     java.util.Collections.singletonList[Scan](new LocalScan {
@@ -328,6 +332,82 @@ object GraftProcedures {
           StructType(Seq(StructField("dropped", StringType))),
           new GenericInternalRow(Array[Any](
             org.apache.spark.unsafe.types.UTF8String.fromString(bname))))
+      }
+    }
+  }
+
+  /** Persisted SQL views: `CALL create_view(name => 'v', sql => '...')`
+    * stores the SQL in the warehouse AND registers a session temp view
+    * (so `SELECT * FROM v` works immediately); `sync_views()` hydrates
+    * every persisted view into a fresh session; `drop_view` removes
+    * both. See [[GraftViews]] for why DDL goes through procedures. */
+  private def createView(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "create_view"
+    override def description(): String =
+      "persist a SQL view and register it in this session"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "create_view"
+      override def description(): String = "graft view procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("name", StringType).build(),
+        ProcedureParameter.in("sql", StringType).build(),
+        ProcedureParameter.in("replace", BooleanType)
+          .defaultValue("false").build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val vname = input.getUTF8String(0).toString
+        val sql = input.getUTF8String(1).toString
+        val replace = input.getBoolean(2)
+        val spark = org.apache.spark.sql.SparkSession.active
+        val wh = store.warehouse
+        GraftViews.create(spark, wh, vname, sql, replace)
+        GraftViews.register(spark, wh, vname)
+        result(
+          StructType(Seq(StructField("view", StringType))),
+          new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(vname))))
+      }
+    }
+  }
+
+  private def dropView(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "drop_view"
+    override def description(): String = "drop a persisted view (and its session registration)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "drop_view"
+      override def description(): String = "graft view procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("name", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val vname = input.getUTF8String(0).toString
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dropped = GraftViews.drop(spark, store.warehouse, vname)
+        result(
+          StructType(Seq(StructField("dropped", BooleanType))),
+          new GenericInternalRow(Array[Any](dropped)))
+      }
+    }
+  }
+
+  private def syncViews(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "sync_views"
+    override def description(): String =
+      "register every persisted view into this session"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "sync_views"
+      override def description(): String = "graft view procedure"
+      override def parameters(): Array[ProcedureParameter] = Array.empty
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val names = GraftViews.registerAll(spark, store.warehouse)
+        result(
+          StructType(Seq(StructField("n_views", LongType),
+            StructField("views", StringType))),
+          new GenericInternalRow(Array[Any](names.size.toLong,
+            org.apache.spark.unsafe.types.UTF8String.fromString(
+              names.mkString(",")))))
       }
     }
   }

@@ -390,6 +390,36 @@ class TableStore(spark: SparkSession, val warehouse: String) {
   def checkConstraints(table: String): Seq[(String, String)] =
     constraintsCarry(table)
 
+  /** Expectation-routing append (DLT's `expect_or_drop`-with-quarantine):
+    * rows violating any CHECK constraint land in `quarantineTable` —
+    * tagged with the names of the constraints they broke — instead of
+    * aborting the whole batch; conforming rows append normally. The
+    * abort mode ([[append]] on a constrained table) stays the default;
+    * this is the triage mode for pipelines where one bad row must not
+    * stall the feed. Cost: the batch is scanned twice (batch-sized, not
+    * table-sized). Returns (table version, quarantined row count). */
+  def appendWithQuarantine(table: String, df: DataFrame,
+      quarantineTable: String): (Long, Long) = {
+    import org.apache.spark.sql.functions.{expr, concat_ws}
+    import org.apache.spark.sql.functions.{lit => flit, when => fwhen}
+    val cs = checkConstraints(table)
+    if (cs.isEmpty) return (append(table, df), 0L)
+    val violated = cs.map { case (_, p) => expr(p) <=> flit(false) }
+      .reduce(_ || _)
+    val tags = concat_ws(",",
+      cs.map { case (nm, p) =>
+        fwhen(expr(p) <=> flit(false), flit(nm)) }: _*)
+    val bad = df.filter(violated).withColumn("__violated", tags)
+    val badBefore = manifests(quarantineTable).lastOption.map(_.rowCount)
+      .getOrElse(0L)
+    if (exists(quarantineTable)) append(quarantineTable, bad)
+    else commit(quarantineTable, bad, "quarantine")
+    val badCount = manifests(quarantineTable).maxBy(_.version).rowCount -
+      badBefore
+    val v = append(table, df.filter(!violated))
+    (v, badCount)
+  }
+
   /** Footer-stat harvesting is metadata-only but pays one storage
     * round-trip per file — run it on a bounded thread pool so a
     * many-file commit is latency-bound, not file-count-bound. Order is

@@ -57,6 +57,26 @@ class ConstraintSpec extends SparkSpec {
     assert(store.checkConstraints("t").map(_._1) == Seq("v_positive"))
   }
 
+  test("appendWithQuarantine routes violating rows; batch is never aborted") {
+    val store = new TableStore(spark, tmpDir("cs"))
+    store.commit("t", Seq((1L, 10.0)).toDF("id", "v"), "create")
+    store.addCheckConstraint("t", "v_positive", "v > 0")
+    store.addCheckConstraint("t", "v_small", "v < 100")
+    val batch = Seq((2L, 20.0), (3L, -1.0), (4L, 500.0)).toDF("id", "v")
+    val (v, nBad) = store.appendWithQuarantine("t", batch, "t_quarantine")
+    assert(nBad == 2)
+    assert(store.read("t").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    val q = store.read("t_quarantine")
+      .select("id", "__violated").as[(Long, String)].collect().toMap
+    assert(q == Map(3L -> "v_positive", 4L -> "v_small"))
+    // a fully-clean batch quarantines nothing
+    val (_, zero) = store.appendWithQuarantine("t",
+      Seq((5L, 5.0)).toDF("id", "v"), "t_quarantine")
+    assert(zero == 0 && store.read("t").count() == 3)
+    assert(v > 0)
+  }
+
   test("SQL INSERT through the catalog validates staged files pre-commit") {
     val wh = tmpDir("cs_cat")
     val cat = s"gcons${System.nanoTime()}"
