@@ -2753,6 +2753,38 @@ object SparkEntry {
       val hits = graft.ext.Search.searchAll(store.read("idx"), "doc_id",
         Seq("table", "query"), k = 10)
       hits.orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // format: zero-copy shallow clone (Delta SHALLOW CLONE / Iceberg
+    // `snapshot`) — one manifest write referencing the source's files by
+    // absolute URI at ANY source size; the clone evolves independently
+    // (its append never shows in the source) and its maintenance never
+    // deletes the borrowed files.
+    "q117_shallow_clone" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val wh = java.nio.file.Files.createTempDirectory("graft_cl").toString
+      val cat = s"gq117x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val store = new TableStore(s, wh)
+      store.commit("ev", ev, "create")
+      s.sql(s"CALL $cat.system.clone_table(source => 'ev', " +
+        "target => 'ev_clone')").collect()
+      val cm = store.manifests("ev_clone").maxBy(_.version)
+      val zeroCopy = cm.operation == "clone" &&
+        cm.files.forall(fe => TableStore.isExternalPath(fe.path))
+      // the clone diverges; the source must not see the append
+      store.append("ev_clone", ev.filter(col("event_id") <= 100)
+        .withColumn("value", col("value") + 700.0))
+      val sourceIsolated = store.read("ev").count() == ev.count()
+      s.sql(
+        s"""SELECT event_type, COUNT(*) AS n,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM $cat.ns.ev_clone GROUP BY event_type""".stripMargin)
+        .withColumn("zero_copy", lit(zeroCopy && sourceIsolated))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -4320,7 +4352,18 @@ object SparkEntry {
            |FROM idx WHERE token IN ('table', 'query')
            |GROUP BY doc_id
            |HAVING COUNT(DISTINCT token) = 2
-           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // The clone = fixture + its own +700 append of event_id<=100.
+    "q117_shallow_clone" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS zero_copy
+        |FROM (SELECT event_type, value FROM events
+        |      UNION ALL
+        |      SELECT event_type, value + 700.0 AS value FROM events
+        |      WHERE event_id <= 100)
+        |GROUP BY event_type""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

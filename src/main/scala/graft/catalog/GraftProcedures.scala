@@ -36,6 +36,7 @@ object GraftProcedures {
       case "create_view" => Some(createView(store))
       case "drop_view" => Some(dropView(store))
       case "sync_views" => Some(syncViews(store))
+      case "clone_table" => Some(cloneTable(store))
       case _ => None
     }
 
@@ -45,7 +46,7 @@ object GraftProcedures {
       "rewrite_zorder", "publish_staged", "set_partition_spec",
       "add_files", "add_check_constraint", "drop_check_constraint",
       "set_write_order", "create_branch", "fast_forward", "drop_branch",
-      "create_view", "drop_view", "sync_views")
+      "create_view", "drop_view", "sync_views", "clone_table")
 
   private def result(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
     java.util.Collections.singletonList[Scan](new LocalScan {
@@ -366,6 +367,38 @@ object GraftProcedures {
           StructType(Seq(StructField("view", StringType))),
           new GenericInternalRow(Array[Any](
             org.apache.spark.unsafe.types.UTF8String.fromString(vname))))
+      }
+    }
+  }
+
+  /** `CALL clone_table(source => 's', target => 't')` — zero-copy clone
+    * (Delta SHALLOW CLONE): one manifest write referencing the source's
+    * files by absolute URI; the clone evolves independently and its
+    * maintenance never deletes borrowed source files. */
+  private def cloneTable(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "clone_table"
+    override def description(): String =
+      "zero-copy shallow clone of a table's current snapshot"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "clone_table"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("source", StringType).build(),
+        ProcedureParameter.in("target", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val src = input.getUTF8String(0).toString
+        val tgt = input.getUTF8String(1).toString
+        val s = store
+        s.cloneTable(src, tgt)
+        val m = s.manifests(tgt).maxBy(_.version)
+        result(
+          StructType(Seq(StructField("target", StringType),
+            StructField("files_referenced", LongType),
+            StructField("row_count", LongType))),
+          new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(tgt),
+            m.files.size.toLong, m.rowCount)))
       }
     }
   }

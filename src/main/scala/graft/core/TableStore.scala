@@ -1822,6 +1822,37 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       .toSeq.sorted
   }
 
+  /** Zero-copy table clone (Delta's SHALLOW CLONE / Iceberg's `snapshot`
+    * procedure): the clone's first snapshot references the source's
+    * current data files by ABSOLUTE URI — one manifest write at any
+    * source size, no byte copied. The clone then evolves independently
+    * (appends, merges, schema changes, its own constraints); source
+    * files are borrowed-not-owned, so the clone's maintenance
+    * (expiry, orphan GC) never deletes them — exactly the `add_files`
+    * ownership rule. The source's MoR overlay must be materialized
+    * first (`compact`): a clone referencing live delete files would
+    * couple the two tables' maintenance. */
+  def cloneTable(source: String, target: String): Long = {
+    require(exists(source), s"cloneTable: source $source does not exist")
+    require(!exists(target), s"cloneTable: target $target already exists")
+    val m = manifests(source).maxBy(_.version)
+    require(m.deleteFiles.isEmpty,
+      s"cloneTable: $source carries merge-on-read delete files; compact " +
+        "it first so the clone is self-contained")
+    val srcDir = tableDir(source)
+    val f = fs(srcDir)
+    val files = m.files.map { fe =>
+      if (TableStore.isExternalPath(fe.path)) fe // already absolute
+      else fe.copy(path =
+        f.makeQualified(new Path(srcDir, fe.path)).toString)
+    }
+    writeManifest(target, Manifest(1L, System.currentTimeMillis(), "clone",
+      m.rowCount, files, m.schemaJson, m.partitionBy, m.droppedColumns,
+      Seq.empty, None, m.constraints, m.writeOrder))
+    swapPointer(target, 1L)
+    1L
+  }
+
   // ---------------------------------------------------------- branches
 
   /** Writable branch refs (Iceberg's snapshot branching): a branch forks

@@ -701,6 +701,33 @@ class TableStoreSpec extends SparkSpec {
     assert(store.read("t").count() == 4)
   }
 
+  test("cloneTable is zero-copy; clone and source evolve independently") {
+    val store = new TableStore(spark, tmpDir("ts"))
+    store.commit("src", Seq((1L, "a"), (2L, "b")).toDF("id", "s"), "create")
+    store.cloneTable("src", "dst")
+    val cm = store.manifests("dst").maxBy(_.version)
+    assert(cm.operation == "clone" && cm.rowCount == 2)
+    assert(cm.files.forall(fe => TableStore.isExternalPath(fe.path)))
+    assert(store.read("dst").as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // independent evolution: writes to one never show in the other
+    store.append("dst", Seq((3L, "c")).toDF("id", "s"))
+    store.append("src", Seq((9L, "z")).toDF("id", "s"))
+    assert(store.read("dst").count() == 3)
+    assert(store.read("src").count() == 3)
+    assert(store.read("dst").filter($"id" === 9L).count() == 0)
+    // clone maintenance never deletes borrowed source files
+    store.commit("dst", Seq((7L, "q")).toDF("id", "s"), "create") // rewrite
+    store.expireSnapshots("dst", keepLast = 1)
+    assert(store.read("src").count() == 3) // source intact
+    // a MoR source must be compacted first
+    store.upsertMoR("src", Seq((1L, "a2")).toDF("id", "s"), Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      store.cloneTable("src", "dst2")
+    }
+    assert(e.getMessage.contains("compact"))
+  }
+
   test("compactWhere rewrites only the overlapping region; content unchanged") {
     val store = new TableStore(spark, tmpDir("ts"))
     // three appends with disjoint id ranges → three range-disjoint files
