@@ -2785,6 +2785,61 @@ object SparkEntry {
            |FROM $cat.ns.ev_clone GROUP BY event_type""".stripMargin)
         .withColumn("zero_copy", lit(zeroCopy && sourceIsolated))
         .orderBy(col("event_type"))
+    }),
+
+    // Hidden partitioning (Iceberg's headline UX): the table is
+    // PARTITIONED BY days(ts) — a TRANSFORM of the timestamp the user
+    // never materializes or filters on. The DSv2 write derives the day at
+    // write time (clustered via the catalog's `days` function, one file
+    // per day), and a plain `WHERE ts BETWEEN …` range prunes whole day
+    // files through the derived partition value (TransformPruning maps
+    // the ts bounds to day-string bounds; timestamps alone have no
+    // orderable footer-stat story here). hidden_prune asserts the
+    // EXECUTED scan read fewer files than the table holds.
+    "q118_hidden_partitioning" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft_hp").toString
+      val cat = s"gq118x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val store = new TableStore(s, wh)
+      s.sql(s"CREATE TABLE $cat.ns.ev (event_id BIGINT, ts TIMESTAMP, " +
+        "event_type STRING, value DOUBLE) PARTITIONED BY (days(ts))")
+      s.sql(s"INSERT INTO $cat.ns.ev SELECT event_id, ts, event_type, " +
+        s"value FROM parquet.`$dir/events.parquet`")
+      val m = store.manifests("ev").maxBy(_.version)
+      val dcol = TableStore.daysColumn("ts")
+      val layoutOk = m.partitionBy == Seq(dcol) && m.files.nonEmpty &&
+        m.files.forall(_.partitionValues.get(dcol).exists(
+          _.matches("\\d{4}-\\d{2}-\\d{2}")))
+      val q = s.sql(
+        s"""SELECT event_type, COUNT(*) AS n_rows,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM $cat.ns.ev
+           |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+           |GROUP BY event_type""".stripMargin)
+      val rows = q.collect()
+      val kept = collectGraftScans(q.queryExecution.executedPlan)
+        .map(_.currentFileCount).minOption.getOrElse(-1)
+      val pruned = kept >= 0 && kept < m.files.size
+      import s.implicits._
+      rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          layoutOk && pruned))
+        .toDF("event_type", "n_rows", "total_value", "hidden_prune")
+        .orderBy(col("event_type"))
+    }),
+
+    // Perplexity-style LM filtering (CCNet/Gopher): corpus-trained bigram
+    // MLE scores per document, integer fixed-point end to end so the
+    // DuckDB oracle replays every score bit-for-bit. The 20 lowest-scored
+    // documents are the out-of-distribution tail a perplexity filter
+    // would drop.
+    "q119_ngram_lm_score" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ext.NgramLM.bigramScores(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
+        .orderBy(col("lm_score"), col("doc_id")).limit(20)
     })
   )
 
@@ -4363,7 +4418,39 @@ object SparkEntry {
         |      UNION ALL
         |      SELECT event_type, value + 700.0 AS value FROM events
         |      WHERE event_id <= 100)
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+
+    // The days(ts) layout must not change WHAT the range query returns —
+    // only how many files it reads (hidden_prune is runtime evidence).
+    "q118_hidden_partitioning" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS hidden_prune
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type""".stripMargin,
+
+    // Bit-identical replay of NgramLM.bigramScores: same tokenizer as
+    // q105's oracle, same integer floor divisions.
+    "q119_ngram_lm_score" ->
+      raw"""WITH toks AS (SELECT doc_id,
+           |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+           |  FROM documents),
+           |bg AS (SELECT doc_id, t[r.i] || ' ' || t[r.i+1] AS bg
+           |  FROM toks,
+           |    (SELECT unnest(range(1, (SELECT MAX(len(t)) FROM toks) + 1)) AS i) r
+           |  WHERE r.i + 1 <= len(t)),
+           |cb AS (SELECT bg, COUNT(*) AS cb FROM bg GROUP BY bg),
+           |cp AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS cp
+           |  FROM bg GROUP BY 1),
+           |occ AS (SELECT doc_id, (1000000 * cb.cb) // cp.cp AS s
+           |  FROM bg JOIN cb USING (bg)
+           |  JOIN cp ON split_part(bg.bg, ' ', 1) = cp.w1)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS lm_score
+           |FROM occ GROUP BY doc_id
+           |ORDER BY lm_score, doc_id LIMIT 20""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

@@ -121,18 +121,59 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     * of CTAS arrives as a follow-up DSv2 append. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    // Identity partitioning only (the reference's partitioned DDL is
-    // identity on date/int keys — utils/metadata/store_sales.json
-    // "partitions", create_iceberg_tpcds.py:27-33). Bucket/temporal
-    // transforms would need transform-aware pruning.
-    val partCols = partitions.map {
-      case t if t.name == "identity" && t.references.length == 1 =>
-        t.references.head.fieldNames.mkString(".")
-      case t => throw new UnsupportedOperationException(
-        s"only identity PARTITIONED BY columns are supported, got $t")
+    // Identity columns (the reference's partitioned DDL —
+    // utils/metadata/store_sales.json "partitions",
+    // create_iceberg_tpcds.py:27-33) plus Iceberg's hidden-partitioning
+    // transforms: days/months/hours/years(ts), truncate(w, s),
+    // bucket(n, k). Transform values are derived at write time and prune
+    // via TransformPruning / bucket planning — the user only ever
+    // references the source column.
+    def intLit(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
+      e match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          scala.util.Try(l.value.toString.toInt).toOption
+        case _ => None
+      }
+    def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+          Some(r.fieldNames.mkString("."))
+        case _ => None
+      }
+    val partCols = partitions.map { t =>
+      val refs = t.references
+      t.name match {
+        case "identity" if refs.length == 1 =>
+          refs.head.fieldNames.mkString(".")
+        case n @ ("days" | "months" | "hours" | "years" | "day" | "month" |
+                  "hour" | "year") if refs.length == 1 =>
+          val c = refs.head.fieldNames.mkString(".")
+          n.stripSuffix("s") match {
+            case "day" => TableStore.daysColumn(c)
+            case "month" => TableStore.monthsColumn(c)
+            case "hour" => TableStore.hoursColumn(c)
+            case _ => TableStore.yearsColumn(c)
+          }
+        case "truncate" if refs.length == 1 =>
+          val w = t.arguments.flatMap(intLit(_)).headOption.getOrElse(
+            throw new UnsupportedOperationException(
+              s"truncate transform needs a literal width, got $t"))
+          TableStore.truncColumn(refs.head.fieldNames.mkString("."), w)
+        case "bucket" if refs.length == 1 =>
+          val n = t.arguments.flatMap(intLit(_)).headOption.getOrElse(
+            throw new UnsupportedOperationException(
+              s"bucket transform needs a literal bucket count, got $t"))
+          TableStore.bucketColumn(refs.head.fieldNames.mkString("."), n)
+        case _ => throw new UnsupportedOperationException(
+          s"unsupported PARTITIONED BY transform $t " +
+            s"(refs=${refs.map(r => refName(r)).mkString(",")})")
+      }
     }.toSeq
-    partCols.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column $c is not in the table schema"))
+    partCols.foreach { c =>
+      val src = TableStore.transformSource(c).getOrElse(c)
+      require(schema.fieldNames.contains(src),
+        s"partition column $src is not in the table schema")
+    }
     require(!store.exists(ident.name), s"table ${ident.name} already exists")
     store.createEmpty(ident.name, schema.json, partCols)
     loadTable(ident)

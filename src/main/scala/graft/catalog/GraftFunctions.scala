@@ -17,10 +17,84 @@ import org.apache.spark.unsafe.types.UTF8String
   * this). Also directly callable: `SELECT cat.ns.bucket(16, id)`. */
 object GraftFunctions {
 
-  val names: Seq[String] = Seq("bucket")
+  val names: Seq[String] =
+    Seq("bucket", "days", "months", "hours", "years", "truncate")
 
   def load(name: String): Option[UnboundFunction] =
-    if (name.equalsIgnoreCase("bucket")) Some(BucketUnbound) else None
+    name.toLowerCase match {
+      case "bucket" => Some(BucketUnbound)
+      case "days" => Some(new TemporalUnbound("days", "yyyy-MM-dd"))
+      case "months" => Some(new TemporalUnbound("months", "yyyy-MM"))
+      case "hours" => Some(new TemporalUnbound("hours", "yyyy-MM-dd-HH"))
+      case "years" => Some(new TemporalUnbound("years", "yyyy"))
+      case "truncate" => Some(TruncateUnbound)
+      case _ => None
+    }
+
+  /** Temporal partition transforms as V2 functions, so writes into
+    * days/months/hours/years-partitioned tables can request clustering on
+    * the transform (same mechanism as `bucket`; Iceberg registers these
+    * identically). Rendering matches [[TableStore.transformExpr]]'s
+    * `date_format` pattern; the fixed UTC zone mirrors the sessions this
+    * store documents (bench/verify pin spark.sql.session.timeZone=UTC). */
+  private final class TemporalUnbound(fname: String, pattern: String)
+      extends UnboundFunction {
+    override def name(): String = fname
+    override def description(): String =
+      s"$fname(ts): the table format's $fname partition transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"$fname(ts) takes 1 argument, got ${inputType.fields.length}")
+      val dt = inputType.fields(0).dataType
+      require(dt == TimestampType || dt == DateType,
+        s"$fname(ts) needs a timestamp/date argument, got $dt")
+      new TemporalBound(fname, pattern, dt)
+    }
+  }
+
+  private final class TemporalBound(fname: String, pattern: String,
+      argType: DataType) extends ScalarFunction[UTF8String] {
+    override def inputTypes(): Array[DataType] = Array(argType)
+    override def resultType(): DataType = StringType
+    override def name(): String = fname
+    override def canonicalName(): String = s"graft.$fname($argType)"
+    @transient private lazy val render =
+      org.apache.spark.sql.catalyst.expressions.DateFormatClass(
+        Cast(BoundReference(0, argType, nullable = true), TimestampType,
+          Option("UTC")),
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          UTF8String.fromString(pattern), StringType),
+        Option("UTC"))
+    override def produceResult(input: InternalRow): UTF8String =
+      render.eval(input).asInstanceOf[UTF8String]
+  }
+
+  private object TruncateUnbound extends UnboundFunction {
+    override def name(): String = "truncate"
+    override def description(): String =
+      "truncate(w, s): byte-prefix truncate partition transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"truncate(w, s) takes 2 arguments, got ${inputType.fields.length}")
+      require(inputType.fields(0).dataType == IntegerType,
+        s"truncate(w, s): w must be INT, got ${inputType.fields(0).dataType}")
+      require(inputType.fields(1).dataType == StringType,
+        s"truncate(w, s): s must be STRING, got ${inputType.fields(1).dataType}")
+      TruncateBound
+    }
+  }
+
+  private object TruncateBound extends ScalarFunction[UTF8String] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
+    override def resultType(): DataType = StringType
+    override def name(): String = "truncate"
+    override def canonicalName(): String = "graft.truncate"
+    override def produceResult(input: InternalRow): UTF8String = {
+      val w = input.getInt(0)
+      val s = input.getUTF8String(1)
+      if (s == null) null else UTF8String.fromString(s.toString.take(w))
+    }
+  }
 
   private object BucketUnbound extends UnboundFunction {
     override def name(): String = "bucket"

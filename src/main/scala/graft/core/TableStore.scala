@@ -230,9 +230,14 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       if (partitionBy.isEmpty)
         df.write.mode("overwrite").options(bloomOpts).parquet(dataDir.toString)
       else {
-        // duplicate the partition cols so the data files keep them
+        // duplicate the partition cols so the data files keep them; a
+        // transform column absent from the batch is computed here from its
+        // source column (HIDDEN partitioning — the `__p_` copy names only
+        // the directory, so the derived value never pollutes file schemas)
         val withDirs = partitionBy.foldLeft(df)((d, c) =>
-          d.withColumn(s"__p_$c", col(c)))
+          d.withColumn(s"__p_$c",
+            if (d.columns.contains(c)) col(c)
+            else TableStore.transformExpr(c).getOrElse(col(c))))
         withDirs.write.mode("overwrite").options(bloomOpts)
           .partitionBy(partitionBy.map(c => s"__p_$c"): _*)
           .parquet(dataDir.toString)
@@ -248,7 +253,19 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     // matching partition); decimals are ambiguous ("1.5" vs "1.50").
     // Those kinds yield None: the partition value is still recorded in
     // `partitionValues`, just never used for stat pruning.
-    val kinds: Map[String, Option[String]] = statKindsOf(df.schema)
+    // Transform partition values DO fold: temporal/truncate renderings are
+    // fixed-width order-preserving strings the writer itself computed (the
+    // path value IS the comparison-domain value), and a hidden-computed
+    // bucket value is an exact long.
+    val kinds: Map[String, Option[String]] = statKindsOf(df.schema) ++
+      partitionBy.filterNot(df.columns.contains).flatMap { c => c match {
+        case TableStore.DaysRe(_) | TableStore.MonthsRe(_) |
+             TableStore.HoursRe(_) | TableStore.YearsRe(_) |
+             TableStore.TruncRe(_, _) =>
+          Some(c -> Some("string"))
+        case TableStore.BucketRe(_, _) => Some(c -> Some("long"))
+        case _ => None
+      }}.toMap
     val f = fs(dataDir)
     val qualified = f.makeQualified(dataDir).toString
     harvestInParallel(listPartFiles(dataDir, f)) { s =>
@@ -510,6 +527,24 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       case TableStore.BucketRe(n, c) =>
         require(n.toInt > 0 && schema.fieldNames.contains(c),
           s"bucket transform on unknown column $c")
+      case pc @ (TableStore.DaysRe(_) | TableStore.MonthsRe(_) |
+                 TableStore.HoursRe(_) | TableStore.YearsRe(_)) =>
+        val c = TableStore.transformSource(pc).get
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"temporal transform on unknown column $c"))
+        require(f.dataType == org.apache.spark.sql.types.TimestampType ||
+            f.dataType == org.apache.spark.sql.types.DateType,
+          s"temporal transform needs a timestamp/date column, " +
+            s"$c is ${f.dataType.simpleString}")
+      case pc @ TableStore.TruncRe(w, c) =>
+        require(w.toInt > 0, s"truncate width must be positive in $pc")
+        val f = schema.fields.find(_.name == c).getOrElse(
+          throw new IllegalArgumentException(
+            s"truncate transform on unknown column $c"))
+        require(f.dataType == org.apache.spark.sql.types.StringType,
+          s"truncate transform needs a string column, " +
+            s"$c is ${f.dataType.simpleString}")
       case c => require(schema.fieldNames.contains(c),
         s"partition column $c is not in the table schema")
     }
@@ -617,9 +652,21 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val f = fs(dataDir)
     f.mkdirs(dataDir)
     val kinds: Map[String, Option[String]] =
-      try statKindsOf(org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      (try statKindsOf(org.apache.spark.sql.types.DataType.fromJson(schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
-      catch { case _: Throwable => Map.empty }
+      catch { case _: Throwable => Map.empty[String, Option[String]] }) ++
+      // transform partition values fold as stats exactly like
+      // writeDataFiles' partitioned layout (fixed-width order-preserving
+      // renderings; exact bucket longs)
+      manifests(table).lastOption.map(_.partitionBy).getOrElse(Seq.empty[String])
+        .flatMap { (c: String) => c match {
+          case TableStore.DaysRe(_) | TableStore.MonthsRe(_) |
+               TableStore.HoursRe(_) | TableStore.YearsRe(_) |
+               TableStore.TruncRe(_, _) =>
+            Some(c -> Some("string"))
+          case TableStore.BucketRe(_, _) => Some(c -> Some("long"))
+          case _ => None
+        }}.toMap
     val newEntries = harvestInParallel(staged) { case (p, rel) =>
       val dest = new Path(dataDir, rel)
       f.mkdirs(dest.getParent)
@@ -2303,6 +2350,74 @@ object TableStore {
   /** Name-encoded bucket transform: `__bucket<N>_<col>`. Public so the
     * DSv2 write path can recognize and compute bucket layouts. */
   val BucketRe = "__bucket(\\d+)_(.+)".r
+
+  /** Temporal + truncate partition transforms (Iceberg's HIDDEN
+    * partitioning — docs/README.md's partitioned fact tables generalized):
+    * the partition value is DERIVED from a source column at write time, so
+    * the user never adds a day column or filters on one. Name-encoded like
+    * [[BucketRe]] so the spec is recoverable from the manifest alone:
+    * `days(ts)` → `__days_ts`, `months(ts)` → `__months_ts`,
+    * `hours(ts)` → `__hours_ts`, `truncate(w, s)` → `__trunc<w>_s`.
+    * Every rendering is a FIXED-WIDTH string whose lexicographic order
+    * matches the source order (zero-padded date parts; string-prefix
+    * truncate), so the recorded partition value doubles as an exact
+    * min=max string stat and range predicates on the SOURCE column prune
+    * through it (see `TransformPruning`). */
+  val DaysRe = "__days_(.+)".r
+  val MonthsRe = "__months_(.+)".r
+  val HoursRe = "__hours_(.+)".r
+  val YearsRe = "__years_(.+)".r
+  val TruncRe = "__trunc(\\d+)_(.+)".r
+
+  def daysColumn(c: String): String = s"__days_$c"
+  def monthsColumn(c: String): String = s"__months_$c"
+  def hoursColumn(c: String): String = s"__hours_$c"
+  def yearsColumn(c: String): String = s"__years_$c"
+  def truncColumn(c: String, width: Int): String = s"__trunc${width}_$c"
+
+  /** True when `pc` names any derived (non-identity) partition transform. */
+  def isTransform(pc: String): Boolean = pc match {
+    case DaysRe(_) | MonthsRe(_) | HoursRe(_) | YearsRe(_) | TruncRe(_, _) |
+         BucketRe(_, _) => true
+    case _ => false
+  }
+
+  /** The schema column a transform partition column derives from. */
+  def transformSource(pc: String): Option[String] = pc match {
+    case DaysRe(c) => Some(c)
+    case MonthsRe(c) => Some(c)
+    case HoursRe(c) => Some(c)
+    case YearsRe(c) => Some(c)
+    case TruncRe(_, c) => Some(c)
+    case BucketRe(_, c) => Some(c)
+    case _ => None
+  }
+
+  /** The Column expression computing a transform partition value from its
+    * source column — used by every write path when the batch does not
+    * already carry the column, making the partitioning truly hidden.
+    * Temporal renderings go through `date_format`, which uses the
+    * session's time zone; the prune-side literal conversion
+    * (`TransformPruning`) renders through the same session zone, so write
+    * and prune always agree. */
+  def transformExpr(pc: String): Option[Column] = pc match {
+    case DaysRe(c) =>
+      Some(functions.date_format(functions.col(c).cast("timestamp"),
+        "yyyy-MM-dd"))
+    case MonthsRe(c) =>
+      Some(functions.date_format(functions.col(c).cast("timestamp"),
+        "yyyy-MM"))
+    case HoursRe(c) =>
+      Some(functions.date_format(functions.col(c).cast("timestamp"),
+        "yyyy-MM-dd-HH"))
+    case YearsRe(c) =>
+      Some(functions.date_format(functions.col(c).cast("timestamp"),
+        "yyyy"))
+    case TruncRe(w, c) =>
+      Some(functions.substring(functions.col(c).cast("string"), 1, w.toInt))
+    case BucketRe(n, c) => Some(bucketOf(functions.col(c), n.toInt))
+    case _ => None
+  }
 
   /** Row-side twin of [[bucketOf]] (same md5-prefix arithmetic) for the
     * catalog's SQL `bucket(n, key)` function — `key` must already be the

@@ -89,12 +89,18 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
   }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-    // each conjunct translatable to a source filter prunes the file list
+    // each conjunct translatable to a source filter prunes the file list;
+    // filters on transform-partition SOURCE columns additionally prune
+    // through the derived partition value (hidden partitioning)
     val v1 = filters.flatMap(e => DataSourceStrategy.translateFilter(e,
       supportNestedPredicatePushdown = true))
+    val derived = graft.catalog.TransformPruning.derive(v1, m.partitionBy,
+      spark.sessionState.conf.sessionLocalTimeZone)
+    val effective = v1 ++ derived
     val kept =
-      if (v1.isEmpty) m.files
-      else m.files.filter(fe => v1.forall(f => StatsFilter.fileMayMatch(fe.stats, f)))
+      if (effective.isEmpty) m.files
+      else m.files.filter(fe =>
+        effective.forall(f => StatsFilter.fileMayMatch(fe.stats, f)))
     keptFiles = kept
     lastFilters = filters
     inner = parquetBuilderOver(kept)

@@ -145,10 +145,8 @@ private class GraftWrite(warehouse: String, table: String, schema: StructType,
     val store = new TableStore(spark, warehouse)
     if (store.exists(table))
       store.manifests(table).maxBy(_.version).partitionBy
-        .filter {
-          case TableStore.BucketRe(_, c) => schema.fieldNames.contains(c)
-          case c => schema.fieldNames.contains(c)
-        }
+        .filter(pc => schema.fieldNames.contains(
+          TableStore.transformSource(pc).getOrElse(pc)))
     else Seq.empty
   }
 
@@ -161,6 +159,21 @@ private class GraftWrite(warehouse: String, table: String, schema: StructType,
     case TableStore.BucketRe(n, c) =>
       Expressions.apply("bucket",
         Expressions.literal(n.toInt), Expressions.column(c))
+    // temporal/truncate transforms resolve against the same
+    // FunctionCatalog (GraftFunctions) — rows cluster by the DERIVED
+    // value, so each task holds whole days/prefixes and the writer rolls
+    // one file per touched partition
+    case TableStore.DaysRe(c) =>
+      Expressions.apply("days", Expressions.column(c))
+    case TableStore.MonthsRe(c) =>
+      Expressions.apply("months", Expressions.column(c))
+    case TableStore.HoursRe(c) =>
+      Expressions.apply("hours", Expressions.column(c))
+    case TableStore.YearsRe(c) =>
+      Expressions.apply("years", Expressions.column(c))
+    case TableStore.TruncRe(w, c) =>
+      Expressions.apply("truncate",
+        Expressions.literal(w.toInt), Expressions.column(c))
     case c => Expressions.identity(c)
   }
 
@@ -415,6 +428,33 @@ private class GraftWriterFactory(factory: OutputWriterFactory,
             Cast(Conv(sixHex, Literal(16), Literal(10)), LongType),
             Literal(n.toLong))
           bc -> Cast(bucket, StringType, Option(timeZone))
+        case pc @ (TableStore.DaysRe(_) | TableStore.MonthsRe(_) |
+                   TableStore.HoursRe(_) | TableStore.YearsRe(_)) =>
+          import org.apache.spark.sql.catalyst.expressions.{DateFormatClass, Literal}
+          import org.apache.spark.sql.types.TimestampType
+          val c = TableStore.transformSource(pc).get
+          val i = schema.fieldIndex(c)
+          val f = schema.fields(i)
+          val pattern = pc match {
+            case TableStore.DaysRe(_) => "yyyy-MM-dd"
+            case TableStore.MonthsRe(_) => "yyyy-MM"
+            case TableStore.HoursRe(_) => "yyyy-MM-dd-HH"
+            case _ => "yyyy"
+          }
+          pc -> DateFormatClass(
+            Cast(BoundReference(i, f.dataType, f.nullable), TimestampType,
+              Option(timeZone)),
+            Literal(org.apache.spark.unsafe.types.UTF8String.fromString(
+              pattern), StringType),
+            Option(timeZone))
+        case pc @ TableStore.TruncRe(w, c) =>
+          import org.apache.spark.sql.catalyst.expressions.{Literal, Substring}
+          val i = schema.fieldIndex(c)
+          val f = schema.fields(i)
+          pc -> Substring(
+            Cast(BoundReference(i, f.dataType, f.nullable), StringType,
+              Option(timeZone)),
+            Literal(1), Literal(w.toInt))
         case c =>
           val i = schema.fieldIndex(c)
           val f = schema.fields(i)
