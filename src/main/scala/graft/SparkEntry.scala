@@ -2840,6 +2840,58 @@ object SparkEntry {
       graft.ext.NgramLM.bigramScores(docs, "doc_id", "text")
         .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
         .orderBy(col("lm_score"), col("doc_id")).limit(20)
+    }),
+
+    // Engine-portable cardinality sketch: KMV (k minimum md5-prefix
+    // hashes) — the deterministic alternative to HLL, so the DuckDB
+    // oracle replays the SKETCH itself bit-for-bit, not just a tolerance
+    // band. within_10pct doubles as an accuracy gate against the exact
+    // COUNT(DISTINCT) (same pattern as q56's ANN recall gate).
+    "q120_kmv_distinct" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val approx = graft.ext.Sketches.kmvDistinct(
+        ev, Seq("event_type"), "user_id", k = 64)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      approx.join(exact, "event_type")
+        .withColumn("within_10pct",
+          abs(col("approx_distinct") - col("exact_distinct")) * 10 <=
+            col("exact_distinct"))
+        .select(col("event_type"), col("approx_distinct"),
+          col("exact_distinct"), col("within_10pct"))
+        .orderBy(col("event_type"))
+    }),
+
+    // JL signed random projection (64 → 16 dims) ahead of ANN/clustering:
+    // deterministic ±1 matrix from md5 parity over int8-quantized codes,
+    // exact integer sums — the oracle re-derives the MATRIX and the
+    // projections bit-for-bit. One pure projection pass, no shuffle.
+    "q121_random_projection" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "embeddings")
+      graft.ext.Projection.signedProject(e, "vec_id", "embedding", 64, 16)
+        .select(col("vec_id"),
+          expr("aggregate(zip_with(proj, sequence(1,16), " +
+            "(p, j) -> p * j), 0L, (a, x) -> a + x)").as("proj_checksum"),
+          expr("aggregate(transform(proj, p -> abs(p)), 0L, " +
+            "(a, x) -> a + x)").as("proj_l1"))
+        .orderBy(col("vec_id")).limit(20)
+    }),
+
+    // Semi-structured extraction: the events fixture's `props` column is
+    // a JSON string — `get_json_object` pulls fields inside the codegen'd
+    // projection (no UDF, no pre-parse pass), the standard lakehouse
+    // answer for raw event payloads before a schema is declared.
+    "q122_json_extract" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      ev.select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -3791,7 +3843,9 @@ object SparkEntry {
         |  SELECT
         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |      ELSE 'video' END AS kind,
-        |    CASE WHEN doc_id % 3 = 2 THEN greatest(1, n_chars // 10) ELSE 1 END AS n_frames,
+        |    CASE WHEN doc_id % 3 = 2 THEN greatest(1, n_chars // 10)
+        |      WHEN doc_id % 3 = 1 THEN greatest(1, n_chars)
+        |      ELSE 1 END AS n_frames,
         |    CASE WHEN doc_id % 3 = 0 THEN greatest(1, ((n_chars % 64) + 1) // 8)
         |      ELSE 0 END AS thumb_w
         |  FROM documents) t
@@ -4450,7 +4504,66 @@ object SparkEntry {
            |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            |  CAST(SUM(s) // COUNT(*) AS BIGINT) AS lm_score
            |FROM occ GROUP BY doc_id
-           |ORDER BY lm_score, doc_id LIMIT 20""".stripMargin
+           |ORDER BY lm_score, doc_id LIMIT 20""".stripMargin,
+
+    // Bit-identical KMV replay: same 48-bit md5-prefix hashes, same
+    // (k-1)·2^48 // h_k floor estimate (k = 64).
+    "q120_kmv_distinct" ->
+      """WITH pairs AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        |  FROM events),
+        |topk AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM pairs),
+        |a AS (SELECT event_type,
+        |    CAST(CASE WHEN COUNT(*) < 64 THEN COUNT(*)
+        |      ELSE (63 * 281474976710656) // greatest(MAX(h), 1) END
+        |      AS BIGINT) AS approx_distinct
+        |  FROM topk WHERE rn <= 64 GROUP BY event_type),
+        |e AS (SELECT event_type,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        |  FROM events GROUP BY event_type)
+        |SELECT a.event_type, approx_distinct, exact_distinct,
+        |  abs(approx_distinct - exact_distinct) * 10 <= exact_distinct
+        |    AS within_10pct
+        |FROM a JOIN e USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+
+    // Re-derives the q82 int8 codes, the md5-parity sign matrix, and the
+    // integer projections — bit-identical to Projection.signedProject.
+    "q121_random_projection" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |s AS (SELECT vec_id, e,
+        |    greatest(list_max(list_transform(e, x -> abs(x))),
+        |             2.2250738585072014e-308) AS sc FROM v),
+        |qz AS (SELECT vec_id,
+        |    list_transform(e, x -> CAST(floor(x * 127.0 / sc + 0.5) AS BIGINT)) AS c
+        |  FROM s),
+        |grid AS (SELECT a.j, b.i,
+        |    CASE WHEN (('0x' || substr(md5(a.j::VARCHAR || '_' || b.i::VARCHAR),
+        |      1, 1))::INT % 2) = 0 THEN 1 ELSE -1 END AS sg
+        |  FROM range(1, 17) a(j), range(1, 65) b(i)),
+        |qv AS (SELECT vec_id, t.i, c[t.i] AS q
+        |  FROM qz, range(1, 65) t(i)),
+        |o AS (SELECT vec_id, j, SUM(q * sg) AS p
+        |  FROM qv JOIN grid USING (i) GROUP BY vec_id, j)
+        |SELECT vec_id, CAST(SUM(p * j) AS BIGINT) AS proj_checksum,
+        |  CAST(SUM(abs(p)) AS BIGINT) AS proj_l1
+        |FROM o GROUP BY vec_id
+        |ORDER BY vec_id LIMIT 20""".stripMargin,
+
+    // Same JSON path on both engines (DuckDB's ->> returns text like
+    // Spark's get_json_object; CAST to BIGINT each side).
+    "q122_json_extract" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+        |  CAST(SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

@@ -227,6 +227,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     existed
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("renameTable not supported")
+  /** ALTER TABLE … RENAME TO — one directory rename; history, branches
+    * and the MoR overlay move intact (manifest paths are table-relative). */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!store.exists(oldIdent.name)) throw new NoSuchTableException(oldIdent)
+    store.renameTable(oldIdent.name, newIdent.name)
+  }
 }

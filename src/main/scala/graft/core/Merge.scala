@@ -63,6 +63,7 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
   private var insertClauses = Vector.empty[Insert]
   private var cardinalityCheck = true
   private var fileRewrite = true
+  private var retries = 3
 
   def using(source: DataFrame): this.type = { src = source; this }
 
@@ -195,12 +196,41 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
     kept.select(outCols.toSeq: _*)
   }
 
+  /** Commit-conflict retries: how many times a lost optimistic commit
+    * replans the WHOLE merge against the refreshed snapshot before
+    * surfacing (Iceberg's commit.retry.num-retries). A full replan is
+    * serializable by construction — the retried merge reads the winning
+    * writer's snapshot, so the outcome equals running strictly after it;
+    * nothing decided against the stale snapshot survives. */
+  def withRetries(n: Int): this.type = {
+    require(n >= 0, "retries must be non-negative"); retries = n; this
+  }
+
   /** Execute the merge and commit the new snapshot; returns the version.
     * With file-level rewrite on, the commit writes only the files the
     * source's key range can touch (SURVEY.md §4 "MERGE physical strategy",
     * mirroring Iceberg's copy-on-write file scoping —
-    * reference/docs/README.md:300-302). */
+    * reference/docs/README.md:300-302). A concurrent commit landing
+    * between plan and commit triggers a full replan (see [[withRetries]]);
+    * retries exhausted surfaces [[TableStore.CommitConflictException]]. */
   def run(): Long = {
+    var attempt = 0
+    while (true) {
+      try return runOnce()
+      catch {
+        case _: TableStore.CommitConflictException if attempt < retries =>
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def runOnce(): Long = {
+    // Pin the snapshot the whole plan reads: the commit targets exactly
+    // base+1, so any rival landing mid-plan trips the CAS (and run()'s
+    // replan loop re-reads the rival's snapshot) instead of being
+    // silently dropped by an allocate-past-it commit.
+    val base = store.manifests(table).maxBy(_.version)
     val pruned =
       if (fileRewrite && keys.nonEmpty) {
         val (tk, sk) = keys.head
@@ -212,13 +242,15 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
     // bucket transform): a spec-less rewrite would strand the new files
     // without partition values, so every later merge/lookup on them
     // falls back to conservative full hits.
-    val spec = store.manifests(table).maxBy(_.version).partitionBy
+    val spec = base.partitionBy
     pruned match {
       case Some((hit, untouched)) =>
         val merged = planAgainst(store.readFiles(table, hit))
-        store.commitFiles(table, untouched, Some(merged), "merge", spec)
+        store.commitFiles(table, untouched, Some(merged), "merge", spec,
+          Seq.empty, baseVersion = base.version)
       case None =>
-        store.commit(table, plan(), "merge", spec)
+        store.commitFiles(table, Seq.empty, Some(plan()), "merge", spec,
+          Seq.empty, baseVersion = base.version)
     }
   }
 }

@@ -64,6 +64,24 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * data file and its checksum rename separately, so a concurrent reader
     * can pair new bytes with the old checksum — observed as a flaky
     * ChecksumException under a streaming reader + concurrent commits). */
+  /** Version a WRITER's next commit attempt should target, minus one.
+    * The `_current` pointer is a read cache that can lag the newest
+    * manifest mid-race (the winner commits its manifest before swapping
+    * the pointer), so a loser allocating from the pointer alone would
+    * re-collide on already-taken versions until the swap lands. Commit
+    * paths take the max of the pointer and the manifest listing — the
+    * listing is authoritative for allocation. */
+  private def latestCommittedVersion(table: String): Long = {
+    val dir = new Path(tableDir(table), "_manifests")
+    val f = fs(dir)
+    val listed =
+      if (!f.exists(dir)) 0L
+      else f.listStatus(dir).map(_.getPath.getName)
+        .collect { case n if n.endsWith(".json") => n.stripSuffix(".json").toLong }
+        .foldLeft(0L)(math.max)
+    math.max(currentVersion(table), listed)
+  }
+
   def currentVersion(table: String): Long = {
     val p = currentPtr(table)
     val f = fs(p)
@@ -113,8 +131,10 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * CDC merge. */
   def commit(table: String, df: DataFrame, operation: String,
       partitionBy: Seq[String] = Seq.empty,
-      bloomColumns: Seq[String] = Seq.empty): Long =
-    commitFiles(table, Seq.empty, Some(df), operation, partitionBy, bloomColumns)
+      bloomColumns: Seq[String] = Seq.empty,
+      baseVersion: Long = -1L): Long =
+    commitFiles(table, Seq.empty, Some(df), operation, partitionBy,
+      bloomColumns, baseVersion)
 
   /** Partitioned commit (A6): rows land in an Iceberg-style identity
     * partition layout `v=N/__p_<col>=<value>/part-*.parquet`. The partition
@@ -160,14 +180,31 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * nothing is copied) ∪ the freshly-written `newData`. This is what makes
     * file-level MERGE rewrite possible (SURVEY.md §4 "MERGE physical
     * strategy"): untouched files cost zero I/O in the commit. */
+  /** `baseVersion` (when ≥ 0) pins the snapshot this commit was PLANNED
+    * against: the new snapshot is exactly `baseVersion + 1`, so a rival
+    * landing in between reliably trips the create-exclusive CAS instead
+    * of being silently overwritten by a commit that allocated past it
+    * (kept-file decisions were made against `baseVersion`; committing
+    * them onto any later snapshot would drop the rival's files). Leave
+    * unset only for content-independent commits. */
   def commitFiles(table: String, keptFiles: Seq[FileEntry],
       newData: Option[DataFrame], operation: String,
       partitionBy: Seq[String] = Seq.empty,
-      bloomColumns: Seq[String] = Seq.empty): Long = {
-    val v = currentVersion(table) + 1
+      bloomColumns: Seq[String] = Seq.empty,
+      baseVersion: Long = -1L): Long = {
+    val v =
+      (if (baseVersion >= 0L) baseVersion else latestCommittedVersion(table)) + 1
     val newEntries = newData match {
       case Some(df) =>
-        writeDataFiles(versionDir(table, v), s"v=$v",
+        // Unique per-writer subdir: two writers racing to the same next
+        // version must never share an output directory — Hadoop's
+        // _temporary staging and overwrite-mode cleanup would corrupt the
+        // rival's files mid-write. The loser's completed files become
+        // orphans in the winner's version dir (removeOrphanFiles
+        // collects); fileSeqOf still parses the leading `v=N/`.
+        val wid = java.util.UUID.randomUUID().toString.take(8)
+        writeDataFiles(new Path(versionDir(table, v), s"w-$wid"),
+          s"v=$v/w-$wid",
           applyWriteOrder(table, enforceConstraints(table, df), partitionBy),
           partitionBy, bloomColumns)
       case None => Seq.empty
@@ -497,7 +534,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * staged SQL writes lay out and prune by. */
   def createEmpty(table: String, schemaJson: String,
       partitionBy: Seq[String] = Seq.empty): Long = {
-    val v = currentVersion(table) + 1
+    val v = latestCommittedVersion(table) + 1
     writeManifest(table, Manifest(v, System.currentTimeMillis(), "create",
       0L, Seq.empty, schemaJson, partitionBy))
     swapPointer(table, v)
@@ -647,7 +684,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     streamEpoch.foreach { case (qid, e) =>
       if (lastStreamEpoch(table, qid).exists(_ >= e)) return currentVersion(table)
     }
-    val v = currentVersion(table) + 1
+    val v = latestCommittedVersion(table) + 1
     val dataDir = versionDir(table, v)
     val f = fs(dataDir)
     f.mkdirs(dataDir)
@@ -789,6 +826,23 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     case _ => "string"
   }
 
+  /** The [[readWhere]]/[[prunedFileCount]] keep-set: direct stat overlap
+    * on `column`, AND-ed with any hidden-partition bounds a transform of
+    * `column` implies (a [lower, upper] ts range prunes through
+    * `__days_<column>` — see [[TransformPruning]]). */
+  private def filesInRange(m: Manifest, column: String, lower: Any,
+      upper: Any): Seq[FileEntry] = {
+    val base = m.files.filter(fe =>
+      fe.stats.get(column).forall(overlaps(_, lower, upper)))
+    val derived = TransformPruning.derive(
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual(column, lower),
+        org.apache.spark.sql.sources.LessThanOrEqual(column, upper)),
+      m.partitionBy, spark.sessionState.conf.sessionLocalTimeZone)
+    if (derived.isEmpty) base
+    else base.filter(fe =>
+      derived.forall(f => StatsFilter.fileMayMatch(fe.stats, f)))
+  }
+
   /** Read the latest snapshot scanning ONLY files whose [min,max] range for
     * `column` intersects [lower, upper] (file skipping, Iceberg-style);
     * the residual filter is still applied, so results are exact. Files
@@ -796,9 +850,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
   def readWhere(table: String, column: String, lower: Any, upper: Any): DataFrame = {
     val v = currentVersion(table)
     val m = manifests(table).find(_.version == v).get
-    val keep = m.files.filter(fe =>
-      fe.stats.get(column).forall(overlaps(_, lower, upper)))
-    readManifest(table, m.copy(files = keep))
+    readManifest(table, m.copy(files = filesInRange(m, column, lower, upper)))
       .filter(col(column) >= lit(lower) && col(column) <= lit(upper))
   }
 
@@ -807,8 +859,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
   /** How many files [[readWhere]] would scan — exposed for tests/metrics. */
   def prunedFileCount(table: String, column: String, lower: Any, upper: Any): (Int, Int) = {
     val m = manifests(table).maxBy(_.version)
-    val keep = m.files.count(fe => fe.stats.get(column).forall(overlaps(_, lower, upper)))
-    (keep, m.files.size)
+    (filesInRange(m, column, lower, upper).size, m.files.size)
   }
 
   /** Split the current snapshot's files into (hit, untouched) for a key
@@ -1065,7 +1116,10 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       // the batch splits into per-partition files with exact min=max
       // partition stats, instead of one file spanning every partition the
       // batch touches — which no range predicate could ever prune.
-      commitFiles(table, m.files, Some(aligned), "append", m.partitionBy)
+      // baseVersion pins the carried file list to the snapshot it was
+      // read from; a racing commit trips the CAS and the append retries.
+      commitFiles(table, m.files, Some(aligned), "append", m.partitionBy,
+        Seq.empty, baseVersion = m.version)
     }
 
   /** Adopt existing parquet files as the next snapshot WITHOUT copying or
@@ -1114,7 +1168,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val schemaJson = manifests(table).lastOption.map(_.schemaJson).getOrElse(
       spark.read.parquet(statuses.map(_.getPath.toString): _*).schema.json)
     val spec = manifests(table).lastOption.map(_.partitionBy).getOrElse(Seq.empty)
-    val v = currentVersion(table) + 1
+    // pinned to the carried snapshot (CAS on rivals)
+    val v = manifests(table).lastOption.map(_.version).getOrElse(0L) + 1
     // adopted files are validated like staged ones when constraints exist
     if (constraintsCarry(table).nonEmpty) {
       val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
@@ -1316,7 +1371,9 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val want = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val df = read(table)
     val packed = if (want <= m.files.size) df.coalesce(want) else df.repartition(want)
-    commit(table, packed, "compact")
+    // pinned: a rival committing mid-rewrite trips the CAS instead of
+    // having its rows silently dropped by this full-content replace
+    commit(table, packed, "compact", baseVersion = m.version)
   }
 
   /** Partial compaction (Iceberg's `rewrite_data_files(where => ...)`):
@@ -1363,7 +1420,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val sorted = read(table)
       .repartitionByRange(want, cols: _*)
       .sortWithinPartitions(cols: _*)
-    commit(table, sorted, "rewrite_sorted")
+    commit(table, sorted, "rewrite_sorted", baseVersion = m.version)
   }
 
   /** Z-order rewrite (Iceberg's `rewrite_data_files` ZORDER strategy):
@@ -1383,7 +1440,11 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     require(cols.size >= 2, "z-order needs >= 2 columns (use rewriteSorted for 1)")
     require(bitsPerCol * cols.size <= 62,
       s"bitsPerCol * cols must fit a long, got ${bitsPerCol * cols.size} bits")
-    val df = read(table)
+    // snapshot pinned BEFORE the content read: commit targets exactly
+    // this version + 1, so a rival mid-rewrite trips the CAS instead of
+    // losing its rows to the full-content replace
+    val m0 = manifests(table).maxBy(_.version)
+    val df = readManifest(table, m0)
     val boundsRow = df.agg(
       functions.array(cols.flatMap(c =>
         Seq(functions.min(col(c).cast("double")),
@@ -1391,7 +1452,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val rawBounds = boundsRow.getSeq[Any](0)
     // An empty table (or an all-null column) has no min/max — there is
     // nothing to cluster; recommit as-is rather than NPE on the unboxing.
-    if (rawBounds.exists(_ == null)) return commit(table, df, "rewrite_zorder")
+    if (rawBounds.exists(_ == null)) return commit(table, df, "rewrite_zorder", baseVersion = m0.version)
     val bounds = rawBounds.map(_.asInstanceOf[Double])
     val maxBucket = (1L << bitsPerCol) - 1
     val z = cols.zipWithIndex.map { case (c, i) =>
@@ -1408,14 +1469,13 @@ class TableStore(spark: SparkSession, val warehouse: String) {
           k * cols.size + i)
       }.reduce(_ bitwiseOR _)
     }.reduce(_ bitwiseOR _)
-    val m = manifests(table).maxBy(_.version)
-    val totalBytes = m.files.map(_.sizeBytes).sum
+    val totalBytes = m0.files.map(_.sizeBytes).sum
     val want = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val sorted = df.withColumn("__z", z)
       .repartitionByRange(want, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-    commit(table, sorted, "rewrite_zorder")
+    commit(table, sorted, "rewrite_zorder", baseVersion = m0.version)
   }
 
   // -------------------------------------------------------- merge-on-read
@@ -1464,7 +1524,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       s"deleteWhereMoR needs table-relative data files; compact $table first")
     val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val v = currentVersion(table) + 1
+    val v = m.version + 1 // pinned to the carried snapshot (CAS on rivals)
     val root = tableDir(table)
     val qualBase = fs(root).makeQualified(root).toString.stripSuffix("/")
     val hits = spark.read.schema(schema)
@@ -1475,12 +1535,13 @@ class TableStore(spark: SparkSession, val warehouse: String) {
           s"substring(_metadata.file_path, ${qualBase.length + 2})")
           .as("__file"),
         col("_metadata.row_index").as("__pos"))
-    val delDir = new Path(versionDir(table, v), "deletes")
+    val dwid = java.util.UUID.randomUUID().toString.take(8)
+    val delDir = new Path(versionDir(table, v), s"deletes-$dwid")
     hits.write.mode("overwrite").parquet(delDir.toString)
     val f = fs(delDir)
     val delEntries = listPartFiles(delDir, f).map { s =>
       val (rows, _) = footerStats(s.getPath)
-      DeleteEntry(s"v=$v/deletes/${s.getPath.getName}",
+      DeleteEntry(s"v=$v/deletes-$dwid/${s.getPath.getName}",
         TableStore.PosDeleteKey, v, rows)
     }
     writeManifest(table, Manifest(v, System.currentTimeMillis(),
@@ -1504,7 +1565,26 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       Some(cdc.filter(!col(deleteCol).cast("boolean")).drop(deleteCol)),
       cdc, keyCols, "cdc_mor", streamEpoch)
 
+  /** A merge-on-read delta is PURE ADDITION (new data + delete files; every
+    * prior file carried), so a lost optimistic commit retries safely like
+    * an append: each attempt re-reads the now-newer snapshot and layers
+    * the same delta on top of it. */
   private def morWrite(table: String, dataRows: Option[DataFrame],
+      keySource: DataFrame, keyCols: Seq[String], operation: String,
+      streamEpoch: Option[(String, Long)]): Long = {
+    var attempt = 0
+    while (true) {
+      try return morWriteOnce(table, dataRows, keySource, keyCols,
+        operation, streamEpoch)
+      catch {
+        case _: TableStore.CommitConflictException if attempt < 5 =>
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def morWriteOnce(table: String, dataRows: Option[DataFrame],
       keySource: DataFrame, keyCols: Seq[String], operation: String,
       streamEpoch: Option[(String, Long)]): Long = {
     require(exists(table), s"$operation: table $table does not exist")
@@ -1527,7 +1607,9 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     keyCols.foreach(k => require(existing.fieldNames.contains(k),
       s"$operation: key column $k not in table schema"))
-    val v = currentVersion(table) + 1
+    // pinned to the manifest this delta carries: a rival landing after
+    // the read trips the CAS and morWrite's retry re-layers on its state
+    val v = m.version + 1
     val dataEntries = dataRows match {
       case None => Seq.empty
       case Some(source) =>
@@ -1535,20 +1617,24 @@ class TableStore(spark: SparkSession, val warehouse: String) {
           if (source.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
           else functions.lit(null).cast(f.dataType).as(f.name)
         }: _*)
-        writeDataFiles(versionDir(table, v), s"v=$v",
+        val wid = java.util.UUID.randomUUID().toString.take(8)
+        writeDataFiles(new Path(versionDir(table, v), s"w-$wid"),
+          s"v=$v/w-$wid",
           applyWriteOrder(table, enforceConstraints(table, aligned),
             m.partitionBy), m.partitionBy, Seq.empty)
     }
-    // Distinct delete keys land under v=N/deletes/ (their own subdir so
-    // they can never be confused with the version's data files).
-    val delDir = new Path(versionDir(table, v), "deletes")
+    // Distinct delete keys land under v=N/deletes-<writer>/ (their own
+    // subdir so they can never be confused with the version's data files;
+    // writer-unique so racing MoR commits never share an output dir).
+    val dwid = java.util.UUID.randomUUID().toString.take(8)
+    val delDir = new Path(versionDir(table, v), s"deletes-$dwid")
     val keyTypes = keyCols.map(k => existing.fields(existing.fieldIndex(k)))
     keySource.select(keyTypes.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
       .distinct().write.mode("overwrite").parquet(delDir.toString)
     val f = fs(delDir)
     val delEntries = listPartFiles(delDir, f).map { s =>
       val (rows, _) = footerStats(s.getPath)
-      DeleteEntry(s"v=$v/deletes/${s.getPath.getName}", keyCols, v, rows)
+      DeleteEntry(s"v=$v/deletes-$dwid/${s.getPath.getName}", keyCols, v, rows)
     }
     writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
       (m.files ++ dataEntries).map(_.rowCount).sum, m.files ++ dataEntries,
@@ -1608,8 +1694,9 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         .otherwise(acc)
     }
     val keyed = maxed.withColumn("__c", canon).filter(col("__c").isNotNull)
-    val v = currentVersion(table) + 1
-    val delDir = new Path(versionDir(table, v), "deletes")
+    val v = m.version + 1 // pinned to the carried snapshot (CAS on rivals)
+    val dwid = java.util.UUID.randomUUID().toString.take(8)
+    val delDir = new Path(versionDir(table, v), s"deletes-$dwid")
     // distinct surviving classes: ≤ #data commits — bounded metadata
     val classes = keyed.select(col("__c")).distinct().collect()
       .map(_.getLong(0)).sorted
@@ -1622,7 +1709,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val delEntries = classes.flatMap { c =>
       listPartFiles(new Path(delDir, s"__c=$c"), f).map { st =>
         val (rows, _) = footerStats(st.getPath)
-        DeleteEntry(s"v=$v/deletes/__c=$c/${st.getPath.getName}",
+        DeleteEntry(s"v=$v/deletes-$dwid/__c=$c/${st.getPath.getName}",
           keyCols, c, rows)
       }
     }.toSeq
@@ -1987,9 +2074,10 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         raise_error(flit(s"CHECK constraint $nm violated: $pred"))
           .cast("boolean")).otherwise(flit(true)))
     }
+    val bwid = java.util.UUID.randomUUID().toString.take(8)
     val entries = writeDataFiles(
-      new Path(tableDir(table), s"branch-$name/v=$k"),
-      s"branch-$name/v=$k", checked, head.partitionBy, Seq.empty)
+      new Path(tableDir(table), s"branch-$name/v=$k/w-$bwid"),
+      s"branch-$name/v=$k/w-$bwid", checked, head.partitionBy, Seq.empty)
     writeManifestAt(branchManifestPath(table, name, k),
       Manifest(k, System.currentTimeMillis(), "append",
         (head.files ++ entries).map(_.rowCount).sum, head.files ++ entries,
@@ -2035,6 +2123,25 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val d = tableDir(table)
     val f = fs(d)
     if (f.exists(d)) { f.delete(d, true); () }
+  }
+
+  /** Rename (ALTER TABLE … RENAME TO): one directory rename — metadata
+    * AND data move together because every internal file path in every
+    * manifest is table-RELATIVE (`v=N/…`), so the whole history,
+    * branches, staged snapshots, and the MoR overlay survive unchanged.
+    * Externally-adopted absolute paths (`add_files`, shallow clones) are
+    * untouched, which is exactly right — the table borrows those files,
+    * it does not own them. Persisted VIEWS store SQL text and are NOT
+    * rewritten (Iceberg's limitation too): a view over the old name
+    * breaks until recreated. */
+  def renameTable(from: String, to: String): Unit = {
+    require(exists(from), s"rename: table $from does not exist")
+    require(from != to, "rename: source and target are the same")
+    val src = tableDir(from)
+    val dst = tableDir(to)
+    val f = fs(src)
+    require(!f.exists(dst), s"rename: target $to already exists")
+    require(f.rename(src, dst), s"rename: filesystem rename $from -> $to failed")
   }
 
   /** Expire all snapshots except the last `keepLast` (housekeeping; keeps

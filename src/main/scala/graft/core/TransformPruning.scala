@@ -1,6 +1,6 @@
-package graft.catalog
+package graft.core
 
-import graft.core.TableStore
+
 import org.apache.spark.sql.sources._
 
 /** Hidden-partitioning prune derivation (Iceberg's headline UX: filter on

@@ -30,21 +30,25 @@ case class MediaFeatures(
   * memory is bounded by partition size — use [[repartitionForDecode]] to
   * size partitions before heavy decodes at scale).
   *
-  * IMAGES DECODE FOR REAL: payloads go through the JDK's bundled
-  * `javax.imageio` readers (PNG/JPEG/GIF/BMP ship with every JDK — no
-  * external codec jars), and thumbnail dimensions come from the DECODED
-  * raster, not the metadata columns. Audio/video decoding has no JDK
-  * codec, so [[stubDecode]] stays as the documented deterministic
-  * fallback — swapping in ffmpeg/JNI touches only that one function;
-  * schema, partitioning, and batch shape are final.
+  * IMAGES AND AUDIO DECODE FOR REAL: image payloads go through the JDK's
+  * bundled `javax.imageio` readers (PNG/JPEG/GIF/BMP ship with every JDK)
+  * and thumbnail dimensions come from the DECODED raster; audio payloads
+  * go through `javax.sound.sampled.AudioSystem` (WAV/AIFF/AU ship with
+  * every JDK) and frame counts/features come from the DECODED PCM stream.
+  * No external codec jars either way. Video decoding has no JDK codec, so
+  * [[stubDecode]] stays as the documented deterministic fallback for it
+  * (and for exotic image/audio formats no JDK reader claims) — swapping
+  * in ffmpeg/JNI touches only that one function; schema, partitioning,
+  * and batch shape are final.
   */
 object Multimodal {
 
   /** Fabricate a media table from the documents fixture — the fixtures
     * ship no binary table, the plumbing is real. Image-kind rows carry a
     * REAL PNG payload (encoded executor-side with the JDK PNG writer,
-    * dimensions derived from the doc metadata); audio/video rows carry
-    * the text bytes as an opaque payload. */
+    * dimensions derived from the doc metadata); audio-kind rows carry a
+    * REAL WAV payload (JDK AudioSystem writer, one PCM frame per doc
+    * char); video rows carry the text bytes as an opaque payload. */
   def ingestFromDocuments(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaFile] = {
     import spark.implicits._
     docs.select(
@@ -62,9 +66,73 @@ object Multimodal {
       .mapPartitions(_.map { m =>
         if (m.kind == "image")
           m.copy(content = encodePng(m.width, m.height, m.media_id))
+        else if (m.kind == "audio")
+          m.copy(content = encodeWav((m.duration_ms / 100L).toInt, m.media_id))
         else m
       })
   }
+
+  /** Deterministic PCM-16 mono WAV encoded with the JDK's AudioSystem
+    * writer — real bytes, so the decode side is a genuine parse round
+    * trip (mirrors [[encodePng]]). 10 Hz keeps payloads byte-cheap while
+    * exercising the full header + stream path. */
+  private[ext] def encodeWav(nSamples: Int, seed: Long): Array[Byte] = {
+    val n = math.max(1, nSamples)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((seed * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL) >>> 16)
+        .toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(10.0f, 16, 1, true, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Decode an audio payload via the JDK's bundled readers (WAV/AIFF/AU);
+    * None when no reader claims the format (→ [[stubDecode]] fallback). */
+  private[ext] def decodeAudio(bytes: Array[Byte])
+      : Option[javax.sound.sampled.AudioInputStream] =
+    try Some(javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+           _: java.io.IOException => None
+    }
+
+  /** Real audio decode: parse the container with AudioSystem, frame count
+    * from the DECODED stream (not the metadata columns), features from a
+    * rolling hash of sampled PCM bytes. Falls back to [[stubDecode]]
+    * when no JDK reader claims the bytes. */
+  private[ext] def audioDecode(m: MediaFile, dim: Int): MediaFeatures =
+    decodeAudio(m.content) match {
+      case Some(stream) =>
+        try {
+          val frames = stream.getFrameLength.toInt
+          val frameBytes = math.max(1, stream.getFormat.getFrameSize)
+          val pcm = stream.readAllBytes()
+          var hh = 1125899906842597L
+          val step = math.max(1, pcm.length / 2048) // ≤2048 sampled bytes
+          var i = 0
+          while (i < pcm.length) { hh = hh * 31 + pcm(i); i += step }
+          val feat = Array.tabulate(dim) { j =>
+            val x = hh ^ (j.toLong * 0x9E3779B97F4A7C15L)
+            ((x % 1000L).toFloat / 1000.0f)
+          }
+          MediaFeatures(m.media_id, m.kind, feat,
+            n_frames = math.max(1, if (frames >= 0) frames
+              else pcm.length / frameBytes),
+            thumb_w = 0, thumb_h = 0)
+        } finally stream.close()
+      case None => stubDecode(m, dim)
+    }
 
   /** Deterministic solid-tint PNG encoded with the JDK's ImageIO writer —
     * real bytes, so the decode side is a genuine parse round trip. */
@@ -131,9 +199,10 @@ object Multimodal {
       case None => stubDecode(m, dim)
     }
 
-  /** STUB decoder for formats with no JDK codec (audio/video): deterministic
-    * fake features from payload bytes. Replace with a real codec
-    * (JNI/ffmpeg) — signature and batch shape are final. */
+  /** STUB decoder for formats with no JDK codec (video; exotic
+    * image/audio): deterministic fake features from payload bytes.
+    * Replace with a real codec (JNI/ffmpeg) — signature and batch shape
+    * are final. */
   private[ext] def stubDecode(m: MediaFile, dim: Int): MediaFeatures = {
     // ??? <- real audio/video codec goes here; deterministic fake below
     // keeps the pipeline testable without native libraries.
@@ -149,15 +218,18 @@ object Multimodal {
       thumb_h = if (m.height > 0) math.max(1, m.height / 8) else 0)
   }
 
-  /** Decode + featurize, one decoder instance per partition: images through
-    * the real ImageIO parse, audio/video through the stub. */
+  /** Decode + featurize, one decoder instance per partition: images
+    * through the real ImageIO parse, audio through the real AudioSystem
+    * parse, video through the stub. */
   def decodeAndFeaturize(ds: Dataset[MediaFile], dim: Int = 16)
       (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     ds.mapPartitions { it =>
       // per-partition decoder init would happen here (codec handles, etc.)
       it.map { m =>
-        if (m.kind == "image") imageDecode(m, dim) else stubDecode(m, dim)
+        if (m.kind == "image") imageDecode(m, dim)
+        else if (m.kind == "audio") audioDecode(m, dim)
+        else stubDecode(m, dim)
       }
     }
   }

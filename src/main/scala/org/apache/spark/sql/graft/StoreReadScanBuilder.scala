@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import graft.catalog.StatsFilter
+import graft.core.StatsFilter
 import graft.core.TableStore
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -94,7 +94,7 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
     // through the derived partition value (hidden partitioning)
     val v1 = filters.flatMap(e => DataSourceStrategy.translateFilter(e,
       supportNestedPredicatePushdown = true))
-    val derived = graft.catalog.TransformPruning.derive(v1, m.partitionBy,
+    val derived = graft.core.TransformPruning.derive(v1, m.partitionBy,
       spark.sessionState.conf.sessionLocalTimeZone)
     val effective = v1 ++ derived
     val kept =

@@ -311,10 +311,10 @@ class TableStoreSpec extends SparkSpec {
     // StatsFilter path (SQL reads + row-level ops): the file holding 0.50
     // matches, files provably elsewhere don't
     val f = org.apache.spark.sql.sources.EqualTo("price", new java.math.BigDecimal("0.50"))
-    val matching = m.files.count(fe => graft.catalog.StatsFilter.fileMayMatch(fe.stats, f))
+    val matching = m.files.count(fe => graft.core.StatsFilter.fileMayMatch(fe.stats, f))
     assert(matching >= 1 && matching < total, s"fileMayMatch kept $matching/$total")
     assert(store.readFiles("t",
-      m.files.filter(fe => graft.catalog.StatsFilter.fileMayMatch(fe.stats, f)))
+      m.files.filter(fe => graft.core.StatsFilter.fileMayMatch(fe.stats, f)))
       .filter(col("price") === new java.math.BigDecimal("0.50")).count() == 1)
   }
 
@@ -352,7 +352,7 @@ class TableStoreSpec extends SparkSpec {
       .collect().toSeq == Seq(1L))
     val f = org.apache.spark.sql.sources.EqualTo("day", ts)
     val m = store.manifests("t").last
-    assert(m.files.exists(fe => graft.catalog.StatsFilter.fileMayMatch(fe.stats, f)),
+    assert(m.files.exists(fe => graft.core.StatsFilter.fileMayMatch(fe.stats, f)),
       "every file pruned for a matching timestamp partition value")
   }
 

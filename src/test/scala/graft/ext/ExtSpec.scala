@@ -244,6 +244,26 @@ class ExtSpec extends SparkSpec {
     assert(f.thumb_w == 33 / 8 && f.thumb_h == 21 / 8)
   }
 
+  test("audio payloads WAV-round-trip: frames come from the decoded stream") {
+    implicit val s: SparkSession = spark
+    // encode→decode round trip off-Spark: real AudioSystem parse
+    val bytes = Multimodal.encodeWav(37, seed = 5L)
+    assert(bytes.length > 44 &&
+      new String(bytes.take(4), "US-ASCII") == "RIFF")
+    val stream = Multimodal.decodeAudio(bytes).get
+    assert(stream.getFrameLength == 37L &&
+      stream.getFormat.getSampleSizeInBits == 16)
+    stream.close()
+    // undecodable payloads fall back to the stub, not an error
+    assert(Multimodal.decodeAudio("not audio".getBytes("UTF-8")).isEmpty)
+    // decoded frame count wins over (corrupt) metadata
+    val lying = spark.createDataset(Seq(
+      MediaFile(1L, "audio", bytes, width = 0, height = 0,
+        duration_ms = 999999L)))
+    val f = Multimodal.decodeAndFeaturize(lying, 16).head()
+    assert(f.n_frames == 37)
+  }
+
   test("fused hyperplane buckets equal the per-plane sign formulation") {
     import org.apache.spark.sql.functions._
     val docs = spark.range(0, 50).selectExpr("id AS vec_id",

@@ -24,7 +24,8 @@ PURE = ["q01", "q02", "q03", "q04", "q05", "q06", "q07", "q08", "q09",
         "q10", "q11", "q12", "q13", "q14", "q15", "q16", "q17", "q18",
         "q19", "q24", "q25", "q26", "q27", "q29", "q30", "q31", "q32",
         "q33", "q36", "q37", "q38", "q39", "q40", "q43", "q45", "q46",
-        "q47", "q50", "q51", "q52", "q53", "q55", "q59", "q60", "q61"]
+        "q47", "q50", "q51", "q52", "q53", "q55", "q59", "q60", "q61",
+        "q119", "q120", "q121", "q122"]
 
 
 def main() -> None:
