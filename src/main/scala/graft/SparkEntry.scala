@@ -2892,6 +2892,64 @@ object SparkEntry {
           max(col("k")).as("max_k"),
           sum(when(col("k") > 50, 1L).otherwise(0L)).as("n_high"))
         .orderBy(col("event_type"))
+    }),
+
+    // ext: CCNet-style normalization before dedup — lowercase, digits→0,
+    // punctuation→space, whitespace collapsed; the normalized form is the
+    // DEDUP KEY (original bytes kept). Docs are injected with
+    // deterministic formatting noise, and two boilerplate casings per
+    // hundred ids normalize to the SAME fingerprint — so the normalized
+    // distinct count drops below the raw one (the copies raw dedup
+    // misses). Pure codegen projection + one agg; no shuffle before it.
+    "q123_normalize_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val messy = when(col("doc_id") % 100 === 0,
+          lit("Terms of Service apply. See section 4!"))
+        .when(col("doc_id") % 100 === 1,
+          lit("TERMS   of service APPLY;  see Section 4?"))
+        .otherwise(concat(col("text"), lit(" NOISE-"),
+          (col("doc_id") % 7).cast("string"),
+          lit("!!  Extra   SPACES & 123 dots...")))
+      val norm = graft.ext.Normalize.normalize(messy)
+      docs.select(col("source"), messy.as("__m"), norm.as("__n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("__m")).cast("long")).as("chars_before"),
+          sum(length(col("__n")).cast("long")).as("chars_after"),
+          countDistinct(md5(col("__m"))).as("n_distinct_raw"),
+          countDistinct(md5(col("__n"))).as("n_distinct_norm"))
+        .orderBy(col("source"))
+    }),
+
+    // ext: C4-style line dedup with REWRITE — injected boilerplate lines
+    // (two universal footers, an every-other-doc banner, a per-(id%5)
+    // footer) duplicate across documents; each is kept only in its
+    // smallest-id document and every document is reassembled from its
+    // surviving lines in original order. Two line-key shuffles, linear
+    // in corpus lines; reassembly bounded per document. The per-source
+    // corpus_md5 pins the rewritten bytes exactly.
+    "q124_line_dedup" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val lined = concat(col("text"),
+        lit(" | all rights reserved example site"),
+        lit(" | contact support at example dot com"),
+        when(col("doc_id") % 2 === 0,
+          lit(" | subscribe to our newsletter today")).otherwise(lit("")),
+        lit(" | doc footer "), (col("doc_id") % 5).cast("string"))
+      val rw = graft.ext.LineDedup.dedupLines(
+        docs.select(col("doc_id"), lined.as("__t")),
+        "doc_id", "__t", splitRegex = " \\| ", joinSep = " | ")
+      rw.join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_lines")).as("lines_total"),
+          sum(col("n_kept")).as("lines_kept"),
+          sum(length(col("rewritten")).cast("long")).as("chars_after"),
+          md5(concat_ws(" <doc> ",
+            transform(array_sort(collect_list(struct(col("doc_id"),
+              col("rewritten").as("t")))), x => x.getField("t"))))
+            .as("corpus_md5"))
+        .orderBy(col("source"))
     })
   )
 
@@ -4563,7 +4621,71 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) > 50
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high
         |FROM events GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    // Same normalization chain (lower → digits→0 → punct→space →
+    // collapse → trim); regexes in the Java∩RE2 subset, replayed with
+    // DuckDB's 'g' flag.
+    "q123_normalize_dedup" ->
+      """WITH m AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 100 = 0
+        |           THEN 'Terms of Service apply. See section 4!'
+        |         WHEN doc_id % 100 = 1
+        |           THEN 'TERMS   of service APPLY;  see Section 4?'
+        |         ELSE text || ' NOISE-' || CAST(doc_id % 7 AS VARCHAR)
+        |              || '!!  Extra   SPACES & 123 dots...' END AS t
+        |  FROM documents),
+        |n AS (
+        |  SELECT source, t,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(t), '[0-9]', '0', 'g'),
+        |      '[^a-z0-9 ]', ' ', 'g'),
+        |      '  +', ' ', 'g')) AS nt
+        |  FROM m)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(length(t)) AS BIGINT) AS chars_before,
+        |  CAST(SUM(length(nt)) AS BIGINT) AS chars_after,
+        |  CAST(COUNT(DISTINCT md5(t)) AS BIGINT) AS n_distinct_raw,
+        |  CAST(COUNT(DISTINCT md5(nt)) AS BIGINT) AS n_distinct_norm
+        |FROM n GROUP BY source ORDER BY source""".stripMargin,
+
+    // Full line-dedup replay: same injection, split on the literal
+    // delimiter, keeper = min(doc_id) per duplicated line, filtered
+    // ordered string_agg reassembly, per-source md5 of the doc-ordered
+    // rewritten corpus.
+    "q124_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    text || ' | all rights reserved example site'
+        |         || ' | contact support at example dot com'
+        |         || CASE WHEN doc_id % 2 = 0
+        |              THEN ' | subscribe to our newsletter today' ELSE '' END
+        |         || ' | doc footer ' || CAST(doc_id % 5 AS VARCHAR) AS t
+        |  FROM documents),
+        |s AS (SELECT doc_id, string_split(t, ' | ') AS ls FROM d),
+        |l AS (SELECT doc_id, CAST(r.i AS INT) AS idx, ls[CAST(r.i AS INT)] AS line
+        |  FROM s,
+        |    (SELECT unnest(range(1, (SELECT MAX(len(ls)) FROM s) + 1)) AS i) r
+        |  WHERE r.i <= len(ls)),
+        |k AS (SELECT md5(line) AS k, MIN(doc_id) AS keeper,
+        |        MIN(doc_id) <> MAX(doc_id) AS dup
+        |      FROM l GROUP BY md5(line)),
+        |m AS (SELECT l.doc_id, l.idx, l.line,
+        |        (NOT k.dup OR l.doc_id = k.keeper) AS kept
+        |      FROM l JOIN k ON md5(l.line) = k.k),
+        |rw AS (SELECT doc_id, COUNT(*) AS n_lines,
+        |        SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept,
+        |        COALESCE(string_agg(CASE WHEN kept THEN line END,
+        |          ' | ' ORDER BY idx), '') AS rewritten
+        |      FROM m GROUP BY doc_id)
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(rw.n_lines) AS BIGINT) AS lines_total,
+        |  CAST(SUM(rw.n_kept) AS BIGINT) AS lines_kept,
+        |  CAST(SUM(length(rw.rewritten)) AS BIGINT) AS chars_after,
+        |  md5(string_agg(rw.rewritten, ' <doc> ' ORDER BY rw.doc_id)) AS corpus_md5
+        |FROM rw JOIN d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:
