@@ -2950,6 +2950,76 @@ object SparkEntry {
               col("rewritten").as("t")))), x => x.getField("t"))))
             .as("corpus_md5"))
         .orderBy(col("source"))
+    }),
+
+    // ext: SymSpell-blocked fuzzy vocabulary matching — exact
+    // edit-distance-1 pairs over the corpus vocabulary without an
+    // all-pairs join (delete-1 variants as blocking keys, candidates
+    // verified with codegen'd levenshtein). Typos are injected
+    // deterministically (2nd char of the first token -> 'x' on id%37
+    // docs) so the pair set is non-trivial at every scale factor.
+    "q125_fuzzy_vocab" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val ft = element_at(split(lower(col("text")), " "), 1)
+      val typos = docs
+        .filter(col("doc_id") % 37 === 0 && length(ft) >= 3)
+        .select(concat(substring(ft, 1, 1), lit("x"),
+          ft.substr(lit(3), lit(Int.MaxValue - 10))).as("tok"))
+      val pairs = graft.ext.Fuzzy.typoPairs(toks.union(typos), "tok")
+      pairs.groupBy(substring(col("t1"), 1, 1).as("letter"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(concat_ws(">", col("t1"), col("t2"))).as("example"))
+        .orderBy(col("letter"))
+    }),
+
+    // ext: exact grouped quantiles with no global sort and no sketch —
+    // corpus compressed to (group, value, count) by one hash agg, the
+    // per-group cumulative window runs over the COMPRESSED frame
+    // (bounded by the value domain, never row count), quantile picked by
+    // integer cross-multiplication (engine-exact).
+    "q126_exact_quantiles" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ext.Quantiles.exactQuantiles(docs, "source", "n_chars",
+          Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))
+        .orderBy(col("source"))
+    }),
+
+    // ext: incremental corpus ingestion with cross-batch dedup — the
+    // production shape of "dedup at ingest": fingerprints live in a
+    // TABLE; each arriving batch dedups within itself (min doc per
+    // fingerprint), anti-joins the fingerprint table, and appends both
+    // the admitted docs and their fingerprints. Per-batch cost is the
+    // batch size + one fingerprint-keyed join; the corpus is never
+    // rescanned.
+    "q127_incremental_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val store = tmpStore(s)
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("f"),
+          (col("doc_id") % 3).as("batch"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("f").orderBy("doc_id")
+      val out = (0L to 2L).map { b =>
+        val batch = docs.filter(col("batch") === b)
+        val inBatch = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", "batch")
+        val admitted =
+          if (b == 0L) inBatch
+          else inBatch.join(store.read("fps").select("f"), Seq("f"), "left_anti")
+        if (b == 0L) {
+          store.commit("corpus", admitted, "create")
+          store.commit("fps", admitted.select("f"), "create")
+        } else {
+          store.append("corpus", admitted)
+          store.append("fps", admitted.select("f"))
+        }
+        (b, batch.count(), admitted.count(), store.read("corpus").count())
+      }
+      out.toDF("batch", "n_in", "n_admitted", "corpus_rows")
+        .orderBy(col("batch"))
     })
   )
 
@@ -4685,7 +4755,65 @@ object SparkEntry {
         |  CAST(SUM(length(rw.rewritten)) AS BIGINT) AS chars_after,
         |  md5(string_agg(rw.rewritten, ' <doc> ' ORDER BY rw.doc_id)) AS corpus_md5
         |FROM rw JOIN d USING (doc_id)
-        |GROUP BY d.source ORDER BY d.source""".stripMargin
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // Full SymSpell replay: same tokenization + typo injection, delete-1
+    // variant keys, verified levenshtein(=) pairs.
+    "q125_fuzzy_vocab" ->
+      raw"""WITH tk AS (
+           |  SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+           |    x -> x <> '')) AS tok FROM documents
+           |  UNION ALL
+           |  SELECT substr(ft, 1, 1) || 'x' || substr(ft, 3, 1000000) AS tok
+           |  FROM (SELECT string_split(lower(text), ' ')[1] AS ft, doc_id
+           |        FROM documents)
+           |  WHERE doc_id % 37 = 0 AND length(ft) >= 3),
+           |v AS (SELECT DISTINCT tok FROM tk
+           |      WHERE tok IS NOT NULL AND length(tok) > 0),
+           |vars AS (SELECT tok, unnest(list_distinct(list_append(
+           |    list_transform(range(1, length(tok) + 1),
+           |      i -> substr(tok, 1, CAST(i - 1 AS INT))
+           |           || substr(tok, CAST(i + 1 AS INT), 1000000)),
+           |    tok))) AS vv FROM v),
+           |p AS (SELECT DISTINCT a.tok AS t1, b.tok AS t2
+           |      FROM vars a JOIN vars b ON a.vv = b.vv AND a.tok < b.tok
+           |      WHERE levenshtein(a.tok, b.tok) <= 1)
+           |SELECT substr(t1, 1, 1) AS letter, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |  MIN(t1 || '>' || t2) AS example
+           |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same compressed-frame cumulative-count quantiles, integer
+    // cross-multiplication (no floats, no interpolation).
+    "q126_exact_quantiles" ->
+      """WITH c AS (SELECT source, n_chars, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (SELECT source, n_chars,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+        |    SUM(c) OVER (PARTITION BY source) AS n
+        |  FROM c)
+        |SELECT source,
+        |  CAST(MIN(CASE WHEN cum * 2 >= n * 1 THEN n_chars END) AS BIGINT) AS p50,
+        |  CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN n_chars END) AS BIGINT) AS p90,
+        |  CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN n_chars END) AS BIGINT) AS p99,
+        |  CAST(MAX(n) AS BIGINT) AS n_rows
+        |FROM w GROUP BY source ORDER BY source""".stripMargin,
+
+    // A doc is admitted iff its fingerprint's first occurrence (by
+    // batch, then doc_id) is this doc; corpus_rows is the running total.
+    "q127_incremental_ingest" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS f, doc_id % 3 AS batch
+        |  FROM documents),
+        |firsts AS (SELECT f, MIN(batch * 10000000000 + doc_id) AS ord
+        |  FROM d GROUP BY f),
+        |a AS (SELECT CAST(ord // 10000000000 AS BIGINT) AS batch,
+        |    COUNT(*) AS n_admitted
+        |  FROM firsts GROUP BY 1),
+        |i AS (SELECT batch, COUNT(*) AS n_in FROM d GROUP BY batch)
+        |SELECT i.batch, CAST(i.n_in AS BIGINT) AS n_in,
+        |  CAST(COALESCE(a.n_admitted, 0) AS BIGINT) AS n_admitted,
+        |  CAST(SUM(COALESCE(a.n_admitted, 0))
+        |    OVER (ORDER BY i.batch) AS BIGINT) AS corpus_rows
+        |FROM i LEFT JOIN a USING (batch) ORDER BY i.batch""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:
