@@ -3020,6 +3020,74 @@ object SparkEntry {
       }
       out.toDF("batch", "n_in", "n_admitted", "corpus_rows")
         .orderBy(col("batch"))
+    }),
+
+    // ext+format: PERSISTENT IVF ANN index — build once (portable k-means
+    // assignment + int8 codes persisted as a table PARTITIONED BY the
+    // inverted-list id, centroids as a k-row table), then the query path
+    // touches ONLY the persisted tables: rank centroids per query (pure
+    // projection against the k collected centroids — bounded metadata),
+    // read just the probed partitions (manifest-level file pruning — the
+    // scan cost is nprobe/nlist of the corpus at ANY size), score in the
+    // compressed int8 domain, top-10. The overlap columns measure probe
+    // loss vs the full quantized brute force; files_pruned asserts every
+    // probed read skipped files.
+    "q128_persistent_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val store = tmpStore(s)
+      val emb = Tables.load(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+      val (assigned, cents) =
+        KMeans.assignWithCentroids(emb, k = 8, iters = 4)
+      val codes = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+        .select(col("vec_id"), col("codes"))
+      store.commitPartitioned("ann_corpus",
+        codes.join(assigned.select(col("vec_id"), col("cluster")), "vec_id"),
+        Seq("cluster"), "create")
+      store.commit("ann_centroids",
+        cents.map(c => (c.cid, c.c.toSeq)).toDF("cid", "cent"), "create")
+      // query path — persisted tables only
+      val centsBack = store.read("ann_centroids").collect()
+        .map(r => KMeans.Centroid(r.getInt(0), r.getSeq[Long](1).toArray))
+        .sortBy(_.cid).toSeq
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+      val qCodes = Similarity.quantizeInt8(queries, "vec_id", "embedding")
+        .select(col("vec_id").as("query_id"),
+          transform(col("codes"), x => x.cast("double")).as("__q"))
+      val probes = KMeans.probe(qCodes, centsBack, nprobe = 2, "__q")
+      val probed = probes.select("cluster").distinct()
+        .collect().map(_.getInt(0)).sorted
+      val totalFiles =
+        store.manifests("ann_corpus").maxBy(_.version).files.size
+      val pruned = probed.forall(c =>
+        store.prunedFileCount("ann_corpus", "cluster", c, c)._1 < totalFiles)
+      val corpusRead = probed.map(c =>
+          store.readWhere("ann_corpus", "cluster", c, c))
+        .reduce(_ unionByName _)
+        .select(col("cluster"), col("vec_id"),
+          transform(col("codes"), x => x.cast("double")).as("__c"))
+      val scored = probes.join(corpusRead, "cluster")
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("__dq", Similarity.dot(col("__q"), col("__c")))
+        .withColumn("__nq", Similarity.dot(col("__q"), col("__q")))
+        .withColumn("__nc", Similarity.dot(col("__c"), col("__c")))
+        .withColumn("qsim",
+          when(col("__nq") === 0.0 || col("__nc") === 0.0, lit(-2.0))
+            .otherwise(col("__dq") / (sqrt(col("__nq")) * sqrt(col("__nc")))))
+      val wI = Window.partitionBy(col("query_id"))
+        .orderBy(col("qsim").desc, col("vec_id"))
+      val itop = scored.withColumn("rk", row_number().over(wI))
+        .filter(col("rk") <= 10).select(col("query_id"), col("vec_id"))
+      val btop = Similarity.quantizedTopK(emb, queries, 10)
+        .select(col("query_id"), col("vec_id"))
+      val ov = itop.join(btop, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("o"))
+      qCodes.select(col("query_id")).distinct()
+        .join(ov, Seq("query_id"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          sum(coalesce(col("o"), lit(0L))).as("overlap_sum"),
+          min(coalesce(col("o"), lit(0L))).as("overlap_min"))
+        .withColumn("files_pruned", lit(pruned))
     })
   )
 
@@ -4813,7 +4881,51 @@ object SparkEntry {
         |  CAST(COALESCE(a.n_admitted, 0) AS BIGINT) AS n_admitted,
         |  CAST(SUM(COALESCE(a.n_admitted, 0))
         |    OVER (ORDER BY i.batch) AS BIGINT) AS corpus_rows
-        |FROM i LEFT JOIN a USING (batch) ORDER BY i.batch""".stripMargin
+        |FROM i LEFT JOIN a USING (batch) ORDER BY i.batch""".stripMargin,
+
+    // Full IVF replay on top of the k-means chain: probe ranking by the
+    // same fixed-point distance against the final centroids (c4),
+    // candidates = the probed clusters' members, quantized-domain cosine
+    // top-10, overlap vs the quantized brute force.
+    "q128_persistent_ivf" ->
+      s"""WITH ${kmeansCtes(8, 4)},
+         |qq2 AS (SELECT vec_id AS qid, q AS qc FROM qz WHERE vec_id % 100 = 0),
+         |probe AS (SELECT qid, cid FROM (
+         |    SELECT qq2.qid, c.cid, row_number() OVER (PARTITION BY qq2.qid
+         |      ORDER BY 16384*list_inner_product(qq2.qc,qq2.qc)
+         |        - 256*list_inner_product(qq2.qc,c.c)
+         |        + list_inner_product(c.c,c.c), c.cid) AS rk
+         |    FROM qq2, c4 c) t WHERE rk <= 2),
+         |cand AS (SELECT p.qid, f.vec_id, qq2.qc, f.q AS cc
+         |  FROM probe p JOIN fin f ON f.cid = p.cid
+         |  JOIN qq2 ON qq2.qid = p.qid
+         |  WHERE f.vec_id <> p.qid),
+         |sc2 AS (SELECT qid, vec_id,
+         |    CASE WHEN list_inner_product(qc,qc) = 0
+         |           OR list_inner_product(cc,cc) = 0 THEN -2.0
+         |         ELSE list_inner_product(qc,cc)
+         |           / (sqrt(list_inner_product(qc,qc))
+         |              * sqrt(list_inner_product(cc,cc))) END AS qsim
+         |  FROM cand),
+         |itop AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY qsim DESC, vec_id) AS rk FROM sc2) t WHERE rk <= 10),
+         |btop AS (SELECT qid, vec_id FROM (
+         |    SELECT qq2.qid, z.vec_id, row_number() OVER (PARTITION BY qq2.qid
+         |      ORDER BY CASE WHEN list_inner_product(qq2.qc,qq2.qc) = 0
+         |          OR list_inner_product(z.q,z.q) = 0 THEN -2.0
+         |        ELSE list_inner_product(qq2.qc,z.q)
+         |          / (sqrt(list_inner_product(qq2.qc,qq2.qc))
+         |             * sqrt(list_inner_product(z.q,z.q))) END DESC,
+         |        z.vec_id) AS rk
+         |    FROM qq2, qz z WHERE z.vec_id <> qq2.qid) t WHERE rk <= 10),
+         |ov AS (SELECT i.qid, COUNT(*) AS o FROM itop i JOIN btop b
+         |    ON i.qid = b.qid AND i.vec_id = b.vec_id GROUP BY i.qid)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(COALESCE(o.o, 0)) AS BIGINT) AS overlap_sum,
+         |  CAST(MIN(COALESCE(o.o, 0)) AS BIGINT) AS overlap_min,
+         |  true AS files_pruned
+         |FROM (SELECT DISTINCT qid FROM qq2) q LEFT JOIN ov o USING (qid)""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

@@ -35,8 +35,10 @@ import graft.functions.VectorFunctions.vecDot
   */
 object KMeans {
 
-  /** One cluster's state: fixed-point centroid (scale 128) per dimension. */
-  private final case class Centroid(cid: Int, c: Array[Long])
+  /** One cluster's state: fixed-point centroid (scale 128) per dimension.
+    * Public: the persistable metadata of an IVF-style ANN index (see
+    * [[assignWithCentroids]] / [[probe]]). */
+  final case class Centroid(cid: Int, c: Array[Long])
 
   private def fixedPoint(sum: Long, n: Long): Long =
     Math.floorDiv(sum * 256L + n, 2L * n)
@@ -46,7 +48,16 @@ object KMeans {
     * the exact fixed-point squared distance to the winning centroid.
     */
   def assign(df: DataFrame, k: Int = 8, iters: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignWithCentroids(df, k, iters, idCol, vecCol)._1
+
+  /** As [[assign]], but also returns the final centroids — the
+    * persistable index metadata of an IVF-style ANN index (store them in
+    * a table; [[probe]] ranks them for a query batch later without
+    * re-clustering). */
+  def assignWithCentroids(df: DataFrame, k: Int = 8, iters: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, Seq[Centroid]) = {
     val spark = df.sparkSession
     val sc = spark.sparkContext
     val (codes, codesIds) = Materialize.checkpointTracked(
@@ -99,8 +110,34 @@ object KMeans {
         withBest(codes, cents)
           .select(col(idCol), col("__cid").as("cluster"),
             col("__dist").cast("long").as("dist")))
-      out
+      (out, cents)
     } finally Materialize.free(sc, codesIds)
+  }
+
+  /** Query-side centroid probe of a persisted index: per input row the
+    * `nprobe` nearest centroids by the SAME fixed-point distance as
+    * [[assign]] (ties on cluster id) — a pure projection against
+    * closure-broadcast centroid literals, no join, no shuffle. `codesCol`
+    * is the double-cast int8 code array (as [[Similarity.quantizeInt8]]
+    * produces). Returns the input columns plus (`cluster`,
+    * `probe_rank` 1-based). */
+  def probe(codes: DataFrame, cents: Seq[Centroid], nprobe: Int,
+      codesCol: String): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cents.size,
+      s"nprobe must be in [1, ${cents.size}], got $nprobe")
+    val qq = vecDot(col(codesCol), col(codesCol)) * lit(16384.0)
+    val cands = cents.map { cent =>
+      val cLit = typedLit(cent.c.map(_.toDouble).toSeq)
+      val dist = qq - lit(256.0) * vecDot(col(codesCol), cLit) +
+        lit(cent.c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble))
+      struct(dist.as("d"), lit(cent.cid).as("cid"))
+    }
+    codes
+      .withColumn("__probed", slice(array_sort(array(cands: _*)), 1, nprobe))
+      .select(col("*"), posexplode(col("__probed")).as(Seq("__pr", "__pc")))
+      .withColumn("cluster", col("__pc.cid"))
+      .withColumn("probe_rank", col("__pr") + 1)
+      .drop("__probed", "__pr", "__pc")
   }
 
   /** Adds `__cid` (winning cluster) + `__dist` columns: per-centroid

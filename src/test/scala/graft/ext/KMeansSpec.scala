@@ -64,4 +64,23 @@ class KMeansSpec extends SparkSpec {
       .as[(Long, Int, Boolean)].collect().sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  test("probe rank 1 over corpus codes equals the assignment") {
+    val df = corpus(90)
+    val (assigned, cents) = KMeans.assignWithCentroids(df, k = 3, iters = 3)
+    val codes = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("codes"), x => x.cast("double")).as("__q"))
+    val p1 = KMeans.probe(codes, cents, nprobe = 1, "__q")
+      .select(col("vec_id"), col("cluster"))
+      .as[(Long, Int)].collect().toMap
+    val a = assigned.select(col("vec_id"), col("cluster"))
+      .as[(Long, Int)].collect().toMap
+    assert(p1 == a, "nearest probed centroid must be the assigned cluster")
+    // nprobe=3 emits every centroid once per row, ranks 1..3
+    val p3 = KMeans.probe(codes.limit(1), cents, nprobe = 3, "__q")
+      .select(col("probe_rank"), col("cluster")).collect()
+    assert(p3.map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    assert(p3.map(_.getInt(1)).distinct.length == 3)
+  }
 }
