@@ -3088,6 +3088,55 @@ object SparkEntry {
           sum(coalesce(col("o"), lit(0L))).as("overlap_sum"),
           min(coalesce(col("o"), lit(0L))).as("overlap_min"))
         .withColumn("files_pruned", lit(pruned))
+    }),
+
+    // ext: count-min sketch heavy hitters — frequency estimation whose
+    // state is MERGEABLE (cell sums are associative: per-batch sketches
+    // sum cell-wise into the union's sketch) and bounded (depth·width
+    // rows at any corpus size). Build = one partial-aggregated shuffle;
+    // estimates = min over depth cells, an overestimate by construction
+    // (never_under must hold on every row). Deterministic md5 hashing —
+    // the oracle replays the cells bit-for-bit.
+    "q129_countmin_heavyhitters" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val toks = docs.select(
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val cells = graft.ext.Sketches.countMinCells(toks, "tok",
+        depth = 4, width = 512)
+      val est = graft.ext.Sketches.countMinEstimate(toks, "tok", cells,
+        depth = 4, width = 512)
+      val exact = toks.groupBy(col("tok").as("value"))
+        .agg(count(lit(1)).as("exact"))
+      est.join(exact, "value")
+        .withColumn("overcount", col("est") - col("exact"))
+        .withColumn("never_under", col("est") >= col("exact"))
+        .orderBy(col("exact").desc, col("value")).limit(15)
+        .select(col("value"), col("exact"), col("est"), col("overcount"),
+          col("never_under"))
+    }),
+
+    // source: JSONL corpus ingest — the de-facto LLM-corpus interchange
+    // format (one JSON object per line). The fixture round-trips through
+    // JSONL text files and is read back through the native JSON source
+    // with an EXPLICIT schema (no driver-side inference pass — at 100 TB
+    // schema inference is a full extra scan), then aggregated; the
+    // oracle runs on the source-of-truth parquet, so equality proves the
+    // round trip lost nothing (unicode escaping included).
+    "q130_jsonl_ingest" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      docs.select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))).as("value"))
+        .write.mode("overwrite").text(out)
+      val back = s.read.schema(
+          "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .json(out)
+      back.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text")).cast("long")).as("sum_text_len"),
+          countDistinct(md5(col("text"))).as("n_distinct"))
+        .orderBy(col("source"))
     })
   )
 
@@ -4925,7 +4974,42 @@ object SparkEntry {
          |  CAST(SUM(COALESCE(o.o, 0)) AS BIGINT) AS overlap_sum,
          |  CAST(MIN(COALESCE(o.o, 0)) AS BIGINT) AS overlap_min,
          |  true AS files_pruned
-         |FROM (SELECT DISTINCT qid FROM qq2) q LEFT JOIN ov o USING (qid)""".stripMargin
+         |FROM (SELECT DISTINCT qid FROM qq2) q LEFT JOIN ov o USING (qid)""".stripMargin,
+
+    // Cell-exact count-min replay: same md5("<r>|<token>") % width cells,
+    // min-over-depth estimates, exact counts joined for the overcount.
+    "q129_countmin_heavyhitters" ->
+      raw"""WITH tk AS (SELECT unnest(list_filter(
+           |    string_split_regex(lower(text), '\W+'), x -> x <> '')) AS tok
+           |  FROM documents),
+           |rr AS (SELECT unnest(range(0, 4)) AS r),
+           |cells AS (SELECT rr.r,
+           |    CAST((('0x' || substr(md5(CAST(rr.r AS VARCHAR) || '|' || tok),
+           |      1, 12))::BIGINT % 512) AS INT) AS c, COUNT(*) AS cnt
+           |  FROM tk, rr GROUP BY 1, 2),
+           |v AS (SELECT DISTINCT tok FROM tk),
+           |probe AS (SELECT v.tok AS value, rr.r,
+           |    CAST((('0x' || substr(md5(CAST(rr.r AS VARCHAR) || '|' || v.tok),
+           |      1, 12))::BIGINT % 512) AS INT) AS c
+           |  FROM v, rr),
+           |es AS (SELECT value, MIN(cnt) AS est
+           |  FROM probe JOIN cells USING (r, c) GROUP BY value),
+           |ex AS (SELECT tok AS value, COUNT(*) AS exact FROM tk GROUP BY tok)
+           |SELECT value, CAST(exact AS BIGINT) AS exact,
+           |  CAST(est AS BIGINT) AS est,
+           |  CAST(est - exact AS BIGINT) AS overcount,
+           |  est >= exact AS never_under
+           |FROM es JOIN ex USING (value)
+           |ORDER BY exact DESC, value LIMIT 15""".stripMargin,
+
+    // Source-of-truth aggregate — equality with the Spark side (which
+    // ran over the JSONL round trip) proves lossless ingest.
+    "q130_jsonl_ingest" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

@@ -51,4 +51,42 @@ object Sketches {
           .otherwise(expr(s"(${k - 1}L * ${1L << 48}L) div greatest(__hk, 1L)")))
       .drop("__n", "__hk")
   }
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) of `valueCol`
+    * frequencies: `depth × width` cells, cell (r, c) = Σ counts of values
+    * with `h_r(v) = c`. Cell sums are ASSOCIATIVE — the sketch of a
+    * union is the cell-wise sum of the sketches, so per-batch sketches
+    * merge without re-reading history, and the build is one
+    * partial-aggregated shuffle reduced to depth·width rows at any input
+    * size. Hashes are 48-bit md5 prefixes of `"<r>|<value>"` mod width —
+    * deterministic, any engine replays the cells bit-for-bit. */
+  def countMinCells(df: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16 && width >= 2,
+      s"need 1<=depth<=16, width>=2: $depth x $width")
+    val rows = sequence(lit(0), lit(depth - 1))
+    df.select(col(valueCol).as("__v"), explode(rows).as("__r"))
+      .withColumn("__c",
+        (conv(substring(md5(concat_ws("|", col("__r"), col("__v"))), 1, 12),
+          16, 10).cast("long") % width).cast("int"))
+      .groupBy(col("__r"), col("__c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch for each distinct value of `valueCol` in
+    * `probe`: estimate = min over rows of the value's cell count (an
+    * OVERestimate, never under). `cells` is broadcast-grade
+    * (depth·width rows) regardless of corpus size. Returns
+    * (value, est). */
+  def countMinEstimate(probe: DataFrame, valueCol: String, cells: DataFrame,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val rows = sequence(lit(0), lit(depth - 1))
+    probe.select(col(valueCol).as("value")).distinct()
+      .select(col("value"), explode(rows).as("__r"))
+      .withColumn("__c",
+        (conv(substring(md5(concat_ws("|", col("__r"), col("value"))), 1, 12),
+          16, 10).cast("long") % width).cast("int"))
+      .join(broadcast(cells), Seq("__r", "__c"))
+      .groupBy(col("value")).agg(min(col("cnt")).as("est"))
+  }
 }

@@ -40,4 +40,34 @@ class SketchesSpec extends SparkSpec {
       .collect().head.getLong(1)
     assert(a == b)
   }
+
+  private def cellMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  test("count-min: estimates never undercount; exact when collision-free") {
+    val rows = (0 until 3000).map(i => s"tok${i % 37}").toDF("v")
+    val cells = Sketches.countMinCells(rows, "v", depth = 4, width = 512)
+    val est = Sketches.countMinEstimate(rows, "v", cells, depth = 4, width = 512)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = (0 until 3000).map(i => s"tok${i % 37}")
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    exact.foreach { case (t, n) => assert(est(t) >= n, s"undercounted $t") }
+    // 37 values in 512 cells across 4 rows: at least one row is
+    // collision-free for every value (pigeonhole odds; deterministic
+    // hashes make this a fixed property of the test data)
+    assert(est == exact, "expected exact estimates at this sketch size")
+  }
+
+  test("count-min cells are mergeable: sketch(A union B) = sum of sketches") {
+    val a = (0 until 1000).map(i => s"t${i % 31}").toDF("v")
+    val b = (0 until 800).map(i => s"t${i % 53}").toDF("v")
+    val merged = cellMap(Sketches.countMinCells(a.union(b), "v", 4, 256))
+    val summed = {
+      val ca = cellMap(Sketches.countMinCells(a, "v", 4, 256))
+      val cb = cellMap(Sketches.countMinCells(b, "v", 4, 256))
+      (ca.keySet ++ cb.keySet).map(k =>
+        k -> (ca.getOrElse(k, 0L) + cb.getOrElse(k, 0L))).toMap
+    }
+    assert(merged == summed)
+  }
 }
