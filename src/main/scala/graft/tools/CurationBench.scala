@@ -125,6 +125,16 @@ object CurationBench {
       store.expireSnapshots(table, keepLast = 1)
     }
 
+    // Unrecorded warmup: the first merge in a JVM pays codegen/JIT that
+    // otherwise lands entirely in the first grid cell (measured at sf1:
+    // the p=0.001 scd2_simple cell ran 2-6x its steady state and
+    // INVERTED the proportion curve). One throwaway simple merge at the
+    // smallest proportion warms the whole path.
+    val (wSec, _) = timed(Scd2.scd2Simple(store, table,
+      updatesAt(base, proportions.min)))
+    resetToBase()
+    log(f"warmup merge ${wSec}%.1f s (unrecorded)")
+
     val cells = for {
       p <- proportions
       // upsert_mor is the merge-on-read counterpoint: latest-state upsert
