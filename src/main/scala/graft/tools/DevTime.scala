@@ -17,11 +17,15 @@ object DevTime {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
-    (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[devtime] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    // comma-separated names share one JVM/session (scale sweeps)
+    name.split(",").map(_.trim).filter(_.nonEmpty).foreach { q =>
+      graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(q)(spark, sfDir).count()
+        println(f"[devtime] $q run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
