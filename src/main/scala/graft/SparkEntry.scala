@@ -3137,6 +3137,27 @@ object SparkEntry {
           sum(length(col("text")).cast("long")).as("sum_text_len"),
           countDistinct(md5(col("text"))).as("n_distinct"))
         .orderBy(col("source"))
+    }),
+
+    // format: ANALYZE — snapshot-scoped per-column statistics (Iceberg's
+    // ANALYZE/Puffin shape; served by `$stats` with explicit staleness).
+    // Null counts ride ONE aggregate pass; NDV is the deterministic KMV
+    // sketch — exact below k=256 distinct (lang/source/lang_nullable),
+    // the engine-replayable estimate above (doc_id). The oracle
+    // recomputes the KMV estimate from the same md5 prefixes.
+    "q131_analyze_stats" -> ((s, dir) => {
+      import s.implicits._
+      val store = tmpStore(s)
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          when(col("doc_id") % 10 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")).as("lang_nullable"))
+      store.commit("d", docs, "create")
+      store.analyzeTable("d")
+      val (_, rc, cols) = store.columnStats("d").get
+      cols.sortBy(_._1).toDF("col_name", "n_nulls", "ndv")
+        .withColumn("n_rows", lit(rc))
+        .orderBy(col("col_name"))
     })
   )
 
@@ -5009,7 +5030,39 @@ object SparkEntry {
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
         |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Exact null counts + COUNT(DISTINCT) for the sub-k columns; the
+    // KMV estimate re-derived from the same 48-bit md5 prefixes for
+    // doc_id (k=256, estimate = 255*2^48 // h_256).
+    "q131_analyze_stats" ->
+      """WITH base AS (SELECT doc_id, lang, source,
+        |    CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang_nullable
+        |  FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS rc FROM base),
+        |dh AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        |  FROM base),
+        |dhk AS (SELECT MAX(h) AS hk FROM (
+        |    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM dh)
+        |  WHERE rn <= 256),
+        |stats AS (
+        |  SELECT 'doc_id' AS col_name, 0 AS n_nulls,
+        |    CASE WHEN (SELECT COUNT(*) FROM dh) < 256
+        |         THEN (SELECT COUNT(*) FROM dh)
+        |         ELSE (255 * 281474976710656)
+        |              // greatest((SELECT hk FROM dhk), 1) END AS ndv
+        |  UNION ALL
+        |  SELECT 'lang', 0, COUNT(DISTINCT lang) FROM base
+        |  UNION ALL
+        |  SELECT 'lang_nullable',
+        |    SUM(CASE WHEN lang_nullable IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT lang_nullable) FROM base
+        |  UNION ALL
+        |  SELECT 'source', 0, COUNT(DISTINCT source) FROM base)
+        |SELECT col_name, CAST(n_nulls AS BIGINT) AS n_nulls,
+        |  CAST(ndv AS BIGINT) AS ndv, (SELECT rc FROM n) AS n_rows
+        |FROM stats ORDER BY col_name""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

@@ -90,6 +90,29 @@ object GraftMetadata {
     (tagRows ++ branchRows).toArray
   }
 
+  val statsSchema: StructType = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("analyzed_version", LongType, nullable = false),
+    StructField("current_version", LongType, nullable = false),
+    StructField("row_count", LongType, nullable = false),
+    StructField("n_nulls", LongType, nullable = false),
+    StructField("ndv", LongType, nullable = false)))
+
+  /** `$stats`: the newest ANALYZE result at or below the current version
+    * (empty until `CALL analyze_table`). `analyzed_version` vs
+    * `current_version` makes staleness explicit — stats are snapshot-
+    * scoped and never silently carried (see TableStore.analyzeTable). */
+  def statsRows(store: TableStore, base: String): Array[InternalRow] =
+    store.columnStats(base) match {
+      case None => Array.empty
+      case Some((v, rc, cols)) =>
+        val cur = store.currentVersion(base)
+        cols.sortBy(_._1).map { case (c, nulls, ndv) =>
+          new GenericInternalRow(Array[Any](UTF8String.fromString(c),
+            v, cur, rc, nulls, ndv)): InternalRow
+        }.toArray
+    }
+
   /** `<table>$<meta>` resolution, or None if `name` has no '$' suffix. */
   def resolve(name: String, store: TableStore): Option[Table] = {
     val i = name.indexOf('$')
@@ -103,6 +126,7 @@ object GraftMetadata {
         case "files" => Some(new LocalTable(s"$base$$files", filesSchema, filesRows(ms)))
         case "partitions" => Some(new LocalTable(s"$base$$partitions", partitionsSchema, partitionsRows(ms)))
         case "refs" => Some(new LocalTable(s"$base$$refs", refsSchema, refsRows(store, base)))
+        case "stats" => Some(new LocalTable(s"$base$$stats", statsSchema, statsRows(store, base)))
         case _ => None
       }
     }

@@ -21,6 +21,7 @@ object GraftProcedures {
       case "rewrite_delete_files" => Some(rewriteDeleteFiles(store))
       case "expire_snapshots" => Some(expireSnapshots(store))
       case "rollback_to_version" => Some(rollbackToVersion(store))
+      case "analyze_table" => Some(analyzeTable(store))
       case "remove_orphan_files" => Some(removeOrphanFiles(store))
       case "rewrite_sorted" => Some(rewriteSorted(store))
       case "rewrite_zorder" => Some(rewriteZOrder(store))
@@ -158,6 +159,33 @@ object GraftProcedures {
             StructField("restored_version", LongType),
             StructField("new_version", LongType))),
           new GenericInternalRow(Array[Any](v - 1, target, v)))
+      }
+    }
+  }
+
+  /** `CALL g.system.analyze_table(table => 't')` — compute snapshot-scoped
+    * per-column statistics (null counts + deterministic KMV NDV), served
+    * by the `t$stats` metadata table with explicit staleness (Iceberg's
+    * ANALYZE/Puffin shape). */
+  private def analyzeTable(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "analyze_table"
+    override def description(): String =
+      "compute per-column null counts + NDV for the current snapshot (see t$stats)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "analyze_table"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val s = store
+        val v = s.analyzeTable(table)
+        val n = s.columnStats(table).map(_._3.size).getOrElse(0)
+        result(
+          StructType(Seq(StructField("analyzed_version", LongType),
+            StructField("n_columns", LongType))),
+          new GenericInternalRow(Array[Any](v, n.toLong)))
       }
     }
   }

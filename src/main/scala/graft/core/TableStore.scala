@@ -1851,6 +1851,97 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       }).toSeq.sortBy(_._1)
   }
 
+  // ----------------------------------------------------- table statistics
+
+  /** ANALYZE: per-column statistics of the CURRENT snapshot, stored as a
+    * side file `_stats/<version>.json` (the Iceberg ANALYZE/Puffin shape:
+    * stats belong to a SNAPSHOT — they are never carried forward, and
+    * `$stats` reports which snapshot they describe, so a reader sees
+    * staleness instead of trusting silently). Per column: null count and
+    * NDV. Exact COUNT(DISTINCT) per column is a full-width expand at
+    * scale, so NDV is the deterministic KMV estimate
+    * ([[graft.ext.Sketches.kmvDistinct]], k=256) — exact below 256
+    * distinct values, engine-replayable above. Null counts for every
+    * column ride ONE aggregate pass; NDV is one column-pruned
+    * distinct-shuffle per column (ANALYZE is offline maintenance; job
+    * count is schema-width-bounded, each job reads one column). Reads go
+    * through [[read]], so merge-on-read deletes are honored.
+    * Returns the analyzed snapshot version. */
+  def analyzeTable(table: String, columns: Seq[String] = Seq.empty): Long = {
+    require(exists(table), s"analyzeTable: table $table does not exist")
+    val m = manifests(table).maxBy(_.version)
+    val df = read(table)
+    val all = df.schema.fieldNames.toSeq
+    val cols = if (columns.isEmpty) all else {
+      val missing = columns.filterNot(c => all.exists(_.equalsIgnoreCase(c)))
+      require(missing.isEmpty, s"analyzeTable: no such column(s) $missing")
+      columns
+    }
+    import org.apache.spark.sql.functions.{count, sum, when}
+    val one = functions.lit(1)
+    val nullAggs = cols.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c")) :+
+      count(one).as("__rows")
+    val nr = df.agg(nullAggs.head, nullAggs.tail: _*).head()
+    val rowCount = nr.getLong(cols.size)
+    val stats: Seq[(String, Long, Long)] = cols.zipWithIndex.map { case (c, i) =>
+      val nulls = nr.getLong(i)
+      val ndv =
+        if (nulls == rowCount) 0L
+        else graft.ext.Sketches.kmvDistinct(
+          df.filter(col(c).isNotNull).select(one.as("__g"), col(c)),
+          Seq("__g"), c, k = 256)
+          .collect().headOption.map(_.getLong(1)).getOrElse(0L)
+      (c, nulls, ndv)
+    }
+    val json = stats.map { case (c, nulls, ndv) =>
+      s"""${jstr(c)}:{"nulls":$nulls,"ndv":$ndv}"""
+    }.mkString(
+      s"""{"version":${m.version},"timestampMs":${System.currentTimeMillis()},""" +
+        s""""rowCount":$rowCount,"columns":{""", ",", "}}")
+    val dir = new Path(tableDir(table), "_stats")
+    fs(dir).mkdirs(dir)
+    atomicWrite(new Path(dir, s"${m.version}.json"), json)
+    m.version
+  }
+
+  /** The newest recorded stats at or below the current version, or None.
+    * Returns (analyzedVersion, rowCount, per-column (nulls, ndv)). */
+  def columnStats(table: String)
+      : Option[(Long, Long, Seq[(String, Long, Long)])] = {
+    val cur = currentVersion(table)
+    val dir = new Path(tableDir(table), "_stats")
+    val f = fs(dir)
+    if (!f.exists(dir)) return None
+    val versions = f.listStatus(dir)
+      .map(_.getPath.getName).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json")).flatMap(n => scala.util.Try(n.toLong).toOption)
+      .filter(_ <= cur)
+    if (versions.isEmpty) return None
+    val v = versions.max
+    val in = f.open(new Path(dir, s"$v.json"))
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val root = mapper.readTree(txt)
+    val colsNode = root.get("columns")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val it = colsNode.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      out += ((e.getKey, e.getValue.get("nulls").asLong(),
+        e.getValue.get("ndv").asLong()))
+    }
+    Some((root.get("version").asLong(), root.get("rowCount").asLong(),
+      out.toSeq))
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   // ------------------------------------------------- write-audit-publish
 
   /** Stage an append as an UNPUBLISHED candidate snapshot (Iceberg's

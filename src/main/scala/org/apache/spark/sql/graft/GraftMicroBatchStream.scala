@@ -3,7 +3,7 @@ package org.apache.spark.sql.graft
 import graft.core.TableStore
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 
 /** Stream offset = table version: everything at or below it has been
   * emitted. */
@@ -33,14 +33,29 @@ case class GraftOffset(version: Long) extends Offset {
   * limits): a stream started against a year-old table drains it in
   * bounded batches instead of one giant first batch, and steady-state
   * latency is unaffected once caught up.
+  *
+  * `Trigger.AvailableNow` is supported: the version current at query
+  * start is pinned as the drain target, the backlog up to it is emitted
+  * (still in `maxVersionsPerTrigger`-bounded batches), and the query
+  * STOPS — the batch-drain mode of a scheduled ingest pipeline
+  * (process everything that exists, exactly once, then exit). Versions
+  * committed after the pin are left for the next run's checkpoint.
   */
 class GraftMicroBatchStream(spark: SparkSession, warehouse: String,
     tableName: String, skipRewrites: Boolean,
     rebuild: Seq[TableStore.FileEntry] => Scan,
     maxVersionsPerTrigger: Long = 0L)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private def store = new TableStore(spark, warehouse)
+
+  // Trigger.AvailableNow drain target: pinned once at query start so the
+  // stream has a stable finish line even while writers keep committing.
+  @volatile private var availableNowCap: Long = Long.MaxValue
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = store.currentVersion(tableName)
 
   // planInputPartitions/createReaderFactory are driver-side and called in
   // order per micro-batch (MicroBatchScanExec); the factory must match the
@@ -55,7 +70,7 @@ class GraftMicroBatchStream(spark: SparkSession, warehouse: String,
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val cur = store.currentVersion(tableName)
+    val cur = math.min(store.currentVersion(tableName), availableNowCap)
     val from = start.asInstanceOf[GraftOffset].version
     if (maxVersionsPerTrigger <= 0L) GraftOffset(cur)
     else GraftOffset(math.min(cur, from + maxVersionsPerTrigger))

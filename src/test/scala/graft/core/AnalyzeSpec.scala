@@ -1,0 +1,78 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ANALYZE (snapshot-scoped per-column stats) + the `$stats` metadata
+  * table: null counts exact, NDV exact below the KMV k, estimated above,
+  * staleness explicit (stats pin the analyzed version, never carry). */
+class AnalyzeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newStore() = new TableStore(spark,
+    java.nio.file.Files.createTempDirectory("graft_analyze").toString)
+
+  private val df = (0 until 2000).map { i =>
+    (i.toLong, s"g${i % 12}", if (i % 5 == 0) null else s"v${i % 40}")
+  }.toDF("id", "grp", "maybe")
+
+  test("null counts exact; NDV exact below k, within 10% above") {
+    val store = newStore()
+    store.commit("t", df, "create")
+    store.analyzeTable("t")
+    val Some((v, rc, cols)) = store.columnStats("t")
+    assert(v == 1L && rc == 2000L)
+    val byCol = cols.map(c => c._1 -> ((c._2, c._3))).toMap
+    assert(byCol("grp") == ((0L, 12L)))     // exact: 12 < k
+    // i%5 == (i%40)%5, so the 8 residues divisible by 5 are always null:
+    // 32 distinct non-null values
+    assert(byCol("maybe") == ((400L, 32L))) // nulls exact, ndv exact
+    val (idNulls, idNdv) = byCol("id")      // 2000 distinct > k: estimate
+    assert(idNulls == 0L)
+    assert(math.abs(idNdv - 2000L) * 10 <= 2000L, s"ndv estimate off: $idNdv")
+  }
+
+  test("stats are snapshot-scoped: staleness is explicit, never carried") {
+    val store = newStore()
+    store.commit("t", df, "create")
+    store.analyzeTable("t")
+    store.append("t", Seq((9999L, "gNEW", "vNEW")).toDF("id", "grp", "maybe"))
+    val Some((v, rc, _)) = store.columnStats("t")
+    assert(v == 1L && rc == 2000L, "stats must still describe version 1")
+    assert(store.currentVersion("t") == 2L)
+    store.analyzeTable("t")
+    val Some((v2, rc2, cols2)) = store.columnStats("t")
+    assert(v2 == 2L && rc2 == 2001L)
+    assert(cols2.find(_._1 == "grp").get._3 == 13L) // gNEW joined the domain
+  }
+
+  test("column subset + unknown column validation") {
+    val store = newStore()
+    store.commit("t", df, "create")
+    store.analyzeTable("t", Seq("grp"))
+    val Some((_, _, cols)) = store.columnStats("t")
+    assert(cols.map(_._1) == Seq("grp"))
+    intercept[IllegalArgumentException] {
+      store.analyzeTable("t", Seq("nope"))
+    }
+  }
+
+  test("SQL: CALL analyze_table + SELECT FROM t$stats") {
+    val wh = tmpDir("graft_an_sql")
+    val cat = s"gan${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val store = new TableStore(spark, wh)
+    store.commit("t", df, "create")
+    // before ANALYZE: $stats is empty, not an error
+    assert(spark.sql(s"SELECT * FROM $cat.ns.`t$$stats`").count() == 0)
+    val r = spark.sql(s"CALL $cat.system.analyze_table(table => 't')").collect()
+    assert(r.head.getLong(0) == 1L && r.head.getLong(1) == 3L)
+    val st = spark.sql(s"SELECT column, n_nulls, ndv, analyzed_version, " +
+        s"current_version FROM $cat.ns.`t$$stats` ORDER BY column").collect()
+    assert(st.length == 3)
+    assert(st.map(_.getString(0)).toSeq == Seq("grp", "id", "maybe"))
+    assert(st.forall(r => r.getLong(3) == 1L && r.getLong(4) == 1L))
+  }
+}

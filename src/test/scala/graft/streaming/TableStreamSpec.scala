@@ -127,4 +127,41 @@ class TableStreamSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("Trigger.AvailableNow drains the backlog in bounded batches, then stops") {
+    withCatalog { (store, cat) =>
+      store.commit("t", Seq((1L, "a")).toDF("id", "s"), "create")
+      (2 to 6).foreach(i => store.append("t", Seq((i.toLong, s"x$i")).toDF("id", "s")))
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+      val ck = tmpDir("ck_an")
+      def drain(): Unit = {
+        val q = spark.readStream
+          .option("maxVersionsPerTrigger", "2")
+          .table(s"$cat.ns.t")
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val n = df.count()
+            if (n > 0) batches.incrementAndGet()
+            rows.addAndGet(n)
+            ()
+          }
+          .option("checkpointLocation", ck).start()
+        // must terminate BY ITSELF once the pinned backlog drains
+        assert(q.awaitTermination(120000), "AvailableNow query did not stop")
+      }
+      drain()
+      assert(rows.get() == 6, s"expected full drain, got ${rows.get()}")
+      assert(batches.get() >= 3,
+        s"expected >=3 rate-limited batches, got ${batches.get()}")
+      // re-run on the SAME checkpoint: exactly-once — nothing re-emits
+      drain()
+      assert(rows.get() == 6, s"re-run re-emitted: ${rows.get()}")
+      // a new commit, then a third run: only the delta arrives
+      store.append("t", Seq((7L, "g")).toDF("id", "s"))
+      drain()
+      assert(rows.get() == 7, s"delta drain wrong: ${rows.get()}")
+    }
+  }
 }
