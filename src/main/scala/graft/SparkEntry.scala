@@ -3158,6 +3158,39 @@ object SparkEntry {
       cols.sortBy(_._1).toDF("col_name", "n_nulls", "ndv")
         .withColumn("n_rows", lit(rc))
         .orderBy(col("col_name"))
+    }),
+
+    // ext+format: incremental inverted-index maintenance — the
+    // NON-aggregate derived-table counterpart of the q115 matview. The
+    // index is a token-clustered TABLE with a standing write order;
+    // each refresh builds postings from the metadata-planned source
+    // delta and APPENDS them (new docs' postings are disjoint rows — no
+    // fold), O(delta) at any index size. The checksum pins the final
+    // index bit-for-bit against a from-scratch build; both_incremental
+    // asserts no refresh fell back to a full rebuild.
+    "q132_incremental_index" -> ((s, dir) => {
+      val store = tmpStore(s)
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), (col("doc_id") % 3).as("b"))
+      store.commit("corpus", docs.filter(col("b") === 0).drop("b"), "create")
+      graft.ext.Search.createIndexTable(store, "corpus", "idx",
+        "doc_id", "text")
+      store.append("corpus", docs.filter(col("b") === 1).drop("b"))
+      val (_, _, m1) = graft.ext.Search.refreshIndex(store, "corpus", "idx",
+        "doc_id", "text")
+      store.append("corpus", docs.filter(col("b") === 2).drop("b"))
+      val (_, _, m2) = graft.ext.Search.refreshIndex(store, "corpus", "idx",
+        "doc_id", "text")
+      val idx = store.read("idx")
+      val chk = idx.agg(count(lit(1)).as("n_postings"),
+        sum(conv(substring(md5(concat_ws(":", col("token"), col("doc_id"),
+            col("tf"))), 1, 12), 16, 10).cast("long") % 1000000)
+          .as("index_checksum"))
+      graft.ext.Search.searchAll(idx, "doc_id", Seq("spark", "table"), 10)
+        .crossJoin(chk)
+        .withColumn("both_incremental",
+          lit(m1 == "incremental" && m2 == "incremental"))
+        .orderBy(col("score").desc, col("doc_id"))
     })
   )
 
@@ -5062,7 +5095,28 @@ object SparkEntry {
         |  SELECT 'source', 0, COUNT(DISTINCT source) FROM base)
         |SELECT col_name, CAST(n_nulls AS BIGINT) AS n_nulls,
         |  CAST(ndv AS BIGINT) AS ndv, (SELECT rc FROM n) AS n_rows
-        |FROM stats ORDER BY col_name""".stripMargin
+        |FROM stats ORDER BY col_name""".stripMargin,
+
+    // From-scratch index over ALL docs — equality (checksum + search
+    // results) proves the incremental appends reconstructed it exactly.
+    "q132_incremental_index" ->
+      raw"""WITH tk AS (SELECT doc_id, unnest(list_filter(
+           |    string_split_regex(lower(text), '\W+'), x -> x <> '')) AS token
+           |  FROM documents),
+           |idx AS (SELECT token, doc_id, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+           |chk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_postings,
+           |  CAST(SUM(('0x' || substr(md5(token || ':'
+           |      || CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)),
+           |    1, 12))::BIGINT % 1000000) AS BIGINT) AS index_checksum
+           |  FROM idx),
+           |hits AS (SELECT doc_id, COUNT(DISTINCT token) AS nt,
+           |    SUM(tf) AS score
+           |  FROM idx WHERE token IN ('spark', 'table') GROUP BY doc_id),
+           |top AS (SELECT doc_id, CAST(score AS BIGINT) AS score FROM hits
+           |  WHERE nt = 2 ORDER BY score DESC, doc_id LIMIT 10)
+           |SELECT t.doc_id, t.score, c.n_postings, c.index_checksum,
+           |  true AS both_incremental
+           |FROM top t, chk c ORDER BY t.score DESC, t.doc_id""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.core.TableStore
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -24,6 +25,60 @@ object Search {
         explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy(col("token"), col(idCol))
       .agg(count(lit(1)).as("tf"))
+
+  /** Materialize the index as a TABLE, range-clustered by token (per-file
+    * token ranges are disjoint, so a term lookup is a manifest-level file
+    * skip) with a standing write order on `token` — every future
+    * incremental append stays clustered. The source watermark rides as an
+    * immutable tag `idxwm-<sourceVersion>` on the index table. */
+  def createIndexTable(store: TableStore, source: String, index: String,
+      idCol: String, textCol: String, buckets: Int = 8): Long = {
+    val v = store.currentVersion(source)
+    val postings = buildIndex(store.read(source), idCol, textCol)
+      .repartitionByRange(buckets, col("token"))
+      .sortWithinPartitions("token")
+    val iv = store.commit(index, postings, "create_index")
+    store.setWriteOrder(index, Seq("token"))
+    store.createTag(index, s"idxwm-$v", iv)
+    v
+  }
+
+  /** Incremental index maintenance — the NON-aggregate derived-table
+    * counterpart of [[graft.core.MatView]]: postings of documents
+    * appended since the last watermark are built from the metadata-
+    * planned delta scan and APPENDED (new documents' postings are
+    * disjoint rows from old ones, so no fold is needed; the standing
+    * write order keeps them token-clustered). Cost is O(delta) at any
+    * index size. A non-append source history (CoW merge, compaction)
+    * makes the delta unreadable — refresh then falls back to a full
+    * rebuild, explicit in the returned mode. Returns (source version
+    * folded, delta rows scanned, "incremental"|"full"). */
+  def refreshIndex(store: TableStore, source: String, index: String,
+      idCol: String, textCol: String): (Long, Long, String) = {
+    val last = store.tags(index).map(_._1)
+      .filter(_.startsWith("idxwm-")).map(_.stripPrefix("idxwm-").toLong)
+      .maxOption.getOrElse(
+        throw new IllegalStateException(s"$index is not an index table"))
+    val cur = store.currentVersion(source)
+    if (cur == last) return (cur, 0L, "incremental")
+    val delta =
+      try {
+        val added = store.addedFilesBetween(source, last, cur)
+        Some((store.readIncremental(source, last, cur),
+          added.map(_.rowCount).sum))
+      } catch { case _: IllegalArgumentException => None }
+    val (mode, rows, iv) = delta match {
+      case Some((df, n)) =>
+        ("incremental", n, store.append(index, buildIndex(df, idCol, textCol)))
+      case None =>
+        val full = buildIndex(store.read(source), idCol, textCol)
+          .repartitionByRange(8, col("token")).sortWithinPartitions("token")
+        ("full", store.manifests(source).maxBy(_.version).rowCount,
+          store.commit(index, full, "rebuild_index"))
+    }
+    store.createTag(index, s"idxwm-$cur", iv)
+    (cur, rows, mode)
+  }
 
   /** Conjunctive (AND) top-k: documents containing EVERY query term,
     * scored by summed term frequency, ties broken by ascending id. */

@@ -34,4 +34,28 @@ class SearchSpec extends SparkSpec {
     assert(Search.searchAll(idx, "doc_id", Seq("table", "table"), 10)
       .as[(Long, Long)].collect().toMap.keySet == Set(1L, 2L, 4L))
   }
+
+  private def sortedIdx(df: org.apache.spark.sql.DataFrame) =
+    df.as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+  test("incremental index refresh equals a full rebuild; rewrite forces full") {
+    val store = new graft.core.TableStore(spark, tmpDir("graft_idx"))
+    store.commit("c", docs.filter($"doc_id" <= 2L), "create")
+    Search.createIndexTable(store, "c", "i", "doc_id", "text")
+    store.append("c", docs.filter($"doc_id" === 3L || $"doc_id" === 4L))
+    val (_, n1, m1) = Search.refreshIndex(store, "c", "i", "doc_id", "text")
+    assert(m1 == "incremental" && n1 == 2L)
+    assert(sortedIdx(store.read("i")) ==
+      sortedIdx(Search.buildIndex(docs.filter($"doc_id" <= 4L), "doc_id", "text")))
+    // idempotent: nothing new → empty delta
+    val (_, n2, m2) = Search.refreshIndex(store, "c", "i", "doc_id", "text")
+    assert(m2 == "incremental" && n2 == 0L)
+    // a rewrite in the source history makes the delta unreadable → full
+    store.compact("c")
+    store.append("c", docs.filter($"doc_id" === 5L))
+    val (_, _, m3) = Search.refreshIndex(store, "c", "i", "doc_id", "text")
+    assert(m3 == "full")
+    assert(sortedIdx(store.read("i")) ==
+      sortedIdx(Search.buildIndex(docs, "doc_id", "text")))
+  }
 }
