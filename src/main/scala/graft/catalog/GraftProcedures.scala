@@ -22,6 +22,7 @@ object GraftProcedures {
       case "expire_snapshots" => Some(expireSnapshots(store))
       case "rollback_to_version" => Some(rollbackToVersion(store))
       case "analyze_table" => Some(analyzeTable(store))
+      case "refresh_index" => Some(refreshIndex(store))
       case "remove_orphan_files" => Some(removeOrphanFiles(store))
       case "rewrite_sorted" => Some(rewriteSorted(store))
       case "rewrite_zorder" => Some(rewriteZOrder(store))
@@ -186,6 +187,39 @@ object GraftProcedures {
           StructType(Seq(StructField("analyzed_version", LongType),
             StructField("n_columns", LongType))),
           new GenericInternalRow(Array[Any](v, n.toLong)))
+      }
+    }
+  }
+
+  /** `CALL g.system.refresh_index(source => 'docs', index => 'docs_idx',
+    * id_col => 'doc_id', text_col => 'text')` — incremental inverted-index
+    * maintenance: postings of the source's snapshot delta are appended to
+    * the token-clustered index table (O(delta); falls back to an explicit
+    * full rebuild over a rewritten history). See
+    * [[graft.ext.Search.refreshIndex]]. */
+  private def refreshIndex(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "refresh_index"
+    override def description(): String =
+      "append the source snapshot delta's postings to an inverted-index table"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "refresh_index"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("source", StringType).build(),
+        ProcedureParameter.in("index", StringType).build(),
+        ProcedureParameter.in("id_col", StringType).build(),
+        ProcedureParameter.in("text_col", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val (v, rows, mode) = graft.ext.Search.refreshIndex(store,
+          input.getUTF8String(0).toString, input.getUTF8String(1).toString,
+          input.getUTF8String(2).toString, input.getUTF8String(3).toString)
+        result(
+          StructType(Seq(StructField("source_version", LongType),
+            StructField("delta_rows", LongType),
+            StructField("mode", StringType))),
+          new GenericInternalRow(Array[Any](v, rows,
+            org.apache.spark.unsafe.types.UTF8String.fromString(mode))))
       }
     }
   }

@@ -58,4 +58,21 @@ class SearchSpec extends SparkSpec {
     assert(sortedIdx(store.read("i")) ==
       sortedIdx(Search.buildIndex(docs, "doc_id", "text")))
   }
+
+  test("SQL: CALL refresh_index maintains the index table") {
+    val wh = tmpDir("graft_idx_sql")
+    val cat = s"gidx${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val store = new graft.core.TableStore(spark, wh)
+    store.commit("c", docs.filter($"doc_id" <= 2L), "create")
+    Search.createIndexTable(store, "c", "i", "doc_id", "text")
+    store.append("c", docs.filter($"doc_id" > 2L))
+    val r = spark.sql(s"CALL $cat.system.refresh_index(source => 'c', " +
+      "index => 'i', id_col => 'doc_id', text_col => 'text')").collect()
+    assert(r.head.getLong(1) == 3L && r.head.getString(2) == "incremental")
+    assert(sortedIdx(spark.table(s"$cat.ns.i")) ==
+      sortedIdx(Search.buildIndex(docs, "doc_id", "text")))
+  }
 }
