@@ -23,6 +23,26 @@ object SparkEntry {
   private def tmpStore(s: SparkSession): TableStore =
     new TableStore(s, java.nio.file.Files.createTempDirectory("graft_wh").toString)
 
+  /** Deterministic JSONL staging dir per fixture, deleted on JVM exit.
+    * `.text(mode=overwrite)` replaces its contents on every run, so
+    * repeated bench/verify invocations reuse one directory instead of
+    * leaking a corpus copy per call. */
+  private val jsonlDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def jsonlStagingDir(fixtureDir: String): String =
+    jsonlDirs.computeIfAbsent(fixtureDir, { _ =>
+      val p = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"),
+        "graft_jsonl_" + Integer.toHexString(fixtureDir.hashCode))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(p.toFile)
+      }))
+      p.toString
+    })
+
   /** All GraftStatsScan instances in an executed plan (recursing through
     * AQE wrappers) — used by queries that assert runtime pruning fired. */
   private def collectGraftScans(p: org.apache.spark.sql.execution.SparkPlan)
@@ -2870,10 +2890,13 @@ object SparkEntry {
       val e = Tables.load(s, dir, "embeddings")
       graft.ext.Projection.signedProject(e, "vec_id", "embedding", 64, 16)
         .select(col("vec_id"),
-          expr("aggregate(zip_with(proj, sequence(1,16), " +
-            "(p, j) -> p * j), 0L, (a, x) -> a + x)").as("proj_checksum"),
-          expr("aggregate(transform(proj, p -> abs(p)), 0L, " +
-            "(a, x) -> a + x)").as("proj_l1"))
+          // unrolled over the FIXED 16 output dims (codegen arithmetic;
+          // an aggregate() HOF here would re-introduce the interpreted
+          // per-element lambda this query exists to avoid)
+          (1 to 16).map(j => element_at(col("proj"), j) * j)
+            .reduce(_ + _).as("proj_checksum"),
+          (1 to 16).map(j => abs(element_at(col("proj"), j)))
+            .reduce(_ + _).as("proj_l1"))
         .orderBy(col("vec_id")).limit(20)
     }),
 
@@ -3124,7 +3147,11 @@ object SparkEntry {
     // round trip lost nothing (unicode escaping included).
     "q130_jsonl_ingest" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      // One deterministic staging dir per fixture (overwritten on every
+      // invocation, deleted at JVM exit) — bench reps and repeated
+      // correctness runs reuse it instead of accumulating corpus-sized
+      // copies under /tmp.
+      val out = jsonlStagingDir(dir)
       docs.select(to_json(struct(col("doc_id"), col("text"), col("lang"),
           col("source"), col("n_chars"))).as("value"))
         .write.mode("overwrite").text(out)

@@ -1083,7 +1083,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * `unionByName(allowMissingColumns = true)`: batch columns are aligned
     * to the stored schema and genuinely new columns are added at the end
     * (old files read them back as null). */
-  def append(table: String, df: DataFrame): Long = {
+  def append(table: String, df: DataFrame,
+      operation: String = "append"): Long = {
     // Pure addition is safe to retry on an optimistic-commit conflict:
     // every attempt re-reads the (now newer) snapshot and carries ITS
     // files forward; nothing this writer decides depends on the snapshot
@@ -1091,7 +1092,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     // deliberately surface CommitConflictException instead.)
     var attempt = 0
     while (true) {
-      try return appendOnce(table, df)
+      try return appendOnce(table, df, operation)
       catch {
         case _: TableStore.CommitConflictException if attempt < 3 =>
           attempt += 1
@@ -1100,8 +1101,9 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     -1L // unreachable
   }
 
-  private def appendOnce(table: String, df: DataFrame): Long =
-    if (!exists(table)) commit(table, df, "append")
+  private def appendOnce(table: String, df: DataFrame,
+      operation: String): Long =
+    if (!exists(table)) commit(table, df, operation)
     else {
       val m = manifests(table).maxBy(_.version)
       val existing = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
@@ -1118,7 +1120,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       // batch touches — which no range predicate could ever prune.
       // baseVersion pins the carried file list to the snapshot it was
       // read from; a racing commit trips the CAS and the append retries.
-      commitFiles(table, m.files, Some(aligned), "append", m.partitionBy,
+      commitFiles(table, m.files, Some(aligned), operation, m.partitionBy,
         Seq.empty, baseVersion = m.version)
     }
 
@@ -1877,10 +1879,13 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       require(missing.isEmpty, s"analyzeTable: no such column(s) $missing")
       columns
     }
-    import org.apache.spark.sql.functions.{count, sum, when}
+    import org.apache.spark.sql.functions.{coalesce, count, sum, when}
     val one = functions.lit(1)
+    // coalesce: sum over zero rows is SQL NULL; a delete-all'd table must
+    // still ANALYZE to zeros rather than NPE on getLong.
     val nullAggs = cols.map(c =>
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c")) :+
+      coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), functions.lit(0L))
+        .as(s"__n_$c")) :+
       count(one).as("__rows")
     val nr = df.agg(nullAggs.head, nullAggs.tail: _*).head()
     val rowCount = nr.getLong(cols.size)

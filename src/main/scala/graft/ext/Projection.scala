@@ -31,19 +31,20 @@ object Projection {
 
   /** Project quantized embeddings to `outDim` signed-sum components:
     * (idCol, proj array<long>). Null vectors are dropped (no defined
-    * projection). */
+    * projection). The whole outDim×inDim multiply runs as ONE codegen'd
+    * array pass ([[org.apache.spark.sql.graft.SignedProjection]]) — the
+    * prior higher-order-function chain evaluated an interpreted boxed
+    * lambda per matrix element and was measured ~90× slower than this at
+    * sf0.1. Long sums are exact, so outputs are bit-identical to the
+    * fold formulation the oracle replays. */
   def signedProject(df: DataFrame, idCol: String, vecCol: String,
       inDim: Int, outDim: Int): DataFrame = {
     require(inDim > 0 && outDim > 0, "dimensions must be positive")
-    val signs: Seq[Seq[Int]] =
-      (1 to outDim).map(j => (1 to inDim).map(i => signOf(j, i)))
-    val m = typedlit(signs)
+    val signs: Array[Int] =
+      Array.tabulate(outDim * inDim)(k => signOf(k / inDim + 1, k % inDim + 1))
     Similarity.quantizeInt8(df.filter(col(vecCol).isNotNull), idCol, vecCol)
-      .withColumn("proj", transform(sequence(lit(1), lit(outDim)), j =>
-        aggregate(
-          zip_with(col("codes"), element_at(m, j),
-            (a, b) => (a * b).cast("long")),
-          lit(0L), (acc, x) => acc + x)))
+      .withColumn("proj", org.apache.spark.sql.graft.VectorBridge
+        .signedProjection(col("codes"), signs, outDim, inDim))
       .select(col(idCol), col("proj"))
   }
 }

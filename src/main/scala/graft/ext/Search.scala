@@ -37,10 +37,28 @@ object Search {
     val postings = buildIndex(store.read(source), idCol, textCol)
       .repartitionByRange(buckets, col("token"))
       .sortWithinPartitions("token")
-    val iv = store.commit(index, postings, "create_index")
+    val iv = store.commit(index, postings, s"create_index wm=$v")
     store.setWriteOrder(index, Seq("token"))
     store.createTag(index, s"idxwm-$v", iv)
     v
+  }
+
+  /** The source watermark the index has folded up to. The DURABLE record
+    * is the `wm=<v>` token inside each index commit's operation string —
+    * written in the SAME manifest CAS as the postings themselves, so a
+    * fold is never applied without its watermark advancing. The
+    * `idxwm-<v>` tags are a convenience cache (SQL-visible via `$refs`)
+    * that may lag after a crash between commit and tag; taking the max
+    * over both sources makes a lagging tag harmless. */
+  private def foldedWatermark(store: TableStore, index: String): Long = {
+    val opWm = store.manifests(index).flatMap(m =>
+      m.operation.split("\\s+").collectFirst {
+        case s if s.startsWith("wm=") => s.stripPrefix("wm=").toLong
+      })
+    val tagWm = store.tags(index).map(_._1)
+      .filter(_.startsWith("idxwm-")).map(_.stripPrefix("idxwm-").toLong)
+    (opWm ++ tagWm).maxOption.getOrElse(
+      throw new IllegalStateException(s"$index is not an index table"))
   }
 
   /** Incremental index maintenance — the NON-aggregate derived-table
@@ -55,12 +73,12 @@ object Search {
     * folded, delta rows scanned, "incremental"|"full"). */
   def refreshIndex(store: TableStore, source: String, index: String,
       idCol: String, textCol: String): (Long, Long, String) = {
-    val last = store.tags(index).map(_._1)
-      .filter(_.startsWith("idxwm-")).map(_.stripPrefix("idxwm-").toLong)
-      .maxOption.getOrElse(
-        throw new IllegalStateException(s"$index is not an index table"))
+    val last = foldedWatermark(store, index)
     val cur = store.currentVersion(source)
-    if (cur == last) return (cur, 0L, "incremental")
+    // >= — not == — so a refresh replayed after a crash (or racing a
+    // faster concurrent refresh) sees the commit-recorded watermark and
+    // becomes a no-op instead of re-appending the same delta's postings.
+    if (cur <= last) return (cur, 0L, "incremental")
     val delta =
       try {
         val added = store.addedFilesBetween(source, last, cur)
@@ -69,14 +87,19 @@ object Search {
       } catch { case _: IllegalArgumentException => None }
     val (mode, rows, iv) = delta match {
       case Some((df, n)) =>
-        ("incremental", n, store.append(index, buildIndex(df, idCol, textCol)))
+        ("incremental", n, store.append(index,
+          buildIndex(df, idCol, textCol), s"refresh_index wm=$cur"))
       case None =>
         val full = buildIndex(store.read(source), idCol, textCol)
           .repartitionByRange(8, col("token")).sortWithinPartitions("token")
         ("full", store.manifests(source).maxBy(_.version).rowCount,
-          store.commit(index, full, "rebuild_index"))
+          store.commit(index, full, s"rebuild_index wm=$cur"))
     }
-    store.createTag(index, s"idxwm-$cur", iv)
+    // Tag is cache only: losing the race (another refresh already folded
+    // cur and tagged it) or crashing before this line never loses the
+    // watermark — it is inside the iv commit above.
+    try store.createTag(index, s"idxwm-$cur", iv)
+    catch { case _: TableStore.CommitConflictException => () }
     (cur, rows, mode)
   }
 

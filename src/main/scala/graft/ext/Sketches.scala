@@ -93,7 +93,8 @@ object Sketches {
       .withColumn("__c",
         (conv(substring(md5(concat_ws("|", col("__r"), col("value"))), 1, 12),
           16, 10).cast("long") % width).cast("int"))
-      .join(broadcast(cells), Seq("__r", "__c"))
-      .groupBy(col("value")).agg(min(col("cnt")).as("est"))
+      .join(broadcast(cells), Seq("__r", "__c"), "left")
+      .groupBy(col("value"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 }

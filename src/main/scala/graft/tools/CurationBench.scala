@@ -67,8 +67,19 @@ object CurationBench {
       .withColumn("op", lit("U"))
       .withColumn("ss_quantity", lit(1).cast("integer"))
 
-  case class Cell(useCase: String, proportion: Double, seconds: Double,
-      ok: Boolean)
+  /** One grid cell, timed `secs.size` times (n>=2 by default, +1 re-time
+    * when the spread exceeds 1.5x — the same exogenous-load protocol as
+    * `Bench`). The reported value is the MEDIAN; spread = max/min makes a
+    * co-tenant spike visible instead of silently shaping the curve. */
+  case class Cell(useCase: String, proportion: Double, secs: Seq[Double],
+      ok: Boolean) {
+    def median: Double = {
+      val s = secs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def spread: Double = secs.max / math.max(secs.min, 1e-9)
+  }
 
   /** Pathologically skewed CDC batch: same row count as `updatesAt(base,
     * p)` but 90% of the rows are successive versions of ONE hot pk
@@ -92,9 +103,13 @@ object CurationBench {
     hot.unionByName(uniform)
   }
 
-  /** Run the full grid at one scale. Returns (bulkInsertSeconds, cells). */
+  /** Run the full grid at one scale. Returns (bulkInsertSeconds, cells).
+    * `iters` timed runs per cell (each from the same rolled-back base
+    * snapshot), plus up to `extraIters` re-times for cells whose spread
+    * exceeds 1.5x. */
   def runScale(spark: SparkSession, storeSalesDir: String, copies: Int,
-      proportions: Seq[Double], log: String => Unit): (Double, Seq[Cell]) = {
+      proportions: Seq[Double], log: String => Unit,
+      iters: Int = 2, extraIters: Int = 1): (Double, Seq[Cell]) = {
     val wh = Files.createTempDirectory("graft_curation").toString
     val store = new TableStore(spark, wh)
     val table = "store_sales_scd2"
@@ -135,6 +150,32 @@ object CurationBench {
     resetToBase()
     log(f"warmup merge ${wSec}%.1f s (unrecorded)")
 
+    // n>=2 iterations per cell, each merging into the SAME rolled-back
+    // base snapshot (reset is metadata-only and outside the clock); when
+    // the within-cell spread exceeds 1.5x, spend up to extraIters more so
+    // a co-tenant spike cannot silently shape the proportion curve. All
+    // iterations are logged and surface in the detail artifact.
+    def timedCell(uc: String, p: Double)(body: => Unit): Cell = {
+      var ok = true
+      def once(): Double = {
+        val (sec, o) = timed(body)
+        ok &&= o
+        resetToBase()
+        sec
+      }
+      var secs = Vector.fill(iters)(once())
+      var extra = 0
+      while (ok && extra < extraIters && secs.max > 1.5 * secs.min) {
+        log(f"$uc p=$p spread ${secs.max}%.1f/${secs.min}%.1f s — re-timing")
+        secs :+= once()
+        extra += 1
+      }
+      val c = Cell(uc, p, secs, ok)
+      log(f"$uc p=$p median ${c.median}%.1f s spread ${c.spread}%.2f " +
+        s"n=${secs.size} (ok=$ok) [${secs.map(s => f"$s%.1f").mkString(",")}]")
+      c
+    }
+
     val cells = for {
       p <- proportions
       // upsert_mor is the merge-on-read counterpoint: latest-state upsert
@@ -150,7 +191,7 @@ object CurationBench {
       uc <- Seq("scd2_simple", "scd2_complex", "upsert_mor", "cdc_mor")
     } yield {
       val delta = updatesAt(base, p)
-      val (sec, ok) = timed {
+      timedCell(uc, p) {
         if (uc == "scd2_simple") Scd2.scd2Simple(store, table, delta)
         else if (uc == "upsert_mor") store.upsertMoR(table, delta, Seq("pk"))
         else if (uc == "cdc_mor") store.applyCdcMoR(table,
@@ -158,54 +199,70 @@ object CurationBench {
           Seq("pk"), "_deleted")
         else Scd2.scd2Complex(store, table, delta)
       }
-      log(f"$uc p=$p ${sec}%.1f s (ok=$ok)")
-      // metadata-only reset to the common base snapshot; expire the
-      // merge's snapshot so its rewrite files are reclaimed before the
-      // next cell (disk stays ~2× table size, not ×cells)
-      resetToBase()
-      Cell(uc, p, sec, ok)
     }
     // skew cell: same delta size as p=0.01, 90% of rows on one hot pk
-    val (skewSec, skewOk) = {
-      val delta = skewedUpdatesAt(spark, base, 0.01)
-      val r = timed(Scd2.scd2Complex(store, table, delta))
-      resetToBase()
-      r
-    }
-    log(f"scd2_complex skewed(p=0.01, 90%% one pk) ${skewSec}%.1f s (ok=$skewOk)")
+    val skewDelta = skewedUpdatesAt(spark, base, 0.01)
+    val skewCell = timedCell("skewed_complex", 0.01)(
+      Scd2.scd2Complex(store, table, skewDelta))
     // reclaim the scratch warehouse + materialized base
     store.drop(table)
     delete(Paths.get(baseDir))
-    (bulkSec, cells :+ Cell("skewed_complex", 0.01, skewSec, skewOk))
+    (bulkSec, cells :+ skewCell)
   }
 
   private def delete(p: java.nio.file.Path): Unit =
     TpcdsIngest.deleteRecursively(p)
 
-  /** JSON fragment for the bench artifact:
-    * {"sf1":{"bulk_insert":s,"scd2_simple":{"0.001":s,...},...},...}. */
+  /** Run the grid at every scale. Returns (compact, detail) JSON
+    * fragments. `compact` is tail-window-sized for the driver artifact:
+    * cell values are MEDIANS over n iterations in proportion order
+    * (legend: blk=bulk_insert, s2s/s2c=scd2_simple/complex,
+    * mor=upsert_mor, cdc=cdc_mor, skw=skewed_complex; spx=worst
+    * within-cell max/min spread, wc=the cell it came from, n=iterations
+    * before re-timing; a FAILED cell reports -1 and lands in "fail").
+    * `detail` carries every iteration of every cell verbatim. */
   def runAll(outerSpark: SparkSession, storeSalesDir: String,
       scales: Seq[(String, Int)], proportions: Seq[Double],
-      log: String => Unit): String = {
+      log: String => Unit, iters: Int = 2): (String, String) = {
     // Isolated session: the wide-row sf10 merges want smaller tasks than
     // the caller's 32 shuffle partitions give (900k × 23-col rows per
     // sort otherwise); AQE coalesces the excess away at sf1, so the
     // higher count costs nothing small.
     val spark = outerSpark.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "128")
-    scales.map { case (name, copies) =>
+    val shortKey = Map("scd2_simple" -> "s2s", "scd2_complex" -> "s2c",
+      "upsert_mor" -> "mor", "cdc_mor" -> "cdc", "skewed_complex" -> "skw")
+    val perScale = scales.map { case (name, copies) =>
       val (bulkSec, cells) = runScale(spark, storeSalesDir, copies,
-        proportions, m => log(s"[$name] $m"))
-      val byCase = cells.groupBy(_.useCase).toSeq.sortBy(_._1).map {
-        case (uc, cs) =>
-          val ps = cs.sortBy(_.proportion).map { c =>
-            val v = if (c.ok) f"${c.seconds}%.1f" else "\"FAILED\""
-            s""""${c.proportion}":$v"""
-          }.mkString("{", ",", "}")
-          s""""$uc":$ps"""
-      }.mkString(",")
-      f""""$name":{"bulk_insert":$bulkSec%.1f,$byCase}"""
+        proportions, m => log(s"[$name] $m"), iters = iters)
+      (name, bulkSec, cells)
+    }
+    val compact = perScale.map { case (name, bulkSec, cells) =>
+      val byCase = cells.groupBy(_.useCase).toSeq
+        .sortBy(t => shortKey(t._1)).map { case (uc, cs) =>
+          val sorted = cs.sortBy(_.proportion)
+          val vs = sorted.map(c => if (c.ok) f"${c.median}%.1f" else "-1")
+          if (uc == "skewed_complex") s""""skw":${vs.head}"""
+          else s""""${shortKey(uc)}":${vs.mkString("[", ",", "]")}"""
+        }.mkString(",")
+      val worst = cells.maxBy(_.spread)
+      val failed = cells.filterNot(_.ok)
+        .map(c => "\"" + shortKey(c.useCase) + "@" + c.proportion + "\"")
+        .mkString("[", ",", "]")
+      f""""$name":{"blk":$bulkSec%.1f,$byCase,"n":$iters,""" +
+        f""""spx":${worst.spread}%.2f,"wc":"${shortKey(worst.useCase)}@${worst.proportion}"""" +
+        (if (failed == "[]") "}" else s""","fail":$failed}""")
+    }.mkString("{\"p\":" +
+      proportions.map(_.toString).mkString("[", ",", "]") + ",", ",", "}")
+    val detail = perScale.map { case (name, bulkSec, cells) =>
+      val cj = cells.map { c =>
+        s"""{"uc":"${c.useCase}","p":${c.proportion},""" +
+          s""""secs":${c.secs.map(s => f"$s%.2f").mkString("[", ",", "]")},""" +
+          f""""median":${c.median}%.2f,"spread":${c.spread}%.2f,"ok":${c.ok}}"""
+      }.mkString("[", ",", "]")
+      f""""$name":{"bulk_insert":$bulkSec%.1f,"cells":$cj}"""
     }.mkString("{", ",", "}")
+    (compact, detail)
   }
 
   def main(args: Array[String]): Unit = {
@@ -221,10 +278,12 @@ object CurationBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val json = runAll(spark, storeSales, scales,
+    val iters = sys.env.getOrElse("SPARK_GRAFT_CURATION_ITERS", "2").toInt
+    val (compact, detail) = runAll(spark, storeSales, scales,
       Seq(0.001, 0.01, 0.1, 0.99),
-      m => System.err.println(s"[curation] $m"))
-    println(s"""{"metric":"curation","scales":$json}""")
+      m => System.err.println(s"[curation] $m"), iters = iters)
+    println(s"""{"metric":"curation_detail","scales":$detail}""")
+    println(s"""{"metric":"curation","scales":$compact}""")
     spark.stop()
   }
 }

@@ -357,7 +357,7 @@ private object MetadataAgg {
     val groups: Seq[(Seq[String], Seq[TableStore.FileEntry])] =
       if (groupFields.isEmpty) Seq((Seq.empty, m.files))
       else m.files.groupBy(f => groupFields.map(g => f.partitionValues(g.name)))
-        .toSeq.sortBy(_._1.mkString(" "))
+        .toSeq.sortBy(_._1.mkString("\u0000"))
     val rows = groups.map { case (tuple, files) =>
       val sub = m.copy(files = files)
       val groupVals = groupFields.zip(tuple).map { case (g, s) =>

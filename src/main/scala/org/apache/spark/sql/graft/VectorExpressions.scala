@@ -181,6 +181,72 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Double],
     copy(child = newChild)
 }
 
+/** All `outDim` signed-sum components of a JL random projection in ONE
+  * array pass over int8 codes: out(j) = Σ_i codes(i)·signs(j·inDim+i),
+  * signs ∈ {−1,+1}. Replaces the interpreted
+  * `transform(sequence, j => aggregate(zip_with(...)))` chain, which ran
+  * a boxed lambda per matrix element (~9.5 s for 2,000 vectors at
+  * sf0.1); this is a tight int loop inside whole-stage codegen.
+  * Accumulation is strictly ascending-i per component and every sum is
+  * exact in long (|out| ≤ dim·127), so results are bit-identical to the
+  * fold formulation and to any engine-side replay. */
+case class SignedProjection(child: Expression, signs: Array[Int],
+    outDim: Int, inDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  require(signs.length == outDim * inDim,
+    s"signs length ${signs.length} != $outDim x $inDim")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "signed_projection"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), inDim)
+    val out = new Array[Long](outDim)
+    var j = 0
+    while (j < outDim) {
+      val off = j * inDim
+      var s = 0L
+      var i = 0
+      while (i < n) { s += v.getInt(i).toLong * signs(off + i); i += 1 }
+      out(j) = s
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", signs, "int[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val off = ctx.freshName("off")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $inDim);
+         |long[] $out = new long[$outDim];
+         |for (int $j = 0; $j < $outDim; $j++) {
+         |  int $off = $j * $inDim;
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (long) $a.getInt($i) * $signsRef[$off + $i];
+         |  }
+         |  $out[$j] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignedProjection =
+    copy(child = newChild)
+}
+
 /** sql-package-private bridge used by graft.functions.VectorFunctions. */
 object VectorBridge {
   def vecDot(a: Column, b: Column): Column =
@@ -195,6 +261,11 @@ object VectorBridge {
       planesPerTable: Int, dim: Int): Column =
     ExpressionUtils.column(HyperplaneBuckets(
       ExpressionUtils.expression(v), planes, tables, planesPerTable, dim))
+
+  def signedProjection(codes: Column, signs: Array[Int], outDim: Int,
+      inDim: Int): Column =
+    ExpressionUtils.column(SignedProjection(
+      ExpressionUtils.expression(codes), signs, outDim, inDim))
 
   /** Expose the expressions as SQL functions (`vector_dot`, `vector_cosine`)
     * on an already-built session — complements [[graft.GraftExtensions]]

@@ -41,7 +41,9 @@ def main() -> None:
 
     results = {}
     for name in sorted(oracle):
-        if not any(name.startswith(p) for p in PURE):
+        # Exact query-id match ("q10" must not swallow q100-q109):
+        # the id is everything before the first underscore.
+        if name.split("_")[0] not in PURE:
             continue
         if only and not any(s in name for s in only):
             continue
