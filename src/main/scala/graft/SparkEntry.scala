@@ -3218,6 +3218,51 @@ object SparkEntry {
         .withColumn("both_incremental",
           lit(m1 == "incremental" && m2 == "incremental"))
         .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // format: SQL reads over POSITIONAL deletes, mixed with equality
+    // deletes, without CALL compact — the scan plans one task per data
+    // file, chains its splits in offset order, counts row positions, and
+    // anti-filters the broadcast (file,pos) mask while the equality
+    // lookup applies sequence semantics; parquet vectorization survives
+    // via the per-batch row-id mapping. The anchor asserts the plan used
+    // GraftPosMorScan AND stayed columnar, then aggregates through it.
+    "q133_pos_delete_sql" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val wh = java.nio.file.Files.createTempDirectory("graft_pds").toString
+      val cat = s"gq133x${System.nanoTime()}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      val store = new TableStore(s, wh)
+      store.commit("ev", ev, "create")
+      store.deleteWhereMoR("ev", "event_type = 'error'")      // positional
+      store.deleteKeysMoR("ev",                               // + equality
+        ev.filter(col("event_id") % 13 === 0).select(col("event_id")),
+        Seq("event_id"))
+      val df = s.sql(s"SELECT event_type, COUNT(*) AS n, " +
+        "SUM(CAST(value AS DECIMAL(18,2))) AS total_value " +
+        s"FROM $cat.ns.ev GROUP BY event_type")
+      df.collect() // finalize AQE so the scan nodes are inspectable
+      def walk(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case o => o.children
+        }
+        p +: kids.flatMap(walk)
+      }
+      val scans = walk(df.queryExecution.executedPlan).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[org.apache.spark.sql.graft.GraftPosMorScan] => b
+      }
+      df.withColumn("pos_scan_columnar",
+          lit(scans.nonEmpty && scans.forall(_.supportsColumnar)))
+        .withColumn("total_value", col("total_value").cast("double"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -5143,7 +5188,18 @@ object SparkEntry {
            |  WHERE nt = 2 ORDER BY score DESC, doc_id LIMIT 10)
            |SELECT t.doc_id, t.score, c.n_postings, c.index_checksum,
            |  true AS both_incremental
-           |FROM top t, chk c ORDER BY t.score DESC, t.doc_id""".stripMargin
+           |FROM top t, chk c ORDER BY t.score DESC, t.doc_id""".stripMargin,
+
+    // The delete view in plain SQL: positional deletes masked every
+    // 'error' row present at delete time (nothing appended after), the
+    // equality deletes masked event_id % 13 = 0 in the base files.
+    "q133_pos_delete_sql" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS pos_scan_columnar
+        |FROM events
+        |WHERE event_type <> 'error' AND event_id % 13 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

@@ -86,20 +86,10 @@ class GraftRowLevelOperation(spark: SparkSession, catalogName: String,
   private def scanOverFiles(files: Seq[FileEntry]): Scan =
     if (manifest.deleteFiles.isEmpty) parquetScanOver(files)
     else {
-      import org.apache.spark.sql.graft.{GraftMorScan, MorScan}
-      val keyCols = manifest.deleteFiles.head.keyCols
-      val groups = files.groupBy(fe => TableStore.fileSeqOf(fe.path))
-        .toSeq.sortBy(_._1)
-        .map { case (seq, fes) => (seq, parquetScanOver(fes)) }
-      val keySchema = StructType(keyCols.map(k =>
-        tableSchema.fields(tableSchema.fieldIndex(k))))
       val root = new org.apache.hadoop.fs.Path(warehouse, tableName).toString
-      val lookup = MorScan.deleteLookup(spark, root, manifest, keySchema,
-        4000000L)
-      val keyOrdinals = keyCols.map(tableSchema.fieldIndex).toArray
-      val keyTypes = keyOrdinals.map(i => tableSchema.fields(i).dataType)
-      new GraftMorScan(spark, s"$tableName rowlevel", tableSchema, groups,
-        lookup, keyOrdinals, keyTypes, files)
+      org.apache.spark.sql.graft.MorScan.buildScan(spark, root,
+        s"$tableName rowlevel", manifest, tableSchema, tableSchema, files,
+        fes => parquetScanOver(fes), 4000000L)
     }
 
   /** The operation's scan, with MERGE-time runtime group filtering: for a

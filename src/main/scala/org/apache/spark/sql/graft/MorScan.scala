@@ -6,26 +6,45 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.vectorized.{ColumnarArray, ColumnarBatch, ColumnarMap, ColumnVector}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** SQL reads over merge-on-read tables: the scan applies equality deletes
-  * itself, Iceberg-style, instead of refusing. The snapshot's data files
-  * group by their commit sequence (`v=N/` path prefix, ≤ #commits groups);
-  * each group plans Spark's own pruned parquet scan, and every emitted row
-  * is checked against a broadcast (key → max delete sequence) map — a row
-  * survives iff no delete with a LARGER sequence than its file's covers
-  * its key (same-version new images survive, Iceberg v2 semantics). Key
-  * columns are forced into the read schema (Spark projects them back out),
-  * so column pruning still reaches the parquet scan.
+/** SQL reads over merge-on-read tables: the scan applies equality AND
+  * positional deletes itself, Iceberg-style, instead of refusing.
   *
-  * Scale shape: the lookup is churn-sized and shipped ONCE per executor
-  * via a real broadcast; the delete load is one tiny column-pruned job at
-  * plan time. Honest cap: beyond `morMaxDeleteKeys` (default 4M) the scan
-  * refuses and points at `CALL compact` — the library read path
-  * ([[TableStore.read]]) joins instead of broadcasting and has no cap.
-  * Readers are row-based (the per-row filter forfeits parquet
-  * vectorization); compacting materializes deletes away and restores
-  * columnar scans.
+  * Equality deletes: the snapshot's data files group by their commit
+  * sequence (`v=N/` path prefix, ≤ #commits groups); each group plans
+  * Spark's own pruned parquet scan, and every emitted row is checked
+  * against a broadcast (key → max delete sequence) map — a row survives
+  * iff no delete with a LARGER sequence than its file's covers its key
+  * (same-version new images survive, Iceberg v2 semantics). Key columns
+  * are forced into the read schema (Spark projects them back out), so
+  * column pruning still reaches the parquet scan.
+  *
+  * Positional deletes mask (relative file path, row index) pairs of
+  * immutable files. Row indexes are recoverable at read time because a
+  * parquet file's rows are stored in row-group order: the scan plans ONE
+  * task per data file, chains that file's byte-range splits in offset
+  * order inside the task, and counts rows — position = rows seen so far.
+  * Parallelism degrades from per-split to per-file on such snapshots
+  * (delta files are churn-sized, so at scale the file count still far
+  * exceeds the executor count); `CALL compact` restores split-level
+  * parallelism.
+  *
+  * Scale shape: both lookup sides are churn-sized and shipped ONCE per
+  * executor via real broadcasts; the delete load is one tiny
+  * column-pruned job at plan time. Honest cap: beyond `morMaxDeleteKeys`
+  * (default 4M) the scan refuses and points at `CALL compact` — the
+  * library read path ([[TableStore.read]]) joins instead of broadcasting
+  * and has no cap.
+  *
+  * Vectorized reads survive: when the inner parquet scan supports
+  * columnar batches, the delete filter is applied per BATCH — surviving
+  * ordinals are computed once and the batch's vectors are wrapped in a
+  * zero-copy row-id mapping ([[MappedVector]], the Iceberg
+  * ColumnarBatchReader approach), so downstream whole-stage codegen still
+  * consumes columnar input. A batch with no deleted rows passes through
+  * untouched.
   */
 object MorScan {
 
@@ -37,23 +56,29 @@ object MorScan {
     case other => other
   }
 
-  /** (key tuple → max delete sequence) from the snapshot's delete files —
-    * one column-pruned driver-collected job, capped at `maxKeys`. */
-  def deleteLookup(spark: SparkSession, tableDir: String,
-      m: TableStore.Manifest, keySchema: StructType,
-      maxKeys: Long): Map[Seq[Any], Long] = {
-    val declared = m.deleteFiles.map(_.rowCount).sum
+  private def requireUnderCap(spark: SparkSession, tableDir: String,
+      dels: Seq[TableStore.DeleteEntry], maxKeys: Long): Unit = {
+    val declared = dels.map(_.rowCount).sum
     val total =
-      if (declared > 0 || m.deleteFiles.isEmpty) declared
+      if (declared > 0 || dels.isEmpty) declared
       else spark.read.parquet(
-        m.deleteFiles.map(d => s"$tableDir/${d.path}"): _*).count()
+        dels.map(d => s"$tableDir/${d.path}"): _*).count()
     require(total <= maxKeys,
       s"merge-on-read table carries $total delete keys (cap $maxKeys for " +
         "broadcast SQL reads); run CALL compact to materialize the deletes, " +
         "or read through the library API (TableStore.read) which joins " +
         "instead of broadcasting")
+  }
+
+  /** (key tuple → max delete sequence) from the snapshot's EQUALITY
+    * delete files — one column-pruned driver-collected job, capped at
+    * `maxKeys`. */
+  def deleteLookup(spark: SparkSession, tableDir: String,
+      eqDels: Seq[TableStore.DeleteEntry], keySchema: StructType,
+      maxKeys: Long): Map[Seq[Any], Long] = {
+    requireUnderCap(spark, tableDir, eqDels, maxKeys)
     val acc = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
-    m.deleteFiles.groupBy(_.seq).foreach { case (seq, dels) =>
+    eqDels.groupBy(_.seq).foreach { case (seq, dels) =>
       val rows = spark.read.schema(keySchema)
         .parquet(dels.map(d => s"$tableDir/${d.path}"): _*)
         .queryExecution.executedPlan.executeCollect()
@@ -67,16 +92,136 @@ object MorScan {
     acc.toMap
   }
 
+  /** The (file, pos) mask from the snapshot's POSITIONAL delete files —
+    * they name immutable relative paths directly, no sequence logic. */
+  def posDeleteSet(spark: SparkSession, tableDir: String,
+      posDels: Seq[TableStore.DeleteEntry],
+      maxKeys: Long): Set[(String, Long)] = {
+    requireUnderCap(spark, tableDir, posDels, maxKeys)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__file",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__pos",
+        org.apache.spark.sql.types.LongType)))
+    spark.read.schema(schema)
+      .parquet(posDels.map(d => s"$tableDir/${d.path}"): _*)
+      .queryExecution.executedPlan.executeCollect()
+      .map(r => (r.getUTF8String(0).toString, r.getLong(1))).toSet
+  }
+
   def keep(row: InternalRow, fileSeq: Long, keyOrdinals: Array[Int],
       keyTypes: Array[DataType], lookup: Map[Seq[Any], Long]): Boolean = {
+    if (keyOrdinals.isEmpty) return true
     val key = keyOrdinals.indices.map(i =>
       norm(row.get(keyOrdinals(i), keyTypes(i))))
     lookup.get(key).forall(_ <= fileSeq)
   }
+
+  /** Build the right MoR scan for the snapshot's delete mix. `readSchema`
+    * must already contain the equality key columns (callers force them
+    * in); `scanOver` plans a pruned parquet scan over a file subset with
+    * the caller's pushdown state replayed. */
+  def buildScan(spark: SparkSession, root: String, name: String,
+      m: TableStore.Manifest, readSchema: StructType,
+      tableSchema: StructType, files: Seq[TableStore.FileEntry],
+      scanOver: Seq[TableStore.FileEntry] => Scan, maxKeys: Long): Scan = {
+    val (posDels, eqDels) = m.deleteFiles.partition(TableStore.isPositional)
+    val keyCols = eqDels.headOption.map(_.keyCols).getOrElse(Seq.empty)
+    val keySchema = StructType(keyCols.map(k =>
+      tableSchema.fields(tableSchema.fieldIndex(k))))
+    val lookup =
+      if (eqDels.isEmpty) Map.empty[Seq[Any], Long]
+      else deleteLookup(spark, root, eqDels, keySchema, maxKeys)
+    val keyOrdinals = keyCols.map(readSchema.fieldIndex).toArray
+    val keyTypes = keyOrdinals.map(i => readSchema.fields(i).dataType)
+    if (posDels.isEmpty) {
+      val groups = files.groupBy(fe => TableStore.fileSeqOf(fe.path))
+        .toSeq.sortBy(_._1)
+        .map { case (seq, fes) => (seq, scanOver(fes)) }
+      new GraftMorScan(spark, name, readSchema, groups, lookup,
+        keyOrdinals, keyTypes, files)
+    } else {
+      val pos = posDeleteSet(spark, root, posDels, maxKeys)
+      val fileScans = files.sortBy(_.path).map(fe =>
+        (TableStore.fileSeqOf(fe.path), fe.path, scanOver(Seq(fe))))
+      new GraftPosMorScan(spark, name, readSchema, fileScans, lookup, pos,
+        keyOrdinals, keyTypes, files)
+    }
+  }
+
+  /** Surviving row ordinals of one columnar batch under the equality
+    * lookup (and, when `relPath` is non-null, the positional mask with
+    * positions starting at `posBase`). Returns null when EVERY row
+    * survives — the caller passes the batch through untouched. */
+  private[graft] def survivors(batch: ColumnarBatch, fileSeq: Long,
+      keyOrdinals: Array[Int], keyTypes: Array[DataType],
+      lookup: Map[Seq[Any], Long], relPath: String, posBase: Long,
+      pos: Set[(String, Long)]): Array[Int] = {
+    val n = batch.numRows()
+    val out = new Array[Int](n)
+    var kept = 0
+    val it = batch.rowIterator()
+    var i = 0
+    while (it.hasNext) {
+      val row = it.next()
+      val ok = keep(row, fileSeq, keyOrdinals, keyTypes, lookup) &&
+        (relPath == null || !pos.contains((relPath, posBase + i)))
+      if (ok) { out(kept) = i; kept += 1 }
+      i += 1
+    }
+    if (kept == n) null else java.util.Arrays.copyOf(out, kept)
+  }
+
+  /** Wrap a batch's vectors behind a surviving-ordinal mapping. */
+  private[graft] def mapBatch(batch: ColumnarBatch,
+      ids: Array[Int]): ColumnarBatch = {
+    val cols = Array.tabulate(batch.numCols())(c =>
+      new MappedVector(batch.column(c), ids): ColumnVector)
+    new ColumnarBatch(cols, ids.length)
+  }
 }
 
-/** The MoR read scan: per-sequence-group parquet scans unioned behind one
-  * Batch, rows filtered through the broadcast delete lookup. */
+/** Zero-copy row-id indirection over an inner ColumnVector: row r of this
+  * vector is row map(r) of the inner one. The MoR columnar delete filter
+  * wraps surviving ordinals in these instead of materializing rows, so
+  * vectorized parquet batches flow through to downstream codegen with
+  * deleted rows skipped. The inner vector stays owned by the inner
+  * reader's batch — close() is a no-op here. */
+private final class MappedVector(inner: ColumnVector, map: Array[Int])
+    extends ColumnVector(inner.dataType) {
+  override def close(): Unit = ()
+  override def hasNull: Boolean = {
+    var i = 0
+    while (i < map.length) { if (inner.isNullAt(map(i))) return true; i += 1 }
+    false
+  }
+  override def numNulls: Int = {
+    var n = 0
+    var i = 0
+    while (i < map.length) { if (inner.isNullAt(map(i))) n += 1; i += 1 }
+    n
+  }
+  override def isNullAt(r: Int): Boolean = inner.isNullAt(map(r))
+  override def getBoolean(r: Int): Boolean = inner.getBoolean(map(r))
+  override def getByte(r: Int): Byte = inner.getByte(map(r))
+  override def getShort(r: Int): Short = inner.getShort(map(r))
+  override def getInt(r: Int): Int = inner.getInt(map(r))
+  override def getLong(r: Int): Long = inner.getLong(map(r))
+  override def getFloat(r: Int): Float = inner.getFloat(map(r))
+  override def getDouble(r: Int): Double = inner.getDouble(map(r))
+  override def getArray(r: Int): ColumnarArray = inner.getArray(map(r))
+  override def getMap(r: Int): ColumnarMap = inner.getMap(map(r))
+  override def getDecimal(r: Int, p: Int, s: Int): org.apache.spark.sql.types.Decimal =
+    inner.getDecimal(map(r), p, s)
+  override def getUTF8String(r: Int): UTF8String = inner.getUTF8String(map(r))
+  override def getBinary(r: Int): Array[Byte] = inner.getBinary(map(r))
+  override def getChild(ordinal: Int): ColumnVector =
+    new MappedVector(inner.getChild(ordinal), map)
+}
+
+/** The equality-delete MoR read scan: per-sequence-group parquet scans
+  * unioned behind one Batch, rows (or columnar batches) filtered through
+  * the broadcast delete lookup. */
 final class GraftMorScan(spark: SparkSession, name: String,
     readSchemaWithKeys: StructType, groups: Seq[(Long, Scan)],
     lookup: Map[Seq[Any], Long], keyOrdinals: Array[Int],
@@ -110,16 +255,58 @@ final class GraftMorScan(spark: SparkSession, name: String,
   }
 }
 
+/** The positional(-and-equality) MoR read scan: ONE partition per data
+  * file; the file's byte-range splits chain in offset order inside the
+  * task so the reader can assign row positions by counting. */
+final class GraftPosMorScan(spark: SparkSession, name: String,
+    readSchemaWithKeys: StructType, fileScans: Seq[(Long, String, Scan)],
+    lookup: Map[Seq[Any], Long], pos: Set[(String, Long)],
+    keyOrdinals: Array[Int], keyTypes: Array[DataType],
+    files: Seq[TableStore.FileEntry])
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = readSchemaWithKeys
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftPosMorScan $name [${fileScans.size} files, " +
+      s"${pos.size} positional + ${lookup.size} equality delete keys]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    fileScans.zipWithIndex.map { case ((seq, relPath, scan), fi) =>
+      PosMorInputPartition(fi, seq, relPath,
+        scan.toBatch.planInputPartitions()): InputPartition
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val inner = fileScans.map(_._3.toBatch.createReaderFactory()).toArray
+    new PosMorReaderFactory(inner, spark.sparkContext.broadcast(lookup),
+      spark.sparkContext.broadcast(pos), keyOrdinals, keyTypes)
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, files.map(_.sizeBytes).sum))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(files.map(_.rowCount).sum)
+  }
+}
+
 private case class MorInputPartition(group: Int, seq: Long,
     inner: InputPartition) extends InputPartition
+
+private case class PosMorInputPartition(file: Int, seq: Long,
+    relPath: String, inners: Array[InputPartition]) extends InputPartition
 
 private class MorReaderFactory(inner: Array[PartitionReaderFactory],
     lookup: Broadcast[Map[Seq[Any], Long]], keyOrdinals: Array[Int],
     keyTypes: Array[DataType]) extends PartitionReaderFactory {
 
-  // per-row filtering needs rows; parquet's columnar path would hand back
-  // whole vectors
-  override def supportColumnarReads(partition: InputPartition): Boolean = false
+  // vectorized reads survive the delete filter via the per-batch row-id
+  // mapping — delegate the columnar decision to the parquet factory
+  override def supportColumnarReads(partition: InputPartition): Boolean = {
+    val mp = partition.asInstanceOf[MorInputPartition]
+    inner(mp.group).supportColumnarReads(mp.inner)
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val mp = partition.asInstanceOf[MorInputPartition]
@@ -138,6 +325,101 @@ private class MorReaderFactory(inner: Array[PartitionReaderFactory],
       }
       override def get(): InternalRow = current
       override def close(): Unit = r.close()
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val mp = partition.asInstanceOf[MorInputPartition]
+    val r = inner(mp.group).createColumnarReader(mp.inner)
+    new PartitionReader[ColumnarBatch] {
+      private var current: ColumnarBatch = _
+      override def next(): Boolean = {
+        while (r.next()) {
+          val b = r.get()
+          val ids = MorScan.survivors(b, mp.seq, keyOrdinals, keyTypes,
+            lookup.value, null, 0L, null)
+          if (ids == null) { current = b; return true }
+          if (ids.nonEmpty) { current = MorScan.mapBatch(b, ids); return true }
+        }
+        false
+      }
+      override def get(): ColumnarBatch = current
+      override def close(): Unit = r.close()
+    }
+  }
+}
+
+private class PosMorReaderFactory(inner: Array[PartitionReaderFactory],
+    lookup: Broadcast[Map[Seq[Any], Long]],
+    pos: Broadcast[Set[(String, Long)]], keyOrdinals: Array[Int],
+    keyTypes: Array[DataType]) extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = {
+    val mp = partition.asInstanceOf[PosMorInputPartition]
+    mp.inners.forall(inner(mp.file).supportColumnarReads)
+  }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val mp = partition.asInstanceOf[PosMorInputPartition]
+    new PartitionReader[InternalRow] {
+      private var idx = 0
+      private var r: PartitionReader[InternalRow] =
+        if (mp.inners.isEmpty) null else inner(mp.file).createReader(mp.inners(0))
+      private var rowIdx = 0L
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (r != null) {
+          while (r.next()) {
+            val row = r.get()
+            val p = rowIdx
+            rowIdx += 1
+            if (MorScan.keep(row, mp.seq, keyOrdinals, keyTypes, lookup.value) &&
+                !pos.value.contains((mp.relPath, p))) {
+              current = row
+              return true
+            }
+          }
+          r.close()
+          idx += 1
+          r = if (idx < mp.inners.length)
+            inner(mp.file).createReader(mp.inners(idx)) else null
+        }
+        false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = if (r != null) r.close()
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val mp = partition.asInstanceOf[PosMorInputPartition]
+    new PartitionReader[ColumnarBatch] {
+      private var idx = 0
+      private var r: PartitionReader[ColumnarBatch] =
+        if (mp.inners.isEmpty) null
+        else inner(mp.file).createColumnarReader(mp.inners(0))
+      private var rowIdx = 0L
+      private var current: ColumnarBatch = _
+      override def next(): Boolean = {
+        while (r != null) {
+          while (r.next()) {
+            val b = r.get()
+            val base = rowIdx
+            rowIdx += b.numRows()
+            val ids = MorScan.survivors(b, mp.seq, keyOrdinals, keyTypes,
+              lookup.value, mp.relPath, base, pos.value)
+            if (ids == null) { current = b; return true }
+            if (ids.nonEmpty) { current = MorScan.mapBatch(b, ids); return true }
+          }
+          r.close()
+          idx += 1
+          r = if (idx < mp.inners.length)
+            inner(mp.file).createColumnarReader(mp.inners(idx)) else null
+        }
+        false
+      }
+      override def get(): ColumnarBatch = current
+      override def close(): Unit = if (r != null) r.close()
     }
   }
 }

@@ -136,35 +136,21 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
       options.getLong("maxVersionsPerTrigger", 0L))
   }
 
-  /** Merge-on-read snapshot: per-sequence-group parquet scans + a
-    * broadcast delete filter (see [[GraftMorScan]]). Key columns are
-    * forced into the pruned schema — Spark projects them back out. */
+  /** Merge-on-read snapshot: pruned parquet scans + broadcast delete
+    * filters — equality, positional, or both (see [[MorScan.buildScan]]).
+    * Equality key columns are forced into the pruned schema — Spark
+    * projects them back out. */
   private def buildMorScan(): Scan = {
-    // positional delete files mask (file, row-index) pairs; the per-row
-    // broadcast reader has no row-index access, so SQL scans refuse —
-    // same honest-cap pattern as morMaxDeleteKeys. The library path
-    // (TableStore.read) applies them; CALL compact materializes them.
-    require(!m.deleteFiles.exists(TableStore.isPositional),
-      s"table $tableName carries positional delete files; read via " +
-        "TableStore.read or CALL compact to materialize them before SQL scans")
-    val keyCols = m.deleteFiles.head.keyCols
+    val keyCols = m.deleteFiles.filterNot(TableStore.isPositional)
+      .headOption.map(_.keyCols).getOrElse(Seq.empty)
     val base = required.getOrElse(tableSchema)
     val withKeys = StructType(base.fields ++
       keyCols.filterNot(base.fieldNames.contains).map(k =>
         tableSchema.fields(tableSchema.fieldIndex(k))))
     required = Some(withKeys)
-    val groups = keptFiles.groupBy(fe => TableStore.fileSeqOf(fe.path))
-      .toSeq.sortBy(_._1)
-      .map { case (seq, fes) => (seq, scanOver(fes)) }
-    val keySchema = StructType(keyCols.map(k =>
-      tableSchema.fields(tableSchema.fieldIndex(k))))
     val root = new org.apache.hadoop.fs.Path(warehouse, tableName).toString
-    val lookup = MorScan.deleteLookup(spark, root, m, keySchema,
-      options.getLong("morMaxDeleteKeys", 4000000L))
-    val keyOrdinals = keyCols.map(withKeys.fieldIndex).toArray
-    val keyTypes = keyOrdinals.map(i => withKeys.fields(i).dataType)
-    new GraftMorScan(spark, name, withKeys, groups, lookup, keyOrdinals,
-      keyTypes, keptFiles)
+    MorScan.buildScan(spark, root, name, m, withKeys, tableSchema,
+      keptFiles, scanOver, options.getLong("morMaxDeleteKeys", 4000000L))
   }
 }
 

@@ -142,6 +142,70 @@ class MorReadSpec extends SparkSpec {
     }
   }
 
+  private def morScans(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case s: QueryStageExec => Seq(s.plan)
+        case o => o.children
+      }
+      p +: kids.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        if b.scan.isInstanceOf[org.apache.spark.sql.graft.GraftMorScan] ||
+           b.scan.isInstanceOf[org.apache.spark.sql.graft.GraftPosMorScan] => b
+    }
+  }
+
+  test("MoR SQL reads stay vectorized: the delete filter survives a columnar scan") {
+    withCatalog { (store, cat) =>
+      seed(store)
+      val df = spark.sql(s"SELECT id, v FROM $cat.ns.t WHERE v >= 0")
+      df.collect() // materialize AQE final plan
+      val scans = morScans(df)
+      assert(scans.nonEmpty, "expected a MoR scan in the plan")
+      assert(scans.forall(_.supportsColumnar),
+        "equality-delete MoR scan must keep parquet vectorization " +
+          "(r5 verdict item #7)")
+      assert(df.count() == 90)
+    }
+  }
+
+  test("SQL SELECT applies positional deletes, alone and mixed with equality") {
+    withCatalog { (store, cat) =>
+      store.commit("p",
+        (1 to 50).map(i => (i.toLong, s"s$i", i * 1.0)).toDF("id", "s", "v"),
+        "create")
+      store.deleteWhereMoR("p", "id % 7 = 0")                     // positional
+      val sqlPosOnly = spark.sql(s"SELECT id FROM $cat.ns.p")
+        .as[Long].collect().toSet
+      assert(sqlPosOnly == (1 to 50).map(_.toLong).toSet.filterNot(_ % 7 == 0))
+      store.deleteKeysMoR("p", Seq(3L, 10L).toDF("id"), Seq("id")) // + equality
+      store.upsertMoR("p", Seq((5L, "u5", 500.0)).toDF("id", "s", "v"),
+        Seq("id"))
+      val df = spark.sql(s"SELECT id, s, v FROM $cat.ns.p")
+      val sql = df.as[(Long, String, Double)].collect().toSet
+      val lib = store.read("p").select(col("id"), col("s"), col("v"))
+        .as[(Long, String, Double)].collect().toSet
+      assert(sql == lib)
+      assert(!sql.exists(t => t._1 % 7 == 0))
+      assert(!sql.exists(t => t._1 == 3L || t._1 == 10L))
+      assert(sql.contains((5L, "u5", 500.0)))
+      assert(sql.count(_._1 == 5L) == 1)
+      // filters + pruned projections flow through the positional scan too
+      assert(spark.sql(s"SELECT s FROM $cat.ns.p WHERE id = 5")
+        .head.getString(0) == "u5")
+      // the positional path keeps vectorized reads as well (positions are
+      // counted per batch)
+      df.collect()
+      assert(morScans(df).forall(_.supportsColumnar))
+    }
+  }
+
   test("the delete-key broadcast cap refuses with a compact hint") {
     withCatalog { (store, cat) =>
       seed(store)

@@ -53,29 +53,24 @@ class PositionalDeleteSpec extends SparkSpec {
     assert(store.read("t").as[(Long, String, Double)].collect().toSet == expect)
   }
 
-  test("SQL scans refuse positional deletes until compact materializes them") {
+  test("SQL scans apply positional deletes directly; compact still clears them") {
     val wh = tmpDir("pd_cat")
     val cat = s"gpos${System.nanoTime()}"
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.catalog.GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     val store = new TableStore(spark, wh)
-    store.commit("t", Seq((1L, 1.0), (2L, -2.0)).toDF("id", "v"), "create")
+    store.commit("t", Seq((1L, 1.0), (2L, -2.0), (3L, 3.0)).toDF("id", "v"),
+      "create")
     store.deleteWhereMoR("t", "v < 0")
-    val e = intercept[Exception] {
-      spark.sql(s"SELECT COUNT(*) FROM $cat.ns.t").collect()
-    }
-    def hasMsg(t: Throwable): Boolean = {
-      var c: Throwable = t
-      while (c != null) {
-        if (c.getMessage != null && c.getMessage.contains("positional")) return true
-        c = c.getCause
-      }
-      false
-    }
-    assert(hasMsg(e), s"unexpected: $e")
+    // the DSv2 scan reconstructs row positions (one task per file, splits
+    // chained in offset order) and anti-filters the (file,pos) mask —
+    // no CALL compact required (r5 verdict item #6)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ns.t").head.getLong(0) == 2)
+    assert(spark.sql(s"SELECT id FROM $cat.ns.t ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 3L))
     store.compact("t")
-    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ns.t").head.getLong(0) == 1)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ns.t").head.getLong(0) == 2)
     assert(store.manifests("t").maxBy(_.version).deleteFiles.isEmpty)
   }
 }
