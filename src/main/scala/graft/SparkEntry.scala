@@ -3263,6 +3263,34 @@ object SparkEntry {
           lit(scans.nonEmpty && scans.forall(_.supportsColumnar)))
         .withColumn("total_value", col("total_value").cast("double"))
         .orderBy(col("event_type"))
+    }),
+
+    // Deterministic corpus-trained subword tokenizer (GreedyPiece:
+    // WordPiece-style greedy longest-match over a vocab of all corpus
+    // characters + the 64 heaviest multi-char substrings) — the REAL
+    // token counter for packing/mixing/shard budgets, replacing the
+    // whitespace approximation. Training is relational over DISTINCT
+    // words; encoding is one codegen'd kernel call per document; the
+    // oracle re-derives the vocab AND every count bit-for-bit (the
+    // recursive greedy match replayed as a recursive CTE).
+    "q134_subword_tokens" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val vocab = graft.ext.Subword.trainVocab(docs, "text",
+        topMulti = 64, maxPieceLen = 5)
+      val vchk = vocab.pieces.toSeq.toDF("piece").agg(
+        count(lit(1)).cast("long").as("vocab_size"),
+        sum(conv(substring(md5(col("piece")), 1, 12), 16, 10).cast("long")
+          % 1000000).as("vocab_checksum"))
+      docs.select(col("source"),
+          TextAnalysis.tokenCount(col("text")).as("__ws"),
+          graft.ext.Subword.tokenCount(col("text"), vocab).as("__sw"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__ws").cast("long")).as("ws_tokens"),
+          sum(col("__sw").cast("long")).as("subword_tokens"))
+        .crossJoin(broadcast(vchk))
+        .orderBy(col("source"))
     })
   )
 
@@ -5199,7 +5227,52 @@ object SparkEntry {
         |  true AS pos_scan_columnar
         |FROM events
         |WHERE event_type <> 'error' AND event_id % 13 <> 0
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Full tokenizer replay: vocab = corpus chars + top-64 multi-char
+    // substrings by (Σ word-freq weight DESC, piece ASC); encoding = the
+    // greedy longest-match recursion over DISTINCT words, joined back to
+    // word occurrences. Bit-identical counts prove the Spark kernel and
+    // the SQL recursion implement the same tokenizer.
+    "q134_subword_tokens" ->
+      raw"""WITH RECURSIVE
+           |occ AS (SELECT source, unnest(list_filter(
+           |    string_split_regex(lower(text), '\W+'), x -> x <> '')) AS w
+           |  FROM documents),
+           |wf AS (SELECT w, COUNT(*) AS freq FROM occ GROUP BY w),
+           |pieces0 AS (SELECT freq, unnest(flatten(
+           |    [ [ w[s:s+l-1] for s in range(1, length(w)-l+2) ]
+           |      for l in range(1, 6) ])) AS piece FROM wf),
+           |chars AS (SELECT DISTINCT piece FROM pieces0 WHERE length(piece) = 1),
+           |multi AS (SELECT piece FROM (
+           |  SELECT piece, SUM(freq) AS weight FROM pieces0
+           |  WHERE length(piece) >= 2 GROUP BY piece
+           |  ORDER BY weight DESC, piece LIMIT 64)),
+           |vocab AS (SELECT DISTINCT piece FROM (
+           |  SELECT piece FROM chars UNION ALL SELECT piece FROM multi)),
+           |dw AS (SELECT DISTINCT w FROM occ),
+           |st AS (
+           |  SELECT w, 1 AS pos, 0 AS cnt FROM dw
+           |  UNION ALL
+           |  SELECT w,
+           |    pos + coalesce((SELECT max(length(v.piece)) FROM vocab v
+           |                    WHERE v.piece = w[pos:pos+length(v.piece)-1]), 1),
+           |    cnt + 1
+           |  FROM st WHERE pos <= length(w)),
+           |wcnt AS (SELECT w, cnt FROM st WHERE pos = length(w) + 1),
+           |agg AS (SELECT o.source, COUNT(*) AS ws_occ, SUM(c.cnt) AS sw
+           |  FROM occ o JOIN wcnt c USING (w) GROUP BY o.source),
+           |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           |  FROM documents GROUP BY source),
+           |vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           |  CAST(SUM(('0x' || substr(md5(piece), 1, 12))::BIGINT % 1000000)
+           |    AS BIGINT) AS vocab_checksum FROM vocab)
+           |SELECT n.source, n.n_docs,
+           |  CAST(coalesce(a.ws_occ, 0) AS BIGINT) AS ws_tokens,
+           |  CAST(coalesce(a.sw, 0) AS BIGINT) AS subword_tokens,
+           |  v.vocab_size, v.vocab_checksum
+           |FROM nd n LEFT JOIN agg a USING (source), vs v
+           |ORDER BY n.source""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

@@ -506,11 +506,47 @@ class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
     }
   }
 
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+  /** ANALYZE-fed planner statistics: row count + size come from the
+    * manifest (exact for the current snapshot); per-column NDV and null
+    * counts come from the latest `$stats` file at or below the scanned
+    * version when `ANALYZE` has run ([[TableStore.analyzeTable]] — KMV
+    * NDV, exact nulls). Spark's `transformV2Stats` folds the column map
+    * into catalyst `ColumnStat`s, so with `spark.sql.cbo.enabled` (+
+    * `joinReorder.enabled`) join-order and build-side decisions see real
+    * NDVs instead of defaults. Stats may lag the snapshot (explicit in
+    * `$stats.stale`); estimates need freshness, not exactness. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val colStats: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      try {
+        new TableStore(spark, warehouse).columnStats(tableName).foreach {
+          case (_, _, cols) => cols.foreach { case (name, nulls, ndv) =>
+            if (tableSchema.fieldNames.contains(name))
+              m.put(org.apache.spark.sql.connector.expressions.Expressions
+                  .column(name),
+                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(ndv)
+                  override def nullCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(nulls)
+                })
+          }
+        }
+      } catch { case _: Throwable => () } // stats are advisory, never fail a scan
+      m
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(1L, files.map(_.sizeBytes).sum))
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(files.map(_.rowCount).sum)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
+  }
 }

@@ -75,4 +75,36 @@ class AnalyzeSpec extends SparkSpec {
     assert(st.map(_.getString(0)).toSeq == Seq("grp", "id", "maybe"))
     assert(st.forall(r => r.getLong(3) == 1L && r.getLong(4) == 1L))
   }
+
+  test("ANALYZE stats feed the planner: NDV/nulls reach catalyst column stats") {
+    val wh = tmpDir("graft_an_cbo")
+    val cat = s"gcbo${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val store = new TableStore(spark, wh)
+    store.commit("t", df, "create")
+    store.analyzeTable("t")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.sql(s"SELECT id, grp, maybe FROM $cat.ns.t")
+        .queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.exists(_.toLong == 2000L))
+      val byName = stats.attributeStats.map { case (a, s) => a.name -> s }
+      assert(byName.contains("grp"),
+        s"expected ANALYZE column stats in the plan, got ${byName.keys}")
+      assert(byName("grp").distinctCount.exists(_.toLong == 12L))
+      assert(byName("maybe").nullCount.exists(_.toLong == 400L))
+    } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+  }
+
+  test("a zero-row snapshot ANALYZEs to zeros instead of failing") {
+    val store = newStore()
+    store.commit("t", df.limit(3), "create")
+    store.commit("t", df.limit(0), "overwrite") // delete-all'd snapshot
+    store.analyzeTable("t")
+    val Some((_, rc, cols)) = store.columnStats("t")
+    assert(rc == 0L)
+    assert(cols.forall { case (_, nulls, ndv) => nulls == 0L && ndv == 0L })
+  }
 }
