@@ -362,7 +362,7 @@ object Bench {
     // detail sidecar. Stability: it=iterations, mx=worst mean/min,
     // ov=queries over the 1.5x spread bound (empty = all stable).
     def fmt(t: Double): String = {
-      val s = if (t >= 100) f"$t%.0f" else if (t >= 10) f"$t%.1f" else f"$t%.2f"
+      val s = if (t >= 10) f"$t%.0f" else if (t >= 1) f"$t%.1f" else f"$t%.2f"
       if (s.contains('.'))
         s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
       else s
@@ -370,17 +370,23 @@ object Bench {
     def short(k: String): String = k.takeWhile(_ != '_')
     val maxSpread = ok.map(st => st._2.mean / math.max(st._2.min, 1e-9))
       .foldLeft(0.0)(math.max)
-    val spreadViolators = ok
+    // capped at 2 names + a count so an unstable box can't push the line
+    // past the driver's 2000-char tail window (full list in the CSV/detail)
+    val violators = ok
       .filter(st => st._2.mean / math.max(st._2.min, 1e-9) > 1.5)
-      .map(st => "\"" + short(st._1) + "\"").mkString("[", ",", "]")
+      .map(st => short(st._1))
+    val spreadViolators = (violators.take(2) ++
+      (if (violators.size > 2) Seq(s"+${violators.size - 2}") else Nil))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val qs = ok.map { case (k, st) => "\"" + short(k) + "\":" + fmt(st.min) }
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2.min).sum
+    val sfShort = new java.io.File(sfDir).getName
     val line = f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":$qs,""" +
-      f""""it":$iters,"mx":$maxSpread%.2f,"ov":$spreadViolators""" +
-      s"""$tpcdsJson$curationJson$overheadJson,"det":"$detailPath",""" +
-      s""""sf":"$sfDir","failed":$failedJson}"""
+      f""""mx":$maxSpread%.2f,"ov":$spreadViolators""" +
+      s"""$tpcdsJson$curationJson$overheadJson,""" +
+      s""""sf":"$sfShort","failed":$failedJson}"""
     System.err.println(s"[bench] final line ${line.length} chars" +
       (if (line.length > 1950) " — OVER the ~2000-char tail budget!" else ""))
     println(line)

@@ -3291,6 +3291,20 @@ object SparkEntry {
           sum(col("__sw").cast("long")).as("subword_tokens"))
         .crossJoin(broadcast(vchk))
         .orderBy(col("source"))
+    }),
+
+    // Disjunctive BM25-style relevance top-k over the inverted index —
+    // rational-idf variant (ln replaced by its exact rational argument;
+    // libm ln is not correctly rounded across engines, IEEE +,*,/ are),
+    // every double op in one pinned association order and per-term
+    // partials summed in literal term order, so the DuckDB oracle
+    // replays scores BIT-FOR-BIT (the fixed-point-kmeans portability
+    // trick applied to ranking).
+    "q135_bm25_search" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val idx = graft.ext.Search.buildIndex(docs, "doc_id", "text")
+      graft.ext.Search.bm25TopK(idx, "doc_id",
+        Seq("spark", "table", "data"), 15)
     })
   )
 
@@ -5272,7 +5286,41 @@ object SparkEntry {
            |  CAST(coalesce(a.sw, 0) AS BIGINT) AS subword_tokens,
            |  v.vocab_size, v.vocab_checksum
            |FROM nd n LEFT JOIN agg a USING (source), vs v
-           |ORDER BY n.source""".stripMargin
+           |ORDER BY n.source""".stripMargin,
+
+    // Same pinned-association arithmetic as the Spark side: idf =
+    // ((n-df)+0.5)/(df+0.5); term = idf * (tf*(1.2+1.0)) /
+    // (tf + 1.2*((1.0-0.75) + 0.75*(dl/avgdl))); score = p0+p1+p2 in
+    // literal term order. Bit-identical doubles.
+    "q135_bm25_search" ->
+      raw"""WITH tk AS (SELECT doc_id, unnest(list_filter(
+           |    string_split_regex(lower(text), '\W+'), x -> x <> '')) AS token
+           |  FROM documents),
+           |idx AS (SELECT token, doc_id, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, SUM(tf) AS dl FROM idx GROUP BY doc_id),
+           |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+           |dft AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM idx
+           |  WHERE token IN ('spark', 'table', 'data') GROUP BY token),
+           |s AS (SELECT i.doc_id, i.token,
+           |  (((CAST(c.n AS DOUBLE) - CAST(d.df AS DOUBLE)) + 0.5)
+           |     / (CAST(d.df AS DOUBLE) + 0.5))
+           |    * (CAST(i.tf AS DOUBLE) * (1.2 + 1.0))
+           |    / (CAST(i.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+           |        (CAST(l.dl AS DOUBLE)
+           |          / (CAST(c.tot AS DOUBLE) / CAST(c.n AS DOUBLE))))) AS sc
+           |  FROM idx i JOIN dft d USING (token) JOIN dl l USING (doc_id), c
+           |  WHERE i.token IN ('spark', 'table', 'data')),
+           |p AS (SELECT doc_id,
+           |  SUM(CASE WHEN token = 'spark' THEN sc END) AS p0,
+           |  SUM(CASE WHEN token = 'table' THEN sc END) AS p1,
+           |  SUM(CASE WHEN token = 'data' THEN sc END) AS p2
+           |  FROM s GROUP BY doc_id)
+           |SELECT p.doc_id,
+           |  coalesce(p0, 0.0) + coalesce(p1, 0.0) + coalesce(p2, 0.0) AS score,
+           |  CAST(l.dl AS BIGINT) AS doc_len
+           |FROM p JOIN dl l USING (doc_id)
+           |ORDER BY score DESC, p.doc_id LIMIT 15""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

@@ -118,4 +118,64 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Disjunctive (OR) BM25-style top-k over the index — the standard
+    * relevance ranking a curation pipeline uses to pull exemplars.
+    *
+    * Engine-portable determinism (the same trick as the fixed-point
+    * k-means centroids): the classic BM25 idf `ln((N-df+0.5)/(df+0.5)+1)`
+    * is replaced by its exact RATIONAL argument `(N-df+0.5)/(df+0.5)` —
+    * `ln` is monotone, so for a single-term query the ranking is
+    * identical, and libm's `ln` is not correctly rounded across engines
+    * while IEEE +,*,/ are. Every double op here is written in one fixed
+    * association order, and the per-document score sums its per-term
+    * partials in EXPLICIT term order (one conditional aggregate per
+    * term, then a fixed-order chain of additions) — so any engine
+    * replays scores bit-for-bit. k1/b are the standard 1.2/0.75.
+    *
+    * Scale shape: postings for the query terms only (a manifest-level
+    * file skip on the token-clustered index), document lengths from one
+    * reusable aggregate of the index, term df broadcast. */
+  def bm25TopK(index: DataFrame, idCol: String, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val distinct = terms.distinct
+    require(distinct.nonEmpty, "need at least one term")
+    val dl = index.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("__dl"))
+    val corpus = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__tot"))
+    val dft = index.filter(col("token").isin(distinct.map(t => t: Any): _*))
+      .groupBy(col("token"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+    val scored = index
+      .filter(col("token").isin(distinct.map(t => t: Any): _*))
+      .join(broadcast(dft), Seq("token"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(corpus))
+      .withColumn("__avgdl",
+        col("__tot").cast("double") / col("__n").cast("double"))
+      .withColumn("__idf",
+        (col("__n").cast("double") - col("__df").cast("double") + lit(0.5)) /
+          (col("__df").cast("double") + lit(0.5)))
+      .withColumn("__s",
+        col("__idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) *
+              (col("__dl").cast("double") / col("__avgdl")))))
+    // fixed-order per-term partials: each conditional sum aggregates at
+    // most ONE value (a doc holds a term once in the index), and the
+    // final addition chain follows the literal term order — float
+    // addition stays deterministic at any parallelism
+    val partials = distinct.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, col("__s"))).as(s"__p$i")
+    }
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(partials.head, partials.tail: _*)
+      .join(dl, Seq(idCol))
+    val score = distinct.indices
+      .map(i => coalesce(col(s"__p$i"), lit(0.0)))
+      .reduce(_ + _)
+    perDoc.select(col(idCol), score.as("score"), col("__dl").as("doc_len"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

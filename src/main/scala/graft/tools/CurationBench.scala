@@ -216,11 +216,12 @@ object CurationBench {
   /** Run the grid at every scale. Returns (compact, detail) JSON
     * fragments. `compact` is tail-window-sized for the driver artifact:
     * cell values are MEDIANS over n iterations in proportion order
-    * (legend: blk=bulk_insert, s2s/s2c=scd2_simple/complex,
-    * mor=upsert_mor, cdc=cdc_mor, skw=skewed_complex; spx=worst
-    * within-cell max/min spread, wc=the cell it came from, n=iterations
-    * before re-timing; a FAILED cell reports -1 and lands in "fail").
-    * `detail` carries every iteration of every cell verbatim. */
+    * 0.001/0.01/0.1/0.99 (legend: b=bulk_insert, s2s/s2c=
+    * scd2_simple/complex, mor=upsert_mor, cdc=cdc_mor, skw=
+    * skewed_complex at p=0.01; x=worst within-cell max/min spread, w=the
+    * cell it came from; a FAILED cell reports -1 and lands in "fail").
+    * `detail` carries every iteration of every cell verbatim (n per
+    * cell included). */
   def runAll(outerSpark: SparkSession, storeSalesDir: String,
       scales: Seq[(String, Int)], proportions: Seq[Double],
       log: String => Unit, iters: Int = 2): (String, String) = {
@@ -237,11 +238,20 @@ object CurationBench {
         proportions, m => log(s"[$name] $m"), iters = iters)
       (name, bulkSec, cells)
     }
+    // magnitude-scaled precision, trailing zeros stripped — every char
+    // in the compact fragment competes with per-query times for the
+    // driver's 2000-char tail window
+    def fmt(t: Double): String = {
+      val s = if (t >= 10) f"$t%.0f" else f"$t%.1f"
+      if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else s
+    }
     val compact = perScale.map { case (name, bulkSec, cells) =>
       val byCase = cells.groupBy(_.useCase).toSeq
         .sortBy(t => shortKey(t._1)).map { case (uc, cs) =>
           val sorted = cs.sortBy(_.proportion)
-          val vs = sorted.map(c => if (c.ok) f"${c.median}%.1f" else "-1")
+          val vs = sorted.map(c => if (c.ok) fmt(c.median) else "-1")
           if (uc == "skewed_complex") s""""skw":${vs.head}"""
           else s""""${shortKey(uc)}":${vs.mkString("[", ",", "]")}"""
         }.mkString(",")
@@ -249,11 +259,10 @@ object CurationBench {
       val failed = cells.filterNot(_.ok)
         .map(c => "\"" + shortKey(c.useCase) + "@" + c.proportion + "\"")
         .mkString("[", ",", "]")
-      f""""$name":{"blk":$bulkSec%.1f,$byCase,"n":$iters,""" +
-        f""""spx":${worst.spread}%.2f,"wc":"${shortKey(worst.useCase)}@${worst.proportion}"""" +
+      f""""$name":{"b":${fmt(bulkSec)},$byCase,""" +
+        f""""x":${worst.spread}%.2f,"w":"${shortKey(worst.useCase)}@${worst.proportion}"""" +
         (if (failed == "[]") "}" else s""","fail":$failed}""")
-    }.mkString("{\"p\":" +
-      proportions.map(_.toString).mkString("[", ",", "]") + ",", ",", "}")
+    }.mkString("{", ",", "}")
     val detail = perScale.map { case (name, bulkSec, cells) =>
       val cj = cells.map { c =>
         s"""{"uc":"${c.useCase}","p":${c.proportion},""" +
