@@ -31,8 +31,60 @@ def duck_dialect(text: str) -> str:
     so a boundary revenue lands in a different segment without normalizing
     the oracle to truncation."""
     text = re.sub(r'(?i)(?<![\w"])returns(?![\w"])', '"returns"', text)
-    return re.sub(r"(?i)cast\s*\(\s*\(\s*revenue\s*/\s*50\s*\)\s*AS\s+INTEGER\s*\)",
+    text = re.sub(r"(?i)cast\s*\(\s*\(\s*revenue\s*/\s*50\s*\)\s*AS\s+INTEGER\s*\)",
                   "cast(trunc(revenue / 50) AS INTEGER)", text)
+    return rewrite_concat(text)
+
+
+def rewrite_concat(text: str) -> str:
+    """DuckDB's concat() IGNORES NULL arguments; Athena/Trino/Spark's
+    propagates them (q84: concat(c_last_name, ', ', c_first_name) with a
+    NULL name is NULL on the engine under test but 'Last, ' in a raw
+    DuckDB oracle — first observed at sf10, where dsdgen emits NULL
+    names). Rewrite concat(a, b, ...) to (a || b || ...), which
+    NULL-propagates in DuckDB too. Corpus concats have flat
+    identifier/literal args; split respects quoted strings."""
+    out = []
+    i = 0
+    low = text.lower()
+    while True:
+        j = low.find("concat(", i)
+        if j < 0:
+            out.append(text[i:])
+            return "".join(out)
+        if j > 0 and (text[j - 1].isalnum() or text[j - 1] == "_"):
+            out.append(text[i:j + 7])
+            i = j + 7
+            continue
+        out.append(text[i:j])
+        k = j + len("concat(")
+        depth = 1
+        args, cur, inq = [], [], False
+        while k < len(text) and depth > 0:
+            c = text[k]
+            if inq:
+                cur.append(c)
+                if c == "'":
+                    inq = False
+            elif c == "'":
+                inq = True
+                cur.append(c)
+            elif c == "(":
+                depth += 1
+                cur.append(c)
+            elif c == ")":
+                depth -= 1
+                if depth > 0:
+                    cur.append(c)
+            elif c == "," and depth == 1:
+                args.append("".join(cur))
+                cur = []
+            else:
+                cur.append(c)
+            k += 1
+        args.append("".join(cur))
+        out.append("(" + " || ".join(a.strip() for a in args) + ")")
+        i = k
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/graft-tpcds-sf{SF}"
