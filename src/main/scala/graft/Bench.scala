@@ -359,7 +359,7 @@ object Bench {
     // are trailing-zero-stripped with precision scaled to magnitude
     // (0.14 / 3.4 / 124), sections use short keys (legends in the section
     // builders above + SURVEY §6), and everything else lives in the
-    // detail sidecar. Stability: it=iterations, mx=worst mean/min,
+    // detail sidecar (iteration counts included). Stability: mx=worst mean/min,
     // ov=queries over the 1.5x spread bound (empty = all stable).
     def fmt(t: Double): String = {
       val s = if (t >= 10) f"$t%.0f" else if (t >= 1) f"$t%.1f" else f"$t%.2f"

@@ -23,17 +23,20 @@ object SparkEntry {
   private def tmpStore(s: SparkSession): TableStore =
     new TableStore(s, java.nio.file.Files.createTempDirectory("graft_wh").toString)
 
-  /** Deterministic JSONL staging dir per fixture, deleted on JVM exit.
+  /** Per-(JVM, fixture) JSONL staging dir, deleted on JVM exit.
     * `.text(mode=overwrite)` replaces its contents on every run, so
-    * repeated bench/verify invocations reuse one directory instead of
-    * leaking a corpus copy per call. */
+    * repeated bench/verify invocations in one JVM reuse one directory
+    * instead of leaking a corpus copy per call; the pid component keeps
+    * concurrent JVMs (a bench overlapping a verify) from overwriting or
+    * shutdown-deleting each other's staging mid-query. */
   private val jsonlDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def jsonlStagingDir(fixtureDir: String): String =
     jsonlDirs.computeIfAbsent(fixtureDir, { _ =>
       val p = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft_jsonl_" + Integer.toHexString(fixtureDir.hashCode))
+        "graft_jsonl_" + ProcessHandle.current().pid() + "_" +
+          Integer.toHexString(fixtureDir.hashCode))
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()

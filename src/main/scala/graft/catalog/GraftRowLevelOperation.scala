@@ -87,9 +87,10 @@ class GraftRowLevelOperation(spark: SparkSession, catalogName: String,
     if (manifest.deleteFiles.isEmpty) parquetScanOver(files)
     else {
       val root = new org.apache.hadoop.fs.Path(warehouse, tableName).toString
+      // parquetScanOver pushes no filters, so it is valid for both roles
       org.apache.spark.sql.graft.MorScan.buildScan(spark, root,
         s"$tableName rowlevel", manifest, tableSchema, tableSchema, files,
-        fes => parquetScanOver(fes), 4000000L)
+        fes => parquetScanOver(fes), fes => parquetScanOver(fes), 4000000L)
     }
 
   /** The operation's scan, with MERGE-time runtime group filtering: for a

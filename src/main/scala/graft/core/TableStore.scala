@@ -1101,7 +1101,12 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     -1L // unreachable
   }
 
-  private def appendOnce(table: String, df: DataFrame,
+  /** One non-retrying append attempt, surfacing
+    * [[TableStore.CommitConflictException]] to the caller — for writers
+    * whose retry decision depends on state OUTSIDE the table (e.g. an
+    * index refresh that must first re-check whether a racing refresh
+    * already folded the same source delta). */
+  private[graft] def appendOnce(table: String, df: DataFrame,
       operation: String): Long =
     if (!exists(table)) commit(table, df, operation)
     else {

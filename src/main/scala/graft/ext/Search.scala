@@ -87,8 +87,28 @@ object Search {
       } catch { case _: IllegalArgumentException => None }
     val (mode, rows, iv) = delta match {
       case Some((df, n)) =>
-        ("incremental", n, store.append(index,
-          buildIndex(df, idCol, textCol), s"refresh_index wm=$cur"))
+        // Conditional fold: a plain retrying append would let TWO racing
+        // refreshes of the same delta both land (the loser's retry
+        // carries the winner's files forward and re-appends the same
+        // postings, doubling tf). appendOnce surfaces the CAS conflict;
+        // on conflict we re-read the commit-recorded watermark — if some
+        // racer already folded >= cur this refresh becomes a no-op,
+        // otherwise the conflict was an unrelated index commit and the
+        // attempt retries against the new snapshot.
+        val postings = buildIndex(df, idCol, textCol)
+        var committed = -1L
+        var appendedRows = n
+        while (committed < 0) {
+          try committed = store.appendOnce(index, postings,
+            s"refresh_index wm=$cur")
+          catch { case _: TableStore.CommitConflictException =>
+            if (foldedWatermark(store, index) >= cur) {
+              committed = store.currentVersion(index)
+              appendedRows = 0L
+            }
+          }
+        }
+        ("incremental", appendedRows, committed)
       case None =>
         val full = buildIndex(store.read(source), idCol, textCol)
           .repartitionByRange(8, col("token")).sortWithinPartitions("token")
@@ -143,11 +163,12 @@ object Search {
     val dl = index.groupBy(col(idCol))
       .agg(sum(col("tf")).as("__dl"))
     val corpus = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__tot"))
-    val dft = index.filter(col("token").isin(distinct.map(t => t: Any): _*))
-      .groupBy(col("token"))
+    // one pass over the term postings feeds BOTH df and scoring (df is a
+    // tiny reaggregation of the already-filtered, term-count-bounded set)
+    val postings = index.filter(col("token").isin(distinct.map(t => t: Any): _*))
+    val dft = postings.groupBy(col("token"))
       .agg(countDistinct(col(idCol)).as("__df"))
-    val scored = index
-      .filter(col("token").isin(distinct.map(t => t: Any): _*))
+    val scored = postings
       .join(broadcast(dft), Seq("token"))
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(corpus))
@@ -167,10 +188,9 @@ object Search {
     // addition stays deterministic at any parallelism
     val partials = distinct.zipWithIndex.map { case (t, i) =>
       sum(when(col("token") === t, col("__s"))).as(s"__p$i")
-    }
+    } :+ max(col("__dl")).as("__dl") // constant per doc — rides the agg
     val perDoc = scored.groupBy(col(idCol))
       .agg(partials.head, partials.tail: _*)
-      .join(dl, Seq(idCol))
     val score = distinct.indices
       .map(i => coalesce(col(s"__p$i"), lit(0.0)))
       .reduce(_ + _)

@@ -241,8 +241,10 @@ object CurationBench {
     // magnitude-scaled precision, trailing zeros stripped — every char
     // in the compact fragment competes with per-query times for the
     // driver's 2000-char tail window
+    // same three precision tiers as Bench's tail formatter (>=10 -> 1 s,
+    // >=1 -> 0.1 s, else 0.01 s), trailing zeros stripped
     def fmt(t: Double): String = {
-      val s = if (t >= 10) f"$t%.0f" else f"$t%.1f"
+      val s = if (t >= 10) f"$t%.0f" else if (t >= 1) f"$t%.1f" else f"$t%.2f"
       if (s.contains('.'))
         s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
       else s

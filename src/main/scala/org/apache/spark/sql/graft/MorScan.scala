@@ -120,11 +120,25 @@ object MorScan {
   /** Build the right MoR scan for the snapshot's delete mix. `readSchema`
     * must already contain the equality key columns (callers force them
     * in); `scanOver` plans a pruned parquet scan over a file subset with
-    * the caller's pushdown state replayed. */
+    * the caller's pushdown state replayed; `scanOverUnfiltered` plans
+    * the same scan WITHOUT pushed data filters. The positional path MUST
+    * use the unfiltered variant: positions are reconstructed by counting
+    * emitted rows, and a pushed parquet predicate lets row-group/page
+    * skipping drop rows BEFORE the counter sees them — desynchronizing
+    * every position after the first skipped range from the
+    * `_metadata.row_index` values the delete files recorded. Spark
+    * re-applies all data filters above the scan (parquet pushdown is
+    * best-effort post-scan semantics), so correctness is unaffected;
+    * positional-delete snapshots just forgo row-group skipping until
+    * compaction. Manifest-level FILE pruning stays safe on both paths —
+    * an entirely-skipped file emits no rows and its mask entries are
+    * never consulted. */
   def buildScan(spark: SparkSession, root: String, name: String,
       m: TableStore.Manifest, readSchema: StructType,
       tableSchema: StructType, files: Seq[TableStore.FileEntry],
-      scanOver: Seq[TableStore.FileEntry] => Scan, maxKeys: Long): Scan = {
+      scanOver: Seq[TableStore.FileEntry] => Scan,
+      scanOverUnfiltered: Seq[TableStore.FileEntry] => Scan,
+      maxKeys: Long): Scan = {
     val (posDels, eqDels) = m.deleteFiles.partition(TableStore.isPositional)
     val keyCols = eqDels.headOption.map(_.keyCols).getOrElse(Seq.empty)
     val keySchema = StructType(keyCols.map(k =>
@@ -143,7 +157,7 @@ object MorScan {
     } else {
       val pos = posDeleteSet(spark, root, posDels, maxKeys)
       val fileScans = files.sortBy(_.path).map(fe =>
-        (TableStore.fileSeqOf(fe.path), fe.path, scanOver(Seq(fe))))
+        (TableStore.fileSeqOf(fe.path), fe.path, scanOverUnfiltered(Seq(fe))))
       new GraftPosMorScan(spark, name, readSchema, fileScans, lookup, pos,
         keyOrdinals, keyTypes, files)
     }

@@ -88,6 +88,20 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
     b.build()
   }
 
+  /** Column-pruned scan over `files` with NO pushed data filters — the
+    * positional-MoR path needs every row of a file emitted so counted
+    * positions match `_metadata.row_index` (see [[MorScan.buildScan]]);
+    * column pruning never changes row emission. Spark re-applies the
+    * predicates above the scan. */
+  private def scanOverUnfiltered(files: Seq[TableStore.FileEntry]): Scan = {
+    val b = parquetBuilderOver(files)
+    b match {
+      case p: SupportsPushDownRequiredColumns => required.foreach(p.pruneColumns)
+      case _ =>
+    }
+    b.build()
+  }
+
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     // each conjunct translatable to a source filter prunes the file list;
     // filters on transform-partition SOURCE columns additionally prune
@@ -150,7 +164,8 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
     required = Some(withKeys)
     val root = new org.apache.hadoop.fs.Path(warehouse, tableName).toString
     MorScan.buildScan(spark, root, name, m, withKeys, tableSchema,
-      keptFiles, scanOver, options.getLong("morMaxDeleteKeys", 4000000L))
+      keptFiles, scanOver, scanOverUnfiltered,
+      options.getLong("morMaxDeleteKeys", 4000000L))
   }
 }
 
@@ -515,14 +530,17 @@ class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
     * `joinReorder.enabled`) join-order and build-side decisions see real
     * NDVs instead of defaults. Stats may lag the snapshot (explicit in
     * `$stats.stale`); estimates need freshness, not exactness. */
-  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val colStats: java.util.Map[
-        org.apache.spark.sql.connector.expressions.NamedReference,
-        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
-      val m = new java.util.HashMap[
-        org.apache.spark.sql.connector.expressions.NamedReference,
-        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      try {
+  // loaded at most once per scan instance, and only when CBO is on —
+  // estimateStatistics sits on the planning path of every query, and
+  // with CBO off the column map would be read, parsed, and discarded
+  private lazy val analyzeColStats: java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val m = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    try {
+      if (spark.sessionState.conf.cboEnabled)
         new TableStore(spark, warehouse).columnStats(tableName).foreach {
           case (_, _, cols) => cols.foreach { case (name, nulls, ndv) =>
             if (tableSchema.fieldNames.contains(name))
@@ -536,9 +554,12 @@ class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
                 })
           }
         }
-      } catch { case _: Throwable => () } // stats are advisory, never fail a scan
-      m
-    }
+    } catch { case _: Throwable => () } // stats are advisory, never fail a scan
+    m
+  }
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val colStats = analyzeColStats
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(1L, files.map(_.sizeBytes).sum))

@@ -73,4 +73,55 @@ class PositionalDeleteSpec extends SparkSpec {
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ns.t").head.getLong(0) == 2)
     assert(store.manifests("t").maxBy(_.version).deleteFiles.isEmpty)
   }
+
+  test("positions survive pushed filters over multi-row-group files") {
+    // Positions are reconstructed by COUNTING emitted rows; a pushed
+    // parquet predicate would let row-group skipping drop rows before
+    // the counter sees them, desynchronizing every later position. The
+    // scan must therefore plan positional files UNFILTERED (Spark
+    // re-applies the predicate above). Tiny parquet block size forces
+    // many row groups so a regression here actually skips some.
+    val wh = tmpDir("pd_rg")
+    val cat = s"gposrg${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    // bare key: SessionState.newHadoopConf copies session-conf entries
+    // verbatim into the writer's hadoop conf (the spark.hadoop. prefix
+    // only works on the static SparkConf at context start)
+    spark.conf.set("parquet.block.size", "4096")
+    try {
+      val store = new TableStore(spark, wh)
+      val pad = "x" * 64
+      store.commit("t",
+        (1 to 20000).map(i => (i.toLong, pad + i)).toDF("id", "s")
+          .coalesce(1), "create")
+      // APERIODIC mask — a uniform stride (id % 100 = 0) is blind to the
+      // desync whenever the skipped prefix length is a multiple of the
+      // stride (row groups hold ~100 rows here, so it always was): the
+      // shifted positions land back on the mask. Irregular ids cannot
+      // realign under any shift.
+      store.deleteWhereMoR("t",
+        "id IN (5, 23, 15102, 15203, 16001, 17777, 19998)")
+      // the premise must hold or the test silently stops covering the
+      // regression: the data file really spans multiple row groups
+      val fe = store.manifests("t").maxBy(_.version).files.head
+      val rgs = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$wh/t/${fe.path}"),
+          spark.sessionState.newHadoopConf())).getFooter.getBlocks.size()
+      assert(rgs > 1, s"expected multiple row groups, got $rgs")
+      // selective range predicate: a desynced counter would resurrect
+      // masked ids and/or drop unmasked ones inside the range
+      val masked = Set(15102L, 15203L, 16001L, 17777L, 19998L)
+      val got = spark.sql(
+          s"SELECT id FROM $cat.ns.t WHERE id > 15000 ORDER BY id")
+        .as[Long].collect().toSeq
+      val want = (15001L to 20000L).filterNot(masked)
+      assert(got == want)
+      val lib = store.read("t").filter(col("id") > 15000)
+        .select(col("id")).as[Long].collect().sorted.toSeq
+      assert(lib == want)
+    } finally spark.conf.unset("parquet.block.size")
+  }
 }

@@ -59,6 +59,33 @@ class SearchSpec extends SparkSpec {
       sortedIdx(Search.buildIndex(docs, "doc_id", "text")))
   }
 
+  test("concurrent refreshes never double-fold the same delta") {
+    // Both refreshes read the same watermark, both build the delta's
+    // postings; exactly one append must land — the loser re-checks the
+    // commit-recorded watermark on CAS conflict and becomes a no-op.
+    // (The interleaving is nondeterministic; the assertion is valid for
+    // every schedule and catches the double-fold whenever the race
+    // fires.)
+    val store = new graft.core.TableStore(spark, tmpDir("graft_idx_race"))
+    store.commit("c", docs.filter($"doc_id" <= 2L), "create")
+    Search.createIndexTable(store, "c", "i", "doc_id", "text")
+    store.append("c", docs.filter($"doc_id" > 2L))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val runs = Future.sequence((1 to 2).map(_ => Future {
+      Search.refreshIndex(store, "c", "i", "doc_id", "text")
+    }))
+    val results = Await.result(runs, 120.seconds)
+    assert(results.forall(_._3 == "incremental"))
+    // at most one refresh reports folded rows; the other no-ops
+    assert(results.count(_._2 > 0L) <= 1)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("token", "doc_id").collect().toSeq
+    assert(sorted(store.read("i")) ==
+      sorted(Search.buildIndex(docs, "doc_id", "text")))
+  }
+
   test("SQL: CALL refresh_index maintains the index table") {
     val wh = tmpDir("graft_idx_sql")
     val cat = s"gidx${System.nanoTime()}"

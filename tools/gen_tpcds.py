@@ -42,32 +42,42 @@ def rewrite_concat(text: str) -> str:
     NULL name is NULL on the engine under test but 'Last, ' in a raw
     DuckDB oracle — first observed at sf10, where dsdgen emits NULL
     names). Rewrite concat(a, b, ...) to (a || b || ...), which
-    NULL-propagates in DuckDB too. Corpus concats have flat
-    identifier/literal args; split respects quoted strings."""
+    NULL-propagates in DuckDB too. The scan skips matches inside string
+    literals, and each collected argument is rewritten recursively so
+    nested concat() calls get the same treatment."""
     out = []
     i = 0
     low = text.lower()
-    while True:
-        j = low.find("concat(", i)
-        if j < 0:
-            out.append(text[i:])
-            return "".join(out)
-        if j > 0 and (text[j - 1].isalnum() or text[j - 1] == "_"):
-            out.append(text[i:j + 7])
-            i = j + 7
+    inq = False
+    while i < len(text):
+        c = text[i]
+        if inq:
+            out.append(c)
+            if c == "'":
+                inq = False
+            i += 1
             continue
-        out.append(text[i:j])
-        k = j + len("concat(")
+        if c == "'":
+            inq = True
+            out.append(c)
+            i += 1
+            continue
+        if not low.startswith("concat(", i) or (
+                i > 0 and (text[i - 1].isalnum() or text[i - 1] == "_")):
+            out.append(c)
+            i += 1
+            continue
+        k = i + len("concat(")
         depth = 1
-        args, cur, inq = [], [], False
+        args, cur, aq = [], [], False
         while k < len(text) and depth > 0:
             c = text[k]
-            if inq:
+            if aq:
                 cur.append(c)
                 if c == "'":
-                    inq = False
+                    aq = False
             elif c == "'":
-                inq = True
+                aq = True
                 cur.append(c)
             elif c == "(":
                 depth += 1
@@ -83,8 +93,10 @@ def rewrite_concat(text: str) -> str:
                 cur.append(c)
             k += 1
         args.append("".join(cur))
-        out.append("(" + " || ".join(a.strip() for a in args) + ")")
+        out.append("(" +
+                   " || ".join(rewrite_concat(a.strip()) for a in args) + ")")
         i = k
+    return "".join(out)
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/graft-tpcds-sf{SF}"
