@@ -330,6 +330,9 @@ object Bench {
     // per-iteration curation cells, tpcds failure names, overhead probe
     // times). Written next to the repo so a regression invisible in the
     // 2 kB tail is still one `cat` away (r5 verdict item #4).
+    // Written via temp file + ATOMIC_MOVE and length-asserted: the r6
+    // driver run left a 0-byte sidecar (a truncate-then-write that never
+    // completed), which silently erased the round's only full perf record.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
       "bench_detail.json")
     try {
@@ -344,11 +347,19 @@ object Bench {
         "\"" + k + "\":" + names.map("\"" + _ + "\"").mkString("[", ",", "]")
       }.mkString("{", ",", "}")
       val cd = if (curationDetail.isEmpty) "{}" else curationDetail
-      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-        (s"""{"queries":$stats,"tpcds_failed":$tf,"curation":$cd,""" +
-          f""""overhead":{"raw_s":$overheadRaw%.3f,"graft_s":$overheadGraft%.3f},""" +
-          s""""sf":"$sfDir","iters":$iters}""").getBytes("UTF-8"))
-      System.err.println(s"[bench] wrote $detailPath")
+      val payload = (s"""{"queries":$stats,"tpcds_failed":$tf,"curation":$cd,""" +
+        f""""overhead":{"raw_s":$overheadRaw%.3f,"graft_s":$overheadGraft%.3f},""" +
+        s""""sf":"$sfDir","iters":$iters}""").getBytes("UTF-8")
+      val target = java.nio.file.Paths.get(detailPath).toAbsolutePath
+      val tmp = java.nio.file.Files.createTempFile(
+        target.getParent, ".bench_detail", ".tmp")
+      java.nio.file.Files.write(tmp, payload)
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val written = java.nio.file.Files.size(target)
+      require(written == payload.length, s"detail sidecar $written bytes, expected ${payload.length}")
+      System.err.println(s"[bench] wrote $target ($written bytes)")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
@@ -389,8 +400,22 @@ object Bench {
       s""""sf":"$sfShort","failed":$failedJson}"""
     System.err.println(s"[bench] final line ${line.length} chars" +
       (if (line.length > 1950) " — OVER the ~2000-char tail budget!" else ""))
+    // The final JSON line must be the LAST output this process ever
+    // emits: the r6 driver run lost the whole bench record when
+    // spark.stop() raced in-flight task-status updates and log4j printed
+    // >2000 chars of shutdown stack traces AFTER the line, flooding the
+    // driver's captured tail. Order is therefore: silence ALL logging
+    // (log4j2 root OFF — shutdown hooks log through it too), stop Spark,
+    // THEN print the line and flush.
+    try {
+      spark.sparkContext.setLogLevel("OFF")
+      org.apache.logging.log4j.core.config.Configurator.setAllLevels(
+        org.apache.logging.log4j.LogManager.getRootLogger.getName,
+        org.apache.logging.log4j.Level.OFF)
+    } catch { case _: Throwable => () }
+    try spark.stop() catch { case _: Throwable => () }
     println(line)
-    spark.stop()
+    System.out.flush()
     if (failedNames.nonEmpty) sys.exit(1)
   }
 }

@@ -1105,12 +1105,27 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * [[TableStore.CommitConflictException]] to the caller — for writers
     * whose retry decision depends on state OUTSIDE the table (e.g. an
     * index refresh that must first re-check whether a racing refresh
-    * already folded the same source delta). */
+    * already folded the same source delta).
+    *
+    * `requireBase` (when ≥ 0) pins the attempt to the snapshot version
+    * the CALLER's decision was derived from: if the table has advanced
+    * past it by the time this attempt reads the manifest, the attempt
+    * conflicts immediately instead of silently appending on top of a
+    * rival's commit — without this, a rival that commits BETWEEN the
+    * caller's read and this attempt's manifest read produces no CAS
+    * conflict at all (the r6 refresh-race advisory). */
   private[graft] def appendOnce(table: String, df: DataFrame,
-      operation: String): Long =
-    if (!exists(table)) commit(table, df, operation)
-    else {
+      operation: String, requireBase: Long = -1L): Long =
+    if (!exists(table)) {
+      if (requireBase >= 0L)
+        throw new TableStore.CommitConflictException(
+          s"$table: expected base version $requireBase but table is absent")
+      commit(table, df, operation)
+    } else {
       val m = manifests(table).maxBy(_.version)
+      if (requireBase >= 0L && m.version != requireBase)
+        throw new TableStore.CommitConflictException(
+          s"$table: expected base version $requireBase, found ${m.version}")
       val existing = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       val extra = df.schema.fields.filterNot(f => existing.fieldNames.contains(f.name))

@@ -50,8 +50,12 @@ object Search {
     * `idxwm-<v>` tags are a convenience cache (SQL-visible via `$refs`)
     * that may lag after a crash between commit and tag; taking the max
     * over both sources makes a lagging tag harmless. */
-  private def foldedWatermark(store: TableStore, index: String): Long = {
-    val opWm = store.manifests(index).flatMap(m =>
+  private def foldedWatermark(store: TableStore, index: String): Long =
+    watermarkOf(store.manifests(index), store, index)
+
+  private def watermarkOf(ms: Seq[TableStore.Manifest], store: TableStore,
+      index: String): Long = {
+    val opWm = ms.flatMap(m =>
       m.operation.split("\\s+").collectFirst {
         case s if s.startsWith("wm=") => s.stripPrefix("wm=").toLong
       })
@@ -73,54 +77,65 @@ object Search {
     * folded, delta rows scanned, "incremental"|"full"). */
   def refreshIndex(store: TableStore, source: String, index: String,
       idCol: String, textCol: String): (Long, Long, String) = {
-    val last = foldedWatermark(store, index)
-    val cur = store.currentVersion(source)
-    // >= — not == — so a refresh replayed after a crash (or racing a
-    // faster concurrent refresh) sees the commit-recorded watermark and
-    // becomes a no-op instead of re-appending the same delta's postings.
-    if (cur <= last) return (cur, 0L, "incremental")
-    val delta =
+    // Every attempt's commit is pinned (via appendOnce/commit requireBase)
+    // to the INDEX snapshot version its watermark was read from, so ANY
+    // rival index commit between the watermark read and this fold's CAS
+    // trips a conflict — including a rival refresh that committed before
+    // our manifest read would otherwise have been re-read (the r6
+    // advisory's double-append window). On conflict the watermark AND the
+    // delta are recomputed from scratch against the new snapshot (a rival
+    // may have folded a DIFFERENT source version; reusing precomputed
+    // postings could overlap its range). Bounded: unrelated commit storms
+    // surface as an error instead of looping forever.
+    val maxAttempts = 5
+    var attempt = 0
+    while (true) {
+      val ms = store.manifests(index)
+      val idxBase = ms.map(_.version).max
+      val last = watermarkOf(ms, store, index)
+      val cur = store.currentVersion(source)
+      // >= — not == — so a refresh replayed after a crash (or racing a
+      // faster concurrent refresh) sees the commit-recorded watermark and
+      // becomes a no-op instead of re-appending the same delta's postings.
+      if (cur <= last) return (cur, 0L, "incremental")
+      val delta =
+        try {
+          val added = store.addedFilesBetween(source, last, cur)
+          Some((store.readIncremental(source, last, cur),
+            added.map(_.rowCount).sum))
+        } catch { case _: IllegalArgumentException => None }
       try {
-        val added = store.addedFilesBetween(source, last, cur)
-        Some((store.readIncremental(source, last, cur),
-          added.map(_.rowCount).sum))
-      } catch { case _: IllegalArgumentException => None }
-    val (mode, rows, iv) = delta match {
-      case Some((df, n)) =>
-        // Conditional fold: a plain retrying append would let TWO racing
-        // refreshes of the same delta both land (the loser's retry
-        // carries the winner's files forward and re-appends the same
-        // postings, doubling tf). appendOnce surfaces the CAS conflict;
-        // on conflict we re-read the commit-recorded watermark — if some
-        // racer already folded >= cur this refresh becomes a no-op,
-        // otherwise the conflict was an unrelated index commit and the
-        // attempt retries against the new snapshot.
-        val postings = buildIndex(df, idCol, textCol)
-        var committed = -1L
-        var appendedRows = n
-        while (committed < 0) {
-          try committed = store.appendOnce(index, postings,
-            s"refresh_index wm=$cur")
-          catch { case _: TableStore.CommitConflictException =>
-            if (foldedWatermark(store, index) >= cur) {
-              committed = store.currentVersion(index)
-              appendedRows = 0L
-            }
-          }
+        val (mode, rows, iv) = delta match {
+          case Some((df, n)) =>
+            val postings = buildIndex(df, idCol, textCol)
+            ("incremental", n, store.appendOnce(index, postings,
+              s"refresh_index wm=$cur", requireBase = idxBase))
+          case None =>
+            // The full rebuild pins too: an unpinned replace racing a
+            // rival fold of a NEWER source version would drop that fold's
+            // postings while the op-watermark history still claims them.
+            val full = buildIndex(store.read(source), idCol, textCol)
+              .repartitionByRange(8, col("token")).sortWithinPartitions("token")
+            ("full", store.manifests(source).maxBy(_.version).rowCount,
+              store.commit(index, full, s"rebuild_index wm=$cur",
+                baseVersion = idxBase))
         }
-        ("incremental", appendedRows, committed)
-      case None =>
-        val full = buildIndex(store.read(source), idCol, textCol)
-          .repartitionByRange(8, col("token")).sortWithinPartitions("token")
-        ("full", store.manifests(source).maxBy(_.version).rowCount,
-          store.commit(index, full, s"rebuild_index wm=$cur"))
+        // Tag is cache only: losing the race (another refresh already
+        // folded cur and tagged it) or crashing before this line never
+        // loses the watermark — it is inside the iv commit above.
+        try store.createTag(index, s"idxwm-$cur", iv)
+        catch { case _: TableStore.CommitConflictException => () }
+        return (cur, rows, mode)
+      } catch {
+        case _: TableStore.CommitConflictException =>
+          attempt += 1
+          if (attempt >= maxAttempts)
+            throw new IllegalStateException(
+              s"refreshIndex($index): $maxAttempts consecutive commit " +
+                "conflicts — a writer storm on the index table; re-run")
+      }
     }
-    // Tag is cache only: losing the race (another refresh already folded
-    // cur and tagged it) or crashing before this line never loses the
-    // watermark — it is inside the iv commit above.
-    try store.createTag(index, s"idxwm-$cur", iv)
-    catch { case _: TableStore.CommitConflictException => () }
-    (cur, rows, mode)
+    throw new IllegalStateException("unreachable")
   }
 
   /** Conjunctive (AND) top-k: documents containing EVERY query term,

@@ -22,14 +22,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * column pruning still reaches the parquet scan.
   *
   * Positional deletes mask (relative file path, row index) pairs of
-  * immutable files. Row indexes are recoverable at read time because a
-  * parquet file's rows are stored in row-group order: the scan plans ONE
-  * task per data file, chains that file's byte-range splits in offset
-  * order inside the task, and counts rows — position = rows seen so far.
-  * Parallelism degrades from per-split to per-file on such snapshots
-  * (delta files are churn-sized, so at scale the file count still far
-  * exceeds the executor count); `CALL compact` restores split-level
-  * parallelism.
+  * immutable files. Row indexes come from the parquet readers themselves:
+  * the inner scan's read schema carries Spark's temporary row-index
+  * column (`ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME`), which
+  * both the vectorized and parquet-mr readers populate with the TRUE
+  * within-file row index — computed from row-group offsets, so it
+  * survives predicate pushdown, row-group/page skipping, AND byte-range
+  * splits. The positional path therefore keeps pushed filters and
+  * per-split parallelism (the r6 path planned one sequential unfiltered
+  * task per file and reconstructed positions by counting — the "read
+  * tax until compaction" is gone). The index column is appended LAST to
+  * the pruned schema and stripped before rows/batches are emitted, so
+  * the scan's declared output schema is unchanged.
   *
   * Scale shape: both lookup sides are churn-sized and shipped ONCE per
   * executor via real broadcasts; the delete load is one tiny
@@ -120,24 +124,18 @@ object MorScan {
   /** Build the right MoR scan for the snapshot's delete mix. `readSchema`
     * must already contain the equality key columns (callers force them
     * in); `scanOver` plans a pruned parquet scan over a file subset with
-    * the caller's pushdown state replayed; `scanOverUnfiltered` plans
-    * the same scan WITHOUT pushed data filters. The positional path MUST
-    * use the unfiltered variant: positions are reconstructed by counting
-    * emitted rows, and a pushed parquet predicate lets row-group/page
-    * skipping drop rows BEFORE the counter sees them — desynchronizing
-    * every position after the first skipped range from the
-    * `_metadata.row_index` values the delete files recorded. Spark
-    * re-applies all data filters above the scan (parquet pushdown is
-    * best-effort post-scan semantics), so correctness is unaffected;
-    * positional-delete snapshots just forgo row-group skipping until
-    * compaction. Manifest-level FILE pruning stays safe on both paths —
-    * an entirely-skipped file emits no rows and its mask entries are
-    * never consulted. */
+    * the caller's pushdown state replayed; `scanOverRowIdx` plans the
+    * same filtered scan with the parquet row-index temporary column
+    * appended to the pruned schema — the readers fill it with the true
+    * within-file row index, so positional masks apply under pushdown and
+    * row-group skipping. Manifest-level FILE pruning stays safe on both
+    * paths — an entirely-skipped file emits no rows and its mask entries
+    * are never consulted. */
   def buildScan(spark: SparkSession, root: String, name: String,
       m: TableStore.Manifest, readSchema: StructType,
       tableSchema: StructType, files: Seq[TableStore.FileEntry],
       scanOver: Seq[TableStore.FileEntry] => Scan,
-      scanOverUnfiltered: Seq[TableStore.FileEntry] => Scan,
+      scanOverRowIdx: Seq[TableStore.FileEntry] => Scan,
       maxKeys: Long): Scan = {
     val (posDels, eqDels) = m.deleteFiles.partition(TableStore.isPositional)
     val keyCols = eqDels.headOption.map(_.keyCols).getOrElse(Seq.empty)
@@ -157,7 +155,7 @@ object MorScan {
     } else {
       val pos = posDeleteSet(spark, root, posDels, maxKeys)
       val fileScans = files.sortBy(_.path).map(fe =>
-        (TableStore.fileSeqOf(fe.path), fe.path, scanOverUnfiltered(Seq(fe))))
+        (TableStore.fileSeqOf(fe.path), fe.path, scanOverRowIdx(Seq(fe))))
       new GraftPosMorScan(spark, name, readSchema, fileScans, lookup, pos,
         keyOrdinals, keyTypes, files)
     }
@@ -165,12 +163,13 @@ object MorScan {
 
   /** Surviving row ordinals of one columnar batch under the equality
     * lookup (and, when `relPath` is non-null, the positional mask with
-    * positions starting at `posBase`). Returns null when EVERY row
-    * survives — the caller passes the batch through untouched. */
+    * each row's true file position read from `posVec` — the parquet
+    * row-index column's vector). Returns null when EVERY row survives —
+    * the caller passes the batch through untouched. */
   private[graft] def survivors(batch: ColumnarBatch, fileSeq: Long,
       keyOrdinals: Array[Int], keyTypes: Array[DataType],
-      lookup: Map[Seq[Any], Long], relPath: String, posBase: Long,
-      pos: Set[(String, Long)]): Array[Int] = {
+      lookup: Map[Seq[Any], Long], relPath: String,
+      posVec: ColumnVector, pos: Set[(String, Long)]): Array[Int] = {
     val n = batch.numRows()
     val out = new Array[Int](n)
     var kept = 0
@@ -179,7 +178,7 @@ object MorScan {
     while (it.hasNext) {
       val row = it.next()
       val ok = keep(row, fileSeq, keyOrdinals, keyTypes, lookup) &&
-        (relPath == null || !pos.contains((relPath, posBase + i)))
+        (relPath == null || !pos.contains((relPath, posVec.getLong(i))))
       if (ok) { out(kept) = i; kept += 1 }
       i += 1
     }
@@ -269,15 +268,27 @@ final class GraftMorScan(spark: SparkSession, name: String,
   }
 }
 
-/** The positional(-and-equality) MoR read scan: ONE partition per data
-  * file; the file's byte-range splits chain in offset order inside the
-  * task so the reader can assign row positions by counting. */
+/** The positional(-and-equality) MoR read scan: per-file filtered parquet
+  * scans whose read schema carries the parquet row-index temporary column
+  * (populated by the readers with true within-file positions), flattened
+  * to ONE input partition per byte-range split — full split parallelism
+  * and pushdown, positions immune to row-group skipping. The declared
+  * output schema excludes the index column; readers strip it. */
 final class GraftPosMorScan(spark: SparkSession, name: String,
     readSchemaWithKeys: StructType, fileScans: Seq[(Long, String, Scan)],
     lookup: Map[Seq[Any], Long], pos: Set[(String, Long)],
     keyOrdinals: Array[Int], keyTypes: Array[DataType],
     files: Seq[TableStore.FileEntry])
     extends Scan with Batch with SupportsReportStatistics {
+
+  // Resolved by NAME against the inner scan's actual read schema — a
+  // Spark change to pruned-schema ordering would surface here at plan
+  // time instead of desynchronizing positions silently.
+  private[graft] val rowIdxOrdinal: Int = {
+    val inner = fileScans.head._3.readSchema()
+    inner.fieldIndex(org.apache.spark.sql.execution.datasources.parquet
+      .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME)
+  }
 
   override def readSchema(): StructType = readSchemaWithKeys
   override def toBatch: Batch = this
@@ -286,15 +297,16 @@ final class GraftPosMorScan(spark: SparkSession, name: String,
       s"${pos.size} positional + ${lookup.size} equality delete keys]"
 
   override def planInputPartitions(): Array[InputPartition] =
-    fileScans.zipWithIndex.map { case ((seq, relPath, scan), fi) =>
-      PosMorInputPartition(fi, seq, relPath,
-        scan.toBatch.planInputPartitions()): InputPartition
+    fileScans.zipWithIndex.flatMap { case ((seq, relPath, scan), fi) =>
+      scan.toBatch.planInputPartitions().map(p =>
+        PosMorInputPartition(fi, seq, relPath, p): InputPartition)
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val inner = fileScans.map(_._3.toBatch.createReaderFactory()).toArray
     new PosMorReaderFactory(inner, spark.sparkContext.broadcast(lookup),
-      spark.sparkContext.broadcast(pos), keyOrdinals, keyTypes)
+      spark.sparkContext.broadcast(pos), keyOrdinals, keyTypes,
+      readSchemaWithKeys, rowIdxOrdinal)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -309,7 +321,7 @@ private case class MorInputPartition(group: Int, seq: Long,
     inner: InputPartition) extends InputPartition
 
 private case class PosMorInputPartition(file: Int, seq: Long,
-    relPath: String, inners: Array[InputPartition]) extends InputPartition
+    relPath: String, inner: InputPartition) extends InputPartition
 
 private class MorReaderFactory(inner: Array[PartitionReaderFactory],
     lookup: Broadcast[Map[Seq[Any], Long]], keyOrdinals: Array[Int],
@@ -351,7 +363,7 @@ private class MorReaderFactory(inner: Array[PartitionReaderFactory],
         while (r.next()) {
           val b = r.get()
           val ids = MorScan.survivors(b, mp.seq, keyOrdinals, keyTypes,
-            lookup.value, null, 0L, null)
+            lookup.value, null, null, null)
           if (ids == null) { current = b; return true }
           if (ids.nonEmpty) { current = MorScan.mapBatch(b, ids); return true }
         }
@@ -366,74 +378,68 @@ private class MorReaderFactory(inner: Array[PartitionReaderFactory],
 private class PosMorReaderFactory(inner: Array[PartitionReaderFactory],
     lookup: Broadcast[Map[Seq[Any], Long]],
     pos: Broadcast[Set[(String, Long)]], keyOrdinals: Array[Int],
-    keyTypes: Array[DataType]) extends PartitionReaderFactory {
+    keyTypes: Array[DataType], outSchema: StructType,
+    rowIdxOrdinal: Int) extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = {
     val mp = partition.asInstanceOf[PosMorInputPartition]
-    mp.inners.forall(inner(mp.file).supportColumnarReads)
+    inner(mp.file).supportColumnarReads(mp.inner)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val mp = partition.asInstanceOf[PosMorInputPartition]
+    val r = inner(mp.file).createReader(mp.inner)
     new PartitionReader[InternalRow] {
-      private var idx = 0
-      private var r: PartitionReader[InternalRow] =
-        if (mp.inners.isEmpty) null else inner(mp.file).createReader(mp.inners(0))
-      private var rowIdx = 0L
+      // strips the trailing row-index column: one reusable projecting
+      // view over the declared output ordinals (no per-row allocation)
+      private val out = new org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        outSchema, outSchema.indices.toIndexedSeq)
       private var current: InternalRow = _
       override def next(): Boolean = {
-        while (r != null) {
-          while (r.next()) {
-            val row = r.get()
-            val p = rowIdx
-            rowIdx += 1
-            if (MorScan.keep(row, mp.seq, keyOrdinals, keyTypes, lookup.value) &&
-                !pos.value.contains((mp.relPath, p))) {
-              current = row
-              return true
-            }
+        while (r.next()) {
+          val row = r.get()
+          if (MorScan.keep(row, mp.seq, keyOrdinals, keyTypes, lookup.value) &&
+              !pos.value.contains((mp.relPath, row.getLong(rowIdxOrdinal)))) {
+            out.project(row)
+            current = out
+            return true
           }
-          r.close()
-          idx += 1
-          r = if (idx < mp.inners.length)
-            inner(mp.file).createReader(mp.inners(idx)) else null
         }
         false
       }
       override def get(): InternalRow = current
-      override def close(): Unit = if (r != null) r.close()
+      override def close(): Unit = r.close()
     }
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val mp = partition.asInstanceOf[PosMorInputPartition]
+    val r = inner(mp.file).createColumnarReader(mp.inner)
     new PartitionReader[ColumnarBatch] {
-      private var idx = 0
-      private var r: PartitionReader[ColumnarBatch] =
-        if (mp.inners.isEmpty) null
-        else inner(mp.file).createColumnarReader(mp.inners(0))
-      private var rowIdx = 0L
       private var current: ColumnarBatch = _
+      // the output batch drops the row-index vector (ordinals < outSchema
+      // size are the declared columns — the index column is appended last)
+      private def strip(b: ColumnarBatch, ids: Array[Int]): ColumnarBatch = {
+        val cols = Array.tabulate(outSchema.length) { c =>
+          if (ids == null) b.column(c)
+          else new MappedVector(b.column(c), ids): ColumnVector
+        }
+        new ColumnarBatch(cols, if (ids == null) b.numRows() else ids.length)
+      }
       override def next(): Boolean = {
-        while (r != null) {
-          while (r.next()) {
-            val b = r.get()
-            val base = rowIdx
-            rowIdx += b.numRows()
-            val ids = MorScan.survivors(b, mp.seq, keyOrdinals, keyTypes,
-              lookup.value, mp.relPath, base, pos.value)
-            if (ids == null) { current = b; return true }
-            if (ids.nonEmpty) { current = MorScan.mapBatch(b, ids); return true }
+        while (r.next()) {
+          val b = r.get()
+          val ids = MorScan.survivors(b, mp.seq, keyOrdinals, keyTypes,
+            lookup.value, mp.relPath, b.column(rowIdxOrdinal), pos.value)
+          if (ids == null || ids.nonEmpty) {
+            current = strip(b, ids)
+            return true
           }
-          r.close()
-          idx += 1
-          r = if (idx < mp.inners.length)
-            inner(mp.file).createColumnarReader(mp.inners(idx)) else null
         }
         false
       }
       override def get(): ColumnarBatch = current
-      override def close(): Unit = if (r != null) r.close()
+      override def close(): Unit = r.close()
     }
   }
 }

@@ -88,15 +88,27 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
     b.build()
   }
 
-  /** Column-pruned scan over `files` with NO pushed data filters — the
-    * positional-MoR path needs every row of a file emitted so counted
-    * positions match `_metadata.row_index` (see [[MorScan.buildScan]]);
-    * column pruning never changes row emission. Spark re-applies the
-    * predicates above the scan. */
-  private def scanOverUnfiltered(files: Seq[TableStore.FileEntry]): Scan = {
+  /** Fresh parquet scan over `files` with the pushdown state replayed AND
+    * the parquet row-index temporary column appended to the pruned
+    * schema — the positional-MoR path ([[MorScan.buildScan]]): Spark's
+    * parquet readers (vectorized and parquet-mr) recognize the column by
+    * name and fill it with the TRUE within-file row index computed from
+    * row-group offsets, so positional masks stay correct under predicate
+    * pushdown, row-group skipping, and byte-range splits. */
+  private def scanOverRowIdx(files: Seq[TableStore.FileEntry]): Scan = {
     val b = parquetBuilderOver(files)
     b match {
-      case p: SupportsPushDownRequiredColumns => required.foreach(p.pruneColumns)
+      case p: SupportsPushDownCatalystFilters if lastFilters.nonEmpty =>
+        p.pushFilters(lastFilters)
+      case _ =>
+    }
+    val base = required.getOrElse(tableSchema)
+    val withIdx = StructType(base.fields :+
+      org.apache.spark.sql.types.StructField(
+        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType, nullable = true))
+    b match {
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(withIdx)
       case _ =>
     }
     b.build()
@@ -164,7 +176,7 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
     required = Some(withKeys)
     val root = new org.apache.hadoop.fs.Path(warehouse, tableName).toString
     MorScan.buildScan(spark, root, name, m, withKeys, tableSchema,
-      keptFiles, scanOver, scanOverUnfiltered,
+      keptFiles, scanOver, scanOverRowIdx,
       options.getLong("morMaxDeleteKeys", 4000000L))
   }
 }
@@ -554,7 +566,10 @@ class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
                 })
           }
         }
-    } catch { case _: Throwable => () } // stats are advisory, never fail a scan
+    } catch { // stats are advisory, never fail a scan — but fatal errors
+      // (OOM, interrupt) must keep propagating
+      case scala.util.control.NonFatal(_) => ()
+    }
     m
   }
 

@@ -74,13 +74,13 @@ class PositionalDeleteSpec extends SparkSpec {
     assert(store.manifests("t").maxBy(_.version).deleteFiles.isEmpty)
   }
 
-  test("positions survive pushed filters over multi-row-group files") {
-    // Positions are reconstructed by COUNTING emitted rows; a pushed
-    // parquet predicate would let row-group skipping drop rows before
-    // the counter sees them, desynchronizing every later position. The
-    // scan must therefore plan positional files UNFILTERED (Spark
-    // re-applies the predicate above). Tiny parquet block size forces
-    // many row groups so a regression here actually skips some.
+  test("positions survive pushed filters over multi-row-group files, and pushdown actually skips row groups") {
+    // Positions come from the parquet readers' row-index column, which is
+    // computed from row-group offsets — so the positional path keeps the
+    // pushed predicate AND row-group skipping without desyncing the mask.
+    // Tiny parquet block size forces many row groups so both halves of
+    // the claim are actually exercised: correctness under skipping, and
+    // the skip itself (scan output far below table row count).
     val wh = tmpDir("pd_rg")
     val cat = s"gposrg${System.nanoTime()}"
     spark.conf.set(s"spark.sql.catalog.$cat",
@@ -96,11 +96,11 @@ class PositionalDeleteSpec extends SparkSpec {
       store.commit("t",
         (1 to 20000).map(i => (i.toLong, pad + i)).toDF("id", "s")
           .coalesce(1), "create")
-      // APERIODIC mask — a uniform stride (id % 100 = 0) is blind to the
-      // desync whenever the skipped prefix length is a multiple of the
-      // stride (row groups hold ~100 rows here, so it always was): the
-      // shifted positions land back on the mask. Irregular ids cannot
-      // realign under any shift.
+      // APERIODIC mask — a uniform stride (id % 100 = 0) is blind to a
+      // position desync whenever the skipped prefix length is a multiple
+      // of the stride (row groups hold ~100 rows here): the shifted
+      // positions land back on the mask. Irregular ids cannot realign
+      // under any shift.
       store.deleteWhereMoR("t",
         "id IN (5, 23, 15102, 15203, 16001, 17777, 19998)")
       // the premise must hold or the test silently stops covering the
@@ -111,17 +111,51 @@ class PositionalDeleteSpec extends SparkSpec {
           new org.apache.hadoop.fs.Path(s"$wh/t/${fe.path}"),
           spark.sessionState.newHadoopConf())).getFooter.getBlocks.size()
       assert(rgs > 1, s"expected multiple row groups, got $rgs")
-      // selective range predicate: a desynced counter would resurrect
-      // masked ids and/or drop unmasked ones inside the range
+      // selective range predicate: a desynced position source would
+      // resurrect masked ids and/or drop unmasked ones inside the range
       val masked = Set(15102L, 15203L, 16001L, 17777L, 19998L)
-      val got = spark.sql(
-          s"SELECT id FROM $cat.ns.t WHERE id > 15000 ORDER BY id")
-        .as[Long].collect().toSeq
       val want = (15001L to 20000L).filterNot(masked)
-      assert(got == want)
+      def scanRowsOf(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        def walk(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+          import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+          val kids = p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case q: QueryStageExec => Seq(q.plan)
+            case o => o.children
+          }
+          p +: kids.flatMap(walk)
+        }
+        walk(df.queryExecution.executedPlan).collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+            if b.scan.isInstanceOf[org.apache.spark.sql.graft.GraftPosMorScan] =>
+            b.metrics("numOutputRows").value
+        }.sum
+      }
+      val q = spark.sql(s"SELECT id FROM $cat.ns.t WHERE id > 15000 ORDER BY id")
+      assert(q.as[Long].collect().toSeq == want)
+      // the skip: row-group stats on id prune the < 15000 groups, so the
+      // scan emits a fraction of the 20k rows (the r6 path emitted ALL
+      // surviving rows and filtered above)
+      val emitted = scanRowsOf(
+        spark.sql(s"SELECT id FROM $cat.ns.t WHERE id > 15000"))
+      assert(emitted > 0 && emitted < 10000,
+        s"pushdown should keep scan output well under 20000 rows, got $emitted")
       val lib = store.read("t").filter(col("id") > 15000)
         .select(col("id")).as[Long].collect().sorted.toSeq
       assert(lib == want)
+      // the parquet-mr (row-based) reader path: same answer with the
+      // vectorized reader off — covers addRowIndexToRecordReaderIfNeeded
+      // and the reader's projecting row
+      spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
+      try {
+        val rowPath = spark.sql(
+            s"SELECT id FROM $cat.ns.t WHERE id > 15000 ORDER BY id")
+          .as[Long].collect().toSeq
+        assert(rowPath == want)
+      } finally
+        spark.conf.unset("spark.sql.parquet.enableVectorizedReader")
     } finally spark.conf.unset("parquet.block.size")
   }
 }
