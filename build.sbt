@@ -32,9 +32,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 20g: local[32] runs 32 concurrent tasks against ONE unified memory
-  // manager — at the bench's sf10 curation grid (28.8M-row wide-row CoW
-  // merges) 8g starves per-task execution memory into
-  // SparkOutOfMemoryError. The box has 128 GiB; still env-overridable.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  // 40g: local[32] runs 32 concurrent tasks against ONE unified memory
+  // manager — 8g starved per-task execution memory at the sf10 curation
+  // grid (28.8M-row wide-row CoW merges), and 20g put the sf100 MoR
+  // p=0.99 cell (287M-key delete-distinct + zstd delta writers) close
+  // enough to the ceiling that a fatal executor OOM killed the JVM.
+  // The box has 128 GiB; still env-overridable.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "40g")}",
 )

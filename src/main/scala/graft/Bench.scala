@@ -96,8 +96,18 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_SPLIT_BYTES", "33554432"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Wall-clock guard: the final JSON line only exists if this process
+    // reaches the end, so long optional sections (the curation scales)
+    // check the remaining budget and skip rather than risk the whole
+    // record to an external kill. Default is sized to the observed full
+    // surface (~55 min) plus margin.
+    val benchT0 = System.nanoTime()
+    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "5800").toDouble
+    def remainingS(): Double = deadlineS - (System.nanoTime() - benchT0) / 1e9
 
     // SPARK_GRAFT_BENCH_ONLY: comma-separated query-name substrings for
     // targeted diagnosis runs (e.g. "q31,q32"); unset = full headline.
@@ -230,6 +240,132 @@ object Bench {
         f""""max_load":${st.its.map(_.sysLoad).max}%.2f}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"stats_detail","queries":$stats}""")
+
+    // FULL detail sidecar — every number the compact tail cannot carry
+    // (full query names, min/median/mean/max/n/cpu_frac, bytes + cost,
+    // per-iteration curation cells, tpcds failure names, overhead probe
+    // times). Written next to the repo so a regression invisible in the
+    // 2 kB tail is still one `cat` away (r5 verdict item #4).
+    // Written via temp file + ATOMIC_MOVE and length-asserted (the r6
+    // driver run left a 0-byte sidecar, silently erasing the round's only
+    // full perf record) — and REWRITTEN after every completed section, so
+    // even a killed bench leaves a valid sidecar carrying everything
+    // finished up to that point.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "bench_detail.json")
+    val sidecarStats = ok.map { case (k, st) =>
+      "\"" + k + "\":{" +
+        f""""min":${st.min}%.3f,"median":${st.median}%.3f,"mean":${st.mean}%.3f,""" +
+        f""""max":${st.max}%.3f,"n":${st.its.size},"cpu_frac":${st.cpuFrac}%.3f,""" +
+        f""""input":${st.input},"shuffle":${st.shuffle},"cpu_sec":${st.cpuSec}%.3f,""" +
+        f""""est_cost_usd":${estCost(st)}%.6f}"""
+    }.mkString("{", ",", "}")
+    var tpcdsFailedDetail = Map.empty[String, Seq[String]]
+    var curationDetail = ""
+    var morTaxNow = "{}"
+    var ovhNow = (0.0, 0.0)
+    // Section fragments for the final line, filled in as each section
+    // completes. AtomicReference, not var: the early-termination shutdown
+    // hook below reads them from its own thread, and a plain local var
+    // captured in a closure has no cross-thread visibility guarantee.
+    val tpcdsJsonRef = new java.util.concurrent.atomic.AtomicReference("")
+    val curationJsonRef = new java.util.concurrent.atomic.AtomicReference("")
+    val overheadJsonRef = new java.util.concurrent.atomic.AtomicReference("")
+    val provisionalLine = new java.util.concurrent.atomic.AtomicReference("")
+    val finalPrinted = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+    // ---- final-line construction (defined here, ahead of the long
+    // sections, so the early-kill hook can emit a provisional line) ----
+    // The driver records only the LAST ~2000 chars of stdout, so the
+    // final line is built to FIT that window WHOLE (r5's tail cut 40 of
+    // 130 per-query times): query keys are the unique qNN prefix, times
+    // are trailing-zero-stripped with precision scaled to magnitude
+    // (0.14 / 3.4 / 124), sections use short keys (legends in the section
+    // builders + SURVEY §6), and everything else lives in the detail
+    // sidecar (iteration counts included). Stability: mx=worst mean/min,
+    // ov=queries over the 1.5x spread bound (empty = all stable).
+    def fmt(t: Double): String = {
+      val s = if (t >= 10) f"$t%.0f" else if (t >= 1) f"$t%.1f" else f"$t%.2f"
+      if (s.contains('.'))
+        s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else s
+    }
+    def short(k: String): String = k.takeWhile(_ != '_')
+    val maxSpread = ok.map(st => st._2.mean / math.max(st._2.min, 1e-9))
+      .foldLeft(0.0)(math.max)
+    // capped at 2 names + a count so an unstable box can't push the line
+    // past the driver's 2000-char tail window (full list in the CSV/detail)
+    val violators = ok
+      .filter(st => st._2.mean / math.max(st._2.min, 1e-9) > 1.5)
+      .map(st => short(st._1))
+    val spreadViolators = (violators.take(2) ++
+      (if (violators.size > 2) Seq(s"+${violators.size - 2}") else Nil))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failedNames.map("\"" + short(_) + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2.min).sum
+    val sfShort = new java.io.File(sfDir).getName
+    // If the full per-query map would push the line past the window, the
+    // FASTEST queries are elided into "qf":{"n":count,"lt":threshold,
+    // "tot":sum} with the threshold stepped up until the line fits — the
+    // slow queries are the perf signal the tail must carry whole; every
+    // elided time is still in the detail sidecar and the CSV.
+    def buildLine(thresh: Double, partial: Boolean): String = {
+      val (big, small) = ok.partition(_._2.min >= thresh)
+      val qs = big.map { case (k, st) => "\"" + short(k) + "\":" + fmt(st.min) }
+        .mkString("{", ",", "}")
+      val qf = if (small.isEmpty) ""
+        else f""","qf":{"n":${small.size},"lt":$thresh%.2f,"tot":${small.map(_._2.min).sum}%.1f}"""
+      val part = if (partial) ""","partial":true""" else ""
+      f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":$qs$qf,""" +
+        f""""mx":$maxSpread%.2f,"ov":$spreadViolators""" +
+        s"""${tpcdsJsonRef.get}${curationJsonRef.get}${overheadJsonRef.get}$part,""" +
+        s""""sf":"$sfShort","failed":$failedJson}"""
+    }
+    def fitLine(partial: Boolean): String =
+      Seq(0.0, 0.1, 0.25, 0.5, 1.0).view.map(buildLine(_, partial))
+        .find(_.length <= 1950).getOrElse(buildLine(2.0, partial))
+    def refreshProvisional(): Unit = provisionalLine.set(fitLine(partial = true))
+    refreshProvisional()
+    // Early-termination belt-and-braces: if the driver kills this process
+    // (timeout / SIGTERM) mid-section, print the provisional line —
+    // headline results plus every COMPLETED section, marked
+    // "partial":true — as the process's last output. Registered below
+    // SparkContext's stop priority (50) so it runs after Spark's own
+    // teardown noise; logging is forced OFF first so nothing follows it.
+    org.apache.spark.sql.graft.GraftShutdownHooks.add(priority = 1) {
+      if (!finalPrinted.get() && provisionalLine.get.nonEmpty) {
+        try org.apache.logging.log4j.core.config.Configurator.setAllLevels(
+          org.apache.logging.log4j.LogManager.getRootLogger.getName,
+          org.apache.logging.log4j.Level.OFF)
+        catch { case _: Throwable => () }
+        println(provisionalLine.get)
+        System.out.flush()
+      }
+    }
+    def writeDetailSidecar(): Unit = try {
+      val tf = tpcdsFailedDetail.map { case (k, names) =>
+        "\"" + k + "\":" + names.map("\"" + _ + "\"").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val cd = if (curationDetail.isEmpty) "{}" else curationDetail
+      val payload = (s"""{"queries":$sidecarStats,"tpcds_failed":$tf,"curation":$cd,""" +
+        s""""mor_tax":$morTaxNow,""" +
+        f""""overhead":{"raw_s":${ovhNow._1}%.3f,"graft_s":${ovhNow._2}%.3f},""" +
+        s""""sf":"$sfDir","iters":$iters}""").getBytes("UTF-8")
+      val target = java.nio.file.Paths.get(detailPath).toAbsolutePath
+      val tmp = java.nio.file.Files.createTempFile(
+        target.getParent, ".bench_detail", ".tmp")
+      java.nio.file.Files.write(tmp, payload)
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val written = java.nio.file.Files.size(target)
+      require(written == payload.length,
+        s"detail sidecar $written bytes, expected ${payload.length}")
+      System.err.println(s"[bench] wrote $target ($written bytes)")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
+    writeDetailSidecar()
     // TPC-DS corpus sections: the reference's literal 98 queries, timed in
     // THIS artifact (one timed pass each). "tpcds" = sf1; "tpcds10" = the
     // sf10 dsdgen decade (r5 verdict item #5 — exercises manifest planning
@@ -238,11 +374,11 @@ object Bench {
     // kill-switch is set; failures never fail the bench. Key legend:
     // n=queries ok, t=sum sec, m=median sec, w=wall incl ingest, f=failed
     // count (names on stderr + detail file).
-    var tpcdsFailedDetail = Map.empty[String, Seq[String]]
     def tpcdsSection(key: String, dirEnv: String, defaultDir: String,
-        skipEnv: String): String = {
+        skipEnv: String, minBudgetS: Double = 0.0): String = {
       val dir = java.nio.file.Paths.get(sys.env.getOrElse(dirEnv, defaultDir))
-      if (sys.env.contains(skipEnv) || !java.nio.file.Files.isDirectory(dir)) ""
+      if (sys.env.contains(skipEnv) || !java.nio.file.Files.isDirectory(dir) ||
+          remainingS() < minBudgetS) ""
       else try {
         val t0 = System.nanoTime()
         val (times, tFailed) = graft.tools.TpcdsTime.runCorpus(
@@ -261,30 +397,52 @@ object Bench {
         ""
       }
     }
-    val tpcdsJson =
+    tpcdsJsonRef.set(
       tpcdsSection("tpcds", "SPARK_GRAFT_TPCDS_DIR", "target/tpcds-sf1",
         "SPARK_GRAFT_SKIP_TPCDS") +
       tpcdsSection("tpcds10", "SPARK_GRAFT_TPCDS_DIR10", "target/tpcds-sf10",
-        "SPARK_GRAFT_SKIP_TPCDS10")
+        "SPARK_GRAFT_SKIP_TPCDS10") +
+      // sf30 is the newest decade (~25 min sweep): runs only when at
+      // least 45 min of budget remain so it can't starve the curation
+      // grid behind it.
+      tpcdsSection("tpcds30", "SPARK_GRAFT_TPCDS_DIR30", "target/tpcds-sf30",
+        "SPARK_GRAFT_SKIP_TPCDS30", minBudgetS = 2700))
+    refreshProvisional()
+    writeDetailSidecar()
     // Curation-axis section (the reference's PRIMARY evaluation —
     // BASELINE.md curation tables): bulk insert + SCD2 merges at update
     // proportions 0.001-0.99 over store_sales-shaped sf1/sf10, plus the
     // skewed-CDC cell. Every cell is now timed n>=2 times with outlier
     // re-timing; the tail carries per-cell MEDIANS + the worst within-cell
     // spread, the detail file carries every iteration (r5 verdict item #1).
-    var curationDetail = ""
-    val curationJson = {
+    curationJsonRef.set {
       val data = sys.env.getOrElse("SPARK_GRAFT_CURATION_DATA",
         "target/tpcds-sf1/store_sales.parquet")
-      val scales = sys.env.getOrElse("SPARK_GRAFT_CURATION_SCALES", "sf1:1,sf10:10")
-        .split(",").toSeq.map { s => val Array(n, c) = s.split(":"); (n, c.toInt) }
+      // sf100 runs MoR-focused (see CurationBench.runScale): the
+      // reference's own smaller published scale, where its Athena failed
+      // at p=0.99 — our MoR rows must stay flat there. CoW cells at
+      // sf100 are excluded by the sandbox's disk ceiling, covered at
+      // sf1/sf10.
+      val scales = graft.tools.CurationBench.parseScales(
+        sys.env.getOrElse("SPARK_GRAFT_CURATION_SCALES",
+          "sf1:1,sf10:10,sf100:100:mor"))
       val cIters = sys.env.getOrElse("SPARK_GRAFT_CURATION_ITERS", "2").toInt
       if (sys.env.contains("SPARK_GRAFT_SKIP_CURATION") ||
           !java.nio.file.Files.exists(java.nio.file.Paths.get(data))) ""
       else try {
         val (compact, detail) = graft.tools.CurationBench.runAll(
           spark, data, scales, Seq(0.001, 0.01, 0.1, 0.99),
-          m => System.err.println(s"[bench][curation] $m"), iters = cIters)
+          m => System.err.println(s"[bench][curation] $m"), iters = cIters,
+          remainingS = remainingS _,
+          // after each completed scale, fold what's done into the
+          // provisional tail line + sidecar so a mid-grid kill still
+          // delivers the finished scales
+          onPartial = (pc, pd) => {
+            curationDetail = pd
+            curationJsonRef.set("," + "\"cur\":" + pc)
+            refreshProvisional()
+            writeDetailSidecar()
+          })
         curationDetail = detail
         "," + "\"cur\":" + compact
       } catch { case e: Throwable =>
@@ -292,6 +450,8 @@ object Bench {
         ""
       }
     }
+    refreshProvisional()
+    writeDetailSidecar()
     // Snapshot-layer overhead vs raw parquet (BASELINE.md "Our BENCH
     // target": the snapshot layer should cost ≤~20% over raw Parquet
     // scans). Apples-to-apples by construction: the graft table ADOPTS
@@ -322,82 +482,72 @@ object Bench {
       System.err.println(s"[bench] overhead section failed: ${e.getMessage}")
       (0.0, 0.0)
     }
-    val overheadJson = if (overheadRaw <= 0) ""
-      else f""","ovh":${overheadGraft / overheadRaw}%.2f"""
+    ovhNow = (overheadRaw, overheadGraft)
+    overheadJsonRef.set(if (overheadRaw <= 0) ""
+      else f""","ovh":${overheadGraft / overheadRaw}%.2f""")
+    refreshProvisional()
 
-    // FULL detail sidecar — every number the compact tail cannot carry
-    // (full query names, min/median/mean/max/n/cpu_frac, bytes + cost,
-    // per-iteration curation cells, tpcds failure names, overhead probe
-    // times). Written next to the repo so a regression invisible in the
-    // 2 kB tail is still one `cat` away (r5 verdict item #4).
-    // Written via temp file + ATOMIC_MOVE and length-asserted: the r6
-    // driver run left a 0-byte sidecar (a truncate-then-write that never
-    // completed), which silently erased the round's only full perf record.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "bench_detail.json")
-    try {
-      val stats = ok.map { case (k, st) =>
-        "\"" + k + "\":{" +
-          f""""min":${st.min}%.3f,"median":${st.median}%.3f,"mean":${st.mean}%.3f,""" +
-          f""""max":${st.max}%.3f,"n":${st.its.size},"cpu_frac":${st.cpuFrac}%.3f,""" +
-          f""""input":${st.input},"shuffle":${st.shuffle},"cpu_sec":${st.cpuSec}%.3f,""" +
-          f""""est_cost_usd":${estCost(st)}%.6f}"""
-      }.mkString("{", ",", "}")
-      val tf = tpcdsFailedDetail.map { case (k, names) =>
-        "\"" + k + "\":" + names.map("\"" + _ + "\"").mkString("[", ",", "]")
-      }.mkString("{", ",", "}")
-      val cd = if (curationDetail.isEmpty) "{}" else curationDetail
-      val payload = (s"""{"queries":$stats,"tpcds_failed":$tf,"curation":$cd,""" +
-        f""""overhead":{"raw_s":$overheadRaw%.3f,"graft_s":$overheadGraft%.3f},""" +
-        s""""sf":"$sfDir","iters":$iters}""").getBytes("UTF-8")
-      val target = java.nio.file.Paths.get(detailPath).toAbsolutePath
-      val tmp = java.nio.file.Files.createTempFile(
-        target.getParent, ".bench_detail", ".tmp")
-      java.nio.file.Files.write(tmp, payload)
-      java.nio.file.Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      val written = java.nio.file.Files.size(target)
-      require(written == payload.length, s"detail sidecar $written bytes, expected ${payload.length}")
-      System.err.println(s"[bench] wrote $target ($written bytes)")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
-    }
+    // MoR read-tax curve (the number a CDC user asks first): SELECT cost
+    // over one table as equality-delete keys accumulate 0 → 1k → 10k →
+    // 100k, then after CALL compact — each probe is the same non-pushable
+    // aggregate through the SQL catalog read (broadcast delete filter on
+    // the MoR path), min of 3. Detail-sidecar only; delete tiers are
+    // capped at half the table so small fixtures stay meaningful.
+    val morTaxJson: String =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_MORTAX") || remainingS() < 240) "{}"
+      else try {
+        val wh = java.nio.file.Files.createTempDirectory("graft_mortax").toString
+        val store = new graft.core.TableStore(spark, wh)
+        val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(org.apache.spark.sql.functions.col("l_orderkey"),
+            org.apache.spark.sql.functions.col("l_linenumber"),
+            org.apache.spark.sql.functions.col("l_quantity"))
+          .withColumn("rk", org.apache.spark.sql.functions.concat_ws(":",
+            org.apache.spark.sql.functions.col("l_orderkey"),
+            org.apache.spark.sql.functions.col("l_linenumber")))
+        store.commit("mt", li, "create")
+        val total = li.count()
+        val cat = s"gmtx${System.nanoTime()}"
+        spark.conf.set(s"spark.sql.catalog.$cat",
+          classOf[graft.catalog.GraftCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+        def probe(): Double = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          spark.sql("SELECT COUNT(*) AS n, SUM(CAST(l_quantity AS " +
+            s"DECIMAL(18,2))) AS q FROM $cat.ns.mt").collect()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val tiers = Seq(1000L, 10000L, 100000L).filter(_ <= total / 2)
+        val maxN = tiers.lastOption.getOrElse(0L)
+        val ranked = li.select(org.apache.spark.sql.functions.col("rk"))
+          .orderBy("rk").limit(maxN.toInt)
+          .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("rk")))
+        probe() // unrecorded warmup: the first catalog read pays codegen
+        var prev = 0L
+        val points = (f""""d0":${probe()}%.3f""" +: tiers.map { n =>
+          store.deleteKeysMoR("mt", ranked
+            .filter(org.apache.spark.sql.functions.col("rn") > prev &&
+              org.apache.spark.sql.functions.col("rn") <= n)
+            .select("rk"), Seq("rk"))
+          prev = n
+          f""""d$n":${probe()}%.3f"""
+        }) :+ {
+          store.compact("mt")
+          f""""compacted":${probe()}%.3f"""
+        }
+        val json = points.mkString("{", ",", "}")
+        System.err.println(s"[bench] mor_tax $json")
+        json
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] mor_tax section failed: ${e.getMessage}")
+        "{}"
+      }
 
-    // The driver records only the LAST ~2000 chars of stdout, so the
-    // final line is built to FIT that window WHOLE (r5's tail cut 40 of
-    // 130 per-query times): query keys are the unique qNN prefix, times
-    // are trailing-zero-stripped with precision scaled to magnitude
-    // (0.14 / 3.4 / 124), sections use short keys (legends in the section
-    // builders above + SURVEY §6), and everything else lives in the
-    // detail sidecar (iteration counts included). Stability: mx=worst mean/min,
-    // ov=queries over the 1.5x spread bound (empty = all stable).
-    def fmt(t: Double): String = {
-      val s = if (t >= 10) f"$t%.0f" else if (t >= 1) f"$t%.1f" else f"$t%.2f"
-      if (s.contains('.'))
-        s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
-      else s
-    }
-    def short(k: String): String = k.takeWhile(_ != '_')
-    val maxSpread = ok.map(st => st._2.mean / math.max(st._2.min, 1e-9))
-      .foldLeft(0.0)(math.max)
-    // capped at 2 names + a count so an unstable box can't push the line
-    // past the driver's 2000-char tail window (full list in the CSV/detail)
-    val violators = ok
-      .filter(st => st._2.mean / math.max(st._2.min, 1e-9) > 1.5)
-      .map(st => short(st._1))
-    val spreadViolators = (violators.take(2) ++
-      (if (violators.size > 2) Seq(s"+${violators.size - 2}") else Nil))
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val qs = ok.map { case (k, st) => "\"" + short(k) + "\":" + fmt(st.min) }
-      .mkString("{", ",", "}")
-    val failedJson = failedNames.map("\"" + short(_) + "\"").mkString("[", ",", "]")
-    val total = ok.map(_._2.min).sum
-    val sfShort = new java.io.File(sfDir).getName
-    val line = f"""{"metric":"total","value":$total%.1f,"unit":"sec","queries":$qs,""" +
-      f""""mx":$maxSpread%.2f,"ov":$spreadViolators""" +
-      s"""$tpcdsJson$curationJson$overheadJson,""" +
-      s""""sf":"$sfShort","failed":$failedJson}"""
+    morTaxNow = morTaxJson
+    writeDetailSidecar()
+
+    val line = fitLine(partial = false)
     System.err.println(s"[bench] final line ${line.length} chars" +
       (if (line.length > 1950) " — OVER the ~2000-char tail budget!" else ""))
     // The final JSON line must be the LAST output this process ever
@@ -416,6 +566,7 @@ object Bench {
     try spark.stop() catch { case _: Throwable => () }
     println(line)
     System.out.flush()
+    finalPrinted.set(true)
     if (failedNames.nonEmpty) sys.exit(1)
   }
 }

@@ -5,13 +5,16 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graft.{VectorCosine, VectorDot}
 
-/** Session-build-time injection of the engine's native SQL functions:
+/** Session-build-time injection of the engine's native SQL functions and
+  * view DDL:
   * {{{
   *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
   *   // or: spark.sql.extensions=graft.GraftExtensions
   * }}}
   * For sessions built elsewhere (e.g. the driver's), use
-  * [[graft.functions.VectorFunctions.registerSql]].
+  * [[graft.functions.VectorFunctions.registerSql]] — and the `CALL
+  * create_view` procedure face, which shares the view store with the
+  * injected `CREATE VIEW` DDL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -21,5 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vector_cosine"),
       new ExpressionInfo(classOf[VectorCosine].getName, "vector_cosine"),
       (exprs: Seq[Expression]) => VectorCosine(exprs(0), exprs(1))))
+    // CREATE/DROP/SHOW VIEWS on Graft catalogs: intercepted before
+    // Resolution (the Hints batch) — upstream's ResolveSessionCatalog
+    // would otherwise reject any non-session catalog in view DDL.
+    ext.injectHintResolutionRule(session =>
+      new org.apache.spark.sql.graft.GraftViewDdlRule(session))
   }
 }

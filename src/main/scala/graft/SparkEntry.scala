@@ -3344,6 +3344,24 @@ object SparkEntry {
       val idx = graft.ext.Search.buildIndex(docs, "doc_id", "text")
       graft.ext.Search.bm25TopK(idx, "doc_id",
         Seq("spark", "table", "data"), 15)
+    }),
+
+    // The subword tokenizer wired END-TO-END into a curation budget:
+    // sequence packing (q69's contiguous fill, same md5 order and
+    // prefix-sum scale shape) budgeted in REAL subword tokens from the
+    // corpus-trained vocab instead of the whitespace approximation — the
+    // token counter a trainer's 2048-token sequences actually bill
+    // against. The oracle re-derives the vocab, replays every greedy
+    // longest-match count, and repacks bit-for-bit.
+    "q136_subword_packing" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val vocab = graft.ext.Subword.trainVocab(docs, "text",
+        topMulti = 64, maxPieceLen = 5)
+      val withTok = docs.select(col("doc_id"),
+        graft.ext.Subword.tokenCount(col("text"), vocab).as("n_tok"))
+      val packed = Packing.contiguousFill(withTok, "doc_id", "n_tok",
+        budgetTokens = 2048L)
+      Packing.binSummary(packed).orderBy(col("bin"))
     })
   )
 
@@ -5359,7 +5377,48 @@ object SparkEntry {
            |  coalesce(p0, 0.0) + coalesce(p1, 0.0) + coalesce(p2, 0.0) AS score,
            |  CAST(l.dl AS BIGINT) AS doc_len
            |FROM p JOIN dl l USING (doc_id)
-           |ORDER BY score DESC, p.doc_id LIMIT 15""".stripMargin
+           |ORDER BY score DESC, p.doc_id LIMIT 15""".stripMargin,
+
+    // q134's recursive vocab + greedy-match replay, extended per-DOC and
+    // fed into q69's packing SQL: subword-budgeted contiguous fill.
+    "q136_subword_packing" ->
+      raw"""WITH RECURSIVE
+           |occ AS (SELECT doc_id, unnest(list_filter(
+           |    string_split_regex(lower(text), '\W+'), x -> x <> '')) AS w
+           |  FROM documents),
+           |wf AS (SELECT w, COUNT(*) AS freq FROM occ GROUP BY w),
+           |pieces0 AS (SELECT freq, unnest(flatten(
+           |    [ [ w[s:s+l-1] for s in range(1, length(w)-l+2) ]
+           |      for l in range(1, 6) ])) AS piece FROM wf),
+           |chars AS (SELECT DISTINCT piece FROM pieces0 WHERE length(piece) = 1),
+           |multi AS (SELECT piece FROM (
+           |  SELECT piece, SUM(freq) AS weight FROM pieces0
+           |  WHERE length(piece) >= 2 GROUP BY piece
+           |  ORDER BY weight DESC, piece LIMIT 64)),
+           |vocab AS (SELECT DISTINCT piece FROM (
+           |  SELECT piece FROM chars UNION ALL SELECT piece FROM multi)),
+           |dw AS (SELECT DISTINCT w FROM occ),
+           |st AS (
+           |  SELECT w, 1 AS pos, 0 AS cnt FROM dw
+           |  UNION ALL
+           |  SELECT w,
+           |    pos + coalesce((SELECT max(length(v.piece)) FROM vocab v
+           |                    WHERE v.piece = w[pos:pos+length(v.piece)-1]), 1),
+           |    cnt + 1
+           |  FROM st WHERE pos <= length(w)),
+           |wcnt AS (SELECT w, cnt FROM st WHERE pos = length(w) + 1),
+           |persum AS (SELECT o.doc_id, SUM(c.cnt) AS sw
+           |  FROM occ o JOIN wcnt c USING (w) GROUP BY o.doc_id),
+           |doctok AS (SELECT d.doc_id, md5(CAST(d.doc_id AS VARCHAR)) AS ord,
+           |  CAST(coalesce(p.sw, 0) AS BIGINT) AS n_tokens
+           |  FROM documents d LEFT JOIN persum p USING (doc_id)),
+           |cum AS (SELECT doc_id, n_tokens,
+           |  COALESCE(SUM(n_tokens) OVER (ORDER BY ord, doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           |  FROM doctok)
+           |SELECT CAST(off // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+           |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+           |FROM cum GROUP BY bin ORDER BY bin""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

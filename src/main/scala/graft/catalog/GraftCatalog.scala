@@ -57,6 +57,11 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
 
   override def name(): String = catalogName
 
+  /** The configured warehouse root — the view-DDL extension rule
+    * ([[org.apache.spark.sql.graft.GraftViewDdlRule]]) stores views
+    * under it. */
+  def warehouseDir: String = warehouse
+
   private def spark: SparkSession = SparkSession.active
   private def store: TableStore = new TableStore(spark, warehouse)
 

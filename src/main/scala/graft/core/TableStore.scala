@@ -1650,8 +1650,31 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     // writer-unique so racing MoR commits never share an output dir).
     val dwid = java.util.UUID.randomUUID().toString.take(8)
     val delDir = new Path(versionDir(table, v), s"deletes-$dwid")
+    // An upsert's delete keys are BY DEFINITION the keys of the rows just
+    // written (upsertMoR passes the same frame as data and key source) —
+    // so read them back from the freshly written data files instead of
+    // evaluating the source a second time. At scale the source is often
+    // an expensive query (or, in the curation bench, a regenerated churn
+    // batch); the read-back is a column-pruned scan of exactly the key
+    // columns. CDC batches keep the separate key source (it carries
+    // delete markers the data files don't).
+    val keySrc = dataRows match {
+      case Some(d) if (d eq keySource) && dataEntries.nonEmpty =>
+        spark.read.schema(existing).parquet(
+          dataEntries.map(fe => new Path(tableDir(table), fe.path).toString): _*)
+      case _ => keySource
+    }
     val keyTypes = keyCols.map(k => existing.fields(existing.fieldIndex(k)))
-    keySource.select(keyTypes.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    // Cluster by key BEFORE the distinct: a bare .distinct() runs its
+    // partial hash-agg on the unshuffled map side, where a churn-sized
+    // batch of mostly-unique keys builds one near-full hash map PER
+    // CONCURRENT TASK (measured: 287M md5 keys × 32 tasks OOM'd a 20 GB
+    // heap). With the keys hash-clustered first, the pre-shuffle side is
+    // a memory-light pass-through and the aggregation runs once per
+    // bounded post-shuffle partition — same single shuffle, no
+    // cardinality-proportional map-side state.
+    keySrc.select(keyTypes.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      .repartition(keyCols.map(col): _*)
       .distinct().write.mode("overwrite").parquet(delDir.toString)
     val f = fs(delDir)
     val delEntries = listPartFiles(delDir, f).map { s =>

@@ -67,6 +67,36 @@ object CurationBench {
       .withColumn("op", lit("U"))
       .withColumn("ss_quantity", lit(1).cast("integer"))
 
+  /** The same update batch as `updatesAt(baseFrame(...), p)` — identical
+    * schema, pk domain, and expected size — computed in O(source + churn)
+    * instead of O(copies × source): ONE scan of the raw sf1 parquet, and
+    * per row a hash-Bernoulli-sampled subset of the `copies` replication
+    * indices exploded out (deterministic xxhash64 keeps reruns
+    * identical). At sf100/p=0.001 this generates 290k rows from a 148 MB
+    * scan where the lazy replicated frame regenerates (and md5s) all
+    * 288M — the difference between a delta generator that scales with
+    * churn and one that scales with the table. */
+  def churnDelta(spark: SparkSession, storeSalesDir: String, copies: Int,
+      proportion: Double): DataFrame = {
+    val raw = spark.read.parquet(storeSalesDir)
+    val maxTicket =
+      raw.agg(max(col("ss_ticket_number")).cast("long")).head.getLong(0) + 1
+    val pMicro = math.round(proportion * 1000000L)
+    raw
+      .withColumn("__copy", explode(filter(
+        sequence(lit(0), lit(copies - 1)),
+        c => pmod(xxhash64(col("ss_item_sk"), col("ss_ticket_number"), c),
+          lit(1000000L)) < lit(pMicro))))
+      .withColumn("ss_ticket_number",
+        col("ss_ticket_number") + col("__copy") * maxTicket)
+      .drop("__copy")
+      .withColumn("extraction_timestamp", to_timestamp(lit("2022-01-02")))
+      .withColumn("op", lit("U"))
+      .withColumn("pk",
+        md5(concat_ws("-", col("ss_item_sk"), col("ss_ticket_number"))))
+      .withColumn("ss_quantity", lit(1).cast("integer"))
+  }
+
   /** One grid cell, timed `secs.size` times (n>=2 by default, +1 re-time
     * when the spread exceeds 1.5x — the same exogenous-load protocol as
     * `Bench`). The reported value is the MEDIAN; spread = max/min makes a
@@ -106,18 +136,49 @@ object CurationBench {
   /** Run the full grid at one scale. Returns (bulkInsertSeconds, cells).
     * `iters` timed runs per cell (each from the same rolled-back base
     * snapshot), plus up to `extraIters` re-times for cells whose spread
-    * exceeds 1.5x. */
+    * exceeds 1.5x.
+    *
+    * `morFocus` trims the grid to the MoR rows only (bulk_insert +
+    * upsert_mor + cdc_mor across ALL proportions) — the sf100 story the
+    * reference's axis demands (Athena failed outright at 0.99; the MoR
+    * rows stay flat) inside bounded bench time AND disk: a CoW cell at
+    * sf100 needs a transient second table copy (~17 GB here, the md5 pk
+    * dominates), which measured ENOSPC in this sandbox; the
+    * CoW-vs-proportion curve is covered at sf1/sf10 where the full grid
+    * fits. MoR deltas are O(churn) with no rewrite, so their disk
+    * high-water mark is base + table + one delta. */
   def runScale(spark: SparkSession, storeSalesDir: String, copies: Int,
       proportions: Seq[Double], log: String => Unit,
-      iters: Int = 2, extraIters: Int = 1): (Double, Seq[Cell]) = {
+      iters: Int = 2, extraIters: Int = 1,
+      morFocus: Boolean = false): (Double, Seq[Cell]) = {
     val wh = Files.createTempDirectory("graft_curation").toString
     val store = new TableStore(spark, wh)
     val table = "store_sales_scd2"
+    // Scratch dirs registered here are reclaimed in the finally below —
+    // a failed scale (ENOSPC, OOM short of a JVM kill) must not strand a
+    // table-sized warehouse for the NEXT scale to trip over (measured:
+    // a leaked 32 GB warehouse turned the following run's p=0.1 cell
+    // into ENOSPC).
+    val scratch = scala.collection.mutable.ArrayBuffer[String](wh)
+    try {
 
-    // materialize base once so delta sampling never recomputes the union
-    val baseDir = Files.createTempDirectory("graft_curation_base").toString
-    baseFrame(spark, storeSalesDir, copies).write.mode("overwrite").parquet(baseDir)
-    val base = spark.read.parquet(baseDir)
+    // Full grid: materialize base once so delta sampling never recomputes
+    // the union. morFocus (sf100): NO base copy at all — a second ~20 GB
+    // table image measured ENOSPC on this sandbox's ~94 GB effective
+    // capacity; the replicated frame stays lazy, bulk_insert CTASes
+    // straight from it, and deltas come from the O(churn) generator
+    // (churnDelta) materialized per-cell — so the disk high-water mark
+    // is table + one delta + one in-flight merge.
+    val baseDir =
+      if (morFocus) None
+      else {
+        val d = Files.createTempDirectory("graft_curation_base").toString
+        scratch += d
+        baseFrame(spark, storeSalesDir, copies).write.mode("overwrite").parquet(d)
+        Some(d)
+      }
+    val base = baseDir.map(spark.read.parquet(_))
+      .getOrElse(baseFrame(spark, storeSalesDir, copies))
 
     def timed[A](f: => A): (Double, Boolean) = {
       val t0 = System.nanoTime()
@@ -143,10 +204,14 @@ object CurationBench {
     // Unrecorded warmup: the first merge in a JVM pays codegen/JIT that
     // otherwise lands entirely in the first grid cell (measured at sf1:
     // the p=0.001 scd2_simple cell ran 2-6x its steady state and
-    // INVERTED the proportion curve). One throwaway simple merge at the
-    // smallest proportion warms the whole path.
-    val (wSec, _) = timed(Scd2.scd2Simple(store, table,
-      updatesAt(base, proportions.min)))
+    // INVERTED the proportion curve). One throwaway merge at the
+    // smallest proportion warms the whole path — the MoR one under
+    // morFocus (a CoW warmup would pay the very rewrite-disk cost the
+    // mode exists to avoid).
+    val (wSec, _) = timed(
+      if (morFocus) store.upsertMoR(table,
+        churnDelta(spark, storeSalesDir, copies, proportions.min), Seq("pk"))
+      else Scd2.scd2Simple(store, table, updatesAt(base, proportions.min)))
     resetToBase()
     log(f"warmup merge ${wSec}%.1f s (unrecorded)")
 
@@ -165,7 +230,11 @@ object CurationBench {
       }
       var secs = Vector.fill(iters)(once())
       var extra = 0
-      while (ok && extra < extraIters && secs.max > 1.5 * secs.min) {
+      // re-times adjudicate co-tenant spikes cheaply on small cells; a
+      // >60 s cell's re-time costs minutes for a question the detail
+      // file's per-iteration record already answers
+      while (ok && extra < extraIters && secs.max > 1.5 * secs.min &&
+          secs.min < 60) {
         log(f"$uc p=$p spread ${secs.max}%.1f/${secs.min}%.1f s — re-timing")
         secs :+= once()
         extra += 1
@@ -176,38 +245,66 @@ object CurationBench {
       c
     }
 
-    val cells = for {
-      p <- proportions
-      // upsert_mor is the merge-on-read counterpoint: latest-state upsert
-      // as O(churn) delta + equality-delete files, no rewrite — the write
-      // mode whose cost stays FLAT across the proportion axis where the
-      // CoW SCD2 merges climb (and where the reference's Athena failed
-      // outright at 99%). Not SCD2 semantics (no history rows) — it is
-      // the upsert-cost comparison, labeled as such.
-      // cdc_mor: the one-commit CDC apply (upserts + delete markers in a
-      // SINGLE atomic O(churn) snapshot — the streaming upsert sink's
-      // per-epoch shape). ~10% of each batch are deletes, the realistic
-      // CDC mix; cost should track upsert_mor, flat across proportions.
-      uc <- Seq("scd2_simple", "scd2_complex", "upsert_mor", "cdc_mor")
-    } yield {
-      val delta = updatesAt(base, p)
-      timedCell(uc, p) {
-        if (uc == "scd2_simple") Scd2.scd2Simple(store, table, delta)
-        else if (uc == "upsert_mor") store.upsertMoR(table, delta, Seq("pk"))
-        else if (uc == "cdc_mor") store.applyCdcMoR(table,
-          delta.withColumn("_deleted", abs(hash(col("pk"))) % 10 === 0),
-          Seq("pk"), "_deleted")
-        else Scd2.scd2Complex(store, table, delta)
+    // upsert_mor is the merge-on-read counterpoint: latest-state upsert
+    // as O(churn) delta + equality-delete files, no rewrite — the write
+    // mode whose cost stays FLAT across the proportion axis where the
+    // CoW SCD2 merges climb (and where the reference's Athena failed
+    // outright at 99%). Not SCD2 semantics (no history rows) — it is
+    // the upsert-cost comparison, labeled as such.
+    // cdc_mor: the one-commit CDC apply (upserts + delete markers in a
+    // SINGLE atomic O(churn) snapshot — the streaming upsert sink's
+    // per-epoch shape). ~10% of each batch are deletes, the realistic
+    // CDC mix; cost should track upsert_mor, flat across proportions.
+    val ucs = Seq("scd2_simple", "scd2_complex", "upsert_mor", "cdc_mor")
+      .filter(uc => !morFocus || uc == "upsert_mor" || uc == "cdc_mor")
+    val cells = proportions.flatMap { p =>
+      // morFocus times the merge ONLY — the delta is materialized to
+      // parquet first (zstd, deleted after the cell), mirroring the
+      // reference's protocol where update tables are pre-generated
+      // before the merge job is timed. EXCEPT at p>0.5: a table-sized
+      // delta copy (~22 GB at sf100 — the md5 pk is incompressible)
+      // plus the table plus the merge's appended files measured ENOSPC
+      // on this sandbox, so the 0.99 cell keeps the LAZY O(churn)
+      // generator and its one in-clock evaluation (upsertMoR reads the
+      // source once — delete keys come from the written files). The
+      // full grid keeps the lazy delta over the materialized base (a
+      // cheap scan, continuous with prior rounds' numbers).
+      val (delta, deltaDir) =
+        if (morFocus && p <= 0.5) {
+          val d = Files.createTempDirectory("graft_curation_delta").toString
+          scratch += d
+          churnDelta(spark, storeSalesDir, copies, p)
+            .write.mode("overwrite").option("compression", "zstd").parquet(d)
+          (spark.read.parquet(d), Some(d))
+        } else if (morFocus) (churnDelta(spark, storeSalesDir, copies, p), None)
+        else (updatesAt(base, p), None)
+      val out = ucs.map { uc =>
+        timedCell(uc, p) {
+          if (uc == "scd2_simple") Scd2.scd2Simple(store, table, delta)
+          else if (uc == "upsert_mor") store.upsertMoR(table, delta, Seq("pk"))
+          else if (uc == "cdc_mor") store.applyCdcMoR(table,
+            delta.withColumn("_deleted", abs(hash(col("pk"))) % 10 === 0),
+            Seq("pk"), "_deleted")
+          else Scd2.scd2Complex(store, table, delta)
+        }
       }
+      deltaDir.foreach(d => delete(Paths.get(d)))
+      out
     }
     // skew cell: same delta size as p=0.01, 90% of rows on one hot pk
-    val skewDelta = skewedUpdatesAt(spark, base, 0.01)
-    val skewCell = timedCell("skewed_complex", 0.01)(
-      Scd2.scd2Complex(store, table, skewDelta))
-    // reclaim the scratch warehouse + materialized base
-    store.drop(table)
-    delete(Paths.get(baseDir))
-    (bulkSec, cells :+ skewCell)
+    val skewCells =
+      if (morFocus) Seq.empty
+      else {
+        val skewDelta = skewedUpdatesAt(spark, base, 0.01)
+        Seq(timedCell("skewed_complex", 0.01)(
+          Scd2.scd2Complex(store, table, skewDelta)))
+      }
+    (bulkSec, cells ++ skewCells)
+    } finally { // reclaim warehouse, materialized base, any delta dirs
+      try store.drop(table) catch { case _: Throwable => () }
+      scratch.foreach(d =>
+        try delete(Paths.get(d)) catch { case _: Throwable => () })
+    }
   }
 
   private def delete(p: java.nio.file.Path): Unit =
@@ -218,13 +315,30 @@ object CurationBench {
     * cell values are MEDIANS over n iterations in proportion order
     * 0.001/0.01/0.1/0.99 (legend: b=bulk_insert, s2s/s2c=
     * scd2_simple/complex, mor=upsert_mor, cdc=cdc_mor, skw=
-    * skewed_complex at p=0.01; x=worst within-cell max/min spread, w=the
-    * cell it came from; a FAILED cell reports -1 and lands in "fail").
+    * skewed_complex at p=0.01; x=worst within-cell max/min spread across
+    * ALL scales, w=the scale:cell it came from; a FAILED cell reports -1
+    * and lands in "fail").
     * `detail` carries every iteration of every cell verbatim (n per
     * cell included). */
+  /** Scale spec: (name, replication copies, morFocus). */
+  def parseScales(spec: String): Seq[(String, Int, Boolean)] =
+    spec.split(",").toSeq.map { s =>
+      val parts = s.split(":")
+      (parts(0), parts(1).toInt, parts.length > 2 && parts(2) == "mor")
+    }
+
+  /** Crude per-scale wall estimate (seconds) for the deadline guard —
+    * intentionally conservative (above observed medians on this box) so
+    * a scale only starts when it can plausibly finish. */
+  def scaleEstimateS(copies: Int, morFocus: Boolean, iters: Int): Double =
+    if (morFocus) 200.0 + copies.toDouble * 14 * (iters / 2.0)
+    else 120.0 + copies.toDouble * 110 * (iters / 2.0)
+
   def runAll(outerSpark: SparkSession, storeSalesDir: String,
-      scales: Seq[(String, Int)], proportions: Seq[Double],
-      log: String => Unit, iters: Int = 2): (String, String) = {
+      scales: Seq[(String, Int, Boolean)], proportions: Seq[Double],
+      log: String => Unit, iters: Int = 2,
+      remainingS: () => Double = () => Double.MaxValue,
+      onPartial: (String, String) => Unit = (_, _) => ()): (String, String) = {
     // Isolated session: the wide-row sf10 merges want smaller tasks than
     // the caller's 32 shuffle partitions give (900k × 23-col rows per
     // sort otherwise); AQE coalesces the excess away at sf1, so the
@@ -233,11 +347,6 @@ object CurationBench {
     spark.conf.set("spark.sql.shuffle.partitions", "128")
     val shortKey = Map("scd2_simple" -> "s2s", "scd2_complex" -> "s2c",
       "upsert_mor" -> "mor", "cdc_mor" -> "cdc", "skewed_complex" -> "skw")
-    val perScale = scales.map { case (name, copies) =>
-      val (bulkSec, cells) = runScale(spark, storeSalesDir, copies,
-        proportions, m => log(s"[$name] $m"), iters = iters)
-      (name, bulkSec, cells)
-    }
     // magnitude-scaled precision, trailing zeros stripped — every char
     // in the compact fragment competes with per-query times for the
     // driver's 2000-char tail window
@@ -249,37 +358,69 @@ object CurationBench {
         s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
       else s
     }
-    val compact = perScale.map { case (name, bulkSec, cells) =>
-      val byCase = cells.groupBy(_.useCase).toSeq
-        .sortBy(t => shortKey(t._1)).map { case (uc, cs) =>
-          val sorted = cs.sortBy(_.proportion)
-          val vs = sorted.map(c => if (c.ok) fmt(c.median) else "-1")
-          if (uc == "skewed_complex") s""""skw":${vs.head}"""
-          else s""""${shortKey(uc)}":${vs.mkString("[", ",", "]")}"""
-        }.mkString(",")
-      val worst = cells.maxBy(_.spread)
-      val failed = cells.filterNot(_.ok)
-        .map(c => "\"" + shortKey(c.useCase) + "@" + c.proportion + "\"")
-        .mkString("[", ",", "]")
-      f""""$name":{"b":${fmt(bulkSec)},$byCase,""" +
-        f""""x":${worst.spread}%.2f,"w":"${shortKey(worst.useCase)}@${worst.proportion}"""" +
-        (if (failed == "[]") "}" else s""","fail":$failed}""")
-    }.mkString("{", ",", "}")
-    val detail = perScale.map { case (name, bulkSec, cells) =>
-      val cj = cells.map { c =>
-        s"""{"uc":"${c.useCase}","p":${c.proportion},""" +
-          s""""secs":${c.secs.map(s => f"$s%.2f").mkString("[", ",", "]")},""" +
-          f""""median":${c.median}%.2f,"spread":${c.spread}%.2f,"ok":${c.ok}}"""
-      }.mkString("[", ",", "]")
-      f""""$name":{"bulk_insert":$bulkSec%.1f,"cells":$cj}"""
-    }.mkString("{", ",", "}")
-    (compact, detail)
+    // One GLOBAL worst-spread marker (x=max within-cell max/min, w=the
+    // scale:cell it came from) instead of one per scale — every char in
+    // the compact fragment competes with per-query times for the
+    // driver's 2000-char tail; per-cell spreads live in the detail file.
+    def compactOf(perScale: Seq[(String, Double, Seq[Cell])]): String = {
+      val perScaleJson = perScale.map { case (name, bulkSec, cells) =>
+        val byCase = cells.groupBy(_.useCase).toSeq
+          .sortBy(t => shortKey(t._1)).map { case (uc, cs) =>
+            val sorted = cs.sortBy(_.proportion)
+            val vs = sorted.map(c => if (c.ok) fmt(c.median) else "-1")
+            if (uc == "skewed_complex") s""""skw":${vs.head}"""
+            else s""""${shortKey(uc)}":${vs.mkString("[", ",", "]")}"""
+          }.mkString(",")
+        val failed = cells.filterNot(_.ok)
+          .map(c => "\"" + shortKey(c.useCase) + "@" + c.proportion + "\"")
+          .mkString("[", ",", "]")
+        f""""$name":{"b":${fmt(bulkSec)},$byCase""" +
+          (if (failed == "[]") "}" else s""","fail":$failed}""")
+      }.mkString(",")
+      val allCells = perScale.flatMap { case (name, _, cells) =>
+        cells.map(c => (name, c)) }
+      if (allCells.isEmpty) "{}"
+      else {
+        val worst = allCells.maxBy(_._2.spread)
+        f"""{$perScaleJson,"x":${worst._2.spread}%.2f,""" +
+          s""""w":"${worst._1}:${shortKey(worst._2.useCase)}@${worst._2.proportion}"}"""
+      }
+    }
+    def detailOf(perScale: Seq[(String, Double, Seq[Cell])]): String =
+      perScale.map { case (name, bulkSec, cells) =>
+        val cj = cells.map { c =>
+          s"""{"uc":"${c.useCase}","p":${c.proportion},""" +
+            s""""secs":${c.secs.map(s => f"$s%.2f").mkString("[", ",", "]")},""" +
+            f""""median":${c.median}%.2f,"spread":${c.spread}%.2f,"ok":${c.ok}}"""
+        }.mkString("[", ",", "]")
+        f""""$name":{"bulk_insert":$bulkSec%.1f,"cells":$cj}"""
+      }.mkString("{", ",", "}")
+    // Scales run one at a time, and the compact/detail fragments for
+    // everything COMPLETED so far are pushed through `onPartial` after
+    // each — so a bench killed mid-scale still delivers the finished
+    // scales in its shutdown-hook tail line and detail sidecar.
+    val done = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Seq[Cell])]
+    scales.foreach { case (name, copies, morFocus) =>
+      val est = scaleEstimateS(copies, morFocus, iters)
+      val rem = remainingS()
+      if (rem < est) {
+        log(f"[$name] SKIPPED: ${rem}%.0f s of bench budget left, " +
+          f"scale needs ~${est}%.0f s")
+      } else {
+        val (bulkSec, cells) = runScale(spark, storeSalesDir, copies,
+          proportions, m => log(s"[$name] $m"), iters = iters,
+          morFocus = morFocus)
+        done += ((name, bulkSec, cells))
+        onPartial(compactOf(done.toSeq), detailOf(done.toSeq))
+      }
+    }
+    (compactOf(done.toSeq), detailOf(done.toSeq))
   }
 
   def main(args: Array[String]): Unit = {
     val storeSales = args.headOption.getOrElse("target/tpcds-sf1/store_sales.parquet")
-    val scales = args.lift(1).getOrElse("sf1:1,sf10:10").split(",").toSeq
-      .map { s => val Array(n, c) = s.split(":"); (n, c.toInt) }
+    val scales = parseScales(args.lift(1).getOrElse("sf1:1,sf10:10"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
