@@ -3223,7 +3223,7 @@ object SparkEntry {
       store.commit("d", docs, "create")
       store.analyzeTable("d")
       val (_, rc, cols) = store.columnStats("d").get
-      cols.sortBy(_._1).toDF("col_name", "n_nulls", "ndv")
+      cols.sortBy(_._1).toDF("col_name", "n_nulls", "ndv", "max_freq")
         .withColumn("n_rows", lit(rc))
         .orderBy(col("col_name"))
     }),
@@ -5255,17 +5255,29 @@ object SparkEntry {
         |    CASE WHEN (SELECT COUNT(*) FROM dh) < 256
         |         THEN (SELECT COUNT(*) FROM dh)
         |         ELSE (255 * 281474976710656)
-        |              // greatest((SELECT hk FROM dhk), 1) END AS ndv
+        |              // greatest((SELECT hk FROM dhk), 1) END AS ndv,
+        |    (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM base
+        |       GROUP BY doc_id)) AS max_freq
         |  UNION ALL
-        |  SELECT 'lang', 0, COUNT(DISTINCT lang) FROM base
+        |  SELECT 'lang', 0, COUNT(DISTINCT lang),
+        |    (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM base
+        |       WHERE lang IS NOT NULL GROUP BY lang))
+        |  FROM base
         |  UNION ALL
         |  SELECT 'lang_nullable',
         |    SUM(CASE WHEN lang_nullable IS NULL THEN 1 ELSE 0 END),
-        |    COUNT(DISTINCT lang_nullable) FROM base
+        |    COUNT(DISTINCT lang_nullable),
+        |    (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM base
+        |       WHERE lang_nullable IS NOT NULL GROUP BY lang_nullable))
+        |  FROM base
         |  UNION ALL
-        |  SELECT 'source', 0, COUNT(DISTINCT source) FROM base)
+        |  SELECT 'source', 0, COUNT(DISTINCT source),
+        |    (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM base
+        |       WHERE source IS NOT NULL GROUP BY source))
+        |  FROM base)
         |SELECT col_name, CAST(n_nulls AS BIGINT) AS n_nulls,
-        |  CAST(ndv AS BIGINT) AS ndv, (SELECT rc FROM n) AS n_rows
+        |  CAST(ndv AS BIGINT) AS ndv, CAST(max_freq AS BIGINT) AS max_freq,
+        |  (SELECT rc FROM n) AS n_rows
         |FROM stats ORDER BY col_name""".stripMargin,
 
     // From-scratch index over ALL docs — equality (checksum + search

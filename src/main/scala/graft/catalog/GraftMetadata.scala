@@ -96,7 +96,8 @@ object GraftMetadata {
     StructField("current_version", LongType, nullable = false),
     StructField("row_count", LongType, nullable = false),
     StructField("n_nulls", LongType, nullable = false),
-    StructField("ndv", LongType, nullable = false)))
+    StructField("ndv", LongType, nullable = false),
+    StructField("max_freq", LongType, nullable = false)))
 
   /** `$stats`: the newest ANALYZE result at or below the current version
     * (empty until `CALL analyze_table`). `analyzed_version` vs
@@ -107,9 +108,9 @@ object GraftMetadata {
       case None => Array.empty
       case Some((v, rc, cols)) =>
         val cur = store.currentVersion(base)
-        cols.sortBy(_._1).map { case (c, nulls, ndv) =>
+        cols.sortBy(_._1).map { case (c, nulls, ndv, maxFreq) =>
           new GenericInternalRow(Array[Any](UTF8String.fromString(c),
-            v, cur, rc, nulls, ndv)): InternalRow
+            v, cur, rc, nulls, ndv, maxFreq)): InternalRow
         }.toArray
     }
 

@@ -1902,16 +1902,22 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * side file `_stats/<version>.json` (the Iceberg ANALYZE/Puffin shape:
     * stats belong to a SNAPSHOT — they are never carried forward, and
     * `$stats` reports which snapshot they describe, so a reader sees
-    * staleness instead of trusting silently). Per column: null count and
-    * NDV. Exact COUNT(DISTINCT) per column is a full-width expand at
+    * staleness instead of trusting silently). Per column: null count,
+    * NDV, and the count of the most frequent non-null value (maxFreq).
+    * Exact COUNT(DISTINCT) per column is a full-width expand at
     * scale, so NDV is the deterministic KMV estimate
     * ([[graft.ext.Sketches.kmvDistinct]], k=256) — exact below 256
-    * distinct values, engine-replayable above. Null counts for every
-    * column ride ONE aggregate pass; NDV is one column-pruned
-    * distinct-shuffle per column (ANALYZE is offline maintenance; job
-    * count is schema-width-bounded, each job reads one column). Reads go
-    * through [[read]], so merge-on-read deletes are honored.
-    * Returns the analyzed snapshot version. */
+    * distinct values, engine-replayable above. maxFreq is exact (one
+    * count-per-key shuffle per column, same cost class as the NDV pass)
+    * and exists for SAFETY: `selectivity(col = v) <= maxFreq/rows` holds
+    * for EVERY literal — the 1/NDV heuristic under-estimates a skewed
+    * hot key by orders of magnitude, and an under-estimate is the
+    * dangerous direction (it green-lights broadcasting something huge).
+    * Null counts for every column ride ONE aggregate pass; NDV/maxFreq
+    * are column-pruned single-column shuffles (ANALYZE is offline
+    * maintenance; job count is schema-width-bounded, each job reads one
+    * column). Reads go through [[read]], so merge-on-read deletes are
+    * honored. Returns the analyzed snapshot version. */
   def analyzeTable(table: String, columns: Seq[String] = Seq.empty): Long = {
     require(exists(table), s"analyzeTable: table $table does not exist")
     val m = manifests(table).maxBy(_.version)
@@ -1932,18 +1938,23 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       count(one).as("__rows")
     val nr = df.agg(nullAggs.head, nullAggs.tail: _*).head()
     val rowCount = nr.getLong(cols.size)
-    val stats: Seq[(String, Long, Long)] = cols.zipWithIndex.map { case (c, i) =>
+    val stats: Seq[(String, Long, Long, Long)] = cols.zipWithIndex.map { case (c, i) =>
       val nulls = nr.getLong(i)
-      val ndv =
-        if (nulls == rowCount) 0L
-        else graft.ext.Sketches.kmvDistinct(
-          df.filter(col(c).isNotNull).select(one.as("__g"), col(c)),
-          Seq("__g"), c, k = 256)
-          .collect().headOption.map(_.getLong(1)).getOrElse(0L)
-      (c, nulls, ndv)
+      val (ndv, maxFreq) =
+        if (nulls == rowCount) (0L, 0L)
+        else {
+          val nd = graft.ext.Sketches.kmvDistinct(
+            df.filter(col(c).isNotNull).select(one.as("__g"), col(c)),
+            Seq("__g"), c, k = 256)
+            .collect().headOption.map(_.getLong(1)).getOrElse(0L)
+          val mf = df.filter(col(c).isNotNull).groupBy(col(c)).count()
+            .agg(functions.max(col("count"))).head().getLong(0)
+          (nd, mf)
+        }
+      (c, nulls, ndv, maxFreq)
     }
-    val json = stats.map { case (c, nulls, ndv) =>
-      s"""${jstr(c)}:{"nulls":$nulls,"ndv":$ndv}"""
+    val json = stats.map { case (c, nulls, ndv, maxFreq) =>
+      s"""${jstr(c)}:{"nulls":$nulls,"ndv":$ndv,"maxFreq":$maxFreq}"""
     }.mkString(
       s"""{"version":${m.version},"timestampMs":${System.currentTimeMillis()},""" +
         s""""rowCount":$rowCount,"columns":{""", ",", "}}")
@@ -1954,9 +1965,11 @@ class TableStore(spark: SparkSession, val warehouse: String) {
   }
 
   /** The newest recorded stats at or below the current version, or None.
-    * Returns (analyzedVersion, rowCount, per-column (nulls, ndv)). */
+    * Returns (analyzedVersion, rowCount, per-column (name, nulls, ndv,
+    * maxFreq)); maxFreq is 0 for stats files written before it existed
+    * (0 = unknown, never "no rows"). */
   def columnStats(table: String)
-      : Option[(Long, Long, Seq[(String, Long, Long)])] = {
+      : Option[(Long, Long, Seq[(String, Long, Long, Long)])] = {
     val cur = currentVersion(table)
     val dir = new Path(tableDir(table), "_stats")
     val f = fs(dir)
@@ -1971,12 +1984,13 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
     val root = mapper.readTree(txt)
     val colsNode = root.get("columns")
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
     val it = colsNode.fields()
     while (it.hasNext) {
       val e = it.next()
+      val mf = Option(e.getValue.get("maxFreq")).map(_.asLong()).getOrElse(0L)
       out += ((e.getKey, e.getValue.get("nulls").asLong(),
-        e.getValue.get("ndv").asLong()))
+        e.getValue.get("ndv").asLong(), mf))
     }
     Some((root.get("version").asLong(), root.get("rowCount").asLong(),
       out.toSeq))

@@ -31,6 +31,7 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
   private var inner: ScanBuilder = _
   private var required: Option[StructType] = None
   private var lastFilters: Seq[Expression] = Seq.empty
+  private var lastV1: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty
   private var keptFiles: Seq[TableStore.FileEntry] = m.files
   private var aggResult: Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = None
 
@@ -129,6 +130,9 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
         effective.forall(f => StatsFilter.fileMayMatch(fe.stats, f)))
     keptFiles = kept
     lastFilters = filters
+    // v1 only, not `derived`: the derived partition-transform conjuncts
+    // restate v1 predicates — counting both would square the selectivity
+    lastV1 = v1
     inner = parquetBuilderOver(kept)
     required.foreach(r => inner match {
       case p: SupportsPushDownRequiredColumns => p.pruneColumns(r)
@@ -159,7 +163,8 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
     case None => new GraftStatsScan(spark, warehouse, tableName,
       innerBuilder.build(), keptFiles, tableSchema, scanOver,
       options.getBoolean("skipRewrites", false), m.partitionBy,
-      options.getLong("maxVersionsPerTrigger", 0L))
+      options.getLong("maxVersionsPerTrigger", 0L),
+      pushedV1 = lastV1, totalRows = m.files.map(_.rowCount).sum)
   }
 
   /** Merge-on-read snapshot: pruned parquet scans + broadcast delete
@@ -420,7 +425,9 @@ class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
     rebuild: Seq[TableStore.FileEntry] => Scan,
     skipRewrites: Boolean = false,
     partitionBy: Seq[String] = Seq.empty,
-    maxVersionsPerTrigger: Long = 0L)
+    maxVersionsPerTrigger: Long = 0L,
+    pushedV1: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+    totalRows: Long = 0L)
     extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -554,7 +561,7 @@ class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
     try {
       if (spark.sessionState.conf.cboEnabled)
         new TableStore(spark, warehouse).columnStats(tableName).foreach {
-          case (_, _, cols) => cols.foreach { case (name, nulls, ndv) =>
+          case (_, _, cols) => cols.foreach { case (name, nulls, ndv, _) =>
             if (tableSchema.fieldNames.contains(name))
               m.put(org.apache.spark.sql.connector.expressions.Expressions
                   .column(name),
@@ -573,13 +580,62 @@ class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
     m
   }
 
+  /** Estimated fraction of kept rows surviving the PUSHED filters —
+    * [[graft.core.SelectivityEstimate]] over safe-direction evidence:
+    * equality/IN bounded by ANALYZE maxFreq (skew-proof, staleness
+    * padded by rows appended since the analyzed snapshot), IS NULL by
+    * the null count, ranges interpolated against the current manifest's
+    * exact min/max. This is what turns a selectively-filtered branch
+    * into a STATIC broadcast — with CBO off, `JoinSelection` consults
+    * exactly the `sizeInBytes` below, and without scaling it a 0.1%
+    * filter still plans a sort-merge join whose shuffle maps AQE can
+    * only un-waste after they've run. Lazy: priced once per scan, off
+    * the no-filter fast path entirely. */
+  private lazy val filterSelectivity: Double = {
+    val on = spark.sessionState.conf.getConfString(
+      "spark.graft.stats.filterEstimation", "true") == "true"
+    val keptRows = files.map(_.rowCount).sum
+    if (!on || pushedV1.isEmpty || keptRows <= 0L) 1.0
+    else try {
+      val analyzed = new TableStore(spark, warehouse).columnStats(tableName)
+      // rows appended since ANALYZE could ALL be the hot key / null —
+      // pad the bounds so they stay upper bounds on the current snapshot
+      val growth = analyzed
+        .map { case (_, aRows, _) => math.max(0L, totalRows - aRows) }
+        .getOrElse(0L)
+      val evidence: String => Option[graft.core.SelectivityEstimate.Evidence] =
+        c => analyzed.flatMap(_._3.find(_._1 == c)).map {
+          case (_, nulls, _, maxFreq) =>
+            graft.core.SelectivityEstimate.Evidence(
+              if (maxFreq <= 0L) 0L else maxFreq + growth, nulls + growth)
+        }
+      val range: String => Option[(Double, Double)] = c => {
+        val bounds = files.flatMap(f => f.stats.get(c).flatMap(s =>
+          for {
+            mn <- graft.core.SelectivityEstimate.statToDouble(s.min, s.kind)
+            mx <- graft.core.SelectivityEstimate.statToDouble(s.max, s.kind)
+          } yield (mn, mx)))
+        // every kept file must carry the stat: a stat-less file could
+        // hold rows anywhere, so the global range would be a lie
+        if (bounds.nonEmpty && bounds.size == files.size)
+          Some((bounds.map(_._1).min, bounds.map(_._2).max))
+        else None
+      }
+      graft.core.SelectivityEstimate.estimate(
+        pushedV1, keptRows, evidence, range)
+    } catch { case scala.util.control.NonFatal(_) => 1.0 }
+  }
+
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val colStats = analyzeColStats
+    val sel = filterSelectivity
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(math.max(1L, files.map(_.sizeBytes).sum))
+        java.util.OptionalLong.of(math.max(1L,
+          math.ceil(files.map(_.sizeBytes).sum * sel).toLong))
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(files.map(_.rowCount).sum)
+        java.util.OptionalLong.of(math.max(if (sel < 1.0) 1L else 0L,
+          math.ceil(files.map(_.rowCount).sum * sel).toLong))
       override def columnStats(): java.util.Map[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats

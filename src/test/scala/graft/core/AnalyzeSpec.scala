@@ -16,7 +16,7 @@ class AnalyzeSpec extends SparkSpec {
     (i.toLong, s"g${i % 12}", if (i % 5 == 0) null else s"v${i % 40}")
   }.toDF("id", "grp", "maybe")
 
-  test("null counts exact; NDV exact below k, within 10% above") {
+  test("null counts exact; NDV exact below k, within 10% above; maxFreq exact") {
     val store = newStore()
     store.commit("t", df, "create")
     store.analyzeTable("t")
@@ -30,6 +30,13 @@ class AnalyzeSpec extends SparkSpec {
     val (idNulls, idNdv) = byCol("id")      // 2000 distinct > k: estimate
     assert(idNulls == 0L)
     assert(math.abs(idNdv - 2000L) * 10 <= 2000L, s"ndv estimate off: $idNdv")
+    // maxFreq (count of the most frequent non-null value) is exact:
+    // 2000/12 → the first 8 residues get 167; 32 non-null 'maybe' values
+    // each appear 50 times; ids are unique
+    val mfByCol = cols.map(c => c._1 -> c._4).toMap
+    assert(mfByCol("grp") == 167L)
+    assert(mfByCol("maybe") == 50L)
+    assert(mfByCol("id") == 1L)
   }
 
   test("stats are snapshot-scoped: staleness is explicit, never carried") {
@@ -105,6 +112,7 @@ class AnalyzeSpec extends SparkSpec {
     store.analyzeTable("t")
     val Some((_, rc, cols)) = store.columnStats("t")
     assert(rc == 0L)
-    assert(cols.forall { case (_, nulls, ndv) => nulls == 0L && ndv == 0L })
+    assert(cols.forall { case (_, nulls, ndv, mf) =>
+      nulls == 0L && ndv == 0L && mf == 0L })
   }
 }

@@ -33,7 +33,43 @@ def duck_dialect(text: str) -> str:
     text = re.sub(r'(?i)(?<![\w"])returns(?![\w"])', '"returns"', text)
     text = re.sub(r"(?i)cast\s*\(\s*\(\s*revenue\s*/\s*50\s*\)\s*AS\s+INTEGER\s*\)",
                   "cast(trunc(revenue / 50) AS INTEGER)", text)
-    return rewrite_concat(text)
+    return rewrite_concat(rewrite_ratio_rank(text))
+
+
+def rewrite_ratio_rank(text: str) -> str:
+    """Decimal-division result type is implementation-defined, and q49
+    RANKS on the quotient: Spark ANSI gives DECIMAL(15,4)/DECIMAL(15,4) ->
+    DECIMAL(35,20) (HALF_UP at scale 20) while DuckDB converts `/` on
+    decimals to DOUBLE — so whether two near-equal return ratios TIE under
+    rank() depends on the engine (first observed at sf30: one item pair
+    collides at scale 20 but not as float64, shifting a rank by one). Pin
+    the oracle to Spark's semantics — the same side taken for
+    concat-NULL and cast-truncation: compute the scale-20 HALF_UP units
+    exactly in HUGEINT ((2*n*10^20 + d) // (2*d) on the *10^4 integer
+    units; all q49 ratios are nonnegative with positive denominators),
+    rank on the units, and present units/1e20 (the value comparison's
+    tolerance absorbs the double presentation)."""
+    pat = re.compile(
+        r"\(cast\((.*?) AS DECIMAL\(15, 4\)\) /\s*"
+        r"cast\((.*?) AS DECIMAL\(15, 4\)\)\) AS (return_ratio|currency_ratio)",
+        re.S)
+
+    def units(n, d):
+        return ("((2*CAST(({n})*10000 AS HUGEINT)*100000000000000000000"
+                " + CAST(({d})*10000 AS HUGEINT))"
+                " // (2*CAST(({d})*10000 AS HUGEINT)))").format(n=n, d=d)
+
+    def repl(m):
+        u = units(m.group(1), m.group(2))
+        return "(CAST({u} AS DOUBLE)/1e20) AS {nm}, {u} AS {nm}_u".format(
+            u=u, nm=m.group(3))
+
+    out, cnt = pat.subn(repl, text)
+    if cnt:
+        out = out.replace("ORDER BY return_ratio)", "ORDER BY return_ratio_u)")
+        out = out.replace("ORDER BY currency_ratio)",
+                          "ORDER BY currency_ratio_u)")
+    return out
 
 
 def rewrite_concat(text: str) -> str:
