@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{MatView, Merge, TableStore}
 import graft.curation.{Sampling, Scd2}
-import graft.ext.{Chunking, Clustering, Contamination, Dedup, KMeans, Multimodal, Packing, Redaction, Similarity, TextAnalysis}
+import graft.ext.{Chunking, Clustering, Contamination, Dedup, KMeans, Mixing, Multimodal, Packing, Redaction, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -3362,6 +3362,52 @@ object SparkEntry {
       val packed = Packing.contiguousFill(withTok, "doc_id", "n_tok",
         budgetTokens = 2048L)
       Packing.binSummary(packed).orderBy(col("bin"))
+    }),
+
+    // The full curation chain composed END-TO-END, each stage's
+    // SURVIVORS feeding the next — the shape a real pretraining-data
+    // job runs, and the integration check the per-operator anchors
+    // can't give: eval holdout → q70's language/quality/repetition gate
+    // → exact dedup (min-id per fingerprint) → near-dup clustering
+    // (keep each component's smallest id) → eval-8-gram
+    // decontamination → q103's per-domain token-budget mixture →
+    // deterministic shard assignment. Every stage is the already-
+    // anchored operator applied unchanged; the final per-shard
+    // (count, tokens, order checksum) is sensitive to every keep/drop
+    // decision upstream, so a drift ANYWHERE in the chain — or in how
+    // two stages compose (e.g. dedup reordering mixture's hash order)
+    // — breaks the hash. Scale shape: narrow projections + the
+    // operators' own bounded shuffles; nothing new materializes.
+    "q137_pipeline_e2e" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val toks = TextAnalysis.tokens(col("text"))
+      val gated = TextAnalysis.qualityFeatures(train)
+        .withColumn("lang_guess", TextAnalysis.langId(col("text")))
+        .withColumn("nd", size(array_distinct(toks)).cast("long"))
+        .filter(col("lang_guess") === "en" && col("quality_score") > 0.3 &&
+          col("n_tokens") > 0 &&
+          col("nd").cast("double") / col("n_tokens") >= 0.55)
+        .select(col("doc_id"), col("source"), col("text"))
+      val exactKept = Dedup.exact(gated, "doc_id", "text")
+      val losers = Dedup
+        .nearDupComponents(exactKept, "doc_id", "text", n = 3, threshold = 0.8)
+        .filter(col("doc_id") =!= col("component"))
+        .select(col("doc_id"))
+      val unique = exactKept.join(losers, Seq("doc_id"), "left_anti")
+      val dirty = Contamination
+        .contaminatedIds(unique, evalSet, "doc_id", "text", n = 8)
+      val clean = unique.join(dirty, Seq("doc_id"), "left_anti")
+        .withColumn("tok", TextAnalysis.tokenCount(col("text")).cast("long"))
+      val sel = Mixing.sampleToBudget(clean, "doc_id", "source", "tok",
+        budgetTokens = 10000L, parts = mixingParts)
+      val sharded = Sampling.deterministicShuffle(sel, "doc_id", numShards = 8)
+      sharded.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("shard_pos") * col("doc_id")).as("order_checksum"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -5430,7 +5476,109 @@ object SparkEntry {
            |  FROM doctok)
            |SELECT CAST(off // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
            |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
-           |FROM cum GROUP BY bin ORDER BY bin""".stripMargin
+           |FROM cum GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // The composed curation chain replayed stage by stage: q70's gate
+    // CTEs verbatim, q30's min-id-per-fingerprint, q65's shingle-pair +
+    // reachability clustering restricted to the exact-dedup survivors,
+    // q66's eval-8-gram overlap against the post-dedup set, q103's
+    // per-domain running-offset budget, q76's md5-order shard ranking.
+    "q137_pipeline_e2e" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |f AS (
+        |  SELECT doc_id, source, text, t,
+        |    len(t) AS nt, len(list_distinct(t)) AS nd,
+        |    md5(array_to_string(t, ' ')) AS fp,
+        |    len(list_intersect(t, ['the','a','and','of','to','in','is','on','for','with'])) AS s_en,
+        |    len(list_intersect(t, ['der','die','das','und','ist','nicht','mit','ein','zu','den'])) AS s_de,
+        |    len(list_intersect(t, ['le','la','les','et','est','une','dans','pour','que','au'])) AS s_fr,
+        |    len(list_intersect(t, ['el','los','las','y','es','una','por','con','para','como'])) AS s_es,
+        |    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+        |      / greatest(len(t), 1) AS atl,
+        |    CAST(len(list_filter(t, x -> list_contains(
+        |      ['the','a','and','of','to','in','is','on','for','with'], x))) AS DOUBLE)
+        |      / greatest(len(t), 1) AS swr,
+        |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS nr
+        |  FROM e),
+        |g AS (
+        |  SELECT *,
+        |    CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |         WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_guess,
+        |    CASE WHEN nt < 5 THEN 0.0 ELSE
+        |      1.0 - abs(atl - 5.0) / 10.0 - nr
+        |        + CASE WHEN swr BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END
+        |    END AS q
+        |  FROM f),
+        |gated AS (
+        |  SELECT doc_id, source, t, nt, fp FROM g
+        |  WHERE lang_guess = 'en' AND q > 0.3 AND nt > 0
+        |    AND CAST(nd AS DOUBLE) / nt >= 0.55),
+        |ex AS (
+        |  SELECT doc_id, source, t, nt FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM gated) WHERE rn = 1),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> array_to_string(t[i:i+2], ' ')))) AS s
+        |  FROM ex),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+        |          UNION SELECT id_b, id_a FROM prs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |uniq AS (
+        |  SELECT doc_id, source, t, nt FROM ex
+        |  WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)),
+        |ev8 AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 7, 1) + 1),
+        |    i -> array_to_string(t[i:i+7], ' ')))) AS s
+        |  FROM (SELECT list_filter(string_split_regex(lower(text), '\W+'),
+        |                x -> x <> '') AS t
+        |        FROM documents WHERE doc_id % 97 = 0)),
+        |tr8 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 7, 1) + 1),
+        |    i -> array_to_string(t[i:i+7], ' ')))) AS s
+        |  FROM uniq),
+        |clean AS (
+        |  SELECT doc_id, source, nt FROM uniq
+        |  WHERE doc_id NOT IN (
+        |    SELECT DISTINCT tr8.doc_id FROM tr8 JOIN ev8 ON tr8.s = ev8.s)),
+        |p AS (
+        |  SELECT doc_id, source, nt,
+        |    COALESCE(SUM(nt) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM clean),
+        |selq AS (
+        |  SELECT doc_id, nt FROM p
+        |  WHERE off < CASE CAST(substring(source, 4) AS INT) % 4
+        |    WHEN 0 THEN 200 WHEN 1 THEN 400 WHEN 2 THEN 600 ELSE 800 END),
+        |ranked AS (
+        |  SELECT doc_id, nt,
+        |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+        |  FROM selq)
+        |SELECT CAST(pos % 8 AS INT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM((pos // 8) * doc_id) AS BIGINT) AS order_checksum
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:
