@@ -3408,6 +3408,78 @@ object SparkEntry {
           sum(col("n_tokens")).as("sum_tokens"),
           sum(col("shard_pos") * col("doc_id")).as("order_checksum"))
         .orderBy(col("shard"))
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the lexical arm (q135's
+    // BM25 top-k over the inverted index) and the vector arm (q36's exact
+    // cosine top-k for one query embedding) — the standard RAG-ingestion
+    // shape where score scales aren't comparable, so each arm contributes
+    // 1/(60+rank) and ranks (integers) carry ALL the cross-engine
+    // determinism: one IEEE division per arm summed in literal arm order,
+    // so the oracle replays fused scores bit-for-bit. The arms keep their
+    // own scale paths (postings file-skip; broadcast query × corpus scan);
+    // fusion itself joins two ≤50-row lists.
+    "q138_hybrid_retrieval" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val e = Tables.load(s, dir, "embeddings")
+      val idx = graft.ext.Search.buildIndex(docs, "doc_id", "text")
+      // rank windows run on the already-top-50 arms — bounded frames
+      val wT = Window.orderBy(col("score").desc, col("doc_id"))
+      val text = graft.ext.Search
+        .bm25TopK(idx, "doc_id", Seq("spark", "table", "data"), 50)
+        .withColumn("rank", row_number().over(wT).cast("long"))
+        .select(col("doc_id"), col("rank"))
+      val vec = Similarity
+        .bruteForceTopK(e, e.filter(col("vec_id") === 0), k = 50)
+        .select(col("vec_id").as("doc_id"), col("rk").as("rank"))
+      graft.ext.Search.rrfFuse(Seq(text, vec), "doc_id", "rank", k = 15)
+        .select(col("doc_id"), col("rank_0").as("text_rank"),
+          col("rank_1").as("vec_rank"), col("rrf"))
+    }),
+
+    // Adaptive per-domain quality cutoff: keep each source's top quartile
+    // by quality score — the per-dump self-calibrating threshold pattern
+    // (a fixed global cutoff over-prunes clean domains and under-prunes
+    // noisy ones). The cutoff is the EXACT per-group 3/4 quantile
+    // (integer cross-multiplication on counts — q126's machinery), the
+    // score is q38's deterministic composite, and the kept set is decided
+    // by comparing bit-identical doubles — so the oracle replays the
+    // thresholds AND the kept rows exactly. Scale: one hash-agg quantile
+    // over the compressed (source, score) domain + one broadcast-join
+    // filter pass; no corpus shuffle.
+    "q139_adaptive_quality_cutoff" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val scored = TextAnalysis.qualityFeatures(docs)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("quality_score"))
+      graft.ext.Quantiles
+        .keepAboveGroupQuantile(scored, "source", "quality_score", 3L, 4L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("kept_tokens"),
+          max(col("threshold")).as("threshold"),
+          max(col("group_rows")).as("n_total"))
+        .orderBy(col("source"))
+    }),
+
+    // Image near-dup detection over REAL decoded pixels: patterned 8×8
+    // PNGs (planted per-family near-dups, integer pixel formula) round-
+    // trip through ImageIO, average-hash to 64 bits by the integer
+    // cross-multiplication `cellSum·64 > totalSum`, then pair up via the
+    // 4×16-bit banded Hamming join — pigeonhole makes recall EXACT at
+    // maxHamming 3 (≤3 differing bits can't touch all 4 bands), which is
+    // what lets the oracle verify with a direct all-pairs replay of the
+    // pixel/hash arithmetic (no PNG decode needed on its side). The
+    // checksum pins WHICH pairs matched, not just how many.
+    "q140_image_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val imgs = Multimodal.patternedImages(Tables.load(s, dir, "documents"))
+      val hashes = Multimodal.imageAHash(imgs)
+      Multimodal.aHashNearDupPairs(hashes, maxHamming = 3)
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("id_a") + col("id_b")).as("id_checksum"))
+        .orderBy(col("hamming"))
     })
   )
 
@@ -5578,7 +5650,122 @@ object SparkEntry {
         |SELECT CAST(pos % 8 AS INT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(nt) AS BIGINT) AS sum_tokens,
         |  CAST(SUM((pos // 8) * doc_id) AS BIGINT) AS order_checksum
-        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q135's BM25 chain and q36's cosine ranking (single query vector),
+    // row_number'd into 1-based ranks, full-outer-joined, fused as
+    // 1/(60+rank) contributions summed in arm order.
+    "q138_hybrid_retrieval" ->
+      raw"""WITH tk AS (SELECT doc_id, unnest(list_filter(
+           |    string_split_regex(lower(text), '\W+'), x -> x <> '')) AS token
+           |  FROM documents),
+           |idx AS (SELECT token, doc_id, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, SUM(tf) AS dl FROM idx GROUP BY doc_id),
+           |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+           |dft AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM idx
+           |  WHERE token IN ('spark', 'table', 'data') GROUP BY token),
+           |s AS (SELECT i.doc_id, i.token,
+           |  (((CAST(c.n AS DOUBLE) - CAST(d.df AS DOUBLE)) + 0.5)
+           |     / (CAST(d.df AS DOUBLE) + 0.5))
+           |    * (CAST(i.tf AS DOUBLE) * (1.2 + 1.0))
+           |    / (CAST(i.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 *
+           |        (CAST(l.dl AS DOUBLE)
+           |          / (CAST(c.tot AS DOUBLE) / CAST(c.n AS DOUBLE))))) AS sc
+           |  FROM idx i JOIN dft d USING (token) JOIN dl l USING (doc_id), c
+           |  WHERE i.token IN ('spark', 'table', 'data')),
+           |p AS (SELECT doc_id,
+           |  SUM(CASE WHEN token = 'spark' THEN sc END) AS p0,
+           |  SUM(CASE WHEN token = 'table' THEN sc END) AS p1,
+           |  SUM(CASE WHEN token = 'data' THEN sc END) AS p2
+           |  FROM s GROUP BY doc_id),
+           |bmr AS (SELECT doc_id,
+           |  CAST(row_number() OVER (ORDER BY
+           |    coalesce(p0, 0.0) + coalesce(p1, 0.0) + coalesce(p2, 0.0) DESC,
+           |    doc_id) AS BIGINT) AS text_rank
+           |  FROM p),
+           |bm AS (SELECT doc_id, text_rank FROM bmr WHERE text_rank <= 50),
+           |vq AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id = 0),
+           |vr AS (SELECT vec_id AS doc_id,
+           |  CAST(row_number() OVER (ORDER BY
+           |    list_cosine_similarity(qv, cv) DESC, vec_id) AS BIGINT) AS vec_rank
+           |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+           |        FROM embeddings WHERE vec_id <> 0), vq),
+           |vv AS (SELECT doc_id, vec_rank FROM vr WHERE vec_rank <= 50),
+           |f AS (SELECT coalesce(bm.doc_id, vv.doc_id) AS doc_id,
+           |  bm.text_rank, vv.vec_rank,
+           |  coalesce(1.0 / (60.0 + CAST(bm.text_rank AS DOUBLE)), 0.0) +
+           |  coalesce(1.0 / (60.0 + CAST(vv.vec_rank AS DOUBLE)), 0.0) AS rrf
+           |  FROM bm FULL OUTER JOIN vv ON bm.doc_id = vv.doc_id)
+           |SELECT doc_id, text_rank, vec_rank, rrf FROM f
+           |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
+
+    // q38's score replay + q126's integer-exact quantile, composed: the
+    // per-source 3/4-quantile threshold, then the kept set re-aggregated.
+    "q139_adaptive_quality_cutoff" ->
+      """WITH feat AS (
+        |  SELECT source,
+        |    len(t) AS n_tokens,
+        |    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+        |      / greatest(len(t), 1) AS avg_token_len,
+        |    CAST(len(list_filter(t, x -> list_contains(
+        |      ['the','a','and','of','to','in','is','on','for','with'], x))) AS DOUBLE)
+        |      / greatest(len(t), 1) AS stopword_ratio,
+        |    CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) AS noise_ratio
+        |  FROM (SELECT source, text,
+        |          list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |        FROM documents) tt),
+        |q AS (
+        |  SELECT source, n_tokens,
+        |    CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+        |      1.0 - abs(avg_token_len - 5.0) / 10.0 - noise_ratio
+        |        + CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END
+        |    END AS quality_score
+        |  FROM feat),
+        |c AS (SELECT source, quality_score AS v, COUNT(*) AS c
+        |  FROM q GROUP BY 1, 2),
+        |w AS (SELECT source, v,
+        |    SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |    SUM(c) OVER (PARTITION BY source) AS n
+        |  FROM c),
+        |t AS (SELECT source,
+        |    MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS threshold,
+        |    MAX(n) AS n_total
+        |  FROM w GROUP BY source)
+        |SELECT q.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(q.n_tokens) AS BIGINT) AS kept_tokens,
+        |  MAX(t.threshold) AS threshold,
+        |  CAST(MAX(t.n_total) AS BIGINT) AS n_total
+        |FROM q JOIN t ON q.source = t.source
+        |WHERE q.quality_score >= t.threshold
+        |GROUP BY q.source ORDER BY q.source""".stripMargin,
+
+    // Pure-arithmetic replay of the image pipeline: the patterned pixel
+    // formula, the cellSum·64 > totalSum hash bits, and a direct
+    // all-pairs Hamming count — equal to Spark's banded search because
+    // ≤3-bit pairs always share a clean 16-bit band (pigeonhole).
+    "q140_image_neardup" ->
+      """WITH imgs AS (SELECT doc_id AS media_id, doc_id % 30 AS f,
+        |    (doc_id // 30) % 64 AS pc
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |cells AS (SELECT media_id, cs.c,
+        |    CASE WHEN cs.c = pc THEN ((f * 73 + cs.c) * 131 % 256 + 96) % 256
+        |         ELSE (f * 73 + cs.c) * 131 % 256 END AS g
+        |  FROM imgs, (SELECT unnest(range(0, 64)) AS c) cs),
+        |sums AS (SELECT media_id, SUM(g) AS total FROM cells GROUP BY 1),
+        |bits AS (SELECT c.media_id, c.c,
+        |    CASE WHEN c.g * 64 > s.total THEN 1 ELSE 0 END AS b
+        |  FROM cells c JOIN sums s USING (media_id)),
+        |pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |    SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS hamming
+        |  FROM bits a JOIN bits b ON a.c = b.c AND a.media_id < b.media_id
+        |  GROUP BY 1, 2)
+        |SELECT CAST(hamming AS INT) AS hamming,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(id_a + id_b) AS BIGINT) AS id_checksum
+        |FROM pairs WHERE hamming <= 3 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

@@ -240,4 +240,104 @@ object Multimodal {
     ds.toDF().withColumn("planned_frames",
       when(col("duration_ms") > 0, (col("duration_ms") / everyMs).cast("int") + 1)
         .otherwise(lit(1)))
+
+  /** Patterned 8×8 grayscale PNG fixture with PLANTED near-dup families:
+    * image rows (doc_id % 3 = 0) get pixel `c ∈ [0,64)` of value
+    * `base(f,c) = (f·73 + c)·131 mod 256` for family `f = doc_id % 30`,
+    * with ONE member-specific cell `(doc_id/30) % 64` shifted by
+    * `+96 mod 256` — so members of a family decode to rasters differing
+    * in one cell (a few average-hash bits) while families differ in ~half
+    * the bits. Integer formula end to end: an oracle replays every pixel,
+    * hash bit, and pair without decoding a byte, while the Spark side
+    * round-trips REAL PNG bytes through ImageIO. */
+  def patternedImages(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+        encode(lit(""), "UTF-8").as("content"),
+        lit(8).as("width"), lit(8).as("height"), lit(0L).as("duration_ms"))
+      .as[MediaFile]
+      .mapPartitions(_.map { m =>
+        val f = (m.media_id % 30L).toInt
+        val perturbed = ((m.media_id / 30L) % 64L).toInt
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var c = 0
+        while (c < 64) {
+          val base = ((f * 73 + c) * 131) % 256
+          val g = if (c == perturbed) (base + 96) % 256 else base
+          img.setRGB(c % 8, c / 8, (g << 16) | (g << 8) | g)
+          c += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        m.copy(content = baos.toByteArray)
+      })
+  }
+
+  /** 64-bit average hash from the DECODED raster: block-mean the image to
+    * an 8×8 grid (requires width/height multiples of 8 so every block has
+    * the same pixel count), bit `c` set iff cell `c`'s luminance sum
+    * clears the image mean — decided by the integer cross-multiplication
+    * `cellSum·64 > totalSum`, no division, so any engine replays the hash
+    * exactly. Luminance is the blue channel (the fixture writes gray).
+    * One pass per image inside mapPartitions; output is (media_id, ahash). */
+  def imageAHash(ds: Dataset[MediaFile])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { m =>
+      decodeImage(m.content).flatMap { img =>
+        val w = img.getWidth; val h = img.getHeight
+        if (w % 8 != 0 || h % 8 != 0) None
+        else {
+          val bw = w / 8; val bh = h / 8
+          val sums = new Array[Long](64)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              sums((y / bh) * 8 + (x / bw)) += (img.getRGB(x, y) & 0xFF).toLong
+              x += 1
+            }
+            y += 1
+          }
+          val total = sums.sum
+          var hash = 0L
+          var c = 0
+          while (c < 64) {
+            if (sums(c) * 64L > total) hash |= (1L << c)
+            c += 1
+          }
+          Some((m.media_id, hash))
+        }
+      }
+    }).toDF("media_id", "ahash")
+  }
+
+  /** Near-duplicate image pairs by banded Hamming search over the 64-bit
+    * average hash: the hash splits into four 16-bit bands; a pair landing
+    * in the same bucket of ANY band is a candidate (an equi-join per band
+    * — the SimHash trick on image bits), then `bit_count(xor)` verifies
+    * the true distance. `maxHamming < 4` makes recall EXACT by
+    * pigeonhole: ≤3 differing bits cannot touch all four bands, so every
+    * qualifying pair shares at least one clean band. Candidate volume is
+    * bounded by bucket co-occupancy, never the image-pair square. */
+  def aHashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+      idCol: String = "media_id", hashCol: String = "ahash"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      "4x16 banding guarantees full recall only for maxHamming < 4")
+    val bands = (0 until 4).map { j =>
+      hashes.select(col(idCol), col(hashCol), lit(j).as("__band"),
+        expr(s"shiftrightunsigned($hashCol, ${16 * j}) & 65535").as("__key"))
+    }.reduce(_ unionByName _)
+    val a = bands.select(col("__band"), col("__key"),
+      col(idCol).as("id_a"), col(hashCol).as("__ha"))
+    val b = bands.select(col("__band"), col("__key"),
+      col(idCol).as("id_b"), col(hashCol).as("__hb"))
+    a.join(b, Seq("__band", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -37,4 +37,23 @@ object Quantiles {
     } :+ max(col("__n")).as("n_rows")
     cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Adaptive per-group gate: keep rows whose `scoreCol` reaches their
+    * OWN group's exact `num/den` quantile — the "per-dump threshold"
+    * pattern (a fixed global cutoff over- or under-prunes domains whose
+    * score distributions differ; a per-domain percentile self-calibrates).
+    * Returns the kept rows with `threshold` (the group's cutoff) and
+    * `group_rows` (pre-filter group size) attached. Two passes over the
+    * input (quantile + filter); the per-group thresholds are a
+    * |groups|-row broadcast, so the filter pass is shuffle-free. */
+  def keepAboveGroupQuantile(df: DataFrame, groupCol: String,
+      scoreCol: String, num: Long, den: Long): DataFrame = {
+    val th = exactQuantiles(df, groupCol, scoreCol, Seq(("__th", num, den)))
+      .select(col(groupCol), col("__th"),
+        col("n_rows").as("group_rows"))
+    df.join(broadcast(th), Seq(groupCol))
+      .filter(col(scoreCol) >= col("__th"))
+      .withColumn("threshold", col("__th"))
+      .drop("__th")
+  }
 }

