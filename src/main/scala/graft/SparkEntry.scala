@@ -3390,12 +3390,18 @@ object SparkEntry {
           col("n_tokens") > 0 &&
           col("nd").cast("double") / col("n_tokens") >= 0.55)
         .select(col("doc_id"), col("source"), col("text"))
-      val exactKept = Dedup.exact(gated, "doc_id", "text")
+      // survivor sets feed TWO consumers each (the next stage's keyed
+      // probe AND the anti-join back onto themselves) — checkpoint them
+      // so the gate/shingle work isn't recomputed per consumer; both are
+      // post-filter frames, bounded by the kept corpus, and the blocks
+      // are freed by the ContextCleaner when the frames go out of scope
+      val exactKept = Dedup.exact(gated, "doc_id", "text").localCheckpoint()
       val losers = Dedup
         .nearDupComponents(exactKept, "doc_id", "text", n = 3, threshold = 0.8)
         .filter(col("doc_id") =!= col("component"))
         .select(col("doc_id"))
       val unique = exactKept.join(losers, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       val dirty = Contamination
         .contaminatedIds(unique, evalSet, "doc_id", "text", n = 8)
       val clean = unique.join(dirty, Seq("doc_id"), "left_anti")
@@ -3441,23 +3447,27 @@ object SparkEntry {
     // by quality score — the per-dump self-calibrating threshold pattern
     // (a fixed global cutoff over-prunes clean domains and under-prunes
     // noisy ones). The cutoff is the EXACT per-group 3/4 quantile
-    // (integer cross-multiplication on counts — q126's machinery), the
-    // score is q38's deterministic composite, and the kept set is decided
-    // by comparing bit-identical doubles — so the oracle replays the
-    // thresholds AND the kept rows exactly. Scale: one hash-agg quantile
-    // over the compressed (source, score) domain + one broadcast-join
-    // filter pass; no corpus shuffle.
+    // (integer cross-multiplication on counts — q126's machinery) of the
+    // score QUANTIZED to a 2^-20 grid: one IEEE multiply + floor, bit-
+    // identical across engines, and it bounds the quantile's compressed
+    // (source, value) frame by the GRID (score range × 2^20 cells, a
+    // constant) instead of the near-continuous raw-double domain, whose
+    // distinct count grows with the corpus and would degenerate the
+    // per-group cumulative window into a single-task row-count sort.
+    // Scale: one hash-agg quantile over the bounded grid + one
+    // broadcast-join filter pass; no corpus shuffle.
     "q139_adaptive_quality_cutoff" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       val scored = TextAnalysis.qualityFeatures(docs)
         .select(col("doc_id"), col("source"), col("n_tokens"),
-          col("quality_score"))
+          floor(col("quality_score") * lit(1048576.0)).cast("long")
+            .as("score_units"))
       graft.ext.Quantiles
-        .keepAboveGroupQuantile(scored, "source", "quality_score", 3L, 4L)
+        .keepAboveGroupQuantile(scored, "source", "score_units", 3L, 4L)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_tokens")).as("kept_tokens"),
-          max(col("threshold")).as("threshold"),
+          max(col("threshold")).as("threshold_units"),
           max(col("group_rows")).as("n_total"))
         .orderBy(col("source"))
     }),
@@ -3475,6 +3485,24 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       val imgs = Multimodal.patternedImages(Tables.load(s, dir, "documents"))
       val hashes = Multimodal.imageAHash(imgs)
+      Multimodal.aHashNearDupPairs(hashes, maxHamming = 3)
+        .groupBy(col("hamming"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("id_a") + col("id_b")).as("id_checksum"))
+        .orderBy(col("hamming"))
+    }),
+
+    // Audio near-dup detection — q140's twin on the other real-decode
+    // modality: patterned PCM-16 WAVs round-trip through AudioSystem,
+    // the 64-window energy profile average-hashes by the same integer
+    // bit rule, and the SAME modality-blind banded Hamming layer finds
+    // the planted families. One shared near-dup engine across image and
+    // audio is the design point; the oracle again replays the sample
+    // arithmetic with no codec on its side.
+    "q141_audio_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wavs = Multimodal.patternedAudio(Tables.load(s, dir, "documents"))
+      val hashes = Multimodal.audioAHash(wavs)
       Multimodal.aHashNearDupPairs(hashes, maxHamming = 3)
         .groupBy(col("hamming"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -5701,8 +5729,9 @@ object SparkEntry {
            |SELECT doc_id, text_rank, vec_rank, rrf FROM f
            |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin,
 
-    // q38's score replay + q126's integer-exact quantile, composed: the
-    // per-source 3/4-quantile threshold, then the kept set re-aggregated.
+    // q38's score replay quantized to the 2^-20 grid + q126's
+    // integer-exact quantile, composed: the per-source 3/4-quantile
+    // threshold in grid units, then the kept set re-aggregated.
     "q139_adaptive_quality_cutoff" ->
       """WITH feat AS (
         |  SELECT source,
@@ -5719,27 +5748,27 @@ object SparkEntry {
         |        FROM documents) tt),
         |q AS (
         |  SELECT source, n_tokens,
-        |    CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+        |    CAST(FLOOR((CASE WHEN n_tokens < 5 THEN 0.0 ELSE
         |      1.0 - abs(avg_token_len - 5.0) / 10.0 - noise_ratio
         |        + CASE WHEN stopword_ratio BETWEEN 0.05 AND 0.6 THEN 0.25 ELSE 0.0 END
-        |    END AS quality_score
+        |    END) * 1048576.0) AS BIGINT) AS score_units
         |  FROM feat),
-        |c AS (SELECT source, quality_score AS v, COUNT(*) AS c
+        |c AS (SELECT source, score_units AS v, COUNT(*) AS c
         |  FROM q GROUP BY 1, 2),
         |w AS (SELECT source, v,
         |    SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum,
         |    SUM(c) OVER (PARTITION BY source) AS n
         |  FROM c),
         |t AS (SELECT source,
-        |    MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS threshold,
+        |    MIN(CASE WHEN cum * 4 >= n * 3 THEN v END) AS threshold_units,
         |    MAX(n) AS n_total
         |  FROM w GROUP BY source)
         |SELECT q.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
         |  CAST(SUM(q.n_tokens) AS BIGINT) AS kept_tokens,
-        |  MAX(t.threshold) AS threshold,
+        |  CAST(MAX(t.threshold_units) AS BIGINT) AS threshold_units,
         |  CAST(MAX(t.n_total) AS BIGINT) AS n_total
         |FROM q JOIN t ON q.source = t.source
-        |WHERE q.quality_score >= t.threshold
+        |WHERE q.score_units >= t.threshold_units
         |GROUP BY q.source ORDER BY q.source""".stripMargin,
 
     // Pure-arithmetic replay of the image pipeline: the patterned pixel
@@ -5754,6 +5783,30 @@ object SparkEntry {
         |    CASE WHEN cs.c = pc THEN ((f * 73 + cs.c) * 131 % 256 + 96) % 256
         |         ELSE (f * 73 + cs.c) * 131 % 256 END AS g
         |  FROM imgs, (SELECT unnest(range(0, 64)) AS c) cs),
+        |sums AS (SELECT media_id, SUM(g) AS total FROM cells GROUP BY 1),
+        |bits AS (SELECT c.media_id, c.c,
+        |    CASE WHEN c.g * 64 > s.total THEN 1 ELSE 0 END AS b
+        |  FROM cells c JOIN sums s USING (media_id)),
+        |pairs AS (SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |    SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS hamming
+        |  FROM bits a JOIN bits b ON a.c = b.c AND a.media_id < b.media_id
+        |  GROUP BY 1, 2)
+        |SELECT CAST(hamming AS INT) AS hamming,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(id_a + id_b) AS BIGINT) AS id_checksum
+        |FROM pairs WHERE hamming <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Identical arithmetic to q140's replay — the unsigned top byte of
+    // each PCM sample round-trips losslessly, so the pixel formula IS
+    // the sample formula; only the id stripe (audio rows) changes.
+    "q141_audio_neardup" ->
+      """WITH auds AS (SELECT doc_id AS media_id, doc_id % 30 AS f,
+        |    (doc_id // 30) % 64 AS pc
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |cells AS (SELECT media_id, cs.c,
+        |    CASE WHEN cs.c = pc THEN ((f * 73 + cs.c) * 131 % 256 + 96) % 256
+        |         ELSE (f * 73 + cs.c) * 131 % 256 END AS g
+        |  FROM auds, (SELECT unnest(range(0, 64)) AS c) cs),
         |sums AS (SELECT media_id, SUM(g) AS total FROM cells GROUP BY 1),
         |bits AS (SELECT c.media_id, c.c,
         |    CASE WHEN c.g * 64 > s.total THEN 1 ELSE 0 END AS b

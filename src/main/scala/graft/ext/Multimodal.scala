@@ -275,6 +275,22 @@ object Multimodal {
       })
   }
 
+  /** Shared average-hash step: bit `c` set iff cell `c`'s sum clears the
+    * whole-signal mean, decided by the integer cross-multiplication
+    * `cellSum·64 > totalSum` — no division, engine-replayable. The same
+    * 64-bit hash layer serves every modality; only the cell-sum
+    * extraction differs (pixel blocks, PCM windows). */
+  private def aHashFromCellSums(sums: Array[Long]): Long = {
+    val total = sums.sum
+    var hash = 0L
+    var c = 0
+    while (c < 64) {
+      if (sums(c) * 64L > total) hash |= (1L << c)
+      c += 1
+    }
+    hash
+  }
+
   /** 64-bit average hash from the DECODED raster: block-mean the image to
     * an 8×8 grid (requires width/height multiples of 8 so every block has
     * the same pixel count), bit `c` set iff cell `c`'s luminance sum
@@ -300,15 +316,79 @@ object Multimodal {
             }
             y += 1
           }
-          val total = sums.sum
-          var hash = 0L
-          var c = 0
-          while (c < 64) {
-            if (sums(c) * 64L > total) hash |= (1L << c)
-            c += 1
-          }
-          Some((m.media_id, hash))
+          Some((m.media_id, aHashFromCellSums(sums)))
         }
+      }
+    }).toDF("media_id", "ahash")
+  }
+
+  /** Patterned PCM-16 WAV fixture with PLANTED near-dup families — the
+    * audio twin of [[patternedImages]]: audio rows (doc_id % 3 = 1) get
+    * 64 samples whose unsigned top byte follows the SAME integer formula
+    * (`(f·73 + c)·131 mod 256`, family `f = doc_id % 30`, one
+    * member-specific window shifted `+96 mod 256`), stored as the exact
+    * sample `(u − 128)·256` so the byte round-trips through the real
+    * AudioSystem WAV encode/decode losslessly. */
+  def patternedAudio(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaFile] = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id").as("media_id"), lit("audio").as("kind"),
+        encode(lit(""), "UTF-8").as("content"),
+        lit(0).as("width"), lit(0).as("height"), lit(6400L).as("duration_ms"))
+      .as[MediaFile]
+      .mapPartitions(_.map { m =>
+        val f = (m.media_id % 30L).toInt
+        val perturbed = ((m.media_id / 30L) % 64L).toInt
+        val pcm = new Array[Byte](64 * 2)
+        var c = 0
+        while (c < 64) {
+          val base = ((f * 73 + c) * 131) % 256
+          val u = if (c == perturbed) (base + 96) % 256 else base
+          val s = ((u - 128) * 256).toShort
+          pcm(2 * c) = (s & 0xff).toByte
+          pcm(2 * c + 1) = ((s >> 8) & 0xff).toByte
+          c += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(10.0f, 16, 1, true, false)
+        val in = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, 64L)
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(in,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+        m.copy(content = baos.toByteArray)
+      })
+  }
+
+  /** 64-bit average hash from the DECODED PCM stream — the audio face of
+    * [[imageAHash]]: the signal splits into 64 equal windows (frame count
+    * must be a multiple of 64), each sample contributes its unsigned top
+    * byte `(s >> 8) + 128`, and the window sums feed the same
+    * `cellSum·64 > totalSum` bit rule. Real AudioSystem parse per
+    * payload inside mapPartitions; output is (media_id, ahash), ready for
+    * [[aHashNearDupPairs]] — the banded Hamming layer is modality-blind. */
+  def audioAHash(ds: Dataset[MediaFile])(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    ds.mapPartitions(_.flatMap { m =>
+      decodeAudio(m.content).flatMap { stream =>
+        try {
+          val fmt = stream.getFormat
+          val pcm = stream.readAllBytes()
+          val n = pcm.length / 2
+          if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+              fmt.isBigEndian || n == 0 || n % 64 != 0) None
+          else {
+            val win = n / 64
+            val sums = new Array[Long](64)
+            var i = 0
+            while (i < n) {
+              val s = (((pcm(2 * i + 1) & 0xFF) << 8) | (pcm(2 * i) & 0xFF))
+                .toShort
+              sums(i / win) += ((s >> 8) + 128).toLong
+              i += 1
+            }
+            Some((m.media_id, aHashFromCellSums(sums)))
+          }
+        } finally stream.close()
       }
     }).toDF("media_id", "ahash")
   }

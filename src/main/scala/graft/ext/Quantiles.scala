@@ -45,7 +45,13 @@ object Quantiles {
     * Returns the kept rows with `threshold` (the group's cutoff) and
     * `group_rows` (pre-filter group size) attached. Two passes over the
     * input (quantile + filter); the per-group thresholds are a
-    * |groups|-row broadcast, so the filter pass is shuffle-free. */
+    * |groups|-row broadcast, so the filter pass is shuffle-free.
+    *
+    * `scoreCol` inherits [[exactQuantiles]]' discrete-domain contract:
+    * the cumulative window runs over the (group, value) compression, so
+    * a near-continuous double score should be quantized first (e.g.
+    * `floor(score * 2^20)` — one IEEE multiply + floor, deterministic
+    * everywhere) to bound the frame by grid resolution, not row count. */
   def keepAboveGroupQuantile(df: DataFrame, groupCol: String,
       scoreCol: String, num: Long, den: Long): DataFrame = {
     val th = exactQuantiles(df, groupCol, scoreCol, Seq(("__th", num, den)))

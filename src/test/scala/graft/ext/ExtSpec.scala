@@ -274,6 +274,27 @@ class ExtSpec extends SparkSpec {
     assert(pairs.nonEmpty, "planted families should yield near-dup pairs")
   }
 
+  test("audio aHash from real WAV decode matches the image-pattern formula") {
+    implicit val s: SparkSession = spark
+    val dd = spark.range(0, 90).toDF("doc_id")
+    val hashes = Multimodal.audioAHash(Multimodal.patternedAudio(dd))
+    val got = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 30) // doc_id % 3 == 1
+    def formulaHash(id: Long): Long = {
+      val f = (id % 30).toInt; val pc = ((id / 30) % 64).toInt
+      val g = Array.tabulate(64) { c =>
+        val base = ((f * 73 + c) * 131) % 256
+        if (c == pc) (base + 96) % 256 else base
+      }
+      val total = g.map(_.toLong).sum
+      (0 until 64).foldLeft(0L)((h, c) =>
+        if (g(c) * 64L > total) h | (1L << c) else h)
+    }
+    got.foreach { case (id, hsh) => assert(hsh == formulaHash(id), s"id $id") }
+    // the modality-blind band layer pairs audio hashes just the same
+    assert(Multimodal.aHashNearDupPairs(hashes, 3).count() > 0)
+  }
+
   test("audio payloads WAV-round-trip: frames come from the decoded stream") {
     implicit val s: SparkSession = spark
     // encode→decode round trip off-Spark: real AudioSystem parse
