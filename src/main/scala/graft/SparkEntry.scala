@@ -3508,6 +3508,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"),
           sum(col("id_a") + col("id_b")).as("id_checksum"))
         .orderBy(col("hamming"))
+    }),
+
+    // Temperature-scaled mixture (α = 1/2): per-domain token targets
+    // proportional to sqrt(domain mass) — the standard multilingual
+    // rebalance, upweighting small domains without hand-set weights.
+    // Deterministic across engines because IEEE sqrt is correctly
+    // rounded (unlike ln/pow), the normalizer is a fixed-order prefix
+    // sum over the |domains|-row frame, and selection reuses q103's
+    // exclusive md5-offset rule.
+    "q142_temperature_mixture" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val withTok = docs.withColumn("tok",
+        TextAnalysis.tokenCount(col("text")).cast("long"))
+      Mixing.sampleToTemperatureBudget(withTok, "doc_id", "source", "tok",
+          budgetTokens = 10000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          max(col("target")).as("target"))
+        .orderBy(col("source"))
     })
   )
 
@@ -5818,7 +5838,37 @@ object SparkEntry {
         |SELECT CAST(hamming AS INT) AS hamming,
         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |  CAST(SUM(id_a + id_b) AS BIGINT) AS id_checksum
-        |FROM pairs WHERE hamming <= 3 GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM pairs WHERE hamming <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // sqrt-tempered targets (prefix-sum normalizer in source order; MAX
+    // of a monotone positive prefix = the total) + q103's exclusive
+    // md5-offset selection.
+    "q142_temperature_mixture" ->
+      raw"""WITH d AS (SELECT doc_id, source,
+           |    len(list_filter(string_split_regex(lower(text), '\W+'),
+           |        x -> x <> '')) AS tok
+           |  FROM documents),
+           |m AS (SELECT source, SUM(tok) AS n FROM d GROUP BY source),
+           |s AS (SELECT source, sqrt(CAST(n AS DOUBLE)) AS sh FROM m),
+           |cum AS (SELECT source, sh,
+           |    SUM(sh) OVER (ORDER BY source
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           |  FROM s),
+           |tot AS (SELECT MAX(c) AS t FROM cum),
+           |tg AS (SELECT source,
+           |    CAST(FLOOR(10000.0 * sh / t) AS BIGINT) AS target
+           |  FROM cum, tot),
+           |p AS (SELECT doc_id, source, tok,
+           |    COALESCE(SUM(tok) OVER (PARTITION BY source
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           |  FROM d)
+           |SELECT p.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(p.tok) AS BIGINT) AS sum_tokens,
+           |  CAST(MAX(tg.target) AS BIGINT) AS target
+           |FROM p JOIN tg ON p.source = tg.source
+           |WHERE p.off < tg.target
+           |GROUP BY p.source ORDER BY p.source""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

@@ -81,4 +81,62 @@ object Mixing {
   def mixtureSummary(selected: DataFrame, domainCol: String): DataFrame =
     selected.groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+
+  /** Temperature-scaled mixture (α = 1/2): domain targets proportional to
+    * `sqrt(domainTokens)` instead of hand-set weights — the standard
+    * multilingual/multi-domain rebalance that upweights small domains
+    * relative to their natural share without hand-tuning. α = 1/2 keeps
+    * the whole computation engine-replayable: IEEE `sqrt` is CORRECTLY
+    * ROUNDED (unlike `ln`/`pow`), the share normalizer is accumulated as
+    * a prefix sum in domain order (one fixed association — no
+    * partition-order float sums), and the target is one multiply, one
+    * divide, one floor. Selection then reuses the md5-order
+    * exclusive-offset rule, identical scale shape to [[sampleToBudget]]
+    * (the targets are a |domains|-row broadcast).
+    *
+    * Output: (idCol, domainCol, n_tokens, offset, target). */
+  def sampleToTemperatureBudget(df: DataFrame, idCol: String,
+      domainCol: String, tokenCountCol: String, budgetTokens: Long,
+      bucketNibbles: Int = 3): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(bucketNibbles >= 1 && bucketNibbles <= 7,
+      "bucketNibbles must be in [1, 7]")
+    val ord = md5(col(idCol).cast("string"))
+    val (keyed, _) = Materialize.checkpointTracked(
+      df.select(col(idCol), col(domainCol),
+          col(tokenCountCol).cast("long").as("__tok"), ord.as("__ord"))
+        .withColumn("__b",
+          conv(substring(col("__ord"), 1, bucketNibbles), 16, 10).cast("long")))
+    // tempered targets: per-domain token mass → sqrt share → prefix-sum
+    // normalizer (positive adds are monotone, so MAX(prefix) is the total)
+    val mass = keyed.groupBy(col(domainCol)).agg(sum(col("__tok")).as("__n"))
+    val wOrd = Window.orderBy(col(domainCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val shares = mass
+      .withColumn("__s", sqrt(col("__n").cast("double")))
+      .withColumn("__cum", sum(col("__s")).over(wOrd))
+    val total = shares.agg(max(col("__cum")).as("__tot"))
+    val targets = shares.crossJoin(broadcast(total))
+      .withColumn("target",
+        floor(lit(budgetTokens.toDouble) * col("__s") / col("__tot"))
+          .cast("long"))
+      .select(col(domainCol), col("target"))
+    // same distributed exclusive-offset selection as sampleToBudget
+    val intra = keyed.withColumn("__run",
+      sum(col("__tok")).over(Window.partitionBy(col(domainCol), col("__b"))
+        .orderBy(col("__ord"), col(idCol))))
+    val offsets = keyed.groupBy(col(domainCol), col("__b"))
+      .agg(sum(col("__tok")).as("__btot"))
+      .withColumn("__boff",
+        coalesce(sum(col("__btot")).over(
+          Window.partitionBy(col(domainCol)).orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(domainCol), col("__b"), col("__boff"))
+    val off = col("__boff") + col("__run") - col("__tok")
+    intra.join(broadcast(offsets), Seq(domainCol, "__b"))
+      .join(broadcast(targets), Seq(domainCol))
+      .filter(off < col("target"))
+      .select(col(idCol), col(domainCol), col("__tok").as("n_tokens"),
+        off.as("offset"), col("target"))
+  }
 }

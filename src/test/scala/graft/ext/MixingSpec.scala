@@ -49,4 +49,30 @@ class MixingSpec extends SparkSpec {
     assert(byDom("big") == 2)     // 100 tokens = target, exclusive rule keeps both
     assert(!byDom.contains("other"))
   }
+
+  test("temperature mixture: sqrt targets upweight small domains, selection exact") {
+    // d0 has 9× the tokens of d1 → sqrt tempers the 9:1 ratio to 3:1
+    val df = ((1 to 900).map(i => (i.toLong, "d0", 10L)) ++
+      (901 to 1000).map(i => (i.toLong, "d1", 10L)))
+      .toDF("id", "dom", "tok")
+    val sel = Mixing.sampleToTemperatureBudget(df, "id", "dom", "tok",
+      budgetTokens = 4000L)
+    val tg = sel.groupBy("dom").agg(max("target")).as[(String, Long)]
+      .collect().toMap
+    // shares: sqrt(9000)=94.868…, sqrt(1000)=31.623…; targets 3:1 ±1 floor
+    assert(math.abs(tg("d0") - 3L * tg("d1")) <= 3,
+      s"sqrt tempering should give ~3:1, got $tg")
+    assert(tg.values.sum <= 4000L && tg.values.sum > 3990L)
+    // selection honors the exclusive-offset rule per domain
+    assert(sel.filter(col("offset") >= col("target")).count() == 0)
+    val sums = sel.groupBy("dom").agg(sum("n_tokens")).as[(String, Long)]
+      .collect().toMap
+    for ((d, t) <- tg) assert(sums(d) >= t && sums(d) < t + 11,
+      s"$d: ${sums(d)} vs target $t")
+    // deterministic and partitioning-independent
+    val again = Mixing.sampleToTemperatureBudget(df.repartition(17), "id",
+      "dom", "tok", 4000L, bucketNibbles = 1).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(again == sel.select("id").as[Long].collect().sorted.toSeq)
+  }
 }
