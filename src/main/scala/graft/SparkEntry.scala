@@ -3528,6 +3528,59 @@ object SparkEntry {
           sum(col("n_tokens")).as("sum_tokens"),
           max(col("target")).as("target"))
         .orderBy(col("source"))
+    }),
+
+    // Incremental NEAR-dup ingest — q127's production shape upgraded from
+    // exact fingerprints to Jaccard: the corpus's distinct-shingle keys
+    // live in a TABLE (clustered by key at scale); each arriving batch
+    // exact-dedups within itself, joins its keys against the admitted
+    // key table, and is rejected when some admitted doc clears the
+    // integer-exact Jaccard gate (inter·5 ≥ union·4 → ≥ 0.8) — identical
+    // text across batches is a jaccard-1.0 special case of the same rule.
+    // Admitted docs append their keys+sizes; the corpus is never
+    // rescanned, so per-batch cost is batch keys + one key-clustered
+    // join at ANY corpus size.
+    "q143_incremental_neardup_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val store = tmpStore(s)
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), md5(col("text")).as("f"),
+          (col("doc_id") % 3).as("batch"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("f").orderBy("doc_id")
+      val out = (0L to 2L).map { b =>
+        val inBatch = docs.filter(col("batch") === b)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", "batch")
+          .localCheckpoint() // reused: keys, reject anti-join, count
+        val keysB = Dedup.shingleKeySets(inBatch, "doc_id", "text", n = 3)
+          .localCheckpoint()
+        val sizesB = keysB.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_keys"))
+        val rejected =
+          if (b == 0L) inBatch.select(col("doc_id")).limit(0)
+          else Dedup.nearDupIdsAgainst(keysB, store.read("nd_keys"),
+            sizesB, store.read("nd_sizes"), "doc_id", num = 4L, den = 5L)
+            .localCheckpoint() // consumed by the anti-join AND the count
+        val admitted = inBatch.join(rejected, Seq("doc_id"), "left_anti")
+        val keysA = keysB.join(admitted.select("doc_id"), Seq("doc_id"),
+          "left_semi")
+        val sizesA = sizesB.join(admitted.select("doc_id"), Seq("doc_id"),
+          "left_semi")
+        if (b == 0L) {
+          store.commit("nd_corpus", admitted.select("doc_id", "f"), "create")
+          store.commit("nd_keys", keysA, "create")
+          store.commit("nd_sizes", sizesA, "create")
+        } else {
+          store.append("nd_corpus", admitted.select("doc_id", "f"))
+          store.append("nd_keys", keysA)
+          store.append("nd_sizes", sizesA)
+        }
+        (b, inBatch.count(), rejected.count(),
+          store.read("nd_corpus").count())
+      }
+      out.toDF("batch", "n_in", "n_rejected", "corpus_rows")
+        .orderBy(col("batch"))
     })
   )
 
@@ -5868,7 +5921,59 @@ object SparkEntry {
            |  CAST(MAX(tg.target) AS BIGINT) AS target
            |FROM p JOIN tg ON p.source = tg.source
            |WHERE p.off < tg.target
-           |GROUP BY p.source ORDER BY p.source""".stripMargin
+           |GROUP BY p.source ORDER BY p.source""".stripMargin,
+
+    // The three-batch admission unrolled: q31's shingle sets, the
+    // integer Jaccard gate inter·5 ≥ union·4 against the admitted-so-far
+    // set, sizes always from the full per-doc distinct-shingle counts.
+    "q143_incremental_neardup_ingest" ->
+      raw"""WITH d AS (SELECT doc_id, md5(text) AS f, doc_id % 3 AS batch,
+           |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+           |  FROM documents),
+           |e AS (SELECT doc_id, batch, t FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY batch, f
+           |      ORDER BY doc_id) AS rn FROM d) WHERE rn = 1),
+           |sh AS (SELECT doc_id, batch, unnest(list_distinct(list_transform(
+           |    range(1, greatest(len(t) - 2, 1) + 1),
+           |    i -> array_to_string(t[i:i+2], ' ')))) AS s
+           |  FROM e),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+           |a0 AS (SELECT doc_id FROM e WHERE batch = 0),
+           |r1 AS (SELECT DISTINCT p.id_b AS doc_id FROM (
+           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+           |    FROM sh a JOIN sh b ON a.s = b.s
+           |    WHERE a.batch = 0 AND b.batch = 1
+           |    GROUP BY 1, 2) p
+           |  JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+           |  WHERE inter * 5 >= (x.n + y.n - inter) * 4),
+           |a1 AS (SELECT doc_id FROM e WHERE batch = 1
+           |  AND doc_id NOT IN (SELECT doc_id FROM r1)),
+           |adm01 AS (SELECT doc_id FROM a0 UNION ALL SELECT doc_id FROM a1),
+           |r2 AS (SELECT DISTINCT p.id_b AS doc_id FROM (
+           |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+           |    FROM sh a JOIN sh b ON a.s = b.s
+           |    WHERE b.batch = 2 AND a.doc_id IN (SELECT doc_id FROM adm01)
+           |    GROUP BY 1, 2) p
+           |  JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+           |  WHERE inter * 5 >= (x.n + y.n - inter) * 4),
+           |a2 AS (SELECT doc_id FROM e WHERE batch = 2
+           |  AND doc_id NOT IN (SELECT doc_id FROM r2)),
+           |summ AS (
+           |  SELECT 0 AS batch,
+           |    (SELECT COUNT(*) FROM e WHERE batch = 0) AS n_in,
+           |    0 AS n_rejected, (SELECT COUNT(*) FROM a0) AS adm
+           |  UNION ALL SELECT 1,
+           |    (SELECT COUNT(*) FROM e WHERE batch = 1),
+           |    (SELECT COUNT(*) FROM r1), (SELECT COUNT(*) FROM a1)
+           |  UNION ALL SELECT 2,
+           |    (SELECT COUNT(*) FROM e WHERE batch = 2),
+           |    (SELECT COUNT(*) FROM r2), (SELECT COUNT(*) FROM a2))
+           |SELECT CAST(batch AS BIGINT) AS batch, CAST(n_in AS BIGINT) AS n_in,
+           |  CAST(n_rejected AS BIGINT) AS n_rejected,
+           |  CAST(SUM(adm) OVER (ORDER BY batch
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |    AS corpus_rows
+           |FROM summ ORDER BY batch""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

@@ -31,6 +31,48 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     org.apache.spark.sql.graft.TextBridge.shingleArray(text, n)
 
+  /** Per-document DISTINCT shingle keys `(idCol, key)` — the persistable
+    * form of a document's n-gram set (key = md5 of the shingle). A table
+    * of these rows, clustered by `key`, is the STATE an incremental
+    * near-dup ingest maintains: arriving batches join it by key instead
+    * of rescanning corpus text. */
+  def shingleKeySets(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    df.select(col(idCol),
+        explode(array_distinct(shingles(col(textCol), n))).as("__sh"))
+      .select(col(idCol), md5(col("__sh")).as("key"))
+
+  /** Ids in `batchKeys` that are near-duplicates of an already-admitted
+    * document, decided ENTIRELY from persisted key/size tables — no
+    * corpus text is read. A batch doc is flagged when some admitted doc
+    * shares enough distinct shingles that Jaccard ≥ num/den, tested with
+    * the integer cross-multiplication `inter·den ≥ (nb+no−inter)·num`
+    * (no floats — any engine replays the verdict exactly).
+    *
+    * Inputs: `batchKeys`/`corpusKeys` as (idCol, key) rows,
+    * `batchSizes`/`corpusSizes` as (idCol, n_keys). Scale shape: one
+    * equi-join on `key` (the persisted table is key-clustered, so a
+    * batch's keys prune to their files), one (batch-doc, partner)
+    * aggregate bounded by shared-key co-occupancy; at web scale the
+    * hot-shingle tail is capped the same way [[jaccardPairsDirect]] caps
+    * `maxShingleDf` — kept exact here so the oracle replays verbatim. */
+  def nearDupIdsAgainst(batchKeys: DataFrame, corpusKeys: DataFrame,
+      batchSizes: DataFrame, corpusSizes: DataFrame, idCol: String,
+      num: Long, den: Long): DataFrame = {
+    require(num > 0 && den >= num, "threshold must be a rational in (0, 1]")
+    val ck = corpusKeys.select(col(idCol).as("__oid"), col("key"))
+    val cs = corpusSizes.select(col(idCol).as("__oid"),
+      col("n_keys").as("__no"))
+    val bs = batchSizes.select(col(idCol), col("n_keys").as("__nb"))
+    batchKeys.join(ck, Seq("key"))
+      .groupBy(col(idCol), col("__oid"))
+      .agg(count(lit(1)).as("__i"))
+      .join(bs, Seq(idCol))
+      .join(cs, Seq("__oid"))
+      .filter(col("__i") * den >= (col("__nb") + col("__no") - col("__i")) * num)
+      .select(col(idCol)).distinct()
+  }
+
   /** Exact dedup: keep the lowest id per normalized-content fingerprint.
     * One hash aggregate — the cheapest possible dedup at any scale. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -11,6 +11,24 @@ class ExtSpec extends SparkSpec {
   private def docs: DataFrame = graft.Tables.load(spark, sfDir, "documents")
   private def embs: DataFrame = graft.Tables.load(spark, sfDir, "embeddings")
 
+  test("nearDupIdsAgainst flags exactly the docs clearing the integer jaccard gate") {
+    // corpus doc 1 shingles {a b c, b c d, c d e}; batch doc 10 identical
+    // (jaccard 1), doc 11 shares 2 of 4 union (0.5), doc 12 disjoint
+    val corpus = Seq((1L, "a b c d e")).toDF("id", "text")
+    val batch = Seq((10L, "a b c d e"), (11L, "a b c d x"), (12L, "zz yy qq rr"))
+      .toDF("id", "text")
+    val ck = Dedup.shingleKeySets(corpus, "id", "text")
+    val cs = ck.groupBy("id").agg(count(lit(1)).as("n_keys"))
+    val bk = Dedup.shingleKeySets(batch, "id", "text")
+    val bs = bk.groupBy("id").agg(count(lit(1)).as("n_keys"))
+    def flagged(num: Long, den: Long): Set[Long] =
+      Dedup.nearDupIdsAgainst(bk, ck, bs, cs, "id", num, den)
+        .as[Long].collect().toSet
+    assert(flagged(4L, 5L) == Set(10L))      // jaccard >= 0.8
+    assert(flagged(1L, 2L) == Set(10L, 11L)) // 0.5 boundary is inclusive
+    assert(flagged(1L, 1L) == Set(10L))      // only exact content at 1.0
+  }
+
   test("exact dedup keeps the lowest id per duplicated content") {
     val df = Seq(
       (1L, "Hello,  WORLD!"), (2L, "hello world"), (3L, "different text here")
