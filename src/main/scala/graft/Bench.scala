@@ -67,7 +67,34 @@ object Bench {
     def reset(): Unit = { input.set(0L); shuffleWrite.set(0L); cpuNs.set(0L) }
   }
 
+  /** Best-effort janitor for scratch warehouses orphaned by KILLED runs
+    * (a SIGKILL skips every finally/shutdown hook): graft tools name all
+    * their temp dirs `graft_*` / `tpcds-*` under java.io.tmpdir, so any
+    * such dir untouched for 2+ hours is a leak from a dead JVM. Live
+    * runs are safe — the age guard far exceeds any single section, and
+    * concurrent fresh dirs are younger. (r7 lesson: ~40 GB of orphans
+    * from killed sessions ENOSPC'd the sf100 curation cell.) */
+  private def sweepStaleScratch(): Unit = try {
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir", "/tmp"))
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    val it = java.nio.file.Files.list(tmp).iterator()
+    var freed = 0
+    while (it.hasNext) {
+      val p = it.next()
+      val nm = p.getFileName.toString
+      if ((nm.startsWith("graft_") || nm.startsWith("tpcds-")) &&
+          java.nio.file.Files.isDirectory(p) &&
+          java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
+        try { graft.tools.TpcdsIngest.deleteRecursively(p); freed += 1 }
+        catch { case _: Exception => }
+      }
+    }
+    if (freed > 0) System.err.println(s"[bench] swept $freed stale scratch dirs")
+  } catch { case _: Exception => }
+
   def main(args: Array[String]): Unit = {
+    sweepStaleScratch()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -446,8 +473,11 @@ object Bench {
         curationDetail = detail
         "," + "\"cur\":" + compact
       } catch { case e: Throwable =>
+        // keep whatever onPartial already folded (finished scales) — a
+        // late-scale failure must not erase the section from the tail
+        // line (r7 lesson: an sf100 ENOSPC blanked sf1+sf10 too)
         System.err.println(s"[bench] curation section failed: ${e.getMessage}")
-        ""
+        curationJsonRef.get()
       }
     }
     refreshProvisional()

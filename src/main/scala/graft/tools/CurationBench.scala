@@ -407,12 +407,18 @@ object CurationBench {
       if (rem < est) {
         log(f"[$name] SKIPPED: ${rem}%.0f s of bench budget left, " +
           f"scale needs ~${est}%.0f s")
-      } else {
+      } else try {
         val (bulkSec, cells) = runScale(spark, storeSalesDir, copies,
           proportions, m => log(s"[$name] $m"), iters = iters,
           morFocus = morFocus)
         done += ((name, bulkSec, cells))
         onPartial(compactOf(done.toSeq), detailOf(done.toSeq))
+      } catch { case e: Throwable =>
+        // one scale dying (ENOSPC mid-bulk-insert cascades into every
+        // later cell of THAT scale) must not erase the finished scales
+        // from the section result — log it and keep what's done
+        log(s"[$name] SCALE FAILED, keeping completed scales: " +
+          Option(e.getMessage).getOrElse(e.toString).take(200))
       }
     }
     (compactOf(done.toSeq), detailOf(done.toSeq))
