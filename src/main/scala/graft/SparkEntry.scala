@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{MatView, Merge, TableStore}
 import graft.curation.{Sampling, Scd2}
-import graft.ext.{Chunking, Clustering, Contamination, Dedup, KMeans, Mixing, Multimodal, Packing, Redaction, Similarity, TextAnalysis}
+import graft.ext.{Chunking, Clustering, Contamination, Dedup, KMeans, Mixing, Multimodal, Packing, ProductQuantization, Redaction, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -3581,7 +3581,16 @@ object SparkEntry {
       }
       out.toDF("batch", "n_in", "n_rejected", "corpus_rows")
         .orderBy(col("batch"))
-    })
+    }),
+
+    // ext: product-quantization ANN (Jégou et al. 2011) — the
+    // memory-bound 100 TB similarity path: 4 sub-codebooks × 16
+    // integer-Lloyd centroids over int8 slices, each vector stored as 4
+    // code ids, query ranked by exact-integer asymmetric distance
+    // (driver-built m×k lookup tables applied as a literal projection).
+    "q144_pq_ann" -> ((s, dir) =>
+      ProductQuantization.topK(Tables.load(s, dir, "embeddings"),
+        queryId = 0L, k = 10, m = 4, ksub = 16, iters = 2))
   )
 
   /** Mixture weights for q103: source `src<i>` gets `(i % 4) + 1` parts
@@ -5973,7 +5982,14 @@ object SparkEntry {
            |  CAST(SUM(adm) OVER (ORDER BY batch
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
            |    AS corpus_rows
-           |FROM summ ORDER BY batch""".stripMargin
+           |FROM summ ORDER BY batch""".stripMargin,
+
+    "q144_pq_ann" ->
+      s"""WITH ${pqCtes(m = 4, ksub = 16, iters = 2, dim = 64, qid = 0)}
+         |SELECT vec_id, pq_dist,
+         |  CAST(row_number() OVER (ORDER BY pq_dist, vec_id) AS BIGINT) AS rk
+         |FROM scs WHERE vec_id <> 0
+         |ORDER BY pq_dist, vec_id LIMIT 10""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:
@@ -6017,5 +6033,72 @@ object SparkEntry {
          |      PARTITION BY z.vec_id ORDER BY ${distExpr("c")}, c.cid) AS rk
          |  FROM qz z, c$iters c) t WHERE rk = 1)""".stripMargin
     (head +: rounds :+ fin).mkString(",\n")
+  }
+
+  /** DuckDB CTE chain replaying [[graft.ext.ProductQuantization.topK]]
+    * exactly: one full-vector int8 quantization (per-vector scale — the
+    * same `qz` as [[kmeansCtes]]), then per subspace `s` the slice
+    * `z$s`, md5 seeds, `iters` integer-Lloyd rounds, final code
+    * assignment `f$s`, the query row's slice `qv$s` and its exact ADC
+    * table `t$s`; `scs(vec_id, pq_dist)` sums the per-subspace lookups.
+    */
+  private def pqCtes(m: Int, ksub: Int, iters: Int, dim: Int,
+      qid: Long): String = {
+    require(dim % m == 0)
+    val subdim = dim / m
+    def distExpr(z: String, c: String): String =
+      s"16384*list_inner_product($z.q,$z.q) - " +
+        s"256*list_inner_product($z.q,$c.c) + list_inner_product($c.c,$c.c)"
+    val head =
+      s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |s AS (SELECT vec_id, e,
+         |  greatest(list_max(list_transform(e, x -> abs(x))),
+         |           2.2250738585072014e-308) AS sc FROM v),
+         |qz AS (SELECT vec_id,
+         |  list_transform(e, x -> floor(x * 127.0 / sc + 0.5)) AS q FROM s)""".stripMargin
+    val subs = (0 until m).map { sub =>
+      val lo = sub * subdim + 1
+      val hi = (sub + 1) * subdim
+      val train = (1 to iters).map { t =>
+        s"""a${sub}_$t AS (SELECT vec_id, q, cid FROM (
+           |  SELECT z.vec_id, z.q, c.cid, row_number() OVER (
+           |    PARTITION BY z.vec_id ORDER BY ${distExpr("z", "c")}, c.cid) AS rk
+           |  FROM z$sub z, c${sub}_${t - 1} c) t WHERE rk = 1),
+           |cr${sub}_$t AS (SELECT a.cid, r.d, CAST(SUM(a.q[r.d]) AS BIGINT) AS sm,
+           |    COUNT(*) AS n
+           |  FROM a${sub}_$t a,
+           |    (SELECT CAST(range AS INT) + 1 AS d FROM range($subdim)) r
+           |  GROUP BY a.cid, r.d),
+           |c${sub}_$t AS (SELECT p.cid, COALESCE(u.c, p.c) AS c FROM c${sub}_${t - 1} p
+           |  LEFT JOIN (SELECT cid,
+           |      list(CAST(floor((sm*256.0 + n)/(2*n)) AS DOUBLE) ORDER BY d) AS c
+           |    FROM cr${sub}_$t GROUP BY cid) u ON p.cid = u.cid)""".stripMargin
+      }
+      (Seq(
+        s"""z$sub AS (SELECT vec_id, q[$lo:$hi] AS q FROM qz),
+           |sd$sub AS (SELECT q, CAST(row_number() OVER (
+           |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) - 1 AS cid
+           |  FROM z$sub ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ksub),
+           |c${sub}_0 AS (SELECT cid, list_transform(q, x -> x * 128.0) AS c FROM sd$sub)""".stripMargin
+      ) ++ train ++ Seq(
+        s"""f$sub AS (SELECT vec_id, cid FROM (
+           |  SELECT z.vec_id, c.cid, row_number() OVER (
+           |    PARTITION BY z.vec_id ORDER BY ${distExpr("z", "c")}, c.cid) AS rk
+           |  FROM z$sub z, c${sub}_$iters c) t WHERE rk = 1),
+           |qv$sub AS (SELECT q FROM z$sub WHERE vec_id = $qid),
+           |t$sub AS (SELECT c.cid,
+           |    CAST(${distExpr("z", "c")} AS BIGINT) AS d
+           |  FROM c${sub}_$iters c, qv$sub z)""".stripMargin
+      )).mkString(",\n")
+    }
+    val score =
+      s"""scs AS (SELECT f0.vec_id,
+         |  ${(0 until m).map(s => s"t$s.d").mkString(" + ")} AS pq_dist
+         |  FROM ${(0 until m).map(s => s"f$s").mkString(", ")},
+         |    ${(0 until m).map(s => s"t$s").mkString(", ")}
+         |  WHERE ${(1 until m).map(s => s"f0.vec_id = f$s.vec_id").mkString(" AND ")}
+         |    AND ${(0 until m).map(s => s"f$s.cid = t$s.cid").mkString(" AND ")})""".stripMargin
+    (head +: subs :+ score).mkString(",\n")
   }
 }

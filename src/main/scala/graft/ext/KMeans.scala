@@ -58,51 +58,13 @@ object KMeans {
   def assignWithCentroids(df: DataFrame, k: Int = 8, iters: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding")
       : (DataFrame, Seq[Centroid]) = {
-    val spark = df.sparkSession
-    val sc = spark.sparkContext
+    val sc = df.sparkSession.sparkContext
     val (codes, codesIds) = Materialize.checkpointTracked(
       Similarity.quantizeInt8(df.filter(col(vecCol).isNotNull), idCol, vecCol)
         .select(col(idCol),
           transform(col("codes"), x => x.cast("double")).as("__q")))
     try {
-      // Seeds: k smallest md5(id) — tiny driver-side collect (k rows).
-      val seeds = codes
-        .withColumn("__h", md5(col(idCol).cast("string")))
-        .orderBy(col("__h"), col(idCol))
-        .limit(k)
-        .select(col("__q"))
-        .collect()
-      var cents: Seq[Centroid] = seeds.zipWithIndex.map { case (r, i) =>
-        // a seed centroid is the member mean of its 1-element cluster
-        Centroid(i, r.getSeq[Double](0).map(q => fixedPoint(q.toLong, 1L)).toArray)
-      }.toIndexedSeq
-      var it = 0
-      while (it < iters) {
-        // New sums: winning cluster per row (projection, zero shuffle),
-        // then per-(cid, dim) int64 sums — partial agg reduces each task's
-        // contribution to k·dim rows before the only shuffle.
-        val sums = withBest(codes, cents)
-          .select(col("__cid"), posexplode(col("__q")).as(Seq("__d", "__x")))
-          .groupBy(col("__cid"), col("__d"))
-          .agg(sum(col("__x").cast("long")).as("__s"), count(lit(1)).as("__n"))
-          .collect()
-        val byCid = sums.groupBy(_.getInt(0))
-        cents = cents.map { old =>
-          byCid.get(old.cid) match {
-            case Some(rows) =>
-              val dim = old.c.length
-              val s = new Array[Long](dim)
-              var n = 0L
-              rows.foreach { r =>
-                s(r.getInt(1)) = r.getLong(2)
-                n = r.getLong(3)
-              }
-              Centroid(old.cid, s.map(fixedPoint(_, n)))
-            case None => old // empty cluster keeps its centroid (defined!)
-          }
-        }
-        it += 1
-      }
+      val cents = lloydCentroids(codes, k, iters, idCol)
       // Materialize the final assignment (3 narrow columns) BEFORE the
       // quantized codes are freed — the returned frame must not reference
       // freed blocks. Its own blocks are reclaimed when the frame is GC'd.
@@ -112,6 +74,56 @@ object KMeans {
             col("__dist").cast("long").as("dist")))
       (out, cents)
     } finally Materialize.free(sc, codesIds)
+  }
+
+  /** The integer Lloyd training loop over an ALREADY-QUANTIZED codes
+    * frame (`idCol`, `__q` double-cast int8 code array) — the shared core
+    * of [[assignWithCentroids]] and product-quantization sub-codebook
+    * training ([[ProductQuantization]], which trains it per vector
+    * slice). Per iteration: assignment is a pure projection against
+    * broadcast-literal centroids, then one k·dim-row partial-aggregated
+    * shuffle; only the k·dim int64 sums reach the driver. */
+  private[ext] def lloydCentroids(codes: DataFrame, k: Int, iters: Int,
+      idCol: String): Seq[Centroid] = {
+    // Seeds: k smallest md5(id) — tiny driver-side collect (k rows).
+    val seeds = codes
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .orderBy(col("__h"), col(idCol))
+      .limit(k)
+      .select(col("__q"))
+      .collect()
+    var cents: Seq[Centroid] = seeds.zipWithIndex.map { case (r, i) =>
+      // a seed centroid is the member mean of its 1-element cluster
+      Centroid(i, r.getSeq[Double](0).map(q => fixedPoint(q.toLong, 1L)).toArray)
+    }.toIndexedSeq
+    var it = 0
+    while (it < iters) {
+      // New sums: winning cluster per row (projection, zero shuffle),
+      // then per-(cid, dim) int64 sums — partial agg reduces each task's
+      // contribution to k·dim rows before the only shuffle.
+      val sums = withBest(codes, cents)
+        .select(col("__cid"), posexplode(col("__q")).as(Seq("__d", "__x")))
+        .groupBy(col("__cid"), col("__d"))
+        .agg(sum(col("__x").cast("long")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val byCid = sums.groupBy(_.getInt(0))
+      cents = cents.map { old =>
+        byCid.get(old.cid) match {
+          case Some(rows) =>
+            val dim = old.c.length
+            val s = new Array[Long](dim)
+            var n = 0L
+            rows.foreach { r =>
+              s(r.getInt(1)) = r.getLong(2)
+              n = r.getLong(3)
+            }
+            Centroid(old.cid, s.map(fixedPoint(_, n)))
+          case None => old // empty cluster keeps its centroid (defined!)
+        }
+      }
+      it += 1
+    }
+    cents
   }
 
   /** Query-side centroid probe of a persisted index: per input row the
@@ -146,19 +158,26 @@ object KMeans {
     * `least(struct(dist, cid)…)` so ties break on cluster id. The
     * centroids ride along as literals — broadcast by the closure, no join.
     */
-  private def withBest(codes: DataFrame, cents: Seq[Centroid]): DataFrame = {
-    val qq = vecDot(col("__q"), col("__q")) * lit(16384.0)
-    val cands = cents.map { cent =>
-      val cLit = typedLit(cent.c.map(_.toDouble).toSeq)
-      val dist = qq - lit(256.0) * vecDot(col("__q"), cLit) +
-        lit(cent.c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble))
-      struct(dist.as("d"), lit(cent.cid).as("cid"))
-    }
+  private def withBest(codes: DataFrame, cents: Seq[Centroid]): DataFrame =
     codes
-      .withColumn("__best", least(cands: _*))
+      .withColumn("__best", bestOf(col("__q"), cents))
       .withColumn("__cid", col("__best.cid"))
       .withColumn("__dist", col("__best.d"))
       .drop("__best")
+
+  /** The argmin itself as a reusable column: `struct(d, cid)` of the
+    * nearest centroid to code vector `v` (ties on cluster id via
+    * `least`). Centroids ride along as literals — broadcast by the
+    * closure, no join. */
+  private[ext] def bestOf(v: Column, cents: Seq[Centroid]): Column = {
+    val qq = vecDot(v, v) * lit(16384.0)
+    val cands = cents.map { cent =>
+      val cLit = typedLit(cent.c.map(_.toDouble).toSeq)
+      val dist = qq - lit(256.0) * vecDot(v, cLit) +
+        lit(cent.c.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble))
+      struct(dist.as("d"), lit(cent.cid).as("cid"))
+    }
+    least(cands: _*)
   }
 
   /** SemDeDup: semantic near-duplicate removal — quantized-cosine pairs
