@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{MatView, Merge, TableStore}
 import graft.curation.{Sampling, Scd2}
-import graft.ext.{Chunking, Clustering, Contamination, Dedup, KMeans, Mixing, Multimodal, Packing, ProductQuantization, Redaction, Similarity, TextAnalysis}
+import graft.ext.{Chunking, Clustering, Contamination, Dedup, Dsir, KMeans, Mixing, Multimodal, Packing, ProductQuantization, Redaction, Similarity, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -3590,7 +3590,18 @@ object SparkEntry {
     // (driver-built m×k lookup tables applied as a literal projection).
     "q144_pq_ann" -> ((s, dir) =>
       ProductQuantization.topK(Tables.load(s, dir, "embeddings"),
-        queryId = 0L, k = 10, m = 4, ksub = 16, iters = 2))
+        queryId = 0L, k = 10, m = 4, ksub = 16, iters = 2)),
+
+    // ext: DSIR importance resampling (Xie et al. 2023) — hashed-unigram
+    // importance weights trained against the English slice (one
+    // ≤1024-row bucket shuffle, weights applied as a codegen'd literal
+    // projection), then per-source exact-quantile top-25% selection.
+    "q145_dsir_selection" -> ((s, dir) =>
+      Dsir.select(Tables.load(s, dir, "documents"), "text", "source",
+          isTarget = col("lang") === "en", num = 3L, den = 4L)
+        .select(col("doc_id"), col("source"), col("dsir_score"),
+          col("threshold"), col("group_rows"))
+        .orderBy(col("doc_id")))
   )
 
   /** Mixture weights for q103: source `src<i>` gets `(i % 4) + 1` parts
@@ -5989,7 +6000,53 @@ object SparkEntry {
          |SELECT vec_id, pq_dist,
          |  CAST(row_number() OVER (ORDER BY pq_dist, vec_id) AS BIGINT) AS rk
          |FROM scs WHERE vec_id <> 0
-         |ORDER BY pq_dist, vec_id LIMIT 10""".stripMargin
+         |ORDER BY pq_dist, vec_id LIMIT 10""".stripMargin,
+
+    // Replays Dsir exactly: same md5-28 bucket, smoothed count-ratio
+    // weights via the SAME IEEE double divide, length-normalized floor
+    // score, exact per-source 3/4-quantile gate.
+    "q145_dsir_selection" -> {
+      def nib(k: Int) = {
+        val a = s"ascii(substr(md5(t), ${k + 1}, 1))"
+        s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)"
+      }
+      val bkt = "CAST(" +
+        (0 until 7).map(k => s"${nib(k)} * ${1L << (4 * k)}").mkString(" + ") +
+        " AS BIGINT) % 1024"
+      raw"""WITH tk AS (SELECT doc_id, source, lang,
+           |    list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+           |  FROM documents),
+           |tok AS (SELECT doc_id, tgt, $bkt AS b FROM (
+           |    SELECT doc_id, lang = 'en' AS tgt, unnest(t) AS t FROM tk)),
+           |cnt AS (SELECT b, COUNT(*) AS raw,
+           |    SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt
+           |  FROM tok GROUP BY b),
+           |w AS (SELECT r.b,
+           |    COALESCE(CAST(floor(((c.tgt + 1) * 1000000.0)
+           |      / CAST(c.raw + 1 AS DOUBLE)) AS BIGINT), 1000000) AS w
+           |  FROM (SELECT CAST(range AS BIGINT) AS b FROM range(1024)) r
+           |  LEFT JOIN cnt c ON r.b = c.b),
+           |ds AS (SELECT k.doc_id, SUM(w.w) AS s, COUNT(*) AS n
+           |  FROM tok k JOIN w ON k.b = w.b GROUP BY k.doc_id),
+           |sc AS (SELECT tk.doc_id, tk.source,
+           |    COALESCE(CAST(floor(CAST(ds.s AS DOUBLE) / ds.n) AS BIGINT), 0)
+           |      AS dsir_score
+           |  FROM tk LEFT JOIN ds ON tk.doc_id = ds.doc_id),
+           |q AS (SELECT source,
+           |    MIN(CASE WHEN cum * 4 >= n * 3 THEN dsir_score END) AS th,
+           |    CAST(MAX(n) AS BIGINT) AS group_rows
+           |  FROM (SELECT source, dsir_score,
+           |      SUM(c) OVER (PARTITION BY source ORDER BY dsir_score) AS cum,
+           |      SUM(c) OVER (PARTITION BY source) AS n
+           |    FROM (SELECT source, dsir_score, COUNT(*) AS c FROM sc
+           |          GROUP BY 1, 2) g) cg
+           |  GROUP BY source)
+           |SELECT sc.doc_id, sc.source, sc.dsir_score,
+           |  q.th AS threshold, q.group_rows
+           |FROM sc JOIN q ON sc.source = q.source
+           |WHERE sc.dsir_score >= q.th
+           |ORDER BY sc.doc_id""".stripMargin
+    }
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:
