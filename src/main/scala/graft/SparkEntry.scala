@@ -3601,7 +3601,34 @@ object SparkEntry {
           isTarget = col("lang") === "en", num = 3L, den = 4L)
         .select(col("doc_id"), col("source"), col("dsir_score"),
           col("threshold"), col("group_rows"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // core: multi-table transaction (q146) — fact + dim land atomically
+    // (single create-exclusive intent write, roll-forward recovery); a
+    // second transaction is staged and abandoned mid-flight ("crash"
+    // before its commit point), so its rows must be invisible to the
+    // reads — the oracle sees only the committed pair.
+    "q146_multi_table_txn" -> ((s, dir) => {
+      val store = tmpStore(s)
+      val orders = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      store.beginTransaction()
+        .stageOverwrite("txn_fact", orders
+          .filter(col("o_orderkey") % 4 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))
+        .stageOverwrite("txn_dim", cust.select("c_custkey", "c_mktsegment"))
+        .commit()
+      store.beginTransaction() // staged, never committed
+        .stageAppend("txn_fact", orders.limit(50)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))
+      store.read("txn_fact").join(store.read("txn_dim"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+        .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+    })
   )
 
   /** Mixture weights for q103: source `src<i>` gets `(i % 4) + 1` parts
@@ -6046,7 +6073,16 @@ object SparkEntry {
            |FROM sc JOIN q ON sc.source = q.source
            |WHERE sc.dsir_score >= q.th
            |ORDER BY sc.doc_id""".stripMargin
-    }
+    },
+
+    // The committed transaction's pair only — the abandoned staged append
+    // must contribute nothing.
+    "q146_multi_table_txn" ->
+      """SELECT c_mktsegment, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 4 = 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

@@ -2109,6 +2109,204 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       .toSeq.sorted
   }
 
+  // ------------------------------------------------ multi-table transactions
+
+  private def txnDir = new Path(warehouse, "_txns")
+  private def txnIntentPath(id: String) = new Path(txnDir, s"$id.json")
+  private def txnStagedPath(table: String, id: String, k: Int): Path =
+    new Path(new Path(tableDir(table), "_txnstaged"), s"$id-$k.json")
+
+  /** Begin an all-or-nothing MULTI-TABLE transaction — the classic
+    * single-table-format gap (an Iceberg/Delta commit is atomic per
+    * table; cross-table atomicity needs a transactional catalog à la
+    * Nessie). Protocol (write-ahead-intent, single concurrent writer per
+    * table as documented at the top of this class):
+    *
+    *  1. STAGE: each op writes its data files + a side manifest under
+    *     the table's `_txnstaged/` — no version slot consumed, readers
+    *     see nothing (the WAP invisibility contract).
+    *  2. COMMIT POINT: ONE create-exclusive write of the intent file
+    *     `<warehouse>/_txns/<id>.json` listing every op. Durability is
+    *     all-or-nothing at this single atomic create: crash before it →
+    *     the transaction never happened (staged files are inert side
+    *     data, [[Transaction.abort]]/janitors reclaim them); crash after
+    *     → roll-FORWARD is guaranteed.
+    *  3. APPLY: each op folds its staged files into its table as a
+    *     normal metadata-only commit whose operation string carries the
+    *     idempotency marker `txn:<id>:<k>`; then the intent is removed.
+    *     [[recoverTransactions]] re-drives step 3 for any intent found
+    *     on disk — re-application is idempotent (applied ops are
+    *     detected by their marker in the table's manifest history, the
+    *     same replay guard as streaming's `lastStreamEpoch`).
+    *
+    * Visibility caveat, stated honestly: between the commit point and
+    * the last pointer swap a reader can observe table A advanced while
+    * table B is not yet (read skew). The guarantee here is atomic
+    * DURABILITY — no crash, retry, or recovery ordering can make a
+    * partial transaction permanent — which is exactly the property the
+    * per-table formats lack. Snapshot-isolated cross-table READS would
+    * additionally need a single catalog commit log. */
+  def beginTransaction(): Transaction = {
+    recoverTransactions()
+    new Transaction()
+  }
+
+  final class Transaction private[core] () {
+    val id: String = java.util.UUID.randomUUID().toString.take(12)
+    private case class Op(k: Int, table: String, shape: String)
+    private val ops = ArrayBuffer[Op]()
+    private var closed = false
+
+    /** Stage an append to an existing table (schema-aligned like
+      * [[stageAppend]], CHECK constraints enforced in the write job). */
+    def stageAppend(table: String, df: DataFrame): this.type = {
+      require(!closed, "transaction already committed or aborted")
+      require(exists(table), s"txn stageAppend: table $table does not exist")
+      val m = manifests(table).maxBy(_.version)
+      require(m.deleteFiles.isEmpty,
+        s"txn stageAppend: $table has merge-on-read delete files; staged " +
+          "paths carry no version sequence, so compact the table first")
+      val existing = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val aligned = df.select(existing.fields.toSeq.map { f =>
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+      stage(table, enforceConstraints(table, aligned), "append",
+        m.schemaJson, m.partitionBy)
+    }
+
+    /** Stage a full-snapshot replace (CTAS if the table does not exist,
+      * overwrite otherwise — existing CHECK constraints are enforced on
+      * the new rows and carried). */
+    def stageOverwrite(table: String, df: DataFrame,
+        partitionBy: Seq[String] = Seq.empty): this.type = {
+      require(!closed, "transaction already committed or aborted")
+      stage(table, enforceConstraints(table, df), "overwrite",
+        df.schema.json, partitionBy)
+    }
+
+    private def stage(table: String, df: DataFrame, shape: String,
+        schemaJson: String, partitionBy: Seq[String]): this.type = {
+      val k = ops.size
+      val entries = writeDataFiles(new Path(tableDir(table), s"txn-$id-$k"),
+        s"txn-$id-$k", applyWriteOrder(table, df, partitionBy),
+        partitionBy, Seq.empty)
+      writeManifestAt(txnStagedPath(table, id, k),
+        Manifest(0L, System.currentTimeMillis(), s"txn_$shape",
+          entries.map(_.rowCount).sum, entries, schemaJson, partitionBy,
+          Seq.empty))
+      ops += Op(k, table, shape)
+      this
+    }
+
+    /** The commit point: one atomic create-exclusive intent write, then
+      * roll-forward application. Returns table → new version. */
+    def commit(): Map[String, Long] = {
+      require(!closed, "transaction already committed or aborted")
+      require(ops.nonEmpty, "empty transaction")
+      closed = true
+      val opsJson = ops.map(o =>
+        s"""{"k":${o.k},"table":${jsonStr(o.table)},"shape":${jsonStr(o.shape)}}""")
+        .mkString("[", ",", "]")
+      atomicWriteExclusive(txnIntentPath(id),
+        s"""{"id":${jsonStr(id)},"ops":$opsJson}""")
+      applyTxn(id, ops.map(o => (o.k, o.table, o.shape)).toSeq)
+    }
+
+    /** Drop all staged data and side manifests. Only valid before the
+      * commit point (after it, the transaction is durable and can only
+      * roll forward). */
+    def abort(): Unit = {
+      require(!closed, "transaction already committed or aborted")
+      closed = true
+      ops.foreach { o =>
+        val sp = txnStagedPath(o.table, id, o.k)
+        val f = fs(sp)
+        if (f.exists(sp)) { f.delete(sp, false); () }
+        val dd = new Path(tableDir(o.table), s"txn-$id-${o.k}")
+        if (f.exists(dd)) { f.delete(dd, true); () }
+      }
+    }
+  }
+
+  /** Roll a committed intent forward: apply every op not yet applied (the
+    * `txn:<id>:<k>` operation marker in the table's manifest history is
+    * the replay guard), then remove the intent. Ops on the same table
+    * compose in declaration order — each apply reads the table state its
+    * predecessor left. */
+  private def applyTxn(id: String,
+      ops: Seq[(Int, String, String)]): Map[String, Long] = {
+    val out = scala.collection.mutable.Map[String, Long]()
+    ops.foreach { case (k, table, shape) =>
+      val marker = s"txn:$id:$k"
+      val sp = txnStagedPath(table, id, k)
+      manifests(table).find(_.operation.endsWith(marker)) match {
+        case Some(m) =>
+          // applied before a crash — re-swap the pointer (idempotent;
+          // covers a crash between writeManifest and swapPointer)
+          swapPointer(table, m.version)
+          out(table) = m.version
+        case None =>
+          val f = fs(sp)
+          require(f.exists(sp),
+            s"txn $id op $k on $table: staged manifest missing and no " +
+              "applied marker — staged data was externally removed")
+          val in = f.open(sp)
+          val st = parseManifest(
+            try scala.io.Source.fromInputStream(in).mkString finally in.close())
+          val v = latestCommittedVersion(table) + 1
+          shape match {
+            case "append" =>
+              val m = manifests(table).maxBy(_.version)
+              require(m.schemaJson == st.schemaJson,
+                s"txn $id: $table schema changed since staging")
+              require(m.deleteFiles.isEmpty,
+                s"txn $id: $table gained merge-on-read deletes since staging")
+              val files = m.files ++ st.files
+              writeManifest(table, Manifest(v, System.currentTimeMillis(),
+                s"txn_append $marker", files.map(_.rowCount).sum, files,
+                m.schemaJson, m.partitionBy, m.droppedColumns, m.deleteFiles,
+                constraints = m.constraints, writeOrder = m.writeOrder))
+            case _ =>
+              writeManifest(table, Manifest(v, System.currentTimeMillis(),
+                s"txn_overwrite $marker", st.rowCount, st.files,
+                st.schemaJson, st.partitionBy,
+                constraints = constraintsCarry(table),
+                writeOrder = writeOrderCarry(table)))
+          }
+          swapPointer(table, v)
+          out(table) = v
+      }
+      val f2 = fs(sp)
+      if (f2.exists(sp)) { f2.delete(sp, false); () }
+    }
+    val fi = fs(txnIntentPath(id))
+    if (fi.exists(txnIntentPath(id))) { fi.delete(txnIntentPath(id), false); () }
+    out.toMap
+  }
+
+  /** Writer-side recovery: roll every intent found in `_txns/` forward.
+    * Run by [[beginTransaction]] and callable directly after a crash.
+    * Returns the number of transactions completed. */
+  def recoverTransactions(): Int = {
+    val f = fs(txnDir)
+    if (!f.exists(txnDir)) return 0
+    var n = 0
+    f.listStatus(txnDir).filter(_.getPath.getName.endsWith(".json")).foreach { s =>
+      val in = f.open(s.getPath)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      val node = mapper.readTree(txt)
+      val id = node.get("id").asText()
+      val ops = ArrayBuffer[(Int, String, String)]()
+      node.get("ops").forEach(o => ops += ((o.get("k").asInt(),
+        o.get("table").asText(), o.get("shape").asText())))
+      applyTxn(id, ops.toSeq)
+      n += 1
+    }
+    n
+  }
+
   /** Zero-copy table clone (Delta's SHALLOW CLONE / Iceberg's `snapshot`
     * procedure): the clone's first snapshot references the source's
     * current data files by ABSOLUTE URI — one manifest write at any
