@@ -3628,6 +3628,34 @@ object SparkEntry {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("total"))
         .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+    }),
+
+    // core: atomic cross-table purge (q147) — the GDPR "forget these
+    // customers everywhere" shape: ONE transaction stages merge-on-read
+    // delete keys against orders (by custkey) AND lineitem (by the
+    // derived orderkeys); both tables flip together at the intent write.
+    // Reads go through the MoR overlay — no data file rewritten.
+    "q147_txn_cross_purge" -> ((s, dir) => {
+      val store = tmpStore(s)
+      val orders = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      store.commit("po", orders.select("o_orderkey", "o_custkey",
+        "o_totalprice"), "create")
+      store.commit("pl", li.select("l_orderkey", "l_quantity",
+        "l_extendedprice"), "create")
+      val purgeCust = orders.filter(col("o_custkey") % 10 === 7)
+      store.beginTransaction()
+        .stageDeleteKeys("po", purgeCust.select("o_custkey"), Seq("o_custkey"))
+        .stageDeleteKeys("pl", purgeCust.select(
+          col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"))
+        .commit()
+      val o = store.read("po").agg(count(lit(1)).as("orders_left"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("orders_total"))
+      val l = store.read("pl").agg(count(lit(1)).as("items_left"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("items_qty"))
+      o.crossJoin(l)
     })
   )
 
@@ -6082,7 +6110,24 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderkey % 4 = 0
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Both tables reflect the purge — orders by custkey, lineitem by the
+    // purged customers' orderkeys.
+    "q147_txn_cross_purge" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    WHERE o_custkey % 10 <> 7) AS orders_left,
+        |  (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    FROM orders WHERE o_custkey % 10 <> 7) AS orders_total,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |    WHERE l_orderkey NOT IN (
+        |      SELECT o_orderkey FROM orders WHERE o_custkey % 10 = 7))
+        |    AS items_left,
+        |  (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    FROM lineitem WHERE l_orderkey NOT IN (
+        |      SELECT o_orderkey FROM orders WHERE o_custkey % 10 = 7))
+        |    AS items_qty""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

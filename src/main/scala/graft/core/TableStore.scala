@@ -2200,6 +2200,49 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       this
     }
 
+    /** Stage an equality-delete (merge-on-read) against an existing
+      * table: the distinct key tuples are written at stage time; apply
+      * renames them into the applied version's deletes dir and layers
+      * them as delete entries at that commit's own sequence — the atomic
+      * cross-table "purge these keys everywhere" shape (one intent file
+      * covers every table the keys appear in). */
+    def stageDeleteKeys(table: String, keys: DataFrame,
+        keyCols: Seq[String]): this.type = {
+      require(!closed, "transaction already committed or aborted")
+      require(exists(table), s"txn stageDeleteKeys: table $table does not exist")
+      require(keyCols.nonEmpty, "stageDeleteKeys needs at least one key column")
+      val m = manifests(table).maxBy(_.version)
+      require(m.files.forall(_.path.startsWith("v=")),
+        s"txn stageDeleteKeys needs version-sequenced data files; compact " +
+          s"$table first")
+      require(m.deleteFiles.filterNot(TableStore.isPositional)
+          .forall(_.keyCols == keyCols),
+        s"txn stageDeleteKeys: existing delete files on $table use keys " +
+          s"${m.deleteFiles.map(_.keyCols).distinct}; compact first")
+      val existing = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      keyCols.foreach(kc => require(existing.fieldNames.contains(kc),
+        s"txn stageDeleteKeys: key column $kc not in $table's schema"))
+      val k = ops.size
+      val aligned = keys.select(keyCols.map(c =>
+        col(c).cast(existing(existing.fieldIndex(c)).dataType).as(c)): _*)
+        .distinct()
+      val dir = new Path(tableDir(table), s"txn-$id-$k")
+      aligned.write.mode("overwrite").parquet(dir.toString)
+      val f = fs(dir)
+      // entries carry bare file names + seq 0; apply re-paths them under
+      // the applied version and stamps its sequence
+      val entries = listPartFiles(dir, f).map { s =>
+        val (rows, _) = footerStats(s.getPath)
+        DeleteEntry(s.getPath.getName, keyCols, 0L, rows)
+      }
+      writeManifestAt(txnStagedPath(table, id, k),
+        Manifest(0L, System.currentTimeMillis(), "txn_deletekeys", 0L,
+          Seq.empty, m.schemaJson, Seq.empty, Seq.empty, entries))
+      ops += Op(k, table, "deletekeys")
+      this
+    }
+
     /** The commit point: one atomic create-exclusive intent write, then
       * roll-forward application. Returns table → new version. */
     def commit(): Map[String, Long] = {
@@ -2268,6 +2311,36 @@ class TableStore(spark: SparkSession, val warehouse: String) {
                 s"txn_append $marker", files.map(_.rowCount).sum, files,
                 m.schemaJson, m.partitionBy, m.droppedColumns, m.deleteFiles,
                 constraints = m.constraints, writeOrder = m.writeOrder))
+            case "deletekeys" =>
+              val m = manifests(table).maxBy(_.version)
+              require(m.schemaJson == st.schemaJson,
+                s"txn $id: $table schema changed since staging")
+              val keyCols = st.deleteFiles.headOption.map(_.keyCols)
+                .getOrElse(Seq.empty)
+              require(m.deleteFiles.filterNot(TableStore.isPositional)
+                  .forall(_.keyCols == keyCols),
+                s"txn $id: $table gained delete files with different keys " +
+                  "since staging; compact first")
+              // sequence assignment = one dir rename into the applied
+              // version (metadata-only; deterministic target so a crash
+              // between rename and manifest write re-applies cleanly —
+              // same v is recomputed under the single-writer contract)
+              val src = new Path(tableDir(table), s"txn-$id-$k")
+              val dst = new Path(versionDir(table, v), s"deletes-txn-$id-$k")
+              val fr = fs(src)
+              if (fr.exists(src)) {
+                fr.mkdirs(versionDir(table, v))
+                require(fr.rename(src, dst),
+                  s"txn $id: rename $src -> $dst failed")
+              } else require(fr.exists(dst),
+                s"txn $id op $k on $table: staged delete keys missing")
+              val rel = s"v=$v/deletes-txn-$id-$k"
+              val dels = st.deleteFiles.map(e =>
+                e.copy(path = s"$rel/${e.path}", seq = v))
+              writeManifest(table, Manifest(v, System.currentTimeMillis(),
+                s"txn_deletekeys $marker", m.files.map(_.rowCount).sum,
+                m.files, m.schemaJson, m.partitionBy, m.droppedColumns,
+                m.deleteFiles ++ dels, None, m.constraints, m.writeOrder))
             case _ =>
               writeManifest(table, Manifest(v, System.currentTimeMillis(),
                 s"txn_overwrite $marker", st.rowCount, st.files,

@@ -136,6 +136,46 @@ class TransactionSpec extends SparkSpec {
     assert(!new java.io.File(txns, s"${txn.id}.json").exists())
   }
 
+  test("stageDeleteKeys purges across tables atomically through MoR reads") {
+    val store = newStore()
+    store.commit("o", dfA, "create")   // ids 1..10
+    store.commit("l", dfB, "create")   // ids 1..5
+    store.beginTransaction()
+      .stageDeleteKeys("o", Seq(2L, 4L).toDF("id"), Seq("id"))
+      .stageDeleteKeys("l", Seq(2L, 4L, 9L).toDF("id"), Seq("id"))
+      .commit()
+    assert(store.read("o").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 5L, 6L, 7L, 8L, 9L, 10L))
+    assert(store.read("l").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 5L))
+    // a second purge layers on the first (same key columns)
+    store.beginTransaction()
+      .stageDeleteKeys("o", Seq(1L).toDF("id"), Seq("id")).commit()
+    assert(store.read("o").count() == 7)
+  }
+
+  test("deletekeys crash windows: pre-intent inert, post-intent idempotent") {
+    val store = newStore()
+    store.commit("t", dfA, "create")
+    // pre-intent: staged keys never committed — reads unaffected
+    store.beginTransaction().stageDeleteKeys("t", Seq(1L).toDF("id"), Seq("id"))
+    assert(store.recoverTransactions() == 0)
+    assert(store.read("t").count() == 10)
+    // post-intent: resurrect the intent after a real commit; the marker
+    // guard must skip re-application (no double delete-file layering)
+    val txn = store.beginTransaction()
+      .stageDeleteKeys("t", Seq(2L, 3L).toDF("id"), Seq("id"))
+    txn.commit()
+    assert(store.read("t").count() == 8)
+    val wh = new java.io.File(store.warehouse)
+    val txns = new java.io.File(wh, "_txns"); txns.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(txns, s"${txn.id}.json").toPath,
+      s"""{"id":${'"'}${txn.id}${'"'},"ops":[{"k":0,"table":"t","shape":"deletekeys"}]}""".getBytes)
+    assert(store.recoverTransactions() == 1)
+    assert(store.read("t").count() == 8)
+  }
+
   test("CHECK constraints are enforced on staged rows") {
     val store = newStore()
     store.commit("t", dfB, "create")
