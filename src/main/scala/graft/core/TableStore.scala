@@ -2631,6 +2631,17 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     // once its _branches/<name> ref is gone AND no published (fast-
     // forwarded) manifest references it
     val liveBranches = branches(table).map { case (n, _) => s"branch-$n" }.toSet
+    // transaction staging: a txn-<id>-<k>/ file is live while its
+    // _txnstaged side manifest exists (pending txn) or once a manifest
+    // references it (applied txn data); otherwise it is a crashed
+    // pre-intent transaction's leak
+    val liveTxnOps = {
+      val tdir = new Path(dir, "_txnstaged")
+      if (!f.exists(tdir)) Set.empty[String]
+      else f.listStatus(tdir).map(_.getPath.getName)
+        .collect { case n if n.endsWith(".json") =>
+          s"txn-${n.stripSuffix(".json")}" }.toSet
+    }
     val cutoff = System.currentTimeMillis() - olderThanMs
     val base = f.getFileStatus(dir).getPath.toUri.getPath.stripSuffix("/")
     val deleted = ArrayBuffer[String]()
@@ -2645,7 +2656,10 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       val branchOrphan = rel.startsWith("branch-") &&
         !liveBranches.exists(b => rel.startsWith(b + "/")) &&
         !referenced.contains(rel)
-      if ((versionOrphan || stageOrphan || branchOrphan) &&
+      val txnOrphan = rel.startsWith("txn-") &&
+        !liveTxnOps.exists(t => rel.startsWith(t + "/")) &&
+        !referenced.contains(rel)
+      if ((versionOrphan || stageOrphan || branchOrphan || txnOrphan) &&
           s.getModificationTime < cutoff) {
         f.delete(s.getPath, false)
         deleted += rel

@@ -66,7 +66,8 @@ class TransactionSpec extends SparkSpec {
     val txn = store.beginTransaction().stageAppend("t1", dfA)
     // capture staged side manifest before commit consumes it
     val stagedDir = new java.io.File(whA, "t1/_txnstaged")
-    val stagedFile = stagedDir.listFiles().head
+    val stagedFile = stagedDir.listFiles()
+      .filter(f => f.getName.endsWith(".json") && !f.getName.startsWith(".")).head
     val stagedBytes = java.nio.file.Files.readAllBytes(stagedFile.toPath)
     txn.commit()
     assert(store.read("t1").count() == 20)
@@ -95,7 +96,8 @@ class TransactionSpec extends SparkSpec {
     val txn = store.beginTransaction()
       .stageAppend("t1", dfA).stageOverwrite("t2", dfA)
     val wh = new java.io.File(store.warehouse)
-    val staged2 = new java.io.File(wh, "t2/_txnstaged").listFiles().head
+    val staged2 = new java.io.File(wh, "t2/_txnstaged").listFiles()
+      .filter(f => f.getName.endsWith(".json") && !f.getName.startsWith(".")).head
     val staged2Bytes = java.nio.file.Files.readAllBytes(staged2.toPath)
     val out = txn.commit()
     assert(store.read("t2").count() == 10)
@@ -122,7 +124,8 @@ class TransactionSpec extends SparkSpec {
     store.commit("t", dfA, "create")
     val txn = store.beginTransaction().stageAppend("t", dfA)
     val wh = new java.io.File(store.warehouse)
-    val staged = new java.io.File(wh, "t/_txnstaged").listFiles().head
+    val staged = new java.io.File(wh, "t/_txnstaged").listFiles()
+      .filter(f => f.getName.endsWith(".json") && !f.getName.startsWith(".")).head
     val stagedBytes = java.nio.file.Files.readAllBytes(staged.toPath)
     txn.commit()
     // resurrect the intent: the NEXT beginTransaction must drain it
@@ -174,6 +177,30 @@ class TransactionSpec extends SparkSpec {
       s"""{"id":${'"'}${txn.id}${'"'},"ops":[{"k":0,"table":"t","shape":"deletekeys"}]}""".getBytes)
     assert(store.recoverTransactions() == 1)
     assert(store.read("t").count() == 8)
+  }
+
+  test("orphan GC: pending txn staging survives, abandoned staging is swept") {
+    val store = newStore()
+    store.commit("t", dfA, "create")
+    store.beginTransaction().stageAppend("t", dfA) // pending, never committed
+    val wh = new java.io.File(store.warehouse)
+    def txnDirs = new java.io.File(wh, "t").listFiles()
+      .filter(_.getName.startsWith("txn-")).toSeq
+    assert(txnDirs.nonEmpty)
+    // pending: side manifest exists → GC must keep the staged data
+    store.removeOrphanFiles("t", olderThanMs = 0L)
+    assert(txnDirs.head.exists, "pending txn staging must survive GC")
+    // applied txn data is manifest-referenced → survives GC
+    val applied = store.beginTransaction().stageAppend("t", dfA).commit()
+    store.removeOrphanFiles("t", olderThanMs = 0L)
+    assert(store.read("t").count() == 20)
+    assert(applied("t") == store.currentVersion("t"))
+    // abandon the pending txn the crash way (side manifest vanishes
+    // without abort) → its data dir becomes sweepable
+    new java.io.File(wh, "t/_txnstaged").listFiles().foreach(_.delete())
+    val swept = store.removeOrphanFiles("t", olderThanMs = 0L)
+    assert(swept.exists(_.startsWith("txn-")), s"expected txn sweep, got $swept")
+    assert(store.read("t").count() == 20, "referenced txn data must remain")
   }
 
   test("CHECK constraints are enforced on staged rows") {
