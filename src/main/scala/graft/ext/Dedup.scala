@@ -292,13 +292,20 @@ object Dedup {
 
   /** 28-bit shingle key from the first 7 hex nibbles of md5(shingle) —
     * computable identically in any engine with md5/ascii/substr. */
-  private[ext] def md5Key28(sh: Column): Column = {
-    val hx = md5(sh)
+  private[ext] def md5Key28(sh: Column): Column = md5Key28FromHex(md5(sh))
+
+  /** The nibble-parse half of [[md5Key28]], over an ALREADY-COMPUTED md5
+    * hex string. Callers inside higher-order-function lambdas (which run
+    * INTERPRETED — no codegen common-subexpression elimination) must hash
+    * once and parse from hex, or each of the 7 nibble terms re-evaluates
+    * the md5: a measured 7× kernel cost on the per-token scoring paths
+    * (Dsir/QualityModel). Codegen'd projection paths are indifferent —
+    * CSE already dedups the hash there. */
+  private[ext] def md5Key28FromHex(hx: Column): Column =
     (0 until 7).map { k =>
       val a = ascii(substring(hx, k + 1, 1))
       (when(a >= 97, a - 87).otherwise(a - 48)).cast("long") * (1L << (4 * k))
     }.reduce(_ + _)
-  }
 
   /** MinHash signatures over a posting list: for each of `numHashes` seeded
     * hash functions, the minimum hash over the document's shingle set.

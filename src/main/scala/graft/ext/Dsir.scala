@@ -47,7 +47,11 @@ object Dsir {
       .select(isTarget.as("__t"),
         explode(coalesce(TextAnalysis.tokens(col(textCol)),
           array().cast("array<string>"))).as("__tok"))
-      .select(col("__t"), bucket(col("__tok")).as("__b"))
+      // hash once into a named column, parse nibbles in the next select —
+      // guaranteed single md5 per token without leaning on codegen CSE
+      .select(col("__t"), md5(col("__tok")).as("__hx"))
+      .select(col("__t"),
+        (Dedup.md5Key28FromHex(col("__hx")) % Buckets).as("__b"))
       .groupBy(col("__b"))
       .agg(count(lit(1)).as("__raw"),
         sum(when(col("__t"), 1L).otherwise(0L)).as("__tgt"))
@@ -66,13 +70,17 @@ object Dsir {
 
   /** Length-normalized integer document score against trained weights:
     * `floor(Σ w[bucket(tok)] / n_tokens)` (0 for empty docs) — one
-    * codegen'd projection, no shuffle. */
+    * projection, no shuffle. Lambdas run interpreted, so each token is
+    * md5-hashed ONCE (`transform` to hex first) and the bucket parsed
+    * from the hex — see [[Dedup.md5Key28FromHex]]. */
   def score(textCol: Column, weights: Array[Long]): Column = {
     val wLit = typedLit(weights.toSeq)
     val toks = coalesce(TextAnalysis.tokens(textCol),
       array().cast("array<string>"))
-    val s = aggregate(toks, lit(0L),
-      (acc, t) => acc + element_at(wLit, bucket(t).cast("int") + 1))
+    val hexes = transform(toks, t => md5(t))
+    val s = aggregate(hexes, lit(0L),
+      (acc, h) => acc + element_at(wLit,
+        (Dedup.md5Key28FromHex(h) % Buckets).cast("int") + 1))
     when(size(toks) > 0,
       floor(s.cast("double") / size(toks)).cast("long")).otherwise(0L)
   }

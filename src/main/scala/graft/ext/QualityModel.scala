@@ -37,11 +37,19 @@ object QualityModel {
 
   /** Integer document score: Σ tokenWeight over the normalized word
     * tokens of `text` (null text scores 0, same as empty). Pure
-    * projection — codegen'd, shuffle-free. */
-  def score(text: Column): Column =
-    aggregate(
+    * projection, shuffle-free. The aggregate lambda runs interpreted, so
+    * each token is md5-hashed ONCE (`transform` to hex first) and the
+    * bucket parsed from the hex — [[Dedup.md5Key28FromHex]]; same value,
+    * 7× fewer hashes than hashing inside the fold. */
+  def score(text: Column): Column = {
+    val hexes = transform(
       coalesce(TextAnalysis.tokens(text), array().cast("array<string>")),
-      lit(0L), (acc, t) => acc + tokenWeight(t))
+      t => md5(t))
+    aggregate(hexes, lit(0L), (acc, h) => {
+      val b = Dedup.md5Key28FromHex(h) % Buckets
+      acc + ((b * WeightA + WeightC) % WeightMod - (WeightMod - 1) / 2)
+    })
+  }
 
   /** Classifier decision at the conventional 0 threshold. */
   def keep(text: Column): Column = score(text) >= 0L
