@@ -132,8 +132,12 @@ object Bench {
     // check the remaining budget and skip rather than risk the whole
     // record to an external kill. Default is sized to the observed full
     // surface (~55 min) plus margin.
+    // (7200 default: the r7 surface — 146 queries + three TPC-DS decades
+    // + the sf1/sf10/sf100 curation grid — needs ~105 min; an external
+    // kill before the deadline degrades gracefully, the shutdown hook
+    // prints the provisional line with every completed section.)
     val benchT0 = System.nanoTime()
-    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "5800").toDouble
+    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "7200").toDouble
     def remainingS(): Double = deadlineS - (System.nanoTime() - benchT0) / 1e9
 
     // SPARK_GRAFT_BENCH_ONLY: comma-separated query-name substrings for
@@ -428,12 +432,11 @@ object Bench {
       tpcdsSection("tpcds", "SPARK_GRAFT_TPCDS_DIR", "target/tpcds-sf1",
         "SPARK_GRAFT_SKIP_TPCDS") +
       tpcdsSection("tpcds10", "SPARK_GRAFT_TPCDS_DIR10", "target/tpcds-sf10",
-        "SPARK_GRAFT_SKIP_TPCDS10") +
-      // sf30 is the newest decade (~25 min sweep): runs only when at
-      // least 45 min of budget remain so it can't starve the curation
-      // grid behind it.
-      tpcdsSection("tpcds30", "SPARK_GRAFT_TPCDS_DIR30", "target/tpcds-sf30",
-        "SPARK_GRAFT_SKIP_TPCDS30", minBudgetS = 2700))
+        "SPARK_GRAFT_SKIP_TPCDS10"))
+    // tpcds30 (the stretch decade, ~15 min sweep) runs LAST — after the
+    // curation grid and mor_tax — so the reference's primary axis can
+    // never be starved by it (r7 lesson: a pre-curation sf30 run left
+    // the sf100 cell 1382 s of a ~1600 s need).
     refreshProvisional()
     writeDetailSidecar()
     // Curation-axis section (the reference's PRIMARY evaluation —
@@ -575,6 +578,14 @@ object Bench {
       }
 
     morTaxNow = morTaxJson
+    writeDetailSidecar()
+
+    // Deferred stretch decade: whatever budget the primary sections left
+    // (the sweep itself is ~15 min; the gate keeps a kill margin).
+    tpcdsJsonRef.set(tpcdsJsonRef.get +
+      tpcdsSection("tpcds30", "SPARK_GRAFT_TPCDS_DIR30", "target/tpcds-sf30",
+        "SPARK_GRAFT_SKIP_TPCDS30", minBudgetS = 1000))
+    refreshProvisional()
     writeDetailSidecar()
 
     val line = fitLine(partial = false)
