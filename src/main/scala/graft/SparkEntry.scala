@@ -3656,6 +3656,28 @@ object SparkEntry {
         sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
           .as("items_qty"))
       o.crossJoin(l)
+    }),
+
+    // operators: bucketed interval join (q148) — `BETWEEN` joins plan as
+    // BroadcastNestedLoopJoin in stock Spark (O(N·M), broadcast-bound);
+    // binning recovers a hash equi-join on the bucket key. Overlapping
+    // $500-stride/$1000-wide price bands over lineitem, exact BETWEEN
+    // residual filter inside the join, each pair produced exactly once.
+    "q148_range_join" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select((col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("cents"), col("l_quantity"))
+      val bands = s.range(0, 210).select(
+        col("id").as("band_id"),
+        (col("id") * 50000L).as("lo"),
+        (col("id") * 50000L + 99999L).as("hi"))
+      graft.operators.RangeJoin
+        .pointInRange(li, "cents", bands, "lo", "hi", bucketWidth = 100000L)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("total_qty"))
+        .orderBy(col("band_id"))
     })
   )
 
@@ -6127,7 +6149,20 @@ object SparkEntry {
         |  (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |    FROM lineitem WHERE l_orderkey NOT IN (
         |      SELECT o_orderkey FROM orders WHERE o_custkey % 10 = 7))
-        |    AS items_qty""".stripMargin
+        |    AS items_qty""".stripMargin,
+
+    // Plain BETWEEN join over the same band table — the binned equi-join
+    // must produce the identical pair set.
+    "q148_range_join" ->
+      """WITH b AS (SELECT CAST(range AS BIGINT) AS band_id,
+        |    range * 50000 AS lo, range * 50000 + 99999 AS hi
+        |  FROM range(210)),
+        |p AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT) AS cents, l_quantity FROM lineitem)
+        |SELECT band_id, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM p JOIN b ON p.cents BETWEEN b.lo AND b.hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

@@ -1673,9 +1673,21 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     // a memory-light pass-through and the aggregation runs once per
     // bounded post-shuffle partition — same single shuffle, no
     // cardinality-proportional map-side state.
+    // No global dedup on the write path — a deliberate r7 reversal.
+    // Equality-delete consumers are set-semantic throughout (the MoR
+    // read is an anti-join per sequence class; the SQL broadcast cap
+    // only becomes CONSERVATIVE under duplicate rows; changelog refuses
+    // MoR tables outright), and compactDeletes' groupBy(keys).max(seq)
+    // dedups offline where maintenance belongs — Iceberg's equality-
+    // delete writers make the same call. The alternatives both measured
+    // badly at scale: a map-side distinct holds cardinality-proportional
+    // hash state per task (287M-key batches OOM'd a 20 GB heap at
+    // sf100), and shuffling first (repartition by key, either AQE-sized
+    // or pinned) tripled the sf10 p=0.99 cdc cell mid-grid (13 s → 36 s
+    // / 55 s measured). A key dump is a narrow column-pruned scan +
+    // write: zero shuffle, zero aggregation state, at any batch size.
     keySrc.select(keyTypes.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-      .repartition(keyCols.map(col): _*)
-      .distinct().write.mode("overwrite").parquet(delDir.toString)
+      .write.mode("overwrite").parquet(delDir.toString)
     val f = fs(delDir)
     val delEntries = listPartFiles(delDir, f).map { s =>
       val (rows, _) = footerStats(s.getPath)

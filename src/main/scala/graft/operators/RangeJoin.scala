@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketed interval join — the scale path for `point BETWEEN lo AND hi`
+  * joins. Spark's planner has no equi-keys for a pure range predicate
+  * and falls back to BroadcastNestedLoopJoin: O(|points|·|ranges|)
+  * comparisons, and a hard broadcast requirement on one side — the
+  * classic non-equi-join cliff. Binning recovers a shuffle equi-join:
+  * each point lands in exactly ONE fixed-width bucket, each range
+  * explodes to every bucket it covers, the join runs on the bucket key
+  * (hash shuffle, partial aggregation, AQE — all the equi-join
+  * machinery), and the exact BETWEEN predicate filters residuals inside
+  * the join. Each qualifying (point, range) pair is produced exactly
+  * once — the point's single bucket meets each covering range's
+  * exploded copy once — so no dedup pass is needed.
+  *
+  * Cost shape: shuffle = |points| + Σ_ranges (width/bucketWidth + 1)
+  * rows. Pick `bucketWidth` near the typical range width so ranges
+  * explode to O(1) buckets each; a pathological bucketWidth (≪ range
+  * width) degrades gracefully into more range copies, never into a
+  * nested loop. Same binning idea as Databricks' range-join hints and
+  * the interval-join binning in stream processors.
+  */
+object RangeJoin {
+
+  /** Inner-join `points` rows to every `ranges` row whose
+    * `[loCol, hiCol]` interval contains `pointCol` (inclusive ends).
+    * All three columns must be integral (cast money/timestamps to
+    * long units first). Output: point columns ++ range columns. */
+  def pointInRange(points: DataFrame, pointCol: String,
+      ranges: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val w = lit(bucketWidth)
+    // floorDiv semantics for negative domains: pmod-corrected quotient
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / w).cast("long")
+    val pb = points.withColumn("__rj_b", bucketOf(col(pointCol)))
+    val rb = ranges
+      .filter(col(loCol) <= col(hiCol))
+      .withColumn("__rj_b",
+        explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
+    pb.join(rb, Seq("__rj_b"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__rj_b")
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def points = Seq(-7L, 0L, 3L, 10L, 15L, 99L, 100L, 250L)
+    .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("pid", "v")
+  // overlapping, touching, negative-spanning, and empty intervals
+  private def ranges = Seq(
+    (1L, 0L, 10L), (2L, 5L, 15L), (3L, -10L, -1L), (4L, 100L, 100L),
+    (5L, 90L, 260L), (6L, 50L, 40L) // inverted → contributes nothing
+  ).toDF("rid", "lo", "hi")
+
+  private def pairsVia(width: Long): Set[(Long, Long)] =
+    RangeJoin.pointInRange(points, "v", ranges, "lo", "hi", width)
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+
+  private val expected: Set[(Long, Long)] =
+    points.crossJoin(ranges)
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+
+  test("matches the nested-loop pair set, inclusive ends, negatives") {
+    assert(pairsVia(8L) == expected)
+  }
+
+  test("every qualifying pair exactly once, any bucket width") {
+    Seq(1L, 3L, 50L, 1000L).foreach { w =>
+      val rows = RangeJoin.pointInRange(points, "v", ranges, "lo", "hi", w)
+        .select("pid", "rid").as[(Long, Long)].collect().toSeq
+      assert(rows.size == rows.distinct.size, s"dup pairs at width $w")
+      assert(rows.toSet == expected, s"wrong pairs at width $w")
+    }
+  }
+
+  test("plans as an equi-join, not a nested loop") {
+    val plan = RangeJoin.pointInRange(points, "v", ranges, "lo", "hi", 8L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+}
