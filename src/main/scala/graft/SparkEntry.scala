@@ -3678,6 +3678,97 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
             .as("total_qty"))
         .orderBy(col("band_id"))
+    }),
+
+    // curation: weight-proportional Bernoulli sampling (q149) — keep each
+    // document with probability ∝ its n_chars (uniform PER TOKEN, not per
+    // doc), decided by an int64 cross-multiply on a 28-bit md5 hash: no
+    // floats, no shuffle, replayable on any engine.
+    "q149_weighted_sample" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.curation.Sampling
+        .weightedBernoulli(docs, "doc_id", "n_chars", expectedK = 400)
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // curation: systematic PPS sampling (q150) — exactly k docs per
+    // language, inclusion probability ∝ n_chars, selected by the pure
+    // integer rule ⌊cum·k/W⌋ > ⌊(cum−w)·k/W⌋ over the md5-ordered
+    // cumulative weight. One group shuffle, no floats.
+    "q150_systematic_pps" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.curation.Sampling
+        .systematicPps(docs, Seq("lang"), "doc_id", "n_chars", k = 30)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // ext: link-graph authority (q151) — fixed-point integer PageRank
+    // (SCALE 10^12, damping 85/100, 5 rounds) over the bidirectional
+    // customer↔supplier trade graph (edge weight = lineitem count).
+    // Join-per-round distributed propagation with lineage cut each round;
+    // bit-replayable: every step is int64 multiply + floor division.
+    "q151_link_authority" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(
+          concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val edges = pairs.unionByName(pairs.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+      graft.ext.LinkAnalysis.pageRank(edges, "src", "dst", "w",
+          iterations = 5)
+        .orderBy(col("node"))
+    }),
+
+    // ext: mergeable sample-quantile sketch (q152) — exact rational
+    // quantiles of a deterministic bottom-k md5 row sample, the
+    // continuous-domain path where exactQuantiles' discrete contract
+    // doesn't hold. One group shuffle over the data; O(1/√k) rank error;
+    // per-batch sketches merge (bottom-k of union = bottom-k of merged
+    // bottom-ks).
+    "q152_sample_quantiles" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      graft.ext.Quantiles.sampleQuantiles(ev, "event_type", "event_id",
+          "value", k = 200,
+          pcts = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+        .orderBy(col("event_type"))
+    }),
+
+    // table-format: delete-vector consolidation (q153) — four predicate
+    // deletes accrete four positional delete files (with overlapping
+    // positions); CALL rewrite_position_deletes rewrites the overlay into
+    // ONE deduped (file,pos)-sorted delete set, data files untouched, and
+    // the SQL read (per-file roaring-bitmap masks) returns the same rows.
+    // The in-query assertions pin the mechanism: exactly one positional
+    // entry afterwards, same data files, mask rows == distinct deletions.
+    "q153_delete_vectors" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val (wh, cat) = stagingWarehouse(s, "dvr", dir)
+      val store = new TableStore(s, wh)
+      store.commit("ev", ev, "create")
+      store.deleteWhereMoR("ev", "event_type = 'error'")
+      store.deleteWhereMoR("ev", "event_id % 500 = 3")
+      store.deleteWhereMoR("ev", "event_id % 1000 = 503") // subset of above
+      store.deleteWhereMoR("ev", "value < -0.9")
+      val before = store.manifests("ev").maxBy(_.version)
+      store.rewritePositionDeletes("ev")
+      val after = store.manifests("ev").maxBy(_.version)
+      val consolidated =
+        after.deleteFiles.count(graft.core.TableStore.isPositional) == 1 &&
+        after.files.map(_.path) == before.files.map(_.path) &&
+        after.operation == "rewrite_position_deletes"
+      s.sql(s"SELECT event_type, COUNT(*) AS n, " +
+          "SUM(CAST(value AS DECIMAL(18,2))) AS total_value " +
+          s"FROM $cat.ns.ev GROUP BY event_type")
+        .withColumn("consolidated", lit(consolidated))
+        .withColumn("total_value", col("total_value").cast("double"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -6162,7 +6253,74 @@ object SparkEntry {
         |SELECT band_id, CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         |FROM p JOIN b ON p.cents BETWEEN b.lo AND b.hi
-        |GROUP BY band_id ORDER BY band_id""".stripMargin
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    // Integer cross-multiply replay of weightedBernoulli: 28-bit md5
+    // prefix hash, keep iff h·W < k·w·2^28.
+    "q149_weighted_sample" ->
+      """WITH tw AS (SELECT SUM(CAST(n_chars AS BIGINT)) AS w FROM documents)
+        |SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents CROSS JOIN tw
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+        |    * tw.w < 400 * CAST(n_chars AS BIGINT) * 268435456
+        |ORDER BY doc_id""".stripMargin,
+
+    // Floor-division replay of systematicPps: md5-ordered cumulative
+    // weight, select rows whose interval contains a multiple of W/k.
+    "q150_systematic_pps" ->
+      """WITH c AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
+        |    SUM(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum,
+        |    SUM(CAST(n_chars AS BIGINT)) OVER (PARTITION BY lang) AS tw
+        |  FROM documents)
+        |SELECT lang, doc_id FROM c
+        |WHERE (cum * 30) // tw > ((cum - w) * 30) // tw
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    // Unrolled 5-round fixed-point PageRank over the bidirectional
+    // customer↔supplier graph — every round a join + floor-division
+    // aggregate, identical to the engine's iteration.
+    "q151_link_authority" -> graft.ext.LinkAnalysis.pageRankOracleSql(
+      """SELECT src, dst, COUNT(*) AS w FROM (
+        |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+        |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 's' || CAST(l_suppkey AS VARCHAR),
+        |         'c' || CAST(o_custkey AS VARCHAR)
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey) u
+        |GROUP BY src, dst""".stripMargin, iterations = 5),
+
+    // Bottom-k md5 sample, then the integer cross-multiplied discrete
+    // quantile over the sample — replays sampleQuantiles bit-for-bit.
+    "q152_sample_quantiles" ->
+      """WITH s AS (SELECT event_type, value FROM (
+        |    SELECT event_type, value, row_number() OVER (
+        |      PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |    FROM events) t WHERE rn <= 200),
+        |c AS (SELECT event_type, value, COUNT(*) AS cnt
+        |  FROM s GROUP BY event_type, value),
+        |cc AS (SELECT event_type, value,
+        |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY event_type) AS n FROM c)
+        |SELECT event_type,
+        |  MIN(CASE WHEN cum * 2 >= n * 1 THEN value END) AS p50,
+        |  MIN(CASE WHEN cum * 10 >= n * 9 THEN value END) AS p90,
+        |  MIN(CASE WHEN cum * 100 >= n * 99 THEN value END) AS p99,
+        |  CAST(MAX(n) AS BIGINT) AS sample_rows
+        |FROM cc GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The four positional predicates (one subsumed), replayed as plain
+    // filters — the consolidated delete-vector read must match.
+    "q153_delete_vectors" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  true AS consolidated
+        |FROM events
+        |WHERE event_type <> 'error' AND event_id % 500 <> 3
+        |  AND NOT (value < -0.9)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

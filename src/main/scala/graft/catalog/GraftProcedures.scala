@@ -19,6 +19,7 @@ object GraftProcedures {
     name match {
       case "compact" => Some(compact(store))
       case "rewrite_delete_files" => Some(rewriteDeleteFiles(store))
+      case "rewrite_position_deletes" => Some(rewritePositionDeletes(store))
       case "expire_snapshots" => Some(expireSnapshots(store))
       case "rollback_to_version" => Some(rollbackToVersion(store))
       case "analyze_table" => Some(analyzeTable(store))
@@ -43,7 +44,8 @@ object GraftProcedures {
     }
 
   val names: Seq[String] =
-    Seq("compact", "rewrite_delete_files", "expire_snapshots",
+    Seq("compact", "rewrite_delete_files", "rewrite_position_deletes",
+      "expire_snapshots",
       "rollback_to_version", "remove_orphan_files", "rewrite_sorted",
       "rewrite_zorder", "publish_staged", "set_partition_spec",
       "add_files", "add_check_constraint", "drop_check_constraint",
@@ -107,6 +109,36 @@ object GraftProcedures {
             StructField("delete_files_before", LongType),
             StructField("delete_files_after", LongType))),
           new GenericInternalRow(Array[Any](v, before, after)))
+      }
+    }
+  }
+
+  /** `CALL g.system.rewrite_position_deletes(table => 't')` — rewrite
+    * the POSITIONAL overlay into one deduplicated (file, pos)-sorted
+    * delete set (the delete-vector consolidation; equality deletes and
+    * data files untouched). */
+  private def rewritePositionDeletes(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "rewrite_position_deletes"
+    override def description(): String =
+      "consolidate positional delete files into one sorted delete set"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "rewrite_position_deletes"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val s = store
+        def posCount = s.manifests(table).maxBy(_.version)
+          .deleteFiles.count(TableStore.isPositional).toLong
+        val before = posCount
+        val v = s.rewritePositionDeletes(table)
+        result(
+          StructType(Seq(StructField("version", LongType),
+            StructField("pos_delete_files_before", LongType),
+            StructField("pos_delete_files_after", LongType))),
+          new GenericInternalRow(Array[Any](v, before, posCount)))
       }
     }
   }

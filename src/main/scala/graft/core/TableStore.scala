@@ -1778,6 +1778,46 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     v
   }
 
+  /** Positional-delete consolidation (Iceberg v3's move to delete
+    * vectors): every `delete_where_mor` commit adds one positional delete
+    * file, and a scan must load them ALL — under continuous predicate
+    * deletes the overlay becomes many small files whose union the reader
+    * re-derives per query. This rewrites the whole positional overlay
+    * into one deduplicated, (file, pos)-sorted delete set — sorted so
+    * parquet delta-encodes the positions (the on-disk analogue of a
+    * run-length bitmap) and each data file's mask is one contiguous
+    * range of one delete file. Equality deletes are carried untouched;
+    * no data file is opened. Cost: one O(overlay) shuffle. */
+  def rewritePositionDeletes(table: String): Long = {
+    require(exists(table),
+      s"rewritePositionDeletes: table $table does not exist")
+    val m = manifests(table).maxBy(_.version)
+    val (posDels, eqCarry) = m.deleteFiles.partition(TableStore.isPositional)
+    if (posDels.size <= 1) return m.version
+    val root = tableDir(table)
+    val merged = spark.read
+      .parquet(posDels.map(d => new Path(root, d.path).toString): _*)
+      .select(col("__file"), col("__pos")).distinct()
+      .repartitionByRange(col("__file"), col("__pos"))
+      .sortWithinPartitions(col("__file"), col("__pos"))
+    val v = m.version + 1 // pinned to the carried snapshot (CAS on rivals)
+    val dwid = java.util.UUID.randomUUID().toString.take(8)
+    val delDir = new Path(versionDir(table, v), s"deletes-$dwid")
+    merged.write.mode("overwrite").parquet(delDir.toString)
+    val f = fs(delDir)
+    val delEntries = listPartFiles(delDir, f).map { s =>
+      val (rows, _) = footerStats(s.getPath)
+      DeleteEntry(s"v=$v/deletes-$dwid/${s.getPath.getName}",
+        TableStore.PosDeleteKey, v, rows)
+    }
+    writeManifest(table, Manifest(v, System.currentTimeMillis(),
+      "rewrite_position_deletes", m.files.map(_.rowCount).sum, m.files,
+      m.schemaJson, m.partitionBy, m.droppedColumns, eqCarry ++ delEntries,
+      None, m.constraints, m.writeOrder))
+    swapPointer(table, v)
+    v
+  }
+
   /** Row-level change feed between snapshots (Iceberg's changelog scan /
     * `create_changelog_view`): for each version step a→b inside
     * [fromVersion, toVersion], emit the step's row-level delta tagged

@@ -76,6 +76,69 @@ object Sampling {
       .drop("__pos")
   }
 
+  /** Weight-proportional Bernoulli sample (Poisson/pps sampling): each row
+    * kept independently with probability `min(1, k·w/W)` where `W` is the
+    * total weight — the expected sample size is ≈ `k` and heavy rows
+    * (long documents, high-token domains) are favored in exact proportion
+    * to their weight. This is the sampler a token-budgeted corpus wants:
+    * sampling DOCUMENTS uniformly under-represents long ones per TOKEN;
+    * pps sampling is uniform per token.
+    *
+    * Decision rule, integer-exact in any engine: keep iff
+    * `h · W < k · w · 2^28`, with `h` the row's 28-bit md5-prefix hash —
+    * int64 cross-multiplication, no division, no floats, so retries,
+    * engines, and partitionings all replay the same sample.
+    * Scale shape: one metadata-cheap total-weight aggregate broadcast as
+    * a 1-row frame, then a pure filter projection — no shuffle of the
+    * data itself, mergeable across batches (each batch can be sampled
+    * against the corpus-level `W`). */
+  def weightedBernoulli(df: DataFrame, keyCol: String, weightCol: String,
+      expectedK: Long): DataFrame = {
+    require(expectedK > 0, "expectedK must be positive")
+    // 28-bit hash keeps both cross-products inside int64 (h·W ≤ 2^28·W;
+    // k·w·2^28) for corpus weights up to ~2^34 — beyond that, pre-scale
+    // the weights (sampling only reads their ratios).
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 7), 16, 10)
+      .cast("long")
+    val w = df.agg(sum(col(weightCol).cast("long")).as("__tw"))
+    df.crossJoin(broadcast(w))
+      .filter(h * col("__tw") <
+        lit(expectedK) * col(weightCol).cast("long") * lit(1L << 28))
+      .drop("__tw")
+  }
+
+  /** Fixed-size weight-proportional sample per group (systematic PPS,
+    * Madow 1949): order the group's rows by md5(key) (the randomizer),
+    * take the cumulative weight, and select every row whose cumulative
+    * interval `[cum−w, cum)` contains a multiple of `W/k` — exactly `k`
+    * rows per group (fewer only if a single row outweighs `W/k`, which
+    * then absorbs several multiples but is selected once), each with
+    * inclusion probability `min(1, k·w/W)`. Selection is the pure-int64
+    * floor-division test `⌊cum·k/W⌋ > ⌊(cum−w)·k/W⌋` — no floats, so the
+    * sample is bit-replayable across engines. `weightCol` must be
+    * integral and positive.
+    *
+    * Scale shape: one shuffle on the group columns; the cumulative sum is
+    * a per-group running window in md5 order (AQE handles skewed groups),
+    * then a pure filter. No floats, no collect, no global sort. */
+  def systematicPps(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val g = groupCols.map(col)
+    val ord = Seq(md5(col(keyCol).cast("string")), col(keyCol))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(ord: _*)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    val wLong = col(weightCol).cast("long")
+    // pure int64 floor division (`div` here, `//` in the oracle); cum·k
+    // must fit int64 — holds to W·k ≈ 9·10^18 (pre-scale weights beyond)
+    df.withColumn("__cum", sum(wLong).over(wRun))
+      .withColumn("__tw", sum(wLong).over(wAll))
+      .filter(expr(s"(__cum * $k) div __tw") >
+        expr(s"((__cum - ${weightCol}) * $k) div __tw"))
+      .drop("__cum", "__tw")
+  }
+
   /** Stratified fixed-size sample: up to `k` rows per stratum, chosen by
     * md5(key) order (ties broken by the key itself) — a deterministic,
     * partitioning-independent per-group reservoir. The hash order makes

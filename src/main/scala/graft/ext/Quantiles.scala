@@ -38,6 +38,34 @@ object Quantiles {
     cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Deterministic sample-quantile sketch: exact quantiles of a bottom-k
+    * md5-ordered row sample — the path for CONTINUOUS value domains,
+    * where [[exactQuantiles]]' compressed-domain contract (|distinct
+    * values| bounded) does not hold. The sample is the k rows whose
+    * md5(key) is smallest within each group: uniform (the hash is the
+    * randomizer), DETERMINISTIC (retries/engines/partitionings agree),
+    * and MERGEABLE (bottom-k of a union = bottom-k of the merged
+    * bottom-ks, so per-batch sketches fold without re-reading history —
+    * same state discipline as [[Sketches.kmvDistinct]]). Standard
+    * order-statistics bounds apply: rank error is O(1/√k) with high
+    * probability.
+    *
+    * Scale shape: one shuffle on the group columns for the windowed
+    * bottom-k (the only pass over the data), then the quantile runs on
+    * ≤ k rows per group. Output: per group, each named quantile of the
+    * SAMPLE plus `sample_rows`. */
+  def sampleQuantiles(df: DataFrame, groupCol: String, keyCol: String,
+      valueCol: String, k: Int,
+      pcts: Seq[(String, Long, Long)]): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    val sample = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+    exactQuantiles(sample, groupCol, valueCol, pcts)
+      .withColumnRenamed("n_rows", "sample_rows")
+  }
+
   /** Adaptive per-group gate: keep rows whose `scoreCol` reaches their
     * OWN group's exact `num/den` quantile — the "per-dump threshold"
     * pattern (a fixed global cutoff over- or under-prunes domains whose

@@ -96,21 +96,38 @@ object MorScan {
     acc.toMap
   }
 
-  /** The (file, pos) mask from the snapshot's POSITIONAL delete files —
-    * they name immutable relative paths directly, no sequence logic. */
-  def posDeleteSet(spark: SparkSession, tableDir: String,
+  /** The positional mask from the snapshot's POSITIONAL delete files, as
+    * per-data-file DELETE VECTORS — one roaring bitmap of row indexes per
+    * masked file (Iceberg v3's representation). vs the old
+    * `Set[(path, pos)]` of boxed tuples this is ~50× smaller in memory
+    * and on the broadcast wire (run-length-compressed bitmap vs ~150 B
+    * per entry), and membership is an O(1) bitmap probe resolved ONCE
+    * per partition, not a hash of a freshly allocated tuple per row.
+    * Positions are row indexes within one parquet file, so they fit int
+    * (enforced); paths are immutable, no sequence logic. */
+  def posDeleteVectors(spark: SparkSession, tableDir: String,
       posDels: Seq[TableStore.DeleteEntry],
-      maxKeys: Long): Set[(String, Long)] = {
+      maxKeys: Long): Map[String, org.roaringbitmap.RoaringBitmap] = {
     requireUnderCap(spark, tableDir, posDels, maxKeys)
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("__file",
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("__pos",
         org.apache.spark.sql.types.LongType)))
+    val acc = scala.collection.mutable.HashMap
+      .empty[String, org.roaringbitmap.RoaringBitmap]
     spark.read.schema(schema)
       .parquet(posDels.map(d => s"$tableDir/${d.path}"): _*)
       .queryExecution.executedPlan.executeCollect()
-      .map(r => (r.getUTF8String(0).toString, r.getLong(1))).toSet
+      .foreach { r =>
+        val p = r.getLong(1)
+        require(p >= 0 && p <= Int.MaxValue,
+          s"positional delete row index out of int range: $p")
+        acc.getOrElseUpdate(r.getUTF8String(0).toString,
+          new org.roaringbitmap.RoaringBitmap()).add(p.toInt)
+      }
+    acc.foreach(_._2.runOptimize())
+    acc.toMap
   }
 
   def keep(row: InternalRow, fileSeq: Long, keyOrdinals: Array[Int],
@@ -153,7 +170,7 @@ object MorScan {
       new GraftMorScan(spark, name, readSchema, groups, lookup,
         keyOrdinals, keyTypes, files)
     } else {
-      val pos = posDeleteSet(spark, root, posDels, maxKeys)
+      val pos = posDeleteVectors(spark, root, posDels, maxKeys)
       val fileScans = files.sortBy(_.path).map(fe =>
         (TableStore.fileSeqOf(fe.path), fe.path, scanOverRowIdx(Seq(fe))))
       new GraftPosMorScan(spark, name, readSchema, fileScans, lookup, pos,
@@ -168,8 +185,8 @@ object MorScan {
     * the caller passes the batch through untouched. */
   private[graft] def survivors(batch: ColumnarBatch, fileSeq: Long,
       keyOrdinals: Array[Int], keyTypes: Array[DataType],
-      lookup: Map[Seq[Any], Long], relPath: String,
-      posVec: ColumnVector, pos: Set[(String, Long)]): Array[Int] = {
+      lookup: Map[Seq[Any], Long],
+      posVec: ColumnVector, dv: org.roaringbitmap.RoaringBitmap): Array[Int] = {
     val n = batch.numRows()
     val out = new Array[Int](n)
     var kept = 0
@@ -178,7 +195,7 @@ object MorScan {
     while (it.hasNext) {
       val row = it.next()
       val ok = keep(row, fileSeq, keyOrdinals, keyTypes, lookup) &&
-        (relPath == null || !pos.contains((relPath, posVec.getLong(i))))
+        (dv == null || !dv.contains(posVec.getLong(i).toInt))
       if (ok) { out(kept) = i; kept += 1 }
       i += 1
     }
@@ -276,7 +293,7 @@ final class GraftMorScan(spark: SparkSession, name: String,
   * output schema excludes the index column; readers strip it. */
 final class GraftPosMorScan(spark: SparkSession, name: String,
     readSchemaWithKeys: StructType, fileScans: Seq[(Long, String, Scan)],
-    lookup: Map[Seq[Any], Long], pos: Set[(String, Long)],
+    lookup: Map[Seq[Any], Long], pos: Map[String, org.roaringbitmap.RoaringBitmap],
     keyOrdinals: Array[Int], keyTypes: Array[DataType],
     files: Seq[TableStore.FileEntry])
     extends Scan with Batch with SupportsReportStatistics {
@@ -294,7 +311,8 @@ final class GraftPosMorScan(spark: SparkSession, name: String,
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftPosMorScan $name [${fileScans.size} files, " +
-      s"${pos.size} positional + ${lookup.size} equality delete keys]"
+      s"${pos.valuesIterator.map(_.getLongCardinality).sum} positional " +
+      s"(${pos.size} delete vectors) + ${lookup.size} equality delete keys]"
 
   override def planInputPartitions(): Array[InputPartition] =
     fileScans.zipWithIndex.flatMap { case ((seq, relPath, scan), fi) =>
@@ -363,7 +381,7 @@ private class MorReaderFactory(inner: Array[PartitionReaderFactory],
         while (r.next()) {
           val b = r.get()
           val ids = MorScan.survivors(b, mp.seq, keyOrdinals, keyTypes,
-            lookup.value, null, null, null)
+            lookup.value, null, null)
           if (ids == null) { current = b; return true }
           if (ids.nonEmpty) { current = MorScan.mapBatch(b, ids); return true }
         }
@@ -377,7 +395,8 @@ private class MorReaderFactory(inner: Array[PartitionReaderFactory],
 
 private class PosMorReaderFactory(inner: Array[PartitionReaderFactory],
     lookup: Broadcast[Map[Seq[Any], Long]],
-    pos: Broadcast[Set[(String, Long)]], keyOrdinals: Array[Int],
+    pos: Broadcast[Map[String, org.roaringbitmap.RoaringBitmap]],
+    keyOrdinals: Array[Int],
     keyTypes: Array[DataType], outSchema: StructType,
     rowIdxOrdinal: Int) extends PartitionReaderFactory {
 
@@ -389,6 +408,7 @@ private class PosMorReaderFactory(inner: Array[PartitionReaderFactory],
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val mp = partition.asInstanceOf[PosMorInputPartition]
     val r = inner(mp.file).createReader(mp.inner)
+    val dv = pos.value.getOrElse(mp.relPath, null)
     new PartitionReader[InternalRow] {
       // strips the trailing row-index column: one reusable projecting
       // view over the declared output ordinals (no per-row allocation)
@@ -399,7 +419,7 @@ private class PosMorReaderFactory(inner: Array[PartitionReaderFactory],
         while (r.next()) {
           val row = r.get()
           if (MorScan.keep(row, mp.seq, keyOrdinals, keyTypes, lookup.value) &&
-              !pos.value.contains((mp.relPath, row.getLong(rowIdxOrdinal)))) {
+              (dv == null || !dv.contains(row.getLong(rowIdxOrdinal).toInt))) {
             out.project(row)
             current = out
             return true
@@ -415,6 +435,7 @@ private class PosMorReaderFactory(inner: Array[PartitionReaderFactory],
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val mp = partition.asInstanceOf[PosMorInputPartition]
     val r = inner(mp.file).createColumnarReader(mp.inner)
+    val dv = pos.value.getOrElse(mp.relPath, null)
     new PartitionReader[ColumnarBatch] {
       private var current: ColumnarBatch = _
       // the output batch drops the row-index vector (ordinals < outSchema
@@ -430,7 +451,7 @@ private class PosMorReaderFactory(inner: Array[PartitionReaderFactory],
         while (r.next()) {
           val b = r.get()
           val ids = MorScan.survivors(b, mp.seq, keyOrdinals, keyTypes,
-            lookup.value, mp.relPath, b.column(rowIdxOrdinal), pos.value)
+            lookup.value, b.column(rowIdxOrdinal), dv)
           if (ids == null || ids.nonEmpty) {
             current = strip(b, ids)
             return true

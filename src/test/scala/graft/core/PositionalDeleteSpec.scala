@@ -158,4 +158,50 @@ class PositionalDeleteSpec extends SparkSpec {
         spark.conf.unset("spark.sql.parquet.enableVectorizedReader")
     } finally spark.conf.unset("parquet.block.size")
   }
+
+  test("rewritePositionDeletes consolidates the overlay; reads unchanged; SQL mask is bitmap-backed") {
+    val wh = tmpDir("pd_dv")
+    val cat = s"gdv${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val store = new TableStore(spark, wh)
+    store.commit("t",
+      (1L to 5000L).map(i => (i, i * 2.0)).toDF("id", "v"), "create")
+    // accumulate four positional commits, with overlapping positions (the
+    // id=7 row is deleted twice — the rewrite must dedup it)
+    store.deleteWhereMoR("t", "id % 400 = 7")
+    store.deleteWhereMoR("t", "id = 7")
+    store.deleteWhereMoR("t", "id % 1000 = 999")
+    store.deleteWhereMoR("t", "id > 4990")
+    val before = store.manifests("t").maxBy(_.version)
+    assert(before.deleteFiles.count(TableStore.isPositional) >= 4)
+    val expect = (1L to 5000L)
+      .filterNot(i => i % 400 == 7 || i % 1000 == 999 || i > 4990)
+    assert(store.read("t").select("id").as[Long].collect().sorted.toSeq
+      == expect)
+    val v = store.rewritePositionDeletes("t")
+    val after = store.manifests("t").maxBy(_.version)
+    assert(after.version == v && after.operation == "rewrite_position_deletes")
+    assert(after.deleteFiles.count(TableStore.isPositional) == 1,
+      s"overlay not consolidated: ${after.deleteFiles}")
+    assert(after.files.map(_.path) == before.files.map(_.path)) // data untouched
+    // dedup: the consolidated row count equals the distinct mask size
+    val maskRows = after.deleteFiles.filter(TableStore.isPositional)
+      .map(_.rowCount).sum
+    assert(maskRows == 5000 - expect.size,
+      s"mask rows $maskRows vs deleted ${5000 - expect.size}")
+    // both read paths agree post-rewrite
+    assert(store.read("t").select("id").as[Long].collect().sorted.toSeq
+      == expect)
+    assert(spark.sql(s"SELECT id FROM $cat.ns.t ORDER BY id")
+      .as[Long].collect().toSeq == expect)
+    // idempotent: a second rewrite is a no-op commit
+    assert(store.rewritePositionDeletes("t") == v)
+    // SQL CALL face
+    val r = spark.sql(
+      s"CALL $cat.system.rewrite_position_deletes(`table` => 't')")
+      .collect().head
+    assert(r.getLong(2) <= 1, r.toString)
+  }
 }

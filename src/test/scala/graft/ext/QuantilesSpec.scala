@@ -55,4 +55,20 @@ class QuantilesSpec extends SparkSpec {
       .keepAboveGroupQuantile(df.repartition(5), "g", "v", 3L, 4L)
     assert(again.except(kept).isEmpty && kept.except(again).isEmpty)
   }
+
+  test("sampleQuantiles is deterministic, mergeable-shaped, near exact") {
+    import spark.implicits._
+    val df = (1L to 20000L).map(i => ("g", i, (i % 1000).toDouble))
+      .toDF("grp", "id", "v")
+    val pcts = Seq(("p50", 1L, 2L), ("p90", 9L, 10L))
+    val a = Quantiles.sampleQuantiles(df, "grp", "id", "v", 500, pcts)
+      .collect().head
+    val b = Quantiles.sampleQuantiles(df.repartition(17), "grp", "id", "v",
+      500, pcts).collect().head
+    assert(a == b) // layout-independent
+    assert(a.getAs[Long]("sample_rows") == 500L)
+    // v is uniform on [0,1000): the sampled p50/p90 must be near 500/900
+    assert(math.abs(a.getAs[Double]("p50") - 500) < 80, a.toString)
+    assert(math.abs(a.getAs[Double]("p90") - 900) < 60, a.toString)
+  }
 }
