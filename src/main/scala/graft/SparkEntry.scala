@@ -3769,6 +3769,44 @@ object SparkEntry {
         .withColumn("consolidated", lit(consolidated))
         .withColumn("total_value", col("total_value").cast("double"))
         .orderBy(col("event_type"))
+    }),
+
+    // ext: grouped top-k as a bounded-state aggregate (q154) — top-5
+    // exemplar docs per (source, lang) by length. ObjectHashAggregate
+    // partial-aggregates the k-bounded buffer map-side, so the shuffle
+    // carries ≤ k rows per group per input partition instead of every
+    // row — the window-rank formulation (the oracle) shuffles the corpus.
+    "q154_grouped_topk" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ext.TopK.topKPerGroup(docs, Seq("source", "lang"),
+          scoreCol = "n_chars", idCol = "doc_id", k = 5)
+        .orderBy(col("source"), col("lang"), col("rank"))
+    }),
+
+    // ext: deterministic HyperLogLog (q155) — per-event-type distinct
+    // users from TWO register sketches built on disjoint halves and
+    // merged by element-wise max, proving the persist-per-batch /
+    // fold-across-batches shape; integer-only estimation replays on any
+    // engine (registers from md5 bits, harmonic sum scaled 2^44,
+    // fixed-point alpha, table-driven linear counting).
+    "q155_hll_distinct" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val g = Seq("event_type")
+      val r1 = graft.ext.Sketches.hllRegisters(
+        ev.filter(col("event_id") % 2 === 0), g, "user_id")
+      val r2 = graft.ext.Sketches.hllRegisters(
+        ev.filter(col("event_id") % 2 === 1), g, "user_id")
+      val merged = r1.unionByName(r2)
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("reg")).as("reg"))
+      val est = graft.ext.Sketches.hllEstimate(merged, g)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, Seq("event_type"))
+        .withColumn("within_20pct",
+          abs(col("approx_distinct") - col("exact_distinct")) * 5
+            <= col("exact_distinct"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -6320,7 +6358,31 @@ object SparkEntry {
         |FROM events
         |WHERE event_type <> 'error' AND event_id % 500 <> 3
         |  AND NOT (value < -0.9)
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The window-rank formulation the aggregator replaces — identical
+    // rows, (score DESC, id ASC) total order.
+    "q154_grouped_topk" ->
+      """SELECT source, lang, rank, doc_id, n_chars FROM (
+        |  SELECT source, lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source, lang
+        |      ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+        |  FROM documents) t
+        |WHERE rank <= 5 ORDER BY source, lang, rank""".stripMargin,
+
+    // Register-exact HLL replay: same md5 bits, same integer harmonic
+    // sum, same fixed-point alpha and linear-counting table.
+    "q155_hll_distinct" ->
+      s"""WITH src AS (SELECT event_type, user_id AS v FROM events),
+         |${graft.ext.Sketches.hllOracleSql(Seq("event_type"))},
+         |e AS (SELECT event_type,
+         |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+         |  FROM events GROUP BY event_type)
+         |SELECT h.event_type, approx_distinct, exact_distinct,
+         |  abs(approx_distinct - exact_distinct) * 5 <= exact_distinct
+         |    AS within_20pct
+         |FROM hll h JOIN e USING (event_type)
+         |ORDER BY event_type""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

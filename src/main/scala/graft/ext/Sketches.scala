@@ -52,6 +52,101 @@ object Sketches {
       .drop("__n", "__hk")
   }
 
+  /** HyperLogLog with DETERMINISTIC registers (Flajolet et al. 2007).
+    * Engine-native HLLs (`approx_count_distinct`, DuckDB's) can never
+    * hash-compare because register layouts differ; this one fixes every
+    * bit: 48-bit md5-prefix hash, `m = 64` buckets (p=6) from `h mod 64`,
+    * rank = leading-zero count of the remaining 42-bit word + 1. Where
+    * KMV above keeps the k smallest hashes, HLL keeps m fixed REGISTERS
+    * whose merge is element-wise max — the shape to persist per
+    * batch/partition as a sketch table and fold across batches without
+    * re-reading history (the union of two register tables max-aggregated
+    * IS the sketch of the union).
+    *
+    * Estimation is integer-only so any engine replays it: the harmonic
+    * sum `Σ 2^-reg` is scaled by 2^44 (max rank 43, so every term
+    * `2^(44-reg)` is a positive int64; empty buckets contribute `2^44`),
+    * and `est = HLL_NUM div S` with `HLL_NUM = floor(0.709 · m² · 2^44)`
+    * (α_64 = 0.709 to fixed point; ≈5.1e16, inside int64). The
+    * small-range branch (raw ≤ 2.5m with empty buckets) uses linear
+    * counting from a precomputed integer table `floor(m·ln(m/V))` — the
+    * only transcendental is evaluated once at plan build via StrictMath,
+    * identical literals embedded in the oracle SQL. */
+  private[ext] val HllM = 64
+  private[ext] val HllNum = ((BigInt(1) << 56) * 709 / 1000).toLong
+  private[ext] val HllLinearTable: IndexedSeq[Long] =
+    (1 to HllM).map(v =>
+      math.floor(HllM * StrictMath.log(HllM.toDouble / v)).toLong)
+
+  /** Per-group HLL register table of `valueCol`:
+    * (groupCols…, bucket, reg). One distinct-free hash agg — rows never
+    * concentrate beyond m per group. Merge register tables from separate
+    * batches by unioning and re-aggregating `max(reg)`. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 12),
+      16, 10).cast("long")
+    val w = (h / HllM).cast("long") // 42-bit word above the bucket bits
+    // rank = 42-bit leading zeros + 1; bit length via base-2 render
+    // (conv(w,10,2) has no leading zeros), w = 0 means all-zero word
+    val rank = when(w === 0L, lit(43))
+      .otherwise(lit(43) - length(conv(w.cast("string"), 10, 2)))
+    df.select((g :+ (h % HllM).cast("int").as("bucket")
+      :+ rank.cast("int").as("__rank")): _*)
+      .groupBy((g :+ col("bucket")): _*)
+      .agg(max(col("__rank")).as("reg"))
+  }
+
+  /** Collapse a register table to (groupCols…, approx_distinct). */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    val lcArr = array(HllLinearTable.map(lit): _*)
+    registers
+      .groupBy(g: _*)
+      .agg(expr("sum(shiftleft(1L, 44 - reg))").as("__s"),
+        count(lit(1)).as("__nb"))
+      // empty buckets: reg = 0 ⇒ term 2^44 each
+      .withColumn("__s",
+        col("__s") + (lit(HllM.toLong) - col("__nb")) * lit(1L << 44))
+      .withColumn("__raw", expr(s"${HllNum}L div __s"))
+      .withColumn("__v", lit(HllM.toLong) - col("__nb")) // empty buckets
+      .withColumn("approx_distinct",
+        when(col("__raw") <= lit(5L * HllM / 2) && col("__v") > 0L,
+          element_at(lcArr, col("__v").cast("int")))
+          .otherwise(col("__raw")))
+      .drop("__s", "__nb", "__raw", "__v")
+  }
+
+  /** The DuckDB replay of registers+estimate as a CTE fragment: expects
+    * a preceding CTE `src(g…, v)`; defines `hll(g…, approx_distinct)`
+    * for the caller's final SELECT. */
+  def hllOracleSql(groupCols: Seq[String]): String = {
+    val g = groupCols.mkString(", ")
+    val lcCase = (1 to HllM)
+      .map(v => s"WHEN $v THEN ${HllLinearTable(v - 1)}")
+      .mkString(" ")
+    s"""regs AS (
+       |  SELECT $g, h % $HllM AS bucket,
+       |    MAX(CASE WHEN h // $HllM = 0 THEN 43
+       |        ELSE 43 - length(bin(h // $HllM)) END) AS reg
+       |  FROM (SELECT $g,
+       |      ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 12))::BIGINT AS h
+       |    FROM src) t
+       |  GROUP BY $g, h % $HllM),
+       |hest AS (
+       |  SELECT $g,
+       |    SUM(CAST(power(2, 44 - reg) AS BIGINT))
+       |      + ($HllM - COUNT(*)) * CAST(power(2, 44) AS BIGINT) AS s,
+       |    $HllM - COUNT(*) AS v
+       |  FROM regs GROUP BY $g),
+       |hll AS (SELECT $g,
+       |  CAST(CASE WHEN ($HllNum // s) <= ${5L * HllM / 2} AND v > 0
+       |    THEN CASE v $lcCase END
+       |    ELSE $HllNum // s END AS BIGINT) AS approx_distinct
+       |FROM hest)""".stripMargin
+  }
+
   /** Count-min sketch (Cormode & Muthukrishnan 2005) of `valueCol`
     * frequencies: `depth × width` cells, cell (r, c) = Σ counts of values
     * with `h_r(v) = c`. Cell sums are ASSOCIATIVE — the sketch of a

@@ -70,4 +70,43 @@ class SketchesSpec extends SparkSpec {
     }
     assert(merged == summed)
   }
+
+  test("hll: registers merge by max — split sketches equal the one-pass") {
+    val all = (0 until 5000).map(i => ("g", s"u${i % 1700}")).toDF("g", "v")
+    val onePass = Sketches.hllRegisters(all, Seq("g"), "v")
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    val halves = Seq(0, 1).map { h =>
+      val part = (0 until 5000).filter(_ % 2 == h)
+        .map(i => ("g", s"u${i % 1700}")).toDF("g", "v")
+      Sketches.hllRegisters(part, Seq("g"), "v")
+        .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    }
+    val merged = (halves(0).keySet ++ halves(1).keySet).map(b =>
+      b -> math.max(halves(0).getOrElse(b, 0), halves(1).getOrElse(b, 0)))
+      .toMap
+    assert(merged == onePass)
+  }
+
+  test("hll: estimate within 20% at m=64; small groups linear-counted") {
+    val df = ((0 until 9000).map(i => ("big", s"u${i % 3000}")) ++
+      (0 until 200).map(i => ("small", s"u${i % 40}"))).toDF("g", "v")
+    val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(df, Seq("g"), "v"), Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(est("big") - 3000L) * 5 <= 3000L, est.toString)
+    // 40 distinct over 64 buckets: raw HLL is biased low; the
+    // linear-counting branch must engage and land close
+    assert(math.abs(est("small") - 40L) <= 10L, est.toString)
+  }
+
+  test("hll: deterministic under repartitioning") {
+    val df = (0 until 4000).map(i => (s"g${i % 3}", s"u$i")).toDF("g", "v")
+    val a = Sketches.hllEstimate(
+      Sketches.hllRegisters(df.repartition(17), Seq("g"), "v"), Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Sketches.hllEstimate(
+      Sketches.hllRegisters(df.coalesce(1), Seq("g"), "v"), Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
 }
