@@ -32,10 +32,12 @@ object SparkEntry {
   private val jsonlDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def jsonlStagingDir(fixtureDir: String): String =
-    jsonlDirs.computeIfAbsent(fixtureDir, { _ =>
+    formatStagingDir("jsonl", fixtureDir)
+  private def formatStagingDir(tag: String, fixtureDir: String): String =
+    jsonlDirs.computeIfAbsent(tag + "|" + fixtureDir, { _ =>
       val p = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"),
-        "graft_jsonl_" + ProcessHandle.current().pid() + "_" +
+        "graft_" + tag + "_" + ProcessHandle.current().pid() + "_" +
           Integer.toHexString(fixtureDir.hashCode))
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(f: java.io.File): Unit = {
@@ -3807,6 +3809,60 @@ object SparkEntry {
           abs(col("approx_distinct") - col("exact_distinct")) * 5
             <= col("exact_distinct"))
         .orderBy(col("event_type"))
+    }),
+
+    // sources: ORC interchange (q156) — full lineitem out through the
+    // ORC writer and back through the vectorized ORC reader, then a
+    // decimal-exact aggregate that any roundtrip corruption (timestamp
+    // epoch shift, double bits, null masks) would flip. Spark-native
+    // columnar format #2 beside parquet; zstd to exercise codec plumbing.
+    "q156_orc_roundtrip" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val out = formatStagingDir("orc", dir)
+      li.write.mode("overwrite").option("compression", "zstd").orc(out)
+      s.read.orc(out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          dsumd(col("l_quantity")).as("sum_qty"),
+          dsumd(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .as("sum_disc_price"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          max(col("l_shipdate")).as("max_shipdate"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // sources: CSV ingest with corrupt-row quarantine (q157) — the
+    // crawl-intake shape: typed schema over untrusted delimited text,
+    // PERMISSIVE parse, rows that fail typing land in a quarantine
+    // bucket (audited, never dropped silently) while clean rows flow
+    // on. Corruption is synthesized deterministically (every orderkey
+    // divisible by 997 gets an unparseable numeric) so the oracle
+    // replays the split exactly.
+    "q157_csv_quarantine" -> ((s, dir) => {
+      val ord = Tables.load(s, dir, "orders")
+      val out = formatStagingDir("csv", dir)
+      val cents =
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+      val centsField =
+        when(col("o_orderkey") % 997 === 0, concat(lit("x"), cents))
+          .otherwise(cents.cast("string"))
+      ord.select(concat_ws(",", col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), centsField, col("o_orderpriority"))
+          .as("value"))
+        .write.mode("overwrite").text(out)
+      val back = s.read
+        .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING," +
+          " cents BIGINT, o_orderpriority STRING, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+      back.groupBy(
+          when(col("_corrupt").isNull, col("o_orderstatus"))
+            .otherwise(lit("QUARANTINED")).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("_corrupt").isNull, col("cents"))
+            .otherwise(lit(0L))).as("sum_cents"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -6382,7 +6438,32 @@ object SparkEntry {
          |  abs(approx_distinct - exact_distinct) * 5 <= exact_distinct
          |    AS within_20pct
          |FROM hll h JOIN e USING (event_type)
-         |ORDER BY event_type""".stripMargin
+         |ORDER BY event_type""".stripMargin,
+
+    // Same aggregate straight off the parquet fixture — only a lossless
+    // ORC roundtrip matches it.
+    "q156_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  MAX(l_shipdate) AS max_shipdate
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // The deterministic corruption rule replayed as a filter: orderkeys
+    // divisible by 997 quarantine, the rest aggregate by status.
+    "q157_csv_quarantine" ->
+      """SELECT o_orderstatus AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100 )
+        |    AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_orderkey % 997 <> 0
+        |GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'QUARANTINED', COUNT(*), CAST(0 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 997 = 0
+        |ORDER BY bucket""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:
