@@ -3863,6 +3863,70 @@ object SparkEntry {
           sum(when(col("_corrupt").isNull, col("cents"))
             .otherwise(lit(0L))).as("sum_cents"))
         .orderBy(col("bucket"))
+    }),
+
+    // Streaming LEFT OUTER interval join (q158): q84's enrichment shape
+    // when the right side is sparse and unmatched lefts must still be
+    // emitted (nulls) instead of silently dropped — the fact-stream /
+    // slow-dimension-stream case. Outer emission is watermark-driven:
+    // after the data slices, sentinel rows (user −1, +10/+20 days) on
+    // BOTH feeds push the global watermark past every real row's match
+    // horizon and the following batch flushes the unmatched tail. The
+    // sentinels themselves can never be flushed (nothing outruns them)
+    // and are filtered from the sink.
+    "q158_stream_outer_join" -> ((s, dir) => {
+      val store = tmpStore(s)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val left = ev.filter(col("event_id") % 10 === 0)
+      val right = ev.filter(col("event_id") % 30 === 5) // sparse: misses
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      def sentinel(plusDays: Int) = {
+        import org.apache.spark.sql.Row
+        s.createDataFrame(
+          java.util.List.of(Row(-1L,
+            java.sql.Timestamp.from(maxTs.toInstant
+              .plus(java.time.Duration.ofDays(plusDays))),
+            -1L, "__wm", 0.0)),
+          left.schema)
+      }
+      val lr = new FileReplay(s, left.schema)
+      val rr = new FileReplay(s, right.schema)
+      val joined = graft.streaming.CdcStream.intervalJoin(
+        lr.source, rr.source, "user_id", "ts", "1 HOUR", "48 hours",
+        joinType = "leftOuter")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = joined.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              val out = b.filter(col("user_id") >= 0)
+                .select(col("event_id"), col("user_id"),
+                  col("r_event_type"), col("r_value"))
+              if (!out.isEmpty) {
+                if (!store.exists("enriched"))
+                  store.commit("enriched", out, "create")
+                else store.append("enriched", out)
+              }
+            }
+            ()
+          }
+          .start()
+        try {
+          val ls = timeSlices(left, "ts", 2)
+          val rs = timeSlices(right, "ts", 2)
+          (0 until 2).foreach { i => rr.feed(q, rs(i)); lr.feed(q, ls(i)) }
+          // watermark push + one more batch to flush unmatched lefts
+          rr.feed(q, sentinel(10)); lr.feed(q, sentinel(10))
+          rr.feed(q, sentinel(20)); lr.feed(q, sentinel(20))
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      store.read("enriched").orderBy(col("event_id"), col("r_event_type"))
     })
   )
 
@@ -6463,7 +6527,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'QUARANTINED', COUNT(*), CAST(0 AS BIGINT)
         |FROM orders WHERE o_orderkey % 997 = 0
-        |ORDER BY bucket""".stripMargin
+        |ORDER BY bucket""".stripMargin,
+
+    // Batch replay of the streamed left-outer interval join — the
+    // watermark flush must surface exactly the unmatched lefts the
+    // batch LEFT JOIN produces.
+    "q158_stream_outer_join" ->
+      """SELECT l.event_id, l.user_id,
+        |  r.event_type AS r_event_type, r.value AS r_value
+        |FROM (SELECT * FROM events WHERE event_id % 10 = 0) l
+        |LEFT JOIN (SELECT * FROM events WHERE event_id % 30 = 5) r
+        |  ON l.user_id = r.user_id
+        |  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+        |ORDER BY l.event_id, r_event_type""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

@@ -137,14 +137,23 @@ object CdcStream {
     * `left watermark − lookback` passes them (the canonical bounded-state
     * stream-stream join; billions of keys spread across executors). */
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
-      tsCol: String, lookback: String, watermark: String = "10 minutes"): DataFrame = {
+      tsCol: String, lookback: String, watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(tsCol, watermark)
     val r0 = right.withWatermark(tsCol, watermark)
     val r = r0.select(r0.columns.map(c => col(c).as(s"r_$c")).toSeq: _*)
+    // "leftOuter" additionally emits each unmatched left row (right
+    // columns null) once the watermark passes the row's match horizon —
+    // the event-time condition bounds when a match can still arrive, so
+    // Spark can prove a left row unmatched and evict it; emission
+    // happens in the micro-batch AFTER the watermark advance, so a
+    // bounded replay must push the watermark past the data and then run
+    // one more batch to flush the tail.
     l.join(r,
       col(keyCol) === col(s"r_$keyCol") &&
         col(s"r_$tsCol") >= col(tsCol) - expr(s"INTERVAL $lookback") &&
-        col(s"r_$tsCol") <= col(tsCol))
+        col(s"r_$tsCol") <= col(tsCol),
+      joinType)
   }
 
   /** Event-time sessionization with a `gap` inactivity timeout via
