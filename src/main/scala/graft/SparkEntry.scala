@@ -3927,6 +3927,38 @@ object SparkEntry {
         } finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       store.read("enriched").orderBy(col("event_id"), col("r_event_type"))
+    }),
+
+    // Semi-structured VARIANT column (q159) — Spark 4's native variant
+    // type end-to-end through the table layer: nested JSON (object +
+    // array + scalars) parsed once at ingest into the binary variant
+    // encoding, committed to a versioned table (footer stats skip the
+    // nested group), read back and path-extracted with variant_get —
+    // no per-query JSON re-parsing, the 100 TB answer to schemaless
+    // event payloads. Missing paths yield NULL, counted to pin the
+    // semantics.
+    "q159_variant_column" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val js = to_json(struct(
+        struct(col("user_id").as("id"), (col("user_id") % 5).as("tier"))
+          .as("user"),
+        array(col("event_type"),
+          concat(lit("t"), (col("event_id") % 7).cast("string"))).as("tags"),
+        (col("event_id") % 1000).as("mils")))
+      val (wh, _) = stagingWarehouse(s, "varnt", dir)
+      val store = new TableStore(s, wh)
+      store.commit("ev_var",
+        ev.select(col("event_id"), parse_json(js).as("props_v")), "create")
+      store.read("ev_var")
+        .select(
+          variant_get(col("props_v"), "$.tags[0]", "string").as("tag0"),
+          variant_get(col("props_v"), "$.user.tier", "bigint").as("tier"),
+          variant_get(col("props_v"), "$.mils", "bigint").as("mils"),
+          variant_get(col("props_v"), "$.missing", "bigint").as("m"))
+        .groupBy(col("tag0"), col("tier"))
+        .agg(count(lit(1)).as("n"), sum(col("mils")).as("sum_mils"),
+          sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_missing"))
+        .orderBy(col("tag0"), col("tier"))
     })
   )
 
@@ -6539,7 +6571,18 @@ object SparkEntry {
         |LEFT JOIN (SELECT * FROM events WHERE event_id % 30 = 5) r
         |  ON l.user_id = r.user_id
         |  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
-        |ORDER BY l.event_id, r_event_type""".stripMargin
+        |ORDER BY l.event_id, r_event_type""".stripMargin,
+
+    // The variant paths replayed relationally: tags[0] = event_type,
+    // user.tier = user_id % 5, mils = event_id % 1000, missing ⇒ NULL
+    // for every row.
+    "q159_variant_column" ->
+      """SELECT event_type AS tag0, user_id % 5 AS tier,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(event_id % 1000) AS BIGINT) AS sum_mils,
+        |  COUNT(*) AS n_missing
+        |FROM events GROUP BY event_type, user_id % 5
+        |ORDER BY tag0, tier""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:
