@@ -3959,6 +3959,39 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("mils")).as("sum_mils"),
           sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_missing"))
         .orderBy(col("tag0"), col("tier"))
+    }),
+
+    // MERGE WITH SCHEMA EVOLUTION (q160) — the enrichment-backfill
+    // shape: a scoring job merges a quality column the target never had;
+    // the column appends to the schema in the SAME commit, updated rows
+    // carry scores, untouched rows (and untouched carried FILES — the
+    // file-level CoW keeps pruning) read NULL.
+    "q160_merge_schema_evolution" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val (wh, _) = stagingWarehouse(s, "mse", dir)
+      val store = new TableStore(s, wh)
+      store.commit("docs",
+        docs.repartitionByRange(8, col("doc_id")), "create")
+      val upd = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("quality", col("doc_id") % 97)
+      val ins = docs.filter(col("doc_id") % 1000 === 1)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+          col("n_chars"))
+        .withColumn("quality", col("doc_id") % 97)
+      graft.core.Merge.into(store, "docs")
+        .using(upd.unionByName(ins))
+        .on(Seq("doc_id"))
+        .whenMatchedUpdate()
+        .whenNotMatchedInsert()
+        .withSchemaEvolution()
+        .run()
+      store.read("docs").groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          sum(when(col("quality").isNotNull, 1L).otherwise(0L))
+            .as("n_scored"),
+          sum(coalesce(col("quality"), lit(0L))).as("sum_quality"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -6582,7 +6615,25 @@ object SparkEntry {
         |  CAST(SUM(event_id % 1000) AS BIGINT) AS sum_mils,
         |  COUNT(*) AS n_missing
         |FROM events GROUP BY event_type, user_id % 5
-        |ORDER BY tag0, tier""".stripMargin
+        |ORDER BY tag0, tier""".stripMargin,
+
+    // Post-merge state replayed relationally: every row keeps its base
+    // image, rows with doc_id % 10 = 0 gain quality = doc_id % 97,
+    // shifted inserts append with their own score, everyone else NULL.
+    "q160_merge_schema_evolution" ->
+      """SELECT lang, COUNT(*) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(CASE WHEN quality IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_scored,
+        |  CAST(SUM(COALESCE(quality, 0)) AS BIGINT) AS sum_quality
+        |FROM (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN doc_id % 10 = 0 THEN doc_id % 97 END AS quality
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT lang, n_chars, (doc_id + 10000000) % 97
+        |  FROM documents WHERE doc_id % 1000 = 1) t
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

@@ -63,6 +63,7 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
   private var insertClauses = Vector.empty[Insert]
   private var cardinalityCheck = true
   private var fileRewrite = true
+  private var schemaEvolution = false
   private var retries = 3
 
   def using(source: DataFrame): this.type = { src = source; this }
@@ -102,6 +103,18 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
     cardinalityCheck = enabled; this
   }
 
+  /** `MERGE … WITH SCHEMA EVOLUTION` (Iceberg/Delta semantics): source
+    * columns absent from the target are APPENDED to the target schema
+    * before planning — update/insert default assignments then cover
+    * them, pre-existing rows read NULL. Purely additive (no type
+    * changes, no drops); the evolved schema lands in the commit's
+    * manifest, and untouched carried files keep their old parquet
+    * footprint — the read path fills the missing columns with null,
+    * exactly like an ALTER ADD COLUMN (`TableStore.evolveSchema`). */
+  def withSchemaEvolution(enabled: Boolean = true): this.type = {
+    schemaEvolution = enabled; this
+  }
+
   /** File-level copy-on-write (default on): only target files whose
     * [min,max] range for the first merge key overlaps the source's key
     * bounds are rewritten; the rest carry into the new snapshot untouched.
@@ -113,7 +126,18 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
   }
 
   /** Build the merged snapshot without committing (plan inspection/tests). */
-  def plan(): DataFrame = planAgainst(store.read(table))
+  def plan(): DataFrame = planAgainst(evolve(store.read(table)))
+
+  /** Append source-only columns (nullable) to the target when schema
+    * evolution is on; identity otherwise. */
+  private def evolve(target: DataFrame): DataFrame =
+    if (!schemaEvolution) target
+    else {
+      val have = target.columns.toSet
+      src.schema.fields.filterNot(f => have.contains(f.name))
+        .foldLeft(target)((t, f) =>
+          t.withColumn(f.name, lit(null).cast(f.dataType)))
+    }
 
   private def planAgainst(target: DataFrame): DataFrame = {
     require(src != null, "MERGE requires using(source)")
@@ -245,7 +269,7 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
     val spec = base.partitionBy
     pruned match {
       case Some((hit, untouched)) =>
-        val merged = planAgainst(store.readFiles(table, hit))
+        val merged = planAgainst(evolve(store.readFiles(table, hit)))
         store.commitFiles(table, untouched, Some(merged), "merge", spec,
           Seq.empty, baseVersion = base.version)
       case None =>

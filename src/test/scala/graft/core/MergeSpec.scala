@@ -174,4 +174,45 @@ class MergeSpec extends SparkSpec {
       (r.getInt(0), r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2)))
     assert(got.sortBy(_._1).toSeq == Seq((1, "a", 10), (7, "new", -1)))
   }
+
+  test("schema evolution: source-only columns append; old rows read null") {
+    val store = freshStore()
+    store.commit("t",
+      (1 to 100).map(i => (i.toLong, s"v$i"))
+        .toDF("id", "s")
+        .repartitionByRange(4, col("id")), "create")
+    Merge.into(store, "t")
+      .using(Seq((10L, "X", 7L), (2000L, "NEW", 9L)).toDF("id", "s", "score"))
+      .on(Seq("id"))
+      .whenMatchedUpdate()
+      .whenNotMatchedInsert()
+      .withSchemaEvolution()
+      .run()
+    val out = store.read("t")
+    assert(out.columns.toSeq == Seq("id", "s", "score"))
+    val got = out.collect().map(r => r.getLong(0) ->
+      (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got.size == 101)
+    assert(got(10L) == ("X", 7L) && got(2000L) == ("NEW", 9L))
+    // a row in an untouched carried file reads null for the new column
+    assert(got(90L) == ("v90", -1L))
+    // and the untouched files really did carry (file-level CoW intact)
+    val vs = store.manifests("t").map(m => m.version -> m.files.map(_.path))
+    val shared = vs.init.last._2.toSet & vs.last._2.toSet
+    assert(shared.nonEmpty, "expected carried files across the evolution")
+  }
+
+  test("without schema evolution, source-only columns are ignored") {
+    val store = freshStore()
+    store.commit("t", Seq((1L, "a")).toDF("id", "s"), "create")
+    Merge.into(store, "t")
+      .using(Seq((1L, "b", 5L)).toDF("id", "s", "extra"))
+      .on(Seq("id"))
+      .whenMatchedUpdate()
+      .run()
+    val out = store.read("t")
+    assert(out.columns.toSeq == Seq("id", "s"))
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "b")))
+  }
 }
