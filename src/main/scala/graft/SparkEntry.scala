@@ -3992,6 +3992,18 @@ object SparkEntry {
             .as("n_scored"),
           sum(coalesce(col("quality"), lit(0L))).as("sum_quality"))
         .orderBy(col("lang"))
+    }),
+
+    // Time-series gap-fill + LOCF (q161) — densify each user's hourly
+    // series onto its own [first, last] grid (per-key sequence/explode,
+    // no global calendar cross join) and carry the last observed sum
+    // into empty hours; integer value proxy keeps the fill replayable.
+    "q161_gapfill_locf" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") % 50 === 0)
+      graft.operators.GapFill
+        .locf(ev, "user_id", "ts", "hour", col("event_id") % 1000)
+        .orderBy(col("user_id"), col("bucket"))
     })
   )
 
@@ -6633,7 +6645,27 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT lang, n_chars, (doc_id + 10000000) % 97
         |  FROM documents WHERE doc_id % 1000 = 1) t
-        |GROUP BY lang ORDER BY lang""".stripMargin
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Per-key generate_series grid + IGNORE NULLS running last — the
+    // SQL statement of the gap-fill contract.
+    "q161_gapfill_locf" ->
+      """WITH ev AS (SELECT * FROM events WHERE user_id % 50 = 0),
+        |obs AS (SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |    COUNT(*) AS n, SUM(event_id % 1000) AS s
+        |  FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, MIN(date_trunc('hour', ts)) AS lo,
+        |    MAX(date_trunc('hour', ts)) AS hi FROM ev GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM bounds)
+        |SELECT g.user_id, g.bucket, COALESCE(o.n, 0) AS n_events,
+        |  CAST(last_value(o.s IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS v_locf
+        |FROM grid g LEFT JOIN obs o USING (user_id, bucket)
+        |ORDER BY user_id, bucket""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:
