@@ -4004,6 +4004,41 @@ object SparkEntry {
       graft.operators.GapFill
         .locf(ev, "user_id", "ts", "hour", col("event_id") % 1000)
         .orderBy(col("user_id"), col("bucket"))
+    }),
+
+    // Row lineage through CoW MERGE (q162) — Iceberg v3 `_row_id` /
+    // `_last_updated_sequence_number`: updated rows keep their id and
+    // bump the sequence, untouched rows (and carried files) change
+    // neither, inserts draw fresh unique ids above the table max —
+    // allocated METADATA-ONLY from folded footer stats, no scan. The
+    // audit question this answers at 100 TB: "which physical rows did
+    // commit N touch" without diffing snapshots.
+    "q162_row_lineage" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val (wh, _) = stagingWarehouse(s, "lin", dir)
+      val store = new TableStore(s, wh)
+      store.commit("docs",
+        base.withColumn("_row_id", col("doc_id"))
+          .withColumn("_last_updated_seq", lit(1L))
+          .repartitionByRange(8, col("doc_id")), "create")
+      val upd = base.filter(col("doc_id") % 10 === 0)
+        .withColumn("n_chars", col("n_chars") + 1)
+      val ins = base.filter(col("doc_id") % 1000 === 1)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+          col("n_chars"))
+      graft.core.Merge.into(store, "docs")
+        .using(upd.unionByName(ins))
+        .on(Seq("doc_id"))
+        .whenMatchedUpdate()
+        .whenNotMatchedInsert()
+        .withRowLineage()
+        .run()
+      store.read("docs")
+        .groupBy(col("lang"), col("_last_updated_seq"))
+        .agg(count(lit(1)).as("n"), sum(col("_row_id")).as("sum_row_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("_last_updated_seq"))
     })
   )
 
@@ -6665,7 +6700,31 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS v_locf
         |FROM grid g LEFT JOIN obs o USING (user_id, bucket)
-        |ORDER BY user_id, bucket""".stripMargin
+        |ORDER BY user_id, bucket""".stripMargin,
+
+    // Lineage replay: kept rows (id = doc_id, seq 1), updates (id kept,
+    // seq 2, n_chars+1), inserts (id = table max + delta row_number
+    // with update-row gaps, seq 2).
+    "q162_row_lineage" ->
+      """WITH m AS (SELECT MAX(doc_id) AS mx,
+        |    SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS nupd
+        |  FROM documents),
+        |fin AS (
+        |  SELECT lang,
+        |    n_chars + CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS n_chars,
+        |    doc_id AS row_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END AS seq
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT lang, n_chars,
+        |    (SELECT mx FROM m) + (SELECT nupd FROM m)
+        |      + row_number() OVER (ORDER BY doc_id) AS row_id,
+        |    2 AS seq
+        |  FROM documents WHERE doc_id % 1000 = 1)
+        |SELECT lang, CAST(seq AS BIGINT) AS _last_updated_seq,
+        |  COUNT(*) AS n, CAST(SUM(row_id) AS BIGINT) AS sum_row_id,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM fin GROUP BY lang, seq ORDER BY lang, seq""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

@@ -64,6 +64,7 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
   private var cardinalityCheck = true
   private var fileRewrite = true
   private var schemaEvolution = false
+  private var lineage: Option[(String, String)] = None
   private var retries = 3
 
   def using(source: DataFrame): this.type = { src = source; this }
@@ -115,6 +116,22 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
     schemaEvolution = enabled; this
   }
 
+  /** Row lineage through the merge (Iceberg v3 `_row_id` /
+    * `_last_updated_sequence_number` semantics): the target must carry
+    * both columns (long); updated rows KEEP their id and bump the
+    * sequence to the commit's version, kept rows (and carried untouched
+    * files) change neither, inserts draw fresh UNIQUE ids above the
+    * table's current max. Allocation is metadata-only — the current max
+    * comes from folded footer stats ([[TableStore.statMaxLong]], a scan
+    * only when stats are missing) and each insert's offset is its
+    * row_number over the DELTA (a delta-sized sort, never the table);
+    * source rows that matched leave gaps, which lineage permits —
+    * ids are unique, not dense. */
+  def withRowLineage(idCol: String = "_row_id",
+      seqCol: String = "_last_updated_seq"): this.type = {
+    lineage = Some((idCol, seqCol)); this
+  }
+
   /** File-level copy-on-write (default on): only target files whose
     * [min,max] range for the first merge key overlaps the source's key
     * bounds are rewritten; the rest carry into the new snapshot untouched.
@@ -126,7 +143,8 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
   }
 
   /** Build the merged snapshot without committing (plan inspection/tests). */
-  def plan(): DataFrame = planAgainst(evolve(store.read(table)))
+  def plan(): DataFrame = planAgainst(evolve(store.read(table)),
+    store.manifests(table).maxBy(_.version).version + 1)
 
   /** Append source-only columns (nullable) to the target when schema
     * evolution is on; identity otherwise. */
@@ -139,12 +157,37 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
           t.withColumn(f.name, lit(null).cast(f.dataType)))
     }
 
-  private def planAgainst(target: DataFrame): DataFrame = {
+  private def planAgainst(target: DataFrame, seq: Long): DataFrame = {
     require(src != null, "MERGE requires using(source)")
     require(keys.nonEmpty, "MERGE requires on(keys)")
+    lineage.foreach { case (idCol, seqCol) =>
+      require(target.columns.contains(idCol) && target.columns.contains(seqCol),
+        s"row lineage requires target columns $idCol and $seqCol")
+      require(!src.columns.contains(idCol) && !src.columns.contains(seqCol),
+        "the MERGE source must not carry lineage columns — ids are assigned")
+    }
     val tSchema = target.schema
 
-    val s = src.select(src.columns.map(c => col(c).as(SrcPrefix + c)).toSeq: _*)
+    // Lineage id offsets ride on the source BEFORE the join: a source
+    // row's row_number over the delta (matched rows leave gaps — ids
+    // are unique, not dense). The window sorts only the delta.
+    val srcWithRn = lineage match {
+      case Some(_) =>
+        import org.apache.spark.sql.expressions.Window
+        src.withColumn("__lineage_rn", row_number().over(
+          Window.orderBy(keys.map { case (_, sk) => col(sk) }: _*))
+          .cast("long"))
+      case None => src
+    }
+    lazy val lineageMaxId: Long = lineage.map { case (idCol, _) =>
+      store.statMaxLong(table, idCol).getOrElse {
+        val r = store.read(table).agg(max(col(idCol))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+    }.getOrElse(0L)
+
+    val s = srcWithRn
+      .select(srcWithRn.columns.map(c => col(c).as(SrcPrefix + c)).toSeq: _*)
       .withColumn(SrcPrefix + "__exists", lit(true))
     val t0 = target.withColumn("__tgt_exists", lit(true))
     // Iceberg errors when one target row matches >1 source row. Enforced
@@ -202,6 +245,9 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
     } :+ "DROP"
     val kept = withAction.filter(!col("__action").isInCollection(dropTags))
 
+    val updateTags = matchedClauses.zipWithIndex.collect {
+      case (Update(_, _), i) => s"M$i"
+    }
     val outCols = tSchema.fields.map { f =>
       var v: Column = col(f.name)
       matchedClauses.zipWithIndex.foreach {
@@ -214,6 +260,17 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
         val a = values.getOrElse(defaultSet)
           .getOrElse(f.name, lit(null))
         v = when(col("__action") === s"I$i", a.cast(f.dataType)).otherwise(v)
+      }
+      lineage.foreach { case (idCol, seqCol) =>
+        val isIns = col("__action").startsWith("I")
+        if (f.name == idCol)
+          v = when(isIns,
+            lit(lineageMaxId) + col(SrcPrefix + "__lineage_rn")).otherwise(v)
+        if (f.name == seqCol) {
+          val touched = if (updateTags.isEmpty) isIns
+            else isIns || col("__action").isInCollection(updateTags)
+          v = when(touched, lit(seq)).otherwise(v)
+        }
       }
       v.cast(f.dataType).as(f.name)
     }
@@ -269,11 +326,13 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
     val spec = base.partitionBy
     pruned match {
       case Some((hit, untouched)) =>
-        val merged = planAgainst(evolve(store.readFiles(table, hit)))
+        val merged = planAgainst(evolve(store.readFiles(table, hit)),
+          base.version + 1)
         store.commitFiles(table, untouched, Some(merged), "merge", spec,
           Seq.empty, baseVersion = base.version)
       case None =>
-        store.commitFiles(table, Seq.empty, Some(plan()), "merge", spec,
+        val merged = planAgainst(evolve(store.read(table)), base.version + 1)
+        store.commitFiles(table, Seq.empty, Some(merged), "merge", spec,
           Seq.empty, baseVersion = base.version)
     }
   }

@@ -878,6 +878,22 @@ class TableStore(spark: SparkSession, val warehouse: String) {
   def readFiles(table: String, files: Seq[FileEntry]): DataFrame =
     readManifest(table, manifests(table).maxBy(_.version).copy(files = files))
 
+  /** Metadata-only max of a long column across the current snapshot
+    * (footer stats folded at commit time — no data scan). `Some(0)` on
+    * an empty table; `None` when any file lacks a long stat for the
+    * column, so callers fall back to a real scan instead of trusting a
+    * partial bound. Powers row-id allocation for lineage-carrying
+    * merges the way Iceberg's snapshot `next-row-id` does. */
+  def statMaxLong(table: String, column: String): Option[Long] = {
+    val m = manifests(table).maxBy(_.version)
+    if (m.files.isEmpty) Some(0L)
+    else {
+      val stats = m.files.map(_.stats.get(column))
+      if (stats.exists(s => s.isEmpty || s.get.kind != "long")) None
+      else Some(stats.flatten.map(_.max.toLong).max)
+    }
+  }
+
   /** Split the current snapshot's files into (hit, untouched) by joining
     * the DISTINCT source keys against the per-file [min,max] ranges — a
     * broadcast range join over the (tiny) file-range table, so a wide but

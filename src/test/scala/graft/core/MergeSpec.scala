@@ -202,6 +202,34 @@ class MergeSpec extends SparkSpec {
     assert(shared.nonEmpty, "expected carried files across the evolution")
   }
 
+  test("row lineage: updates keep ids and bump seq; inserts draw fresh ids") {
+    val store = freshStore()
+    store.commit("t",
+      (1 to 100).map(i => (i.toLong, s"v$i", i.toLong, 1L))
+        .toDF("id", "s", "_row_id", "_last_updated_seq")
+        .repartitionByRange(4, col("id")), "create")
+    // id allocation is metadata-only when footer stats exist
+    assert(store.statMaxLong("t", "_row_id").contains(100L))
+    Merge.into(store, "t")
+      .using(Seq((10L, "X"), (20L, "Y"), (2000L, "NEW"), (3000L, "NEW2"))
+        .toDF("id", "s"))
+      .on(Seq("id"))
+      .whenMatchedUpdate()
+      .whenNotMatchedInsert()
+      .withRowLineage()
+      .run()
+    val got = store.read("t").collect().map(r =>
+      r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(10L) == ("X", 10L, 2L), got(10L).toString)   // id kept, seq bumped
+    assert(got(90L) == ("v90", 90L, 1L))                    // untouched
+    // inserts: maxId 100 + delta row_number (source order 10,20,2000,3000
+    // → matched rows leave gaps: unique, not dense)
+    assert(got(2000L) == ("NEW", 103L, 2L), got(2000L).toString)
+    assert(got(3000L) == ("NEW2", 104L, 2L))
+    val ids = store.read("t").select("_row_id").as[Long].collect()
+    assert(ids.distinct.length == ids.length, "row ids must stay unique")
+  }
+
   test("without schema evolution, source-only columns are ignored") {
     val store = freshStore()
     store.commit("t", Seq((1L, "a")).toDF("id", "s"), "create")
