@@ -4039,6 +4039,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("_row_id")).as("sum_row_id"),
           sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"), col("_last_updated_seq"))
+    }),
+
+    // PIVOT (q163) — source × lang token matrix via the native pivot
+    // operator (one hash agg on (source, lang) then a map-side
+    // transpose; the explicit value list keeps the plan static — no
+    // distinct-values pre-query).
+    "q163_pivot" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(sum(col("n_chars")))
+        .orderBy(col("source"))
+    }),
+
+    // GROUPING SETS (q164) — the native multi-granularity aggregate
+    // (detail, per-flag, grand total in ONE pass over the scan) with
+    // per-column GROUPING flags disambiguating the null group keys.
+    "q164_grouping_sets" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsumd(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"),
+          col("l_linestatus"))
     })
   )
 
@@ -6724,7 +6752,28 @@ object SparkEntry {
         |SELECT lang, CAST(seq AS BIGINT) AS _last_updated_seq,
         |  COUNT(*) AS n, CAST(SUM(row_id) AS BIGINT) AS sum_row_id,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
-        |FROM fin GROUP BY lang, seq ORDER BY lang, seq""".stripMargin
+        |FROM fin GROUP BY lang, seq ORDER BY lang, seq""".stripMargin,
+
+    // The pivot matrix as conditional aggregation.
+    "q163_pivot" ->
+      """SELECT source,
+        |  CAST(SUM(CASE WHEN lang = 'de' THEN n_chars END) AS BIGINT) AS de,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN n_chars END) AS BIGINT) AS en,
+        |  CAST(SUM(CASE WHEN lang = 'es' THEN n_chars END) AS BIGINT) AS es,
+        |  CAST(SUM(CASE WHEN lang = 'fr' THEN n_chars END) AS BIGINT) AS fr,
+        |  CAST(SUM(CASE WHEN lang = 'zh' THEN n_chars END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // Standard GROUPING SETS + GROUPING flags.
+    "q164_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), ())
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:
