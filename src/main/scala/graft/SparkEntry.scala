@@ -4067,6 +4067,93 @@ object SparkEntry {
           grouping(col("l_linestatus")).as("g_status"))
         .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"),
           col("l_linestatus"))
+    }),
+
+    // Personalized PageRank (q165) — teleport restricted to a trusted
+    // seed set (every 100th customer): the quality-prior variant where
+    // authority flows FROM seeds and unreachable spam starves to zero.
+    // Same int64 fixed-point grid as q151.
+    "q165_personalized_pagerank" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(
+          concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val edges = pairs.unionByName(pairs.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+      val seeds = ord.filter(col("o_custkey") % 100 === 0)
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("node"))
+      graft.ext.LinkAnalysis.personalizedPageRank(edges, "src", "dst", "w",
+          seeds, iterations = 3)
+        .orderBy(col("node"))
+    }),
+
+    // Label-propagation communities (q166) — synchronous LPA with the
+    // (weight DESC, label ASC) deterministic tie-break over the same
+    // bidirectional trade graph; a pure function of the graph, so the
+    // community assignment replays bit-for-bit on any engine.
+    "q166_label_propagation" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      val ord = Tables.load(s, dir, "orders")
+      val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(
+          concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val edges = pairs.unionByName(pairs.select(col("dst").as("src"),
+        col("src").as("dst"), col("w")))
+      graft.ext.LinkAnalysis.labelPropagation(edges, "src", "dst", "w",
+          iterations = 3)
+        .orderBy(col("node"))
+    }),
+
+    // UNPIVOT (q167) — melt the q163 matrix back to long form with the
+    // native unpivot operator; null cells drop so the roundtrip equals
+    // the plain GROUP BY.
+    "q167_unpivot" -> ((s, dir) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val piv = Tables.load(s, dir, "documents")
+        .groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(sum(col("n_chars")))
+      piv.unpivot(Array(col("source")), langs.map(col).toArray,
+          "lang", "sum_chars")
+        .filter(col("sum_chars").isNotNull)
+        .orderBy(col("source"), col("lang"))
+    }),
+
+    // Incremental JOIN materialized view (q168) — revenue-per-priority
+    // over lineitem ⋈ orders, maintained by the classic delta
+    // decomposition ΔL⋈R_new ∪ L_old⋈ΔR after BOTH sides grow (the
+    // ΔL⋈ΔR corner rides in the first leg). Both deltas interleave all
+    // join keys, so every leg is non-trivial; the refresh scans only
+    // appended files plus one matched side, never re-joins the history.
+    "q168_join_matview" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("orderkey"), col("o_orderpriority"))
+      val store = tmpStore(s)
+      store.commit("li", li.filter(col("l_linenumber") % 2 === 0), "create")
+      store.commit("ord", ord.filter(col("orderkey") % 2 === 0), "create")
+      MatView.createJoin(store, "li", "ord", "mv", Seq("orderkey"),
+        Seq("o_orderpriority"), "l_quantity")
+      store.append("li", li.filter(col("l_linenumber") % 2 === 1))
+      store.append("ord", ord.filter(col("orderkey") % 2 === 1))
+      val (_, _, deltaRows, mode) = MatView.refreshJoin(store, "li", "ord",
+        "mv", Seq("orderkey"), Seq("o_orderpriority"), "l_quantity")
+      val totalRows = store.manifests("li").maxBy(_.version).rowCount +
+        store.manifests("ord").maxBy(_.version).rowCount
+      val incremental = mode == "incremental" &&
+        deltaRows > 0 && deltaRows < totalRows
+      MatView.read(store, "mv")
+        .select(col("o_orderpriority").as("priority"), col("cnt").as("n"),
+          col("sum_val").as("total_qty"))
+        .withColumn("incremental", lit(incremental))
+        .orderBy(col("priority"))
     })
   )
 
@@ -6773,7 +6860,51 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
         |  (l_returnflag), ())
-        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+
+    "q165_personalized_pagerank" ->
+      graft.ext.LinkAnalysis.personalizedPageRankOracleSql(
+        """SELECT src, dst, COUNT(*) AS w FROM (
+          |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+          |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  UNION ALL
+          |  SELECT 's' || CAST(l_suppkey AS VARCHAR),
+          |         'c' || CAST(o_custkey AS VARCHAR)
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey) u
+          |GROUP BY src, dst""".stripMargin,
+        """SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS node
+          |FROM orders WHERE o_custkey % 100 = 0""".stripMargin,
+        iterations = 3),
+
+    "q166_label_propagation" ->
+      graft.ext.LinkAnalysis.labelPropagationOracleSql(
+        """SELECT src, dst, COUNT(*) AS w FROM (
+          |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+          |         's' || CAST(l_suppkey AS VARCHAR) AS dst
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |  UNION ALL
+          |  SELECT 's' || CAST(l_suppkey AS VARCHAR),
+          |         'c' || CAST(o_custkey AS VARCHAR)
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey) u
+          |GROUP BY src, dst""".stripMargin,
+        iterations = 3),
+
+    // The melt roundtrip equals the plain long-form GROUP BY.
+    "q167_unpivot" ->
+      """SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
+
+    // The incrementally-maintained join view must equal the from-scratch
+    // join aggregate.
+    "q168_join_matview" ->
+      """SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_qty,
+        |  true AS incremental
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY priority""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

@@ -44,4 +44,44 @@ class MatViewSpec extends SparkSpec {
     assert(MatView.read(store, "mv").as[(String, Long, Double)]
       .collect().sortBy(_._1).toSeq == full(store, "src"))
   }
+
+  private def fullJoin(store: TableStore) =
+    store.read("l").join(store.read("r"), Seq("k")).groupBy("g")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("sum_val"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+
+  test("join view: one refresh after BOTH sides grow equals the full join") {
+    val store = new TableStore(spark, tmpDir("mvj"))
+    store.commit("l", Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), "create")
+    store.commit("r", Seq((1L, "a"), (2L, "b")).toDF("k", "g"), "create")
+    MatView.createJoin(store, "l", "r", "mv", Seq("k"), Seq("g"), "v")
+    // ΔL joins old AND new R keys; ΔR matches old AND new L rows —
+    // all three legs (ΔL⋈R_old, ΔL⋈ΔR, L_old⋈ΔR) are non-empty
+    store.append("l", Seq((2L, 4.0), (3L, 8.0)).toDF("k", "v"))
+    store.append("r", Seq((3L, "a")).toDF("k", "g"))
+    val (_, _, deltaRows, mode) = MatView.refreshJoin(store, "l", "r",
+      "mv", Seq("k"), Seq("g"), "v")
+    assert(mode == "incremental" && deltaRows == 3, s"$mode/$deltaRows")
+    assert(MatView.read(store, "mv").as[(String, Long, Double)]
+      .collect().sortBy(_._1).toSeq == fullJoin(store))
+    // idempotent at the same versions
+    val (_, _, zero, _) = MatView.refreshJoin(store, "l", "r", "mv",
+      Seq("k"), Seq("g"), "v")
+    assert(zero == 0L)
+  }
+
+  test("join view: a rewrite on either side falls back to full") {
+    val store = new TableStore(spark, tmpDir("mvj"))
+    store.commit("l", Seq((1L, 1.0)).toDF("k", "v"), "create")
+    store.commit("r", Seq((1L, "a")).toDF("k", "g"), "create")
+    MatView.createJoin(store, "l", "r", "mv", Seq("k"), Seq("g"), "v")
+    store.append("r", Seq((1L, "b")).toDF("k", "g"))
+    store.compact("r")
+    val (_, _, _, mode) = MatView.refreshJoin(store, "l", "r", "mv",
+      Seq("k"), Seq("g"), "v")
+    assert(mode == "full")
+    assert(MatView.read(store, "mv").as[(String, Long, Double)]
+      .collect().sortBy(_._1).toSeq == fullJoin(store))
+  }
 }

@@ -59,4 +59,52 @@ class LinkAnalysisSpec extends SparkSpec {
     val plan = r8.queryExecution.optimizedPlan.toString
     assert(!plan.toLowerCase.contains("join"), s"lineage not cut:\n$plan")
   }
+
+  test("personalized: mass concentrates at seeds; unreachable nodes starve") {
+    // a→b→c chain plus isolated pair d↔e; seed = {a}
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L),
+      ("d", "e", 1L), ("e", "d", 1L)).toDF("s", "d", "w")
+    val seeds = Seq("a").toDF("node")
+    val got = LinkAnalysis.personalizedPageRank(
+        edges, "s", "d", "w", seeds, iterations = 6)
+      .as[(String, Long)].collect().toMap
+    // d/e receive no teleport and no inflow from the seeded component
+    assert(got("d") == 0L && got("e") == 0L, got.toString)
+    assert(got("a") > 0L && got("b") > 0L && got("c") > 0L)
+    // only the seed gets teleport, so it outranks its followers here
+    assert(got("a") > got("c"), got.toString)
+  }
+
+  test("label propagation: a triangle converges to its min label; " +
+      "a bare pair oscillates deterministically") {
+    val edges = Seq(("a", "b", 1L), ("b", "a", 1L), ("b", "c", 1L),
+      ("c", "b", 1L), ("c", "a", 1L), ("a", "c", 1L),
+      ("x", "y", 1L), ("y", "x", 1L)).toDF("s", "d", "w")
+    val got = LinkAnalysis.labelPropagation(edges, "s", "d", "w", 3)
+      .as[(String, String)].collect().toMap
+    assert(got("a") == "a" && got("b") == "a" && got("c") == "a", got.toString)
+    // synchronous LPA's known bipartite artifact (GraphFrames shares
+    // it): an isolated pair swaps labels every round — DETERMINISTIC,
+    // so after 3 (odd) rounds each carries the other's label, and
+    // after 4 its own again
+    assert(got("x") == "y" && got("y") == "x", got.toString)
+    val even = LinkAnalysis.labelPropagation(edges, "s", "d", "w", 4)
+      .as[(String, String)].collect().toMap
+    assert(even("x") == "x" && even("y") == "y", even.toString)
+  }
+
+  test("label propagation weights dominate ties deterministically") {
+    // b hears label 'a' with weight 1 and label 'z' with weight 3
+    val edges = Seq(("a", "b", 1L), ("z", "b", 3L), ("b", "a", 1L),
+      ("b", "z", 1L)).toDF("s", "d", "w")
+    val got = LinkAnalysis.labelPropagation(edges, "s", "d", "w", 1)
+      .as[(String, String)].collect().toMap
+    assert(got("b") == "z", got.toString)
+    // equal weights → smallest label wins: a and z both weigh 2
+    val tie = Seq(("a", "b", 2L), ("z", "b", 2L), ("b", "a", 1L),
+      ("b", "z", 1L)).toDF("s", "d", "w")
+    val got2 = LinkAnalysis.labelPropagation(tie, "s", "d", "w", 1)
+      .as[(String, String)].collect().toMap
+    assert(got2("b") == "a", got2.toString)
+  }
 }
