@@ -51,6 +51,17 @@ object OvhProbe {
       }
     }
     if (streamReps > 0) System.err.println("[ovh] streaming reps done")
+    // arg5: curation-scale repro — run the MoR-focused grid at `copies`×
+    // store_sales (the r8 full run's sf100 section is the last suspect
+    // for the late-session probe degradation), then probe.
+    val curationCopies = args.drop(4).headOption.map(_.toInt).getOrElse(0)
+    if (curationCopies > 0) {
+      val (wall, _) = CurationBench.runScale(spark,
+        "target/tpcds-sf1/store_sales.parquet", curationCopies,
+        Seq(0.001, 0.99), m => System.err.println(s"[ovh][cur] $m"),
+        iters = 1, extraIters = 0, morFocus = true)
+      System.err.println(f"[ovh] curation repro done in $wall%.0f s")
+    }
     val li = s"$sfDir/lineitem.parquet"
     val wh = java.nio.file.Files.createTempDirectory("graft_ovh").toString
     val store = new graft.core.TableStore(spark, wh)
