@@ -4154,6 +4154,44 @@ object SparkEntry {
           col("sum_val").as("total_qty"))
         .withColumn("incremental", lit(incremental))
         .orderBy(col("priority"))
+    }),
+
+    // Stream-static enrichment join (q169) — the canonical lookup
+    // pattern: a streaming fact feed joined per micro-batch against a
+    // DIMENSION SNAPSHOT served through the table layer (broadcast-grade
+    // static side, re-planned each batch, no stream state at all —
+    // contrast q84/q158 where both sides keep watermarked state).
+    "q169_stream_static_join" -> ((s, dir) => {
+      val store = tmpStore(s)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .filter(col("event_id") % 5 === 0)
+      val dim = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      store.commit("dim", dim, "create")
+      val er = new FileReplay(s, ev.schema)
+      val joined = er.source.join(store.read("dim"), Seq("user_id"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val q = joined.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          if (!b.isEmpty) {
+            val out = b.select(col("event_id"), col("segment"))
+            if (!store.exists("enriched")) store.commit("enriched", out, "create")
+            else store.append("enriched", out)
+          }
+          ()
+        }
+        .start()
+      try {
+        val slices = timeSlices(ev, "ts", 3)
+        slices.foreach(er.feed(q, _))
+      } finally q.stop()
+      store.read("enriched").groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+        .orderBy(col("segment"))
     })
   )
 
@@ -6904,7 +6942,15 @@ object SparkEntry {
         |    AS total_qty,
         |  true AS incremental
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY priority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY priority""".stripMargin,
+
+    // The per-batch lookup join, replayed as one batch join.
+    "q169_stream_static_join" ->
+      """SELECT c_mktsegment AS segment, COUNT(*) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_id
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_id % 5 = 0
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:
