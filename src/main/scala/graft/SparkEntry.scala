@@ -4192,6 +4192,20 @@ object SparkEntry {
       store.read("enriched").groupBy(col("segment"))
         .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
         .orderBy(col("segment"))
+    }),
+
+    // CUBE (q170) — all 2^n grouping combinations in one pass, the last
+    // member of the multi-dimensional family (ROLLUP q11/q51, GROUPING
+    // SETS q164, PIVOT q163, UNPIVOT q167). Spark plans one Expand +
+    // one hash aggregate — no per-combination rescans.
+    "q170_cube" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsumd(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"),
+          col("l_linestatus"))
     })
   )
 
@@ -6950,7 +6964,16 @@ object SparkEntry {
         |  CAST(SUM(event_id) AS BIGINT) AS sum_id
         |FROM events JOIN customer ON user_id = c_custkey
         |WHERE event_id % 5 = 0
-        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
+
+    "q170_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag) AS TINYINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:
