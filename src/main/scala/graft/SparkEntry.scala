@@ -4206,6 +4206,33 @@ object SparkEntry {
           grouping(col("l_linestatus")).as("g_status"))
         .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"),
           col("l_linestatus"))
+    }),
+
+    // Top-k pushdown (q171) — ORDER BY ... LIMIT prunes the FILE LIST
+    // from manifest min/max + null counts before any task runs: the scan
+    // plans only files some valid top-k can need (strict-dominance
+    // witnesses on the leading key), Spark's TakeOrderedAndProject
+    // finishes above. `files_pruned` asserts the skip really fired; the
+    // tie-break column rides along to keep the answer deterministic.
+    "q171_topk_pushdown" -> ((s, dir) => {
+      val (wh, cat) = stagingWarehouse(s, "q171", dir)
+      val store = new TableStore(s, wh)
+      store.commit("ord", Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .repartitionByRange(8, col("o_totalprice")), "create")
+      val total = store.manifests("ord").maxBy(_.version).files.size
+      val q = s.sql(
+        s"""SELECT o_orderkey, o_totalprice, o_orderpriority
+           |FROM $cat.ns.ord
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin)
+      val rows = q.collect()
+      val kept = collectGraftScans(q.queryExecution.executedPlan)
+        .map(_.currentFileCount).minOption.getOrElse(-1)
+      import s.implicits._
+      rows.map(r => (r.getLong(0), r.getDouble(1), r.getString(2),
+          kept >= 0 && kept < total))
+        .toSeq.toDF("o_orderkey", "totalprice", "priority", "files_pruned")
+        .orderBy(col("totalprice").desc, col("o_orderkey"))
     })
   )
 
@@ -6973,7 +7000,14 @@ object SparkEntry {
         |  CAST(GROUPING(l_linestatus) AS TINYINT) AS g_status
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
-        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin,
+
+    // The pruned scan must return exactly the full-table top-25.
+    "q171_topk_pushdown" ->
+      """SELECT o_orderkey, o_totalprice AS totalprice,
+        |  o_orderpriority AS priority, true AS files_pruned
+        |FROM orders
+        |ORDER BY totalprice DESC, o_orderkey LIMIT 25""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

@@ -313,7 +313,9 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       // partition value = exact min=max stat for every pruning path
       val pstats = pvals.flatMap {
         case (c, pv) if pv != "__HIVE_DEFAULT_PARTITION__" =>
-          kinds.get(c).flatten.map(k => c -> ColStats(pv, pv, k))
+          // identity partition dir: every row holds exactly this value,
+          // so the column has zero nulls in this file by construction
+          kinds.get(c).flatten.map(k => c -> ColStats(pv, pv, k, 0L))
         case _ => None
       }
       FileEntry(s"$relPrefix/$rel", s.getLen, rows, stats ++ pstats, pvals)
@@ -712,7 +714,9 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       val pvals = partitionValuesOf(rel)
       val pstats = pvals.flatMap {
         case (c, pv) if pv != "__HIVE_DEFAULT_PARTITION__" =>
-          kinds.get(c).flatten.map(k => c -> ColStats(pv, pv, k))
+          // identity partition dir: every row holds exactly this value,
+          // so the column has zero nulls in this file by construction
+          kinds.get(c).flatten.map(k => c -> ColStats(pv, pv, k, 0L))
         case _ => None
       }
       FileEntry(s"v=$v/$rel", f.getFileStatus(dest).getLen, rows,
@@ -763,8 +767,20 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       val blocks = reader.getFooter.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
       val acc = scala.collection.mutable.Map[String, (Any, Any, String)]()
+      // exact per-column null counts: every row group must report one, or
+      // the whole file's count degrades to unknown (-1); accumulated for
+      // ALL single-path columns, including blocks with no non-null value
+      // (their min/max is absent but their nulls still count)
+      val nullAcc = scala.collection.mutable.Map[String, Long]()
       for (b <- blocks; c <- b.getColumns.asScala) {
         val st = c.getStatistics
+        if (c.getPath.size() == 1) {
+          val name = c.getPath.toDotString
+          val prev = nullAcc.getOrElse(name, 0L)
+          nullAcc(name) =
+            if (prev < 0L || st == null || !st.isNumNullsSet) -1L
+            else prev + st.getNumNulls
+        }
         val ptype = c.getPrimitiveType
         // INT32/INT64 stats for a DECIMAL-annotated column hold UNSCALED
         // values; tagging them "long" would make pruning compare unscaled
@@ -808,7 +824,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         }
       }
       (rows, acc.map { case (k, (mn, mx, kind)) =>
-        k -> ColStats(mn.toString, mx.toString, kind)
+        k -> ColStats(mn.toString, mx.toString, kind,
+          nullAcc.getOrElse(k, -1L))
       }.toMap)
     } finally reader.close()
   }
@@ -2767,7 +2784,9 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       val sn = fn.get("stats")
       if (sn != null) sn.properties().asScala.foreach { e =>
         stats(e.getKey) = ColStats(e.getValue.get("min").asText(),
-          e.getValue.get("max").asText(), e.getValue.get("kind").asText())
+          e.getValue.get("max").asText(), e.getValue.get("kind").asText(),
+          if (e.getValue.has("nulls")) e.getValue.get("nulls").asLong()
+          else -1L)
       }
       val pvals = scala.collection.mutable.Map[String, String]()
       val pn = fn.get("partition")
@@ -2826,7 +2845,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
   private def writeManifestAt(dest: Path, m: Manifest): Unit = {
     val filesJson = m.files.map { fe =>
       val statsJson = fe.stats.toSeq.sortBy(_._1).map { case (c, s) =>
-        s"""${jsonStr(c)}:{"min":${jsonStr(s.min)},"max":${jsonStr(s.max)},"kind":${jsonStr(s.kind)}}"""
+        s"""${jsonStr(c)}:{"min":${jsonStr(s.min)},"max":${jsonStr(s.max)},"kind":${jsonStr(s.kind)},"nulls":${s.nulls}}"""
       }.mkString("{", ",", "}")
       val partJson =
         if (fe.partitionValues.isEmpty) ""
@@ -3086,8 +3105,13 @@ object TableStore {
         r => { val t = new Thread(r, "graft-footer-harvest"); t.setDaemon(true); t }))
 
   /** Per-column min/max harvested from parquet footers, stringly-stored
-    * with a kind tag so pruning compares in the right domain. */
-  case class ColStats(min: String, max: String, kind: String)
+    * with a kind tag so pruning compares in the right domain. `nulls` is
+    * the file's exact null count for the column (footer num_nulls summed
+    * across row groups), or -1 when any row group left it unset — top-k
+    * file pruning needs it because NULLS FIRST orderings put null rows
+    * ahead of every value the min/max describe. */
+  case class ColStats(min: String, max: String, kind: String,
+    nulls: Long = -1L)
 
   /** String stats compare by unsigned UTF-8 bytes — the order parquet
     * footer stats and Spark's string comparison use. Java's

@@ -26,7 +26,9 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
     tableSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var inner: ScanBuilder = _
   private var required: Option[StructType] = None
@@ -61,6 +63,64 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
   private def innerBuilder: ScanBuilder = {
     if (inner == null) inner = parquetBuilderOver(m.files)
     inner
+  }
+
+  /** Both pushed-limit shapes are PARTIAL: the pruned scan returns a
+    * superset of some valid answer set, and Spark re-applies the global
+    * limit / TakeOrderedAndProject above it. (Required explicitly: both
+    * parent traits default this and Scala needs the diamond resolved.) */
+  override def isPartiallyPushed(): Boolean = true
+
+  /** Replace the surviving file set (LIMIT / top-k pruning) and rebuild
+    * the inner parquet builder with the pushdown state replayed. */
+  private def shrinkTo(subset: Seq[TableStore.FileEntry]): Unit = {
+    keptFiles = subset
+    inner = parquetBuilderOver(subset)
+    required.foreach(r => inner match {
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(r)
+      case _ =>
+    })
+  }
+
+  /** LIMIT k scans only a fewest-files cover of k rows — sound exactly
+    * when nothing inside the scan drops rows: no pushed filters (a
+    * residual row filter could starve the limit) and no merge-on-read
+    * delete overlays. Partial pushdown: Spark keeps the global limit. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (lastFilters.nonEmpty || m.deleteFiles.nonEmpty || aggResult.isDefined)
+      return false
+    graft.core.TopKFilePruning.forLimit(keptFiles, limit) match {
+      case Some(subset) => shrinkTo(subset); true
+      case None => false
+    }
+  }
+
+  /** ORDER BY ... LIMIT k prunes files no valid top-k can need, from
+    * footer min/max + null counts on the LEADING sort key (strict-
+    * dominance witnesses, so further tie-break columns stay safe — see
+    * [[graft.core.TopKFilePruning.forTopK]]). Partial pushdown: Spark
+    * keeps the global TakeOrderedAndProject over the surviving files. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    if (lastFilters.nonEmpty || m.deleteFiles.nonEmpty || aggResult.isDefined
+        || orders.isEmpty)
+      return false
+    val head = orders.head
+    val colName = head.expression() match {
+      case f: org.apache.spark.sql.connector.expressions.FieldReference
+          if f.fieldNames().length == 1 => f.fieldNames().head
+      case _ => return false
+    }
+    val asc = head.direction() ==
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
+    val nullsFirst = head.nullOrdering() ==
+      org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST
+    graft.core.TopKFilePruning.forTopK(keptFiles, colName, asc, nullsFirst,
+      limit, m.droppedColumns.toSet, singleKey = orders.length == 1) match {
+      case Some(subset) => shrinkTo(subset); true
+      case None => false
+    }
   }
 
   private def parquetBuilderOver(files: Seq[TableStore.FileEntry]): ScanBuilder = {
