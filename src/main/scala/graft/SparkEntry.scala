@@ -4233,6 +4233,31 @@ object SparkEntry {
           kept >= 0 && kept < total))
         .toSeq.toDF("o_orderkey", "totalprice", "priority", "files_pruned")
         .orderBy(col("totalprice").desc, col("o_orderkey"))
+    }),
+
+    // Interval-overlap join (q172) — interval×interval ranges, the other
+    // nested-loop shape [[graft.operators.RangeJoin]] rescues: price
+    // intervals [cents, cents+25000] from lineitem against overlapping
+    // $500-stride/$1000-wide bands; each qualifying pair produced exactly
+    // once via the intersection-left-edge bucket rule, exact overlap
+    // residual inside the hash equi-join.
+    "q172_interval_overlap_join" -> ((s, dir) => {
+      val li = Tables.load(s, dir, "lineitem")
+        .select((col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("llo"), col("l_quantity"))
+        .withColumn("lhi", col("llo") + 25000L)
+      val bands = s.range(0, 210).select(
+        col("id").as("band_id"),
+        (col("id") * 50000L).as("lo"),
+        (col("id") * 50000L + 99999L).as("hi"))
+      graft.operators.RangeJoin
+        .intervalOverlap(li, "llo", "lhi", bands, "lo", "hi",
+          bucketWidth = 100000L)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("total_qty"))
+        .orderBy(col("band_id"))
     })
   )
 
@@ -7007,7 +7032,23 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice AS totalprice,
         |  o_orderpriority AS priority, true AS files_pruned
         |FROM orders
-        |ORDER BY totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+        |ORDER BY totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+
+    // Plain inclusive-overlap join over the same band table — the binned
+    // equi-join must produce the identical pair set.
+    "q172_interval_overlap_join" ->
+      """WITH b AS (SELECT CAST(range AS BIGINT) AS band_id,
+        |    range * 50000 AS lo, range * 50000 + 99999 AS hi
+        |  FROM range(210)),
+        |l AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+        |    AS BIGINT) AS llo,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |    + 25000 AS lhi,
+        |  l_quantity FROM lineitem)
+        |SELECT band_id, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM l JOIN b ON l.llo <= b.hi AND b.lo <= l.lhi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin
   )
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:

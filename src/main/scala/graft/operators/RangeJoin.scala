@@ -46,4 +46,35 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__rj_b")
   }
+
+  /** Inner-join every `left` interval `[lLo, lHi]` to every `right`
+    * interval `[rLo, rHi]` it OVERLAPS (inclusive ends: overlap ⇔
+    * lLo ≤ rHi ∧ rLo ≤ lHi) — the interval×interval generalization of
+    * [[pointInRange]], which stock Spark also plans as a nested loop.
+    * Both sides explode to their covered buckets, the join runs on the
+    * bucket key, and each qualifying pair is emitted EXACTLY ONCE: two
+    * overlapping intervals co-occupy every bucket their intersection
+    * touches, so the residual keeps only the bucket that contains the
+    * intersection's left edge `max(lLo, rLo)` — a canonical
+    * representative both sides are guaranteed to have exploded.
+    * Degenerate (inverted) intervals on either side join nothing.
+    * All four columns must be integral. Output: left ++ right columns. */
+  def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
+      right: DataFrame, rLo: String, rHi: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val w = lit(bucketWidth)
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / w).cast("long")
+    val lb = left.filter(col(lLo) <= col(lHi))
+      .withColumn("__rj_b",
+        explode(sequence(bucketOf(col(lLo)), bucketOf(col(lHi)))))
+    val rb = right.filter(col(rLo) <= col(rHi))
+      .withColumn("__rj_b",
+        explode(sequence(bucketOf(col(rLo)), bucketOf(col(rHi)))))
+    lb.join(rb, Seq("__rj_b"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+        col("__rj_b") === bucketOf(greatest(col(lLo), col(rLo))))
+      .drop("__rj_b")
+  }
 }

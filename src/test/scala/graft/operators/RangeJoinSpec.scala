@@ -41,4 +41,34 @@ class RangeJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  // ------------------------------------------------------- interval overlap
+  // touching, nested, disjoint, negative-spanning, and inverted intervals
+  private def leftIvals = Seq(
+    (10L, 0L, 10L), (11L, -20L, -5L), (12L, 100L, 200L), (13L, 7L, 7L),
+    (14L, 50L, 30L) // inverted → contributes nothing
+  ).toDF("lid", "llo", "lhi")
+
+  private val overlapExpected: Set[(Long, Long)] =
+    leftIvals.crossJoin(ranges)
+      .filter(col("llo") <= col("lhi") && col("lo") <= col("hi") &&
+        col("llo") <= col("hi") && col("lo") <= col("lhi"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+
+  test("intervalOverlap matches the nested loop, exactly once, any width") {
+    Seq(1L, 4L, 16L, 500L).foreach { w =>
+      val rows = RangeJoin.intervalOverlap(
+          leftIvals, "llo", "lhi", ranges, "lo", "hi", w)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq
+      assert(rows.size == rows.distinct.size, s"dup pairs at width $w")
+      assert(rows.toSet == overlapExpected, s"wrong pairs at width $w")
+    }
+  }
+
+  test("intervalOverlap plans as an equi-join, not a nested loop") {
+    val plan = RangeJoin.intervalOverlap(
+        leftIvals, "llo", "lhi", ranges, "lo", "hi", 16L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
 }
