@@ -4258,6 +4258,23 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
             .as("total_qty"))
         .orderBy(col("band_id"))
+    }),
+
+    // Trained quality classifier (q173) — a full-batch integer perceptron
+    // on hashed-unigram counts learns en-vs-other IN-QUERY (3 rounds,
+    // w += Σ_misclassified y·x, exact int64 over an unordered set, so
+    // training replays bit-for-bit on any engine). Scoring is one
+    // projection against the literal trained weights; the confusion
+    // matrix with per-cell margin sums is sensitive to every weight.
+    "q173_trained_classifier" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val isEn = coalesce(col("lang") === "en", lit(false))
+      val w = graft.ext.Perceptron.train(docs, "text", isEn, iterations = 3)
+      val (score, pred) = graft.ext.Perceptron.predict(col("text"), w)
+      docs.select(isEn.as("is_en"), score.as("__m"), pred.as("predicted"))
+        .groupBy(col("is_en"), col("predicted"))
+        .agg(count(lit(1)).as("n"), sum(col("__m")).as("sum_margin"))
+        .orderBy(col("is_en"), col("predicted"))
     })
   )
 
@@ -7048,8 +7065,58 @@ object SparkEntry {
         |SELECT band_id, CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         |FROM l JOIN b ON l.llo <= b.hi AND b.lo <= l.lhi
-        |GROUP BY band_id ORDER BY band_id""".stripMargin
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "q173_trained_classifier" -> perceptronOracleSql(3)
   )
+
+  /** DuckDB replay of [[graft.ext.Perceptron.train]] + the q173 confusion
+    * matrix, the training loop UNROLLED per iteration (the chain IS the
+    * spec of the fixed iteration count): w1 = Σ_all y·x (margin 0 counts
+    * as misclassified for both classes), then per round the margins under
+    * w_{t-1} pick the misclassified set whose signed counts fold into
+    * w_t. All int64; the bias rides as feature index 1024. */
+  private def perceptronOracleSql(iters: Int): String = {
+    def nib(k: Int) = {
+      val a = s"ascii(substr(md5(t), ${k + 1}, 1))"
+      s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)"
+    }
+    val bkt = "CAST(" +
+      (0 until 7).map(k => s"${nib(k)} * ${1L << (4 * k)}").mkString(" + ") +
+      " AS BIGINT) % 1024"
+    val head =
+      raw"""tk AS (SELECT doc_id, COALESCE(lang = 'en', FALSE) AS pos,
+           |    list_filter(string_split_regex(lower(text), '\W+'),
+           |      x -> x <> '') AS t
+           |  FROM documents),
+           |tok AS (SELECT doc_id, pos, $bkt AS b FROM (
+           |    SELECT doc_id, pos, unnest(t) AS t FROM tk)),
+           |feat AS (SELECT doc_id, pos, b, CAST(COUNT(*) AS BIGINT) AS n
+           |    FROM tok GROUP BY 1, 2, 3
+           |  UNION ALL SELECT doc_id, pos, 1024, 1 FROM tk),
+           |w1 AS (SELECT b, SUM(CASE WHEN pos THEN n ELSE -n END) AS w
+           |  FROM feat GROUP BY b)""".stripMargin
+    val rounds = (2 to iters).map { t =>
+      s"""m$t AS (SELECT f.doc_id, SUM(f.n * w.w) AS margin
+         |  FROM feat f JOIN w${t - 1} w ON f.b = w.b GROUP BY f.doc_id),
+         |mis$t AS (SELECT tk.doc_id FROM tk JOIN m$t USING (doc_id)
+         |  WHERE (tk.pos AND m$t.margin <= 0)
+         |     OR (NOT tk.pos AND m$t.margin >= 0)),
+         |d$t AS (SELECT f.b, SUM(CASE WHEN f.pos THEN f.n ELSE -f.n END) AS d
+         |  FROM feat f JOIN mis$t m ON f.doc_id = m.doc_id GROUP BY f.b),
+         |w$t AS (SELECT COALESCE(w.b, d.b) AS b,
+         |    COALESCE(w.w, 0) + COALESCE(d.d, 0) AS w
+         |  FROM w${t - 1} w FULL JOIN d$t d ON w.b = d.b)""".stripMargin
+    }
+    s"""WITH ${(head +: rounds).mkString(",\n")},
+       |fm AS (SELECT f.doc_id, SUM(f.n * w.w) AS margin
+       |  FROM feat f JOIN w$iters w ON f.b = w.b GROUP BY f.doc_id)
+       |SELECT tk.pos AS is_en, fm.margin > 0 AS predicted,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(fm.margin) AS BIGINT) AS sum_margin
+       |FROM tk JOIN fm USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   /** DuckDB CTE chain replaying [[graft.ext.KMeans.assign]] exactly:
     * quantize → md5 seeds → `iters` assign/update rounds → final
