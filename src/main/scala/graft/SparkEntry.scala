@@ -4275,6 +4275,42 @@ object SparkEntry {
         .groupBy(col("is_en"), col("predicted"))
         .agg(count(lit(1)).as("n"), sum(col("__m")).as("sum_margin"))
         .orderBy(col("is_en"), col("predicted"))
+    }),
+
+    // Snapshot-isolated multi-table reads (q174) — `consistentVersions`
+    // pins a cut across tables that contains ALL or NONE of every
+    // transaction's ops (pointer double-read around a recovery drive —
+    // the answer to the read-skew window per-table pointer swaps leave).
+    // A committed fact+dim txn is fully visible at the cut; an abandoned
+    // staged txn contributes nothing; both tables read via VERSION AS OF
+    // the pinned cut.
+    "q174_consistent_cut" -> ((s, dir) => {
+      val (wh, _) = stagingWarehouse(s, "q174", dir)
+      val store = new TableStore(s, wh)
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"))
+      store.commit("po", ord.filter(col("o_orderkey") % 4 === 0), "create")
+      store.commit("pl", li.filter(col("l_orderkey") % 4 === 0), "create")
+      store.beginTransaction()
+        .stageAppend("po", ord.filter(col("o_orderkey") % 4 === 1))
+        .stageAppend("pl", li.filter(col("l_orderkey") % 4 === 1))
+        .commit()
+      // abandoned mid-flight: staged, never committed — must not surface
+      store.beginTransaction()
+        .stageAppend("po", ord.filter(col("o_orderkey") % 4 === 2))
+      val cut = store.consistentVersions(Seq("po", "pl"))
+      val o = store.readVersion("po", cut("po"))
+      val l = store.readVersion("pl", cut("pl"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("total_qty"))
+        .withColumn("cut_consistent",
+          lit(cut == Map("po" -> 2L, "pl" -> 2L)))
+        .orderBy(col("priority"))
     })
   )
 
@@ -7067,7 +7103,19 @@ object SparkEntry {
         |FROM l JOIN b ON l.llo <= b.hi AND b.lo <= l.lhi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
 
-    "q173_trained_classifier" -> perceptronOracleSql(3)
+    "q173_trained_classifier" -> perceptronOracleSql(3),
+
+    // Both tables at the cut = base (%4=0) plus the committed txn's
+    // appends (%4=1); the abandoned staged txn (%4=2) invisible.
+    "q174_consistent_cut" ->
+      """SELECT o_orderpriority AS priority,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_qty,
+        |  true AS cut_consistent
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderkey % 4 <= 1 AND l_orderkey % 4 <= 1
+        |GROUP BY priority ORDER BY priority""".stripMargin
   )
 
   /** DuckDB replay of [[graft.ext.Perceptron.train]] + the q173 confusion

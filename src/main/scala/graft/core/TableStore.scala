@@ -2137,7 +2137,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     require(f.exists(p), s"table $table has no staged snapshot $id")
     val in = f.open(p)
     val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-    parseManifest(txt)
+    parseManifest(txt, table)
   }
 
   /** Audit read: the staged rows only (what the candidate ADDS). */
@@ -2382,7 +2382,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
               "applied marker — staged data was externally removed")
           val in = f.open(sp)
           val st = parseManifest(
-            try scala.io.Source.fromInputStream(in).mkString finally in.close())
+            try scala.io.Source.fromInputStream(in).mkString finally in.close(),
+            table)
           val v = latestCommittedVersion(table) + 1
           shape match {
             case "append" =>
@@ -2465,6 +2466,35 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     n
   }
 
+  /** Snapshot-isolated multi-table READ cut — closes the read-skew window
+    * the per-table pointer swaps leave open (a reader catching table A
+    * before a transaction's apply and table B after it would see a mixed
+    * state). Protocol: read every pointer, drive [[recoverTransactions]]
+    * (completing any partially-applied transaction), read every pointer
+    * again; a stable double-read is a consistent cut w.r.t. transactional
+    * writers. Why: a transaction's ops apply strictly AFTER its intent
+    * write — if some op landed between our two pointer reads the second
+    * read differs (retry), and if a transaction was mid-apply at the
+    * first read its intent was live at the recovery step, which finished
+    * it, again changing the second read. A cut that survives both checks
+    * contains either all or none of every transaction's ops. Retries are
+    * bounded; under relentless churn the last cut is returned — the
+    * documented fallback, equivalent to today's per-table behavior.
+    * Read the cut with [[readVersion]] (or SQL `VERSION AS OF`). */
+  def consistentVersions(tables: Seq[String]): Map[String, Long] = {
+    val names = tables.distinct
+    var attempt = 0
+    var cut = names.map(t => t -> currentVersion(t)).toMap
+    while (attempt < 16) {
+      recoverTransactions()
+      val again = names.map(t => t -> currentVersion(t)).toMap
+      if (again == cut) return cut
+      cut = again
+      attempt += 1
+    }
+    cut
+  }
+
   /** Zero-copy table clone (Delta's SHALLOW CLONE / Iceberg's `snapshot`
     * procedure): the clone's first snapshot references the source's
     * current data files by ABSOLUTE URI — one manifest write at any
@@ -2544,7 +2574,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     f.listStatus(dir).filter(_.getPath.getName.endsWith(".json")).toSeq
       .map { s =>
         val in = f.open(s.getPath)
-        try parseManifest(scala.io.Source.fromInputStream(in).mkString)
+        try parseManifest(scala.io.Source.fromInputStream(in).mkString, table)
         finally in.close()
       }.sortBy(_.version)
   }
@@ -2688,6 +2718,28 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         }
       f.delete(manifestPath(table, m.version), false)
     }
+    // Segment GC: a dropped manifest may have been the last referent of a
+    // shared file-list segment. Only segments referenced by NO surviving
+    // manifest go, and only past a grace window — an in-flight commit
+    // writes its segment BEFORE its manifest, so a fresh unreferenced
+    // segment may be a commit mid-landing (the orphan-file rule).
+    val segDir = new Path(new Path(tableDir(table), "_manifests"), "segments")
+    val sf = fs(segDir)
+    if (sf.exists(segDir)) {
+      val live = manifests(table)
+        .flatMap(km => manifestSegRefs(table, km.version)).map(_._1).toSet
+      val grace = spark.sessionState.conf.getConfString(
+        "spark.graft.manifest.segmentGcGraceMs", "600000").toLong
+      val cutoff = System.currentTimeMillis() - grace
+      sf.listStatus(segDir).foreach { s =>
+        val rel = s"_manifests/segments/${s.getPath.getName}"
+        if (!live.contains(rel) && s.getModificationTime < cutoff) {
+          TableStore.segmentCache.remove(
+            sf.makeQualified(s.getPath).toString)
+          sf.delete(s.getPath, false)
+        }
+      }
+    }
   }
 
   /** Delete data files referenced by NO manifest — the orphans of failed
@@ -2771,31 +2823,38 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         val in = f.open(s.getPath)
         val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
         if (TableStore.manifestCache.size > 4096) TableStore.manifestCache.clear()
-        parseManifest(txt)
+        parseManifest(txt, table)
       })
     }.sortBy(_.version)
   }
 
-  private def parseManifest(txt: String): Manifest = {
+  private def parseFileEntry(fn: com.fasterxml.jackson.databind.JsonNode)
+      : FileEntry = {
+    val stats = scala.collection.mutable.Map[String, ColStats]()
+    val sn = fn.get("stats")
+    if (sn != null) sn.properties().asScala.foreach { e =>
+      stats(e.getKey) = ColStats(e.getValue.get("min").asText(),
+        e.getValue.get("max").asText(), e.getValue.get("kind").asText(),
+        if (e.getValue.has("nulls")) e.getValue.get("nulls").asLong()
+        else -1L)
+    }
+    val pvals = scala.collection.mutable.Map[String, String]()
+    val pn = fn.get("partition")
+    if (pn != null) pn.properties().asScala.foreach(e =>
+      pvals(e.getKey) = e.getValue.asText())
+    FileEntry(fn.get("path").asText(), fn.get("sizeBytes").asLong(),
+      if (fn.has("rowCount")) fn.get("rowCount").asLong() else 0L,
+      stats.toMap, pvals.toMap)
+  }
+
+  /** Parse a persisted manifest, resolving any shared file-list segment
+    * references into the in-memory `files` (always fully resolved — no
+    * consumer ever sees segments). `table` locates the segment files. */
+  private def parseManifest(txt: String, table: String): Manifest = {
     val n = mapper.readTree(txt)
     val files = ArrayBuffer[FileEntry]()
-    n.get("files").forEach { fn =>
-      val stats = scala.collection.mutable.Map[String, ColStats]()
-      val sn = fn.get("stats")
-      if (sn != null) sn.properties().asScala.foreach { e =>
-        stats(e.getKey) = ColStats(e.getValue.get("min").asText(),
-          e.getValue.get("max").asText(), e.getValue.get("kind").asText(),
-          if (e.getValue.has("nulls")) e.getValue.get("nulls").asLong()
-          else -1L)
-      }
-      val pvals = scala.collection.mutable.Map[String, String]()
-      val pn = fn.get("partition")
-      if (pn != null) pn.properties().asScala.foreach(e =>
-        pvals(e.getKey) = e.getValue.asText())
-      files += FileEntry(fn.get("path").asText(), fn.get("sizeBytes").asLong(),
-        if (fn.has("rowCount")) fn.get("rowCount").asLong() else 0L,
-        stats.toMap, pvals.toMap)
-    }
+    segRefsOf(n).foreach { case (rel, _) => files ++= loadSegment(table, rel) }
+    n.get("files").forEach(fn => files += parseFileEntry(fn))
     val spec = ArrayBuffer[String]()
     val sn = n.get("partitionBy")
     if (sn != null) sn.forEach(e => spec += e.asText())
@@ -2839,11 +2898,92 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       case c => c.toString
     } + "\""
 
-  private def writeManifest(table: String, m: Manifest): Unit =
-    writeManifestAt(manifestPath(table, m.version), m)
+  /** Serialize manifest `m` for version `m.version`, sharing the file
+    * list STRUCTURALLY with the previous snapshot when this commit only
+    * extends it (append, metadata-only op, MoR delete layering): the
+    * shared prefix persists as references to immutable SEGMENT files
+    * (under `_manifests/segments/`), and once the inherited inline tail grows
+    * past `spark.graft.manifest.segmentRollThreshold` entries it rolls
+    * into a new segment. An append to a million-file table then writes
+    * O(new files) manifest bytes instead of re-serializing all million —
+    * and storage across versions is O(total files), not
+    * O(versions × files) — Iceberg's manifest-list idea, one level deep.
+    * Rewrite-shaped commits (compaction, CoW merge, rollback, clone)
+    * change the prefix and fall back to a plain inline file list. */
+  private def writeManifest(table: String, m: Manifest): Unit = {
+    val prev = manifests(table).filter(_.version < m.version).lastOption
+    val (refs, inline) = prev match {
+      case Some(p) if m.files.length >= p.files.length &&
+          m.files.iterator.zip(p.files.iterator).forall {
+            case (a, b) => (a eq b) || a == b } =>
+        val prevRefs = manifestSegRefs(table, p.version)
+        val covered = prevRefs.map(_._2.toLong).sum
+        if (covered > p.files.length) (Seq.empty, m.files) // corrupt refs
+        else {
+          val prevInline = p.files.drop(covered.toInt)
+          val tail = m.files.drop(p.files.length)
+          if (prevInline.length >= segmentRollThreshold) {
+            val rel = "_manifests/segments/" +
+              java.util.UUID.randomUUID().toString.take(13) + ".json"
+            writeSegment(table, rel, prevInline)
+            (prevRefs :+ ((rel, prevInline.length)), tail)
+          } else (prevRefs, prevInline ++ tail)
+        }
+      case _ => (Seq.empty[(String, Int)], m.files)
+    }
+    val dest = manifestPath(table, m.version)
+    writeManifestAt(dest, m, refs, Some(inline))
+    TableStore.segRefCache.put(fs(dest).makeQualified(dest).toString, refs)
+  }
 
-  private def writeManifestAt(dest: Path, m: Manifest): Unit = {
-    val filesJson = m.files.map { fe =>
+  private def segmentRollThreshold: Int = spark.sessionState.conf
+    .getConfString("spark.graft.manifest.segmentRollThreshold", "1024").toInt
+
+  private def writeSegment(table: String, rel: String,
+      files: Seq[FileEntry]): Unit = {
+    val p = new Path(tableDir(table), rel)
+    fs(p).mkdirs(p.getParent)
+    atomicWriteExclusive(p, s"""{"files":${filesJsonOf(files)}}""")
+    TableStore.segmentCache.put(fs(p).makeQualified(p).toString, files)
+  }
+
+  /** The persisted segment references of an existing manifest (empty for
+    * fully-inline manifests), read from the file on cache miss. */
+  private def manifestSegRefs(table: String, v: Long): Seq[(String, Int)] = {
+    val p = manifestPath(table, v)
+    val key = fs(p).makeQualified(p).toString
+    TableStore.segRefCache.computeIfAbsent(key, { _ =>
+      val in = fs(p).open(p)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      if (TableStore.segRefCache.size > 8192) TableStore.segRefCache.clear()
+      segRefsOf(mapper.readTree(txt))
+    })
+  }
+
+  private def segRefsOf(n: com.fasterxml.jackson.databind.JsonNode)
+      : Seq[(String, Int)] = {
+    val refs = ArrayBuffer[(String, Int)]()
+    val sn = n.get("fileSegments")
+    if (sn != null) sn.forEach(e =>
+      refs += ((e.get("path").asText(), e.get("count").asInt())))
+    refs.toSeq
+  }
+
+  private def loadSegment(table: String, rel: String): Seq[FileEntry] = {
+    val p = new Path(tableDir(table), rel)
+    val key = fs(p).makeQualified(p).toString
+    TableStore.segmentCache.computeIfAbsent(key, { _ =>
+      val in = fs(p).open(p)
+      val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      if (TableStore.segmentCache.size > 4096) TableStore.segmentCache.clear()
+      val files = ArrayBuffer[FileEntry]()
+      mapper.readTree(txt).get("files").forEach(fn => files += parseFileEntry(fn))
+      files.toSeq
+    })
+  }
+
+  private def filesJsonOf(files: Seq[FileEntry]): String =
+    files.map { fe =>
       val statsJson = fe.stats.toSeq.sortBy(_._1).map { case (c, s) =>
         s"""${jsonStr(c)}:{"min":${jsonStr(s.min)},"max":${jsonStr(s.max)},"kind":${jsonStr(s.kind)},"nulls":${s.nulls}}"""
       }.mkString("{", ",", "}")
@@ -2855,6 +2995,16 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       s"""{"path":${jsonStr(fe.path)},"sizeBytes":${fe.sizeBytes},""" +
         s""""rowCount":${fe.rowCount},"stats":$statsJson$partJson}"""
     }.mkString("[", ",", "]")
+
+  private def writeManifestAt(dest: Path, m: Manifest,
+      segRefs: Seq[(String, Int)] = Seq.empty,
+      inlineFiles: Option[Seq[FileEntry]] = None): Unit = {
+    val filesJson = filesJsonOf(inlineFiles.getOrElse(m.files))
+    val segsJson =
+      if (segRefs.isEmpty) ""
+      else segRefs.map { case (p, c) =>
+        s"""{"path":${jsonStr(p)},"count":$c}"""
+      }.mkString(""""fileSegments":[""", ",", "],")
     val specJson =
       if (m.partitionBy.isEmpty) ""
       else m.partitionBy.map(jsonStr).mkString(""","partitionBy":[""", ",", "]")
@@ -2881,7 +3031,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val json =
       s"""{"version":${m.version},"timestampMs":${m.timestampMs},
          |"operation":${jsonStr(m.operation)},"rowCount":${m.rowCount},
-         |"files":$filesJson,"schemaJson":${jsonStr(m.schemaJson)}$specJson$droppedJson$deleteJson$epochJson$consJson$orderJson}""".stripMargin
+         |$segsJson"files":$filesJson,"schemaJson":${jsonStr(m.schemaJson)}$specJson$droppedJson$deleteJson$epochJson$consJson$orderJson}""".stripMargin
     atomicWriteExclusive(dest, json)
   }
 
@@ -3095,6 +3245,19 @@ object TableStore {
     * Bounded by wholesale clear (entries are cheap to re-parse). */
   private[core] val manifestCache
       : java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Manifest] =
+    new java.util.concurrent.ConcurrentHashMap()
+
+  /** Per-manifest persisted segment references (qualified manifest path →
+    * (relative segment path, file count) list) — what the NEXT append
+    * needs to extend the chain without re-serializing the shared prefix.
+    * Manifests are immutable, so path-only keying is safe. */
+  private[core] val segRefCache
+      : java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Int)]] =
+    new java.util.concurrent.ConcurrentHashMap()
+
+  /** Parsed immutable file-list segments (qualified path → entries). */
+  private[core] val segmentCache
+      : java.util.concurrent.ConcurrentHashMap[String, Seq[FileEntry]] =
     new java.util.concurrent.ConcurrentHashMap()
 
   /** Shared bounded pool for commit-time footer harvesting. */

@@ -214,4 +214,46 @@ class TransactionSpec extends SparkSpec {
     assert(ex.getMessage != null)
     assert(store.read("t").count() == 5)
   }
+
+  test("consistentVersions repairs a mixed cut from a half-applied txn") {
+    val store = newStore()
+    store.commit("t1", dfA, "create")
+    store.commit("t2", dfB, "create")
+    // same crash-window construction as the partial-application test:
+    // op0 (t1) applied, op1 (t2) not — exactly the read-skew state a
+    // naive two-pointer read would serve as "current"
+    val txn = store.beginTransaction()
+      .stageAppend("t1", dfA).stageOverwrite("t2", dfA)
+    val wh = new java.io.File(store.warehouse)
+    val staged2 = new java.io.File(wh, "t2/_txnstaged").listFiles()
+      .filter(f => f.getName.endsWith(".json") && !f.getName.startsWith(".")).head
+    val staged2Bytes = java.nio.file.Files.readAllBytes(staged2.toPath)
+    val out = txn.commit()
+    val mani2 = new java.io.File(wh, s"t2/_manifests/${out("t2")}.json")
+    assert(mani2.delete())
+    java.nio.file.Files.write(new java.io.File(wh, "t2/_current").toPath,
+      "1".getBytes)
+    val intent = s"""{"id":${'"'}${txn.id}${'"'},"ops":[
+      {"k":0,"table":"t1","shape":"append"},
+      {"k":1,"table":"t2","shape":"overwrite"}]}"""
+    val txns = new java.io.File(wh, "_txns"); txns.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(txns, s"${txn.id}.json").toPath, intent.getBytes)
+    java.nio.file.Files.write(staged2.toPath, staged2Bytes)
+    // the naive cut IS mixed right now: t1 post-txn, t2 pre-txn
+    assert(store.read("t1").count() == 20 && store.read("t2").count() == 5)
+    val cut = store.consistentVersions(Seq("t1", "t2"))
+    assert(store.readVersion("t1", cut("t1")).count() == 20)
+    assert(store.readVersion("t2", cut("t2")).count() == 10,
+      "the cut must contain ALL of the transaction's ops, not half")
+  }
+
+  test("consistentVersions is a plain pointer read when nothing is in flight") {
+    val store = newStore()
+    store.commit("a", dfA, "create")
+    store.commit("b", dfB, "create")
+    store.append("a", dfA)
+    val cut = store.consistentVersions(Seq("a", "b", "a"))
+    assert(cut == Map("a" -> 2L, "b" -> 1L))
+  }
 }
