@@ -4311,6 +4311,35 @@ object SparkEntry {
         .withColumn("cut_consistent",
           lit(cut == Map("po" -> 2L, "pl" -> 2L)))
         .orderBy(col("priority"))
+    }),
+
+    // Column mapping (q175) — ALTER TABLE ... RENAME COLUMN without
+    // rewriting a byte: the field's physical parquet name is pinned at
+    // first write, the rename is one metadata commit, and files written
+    // BEFORE and AFTER it share the physical name. The anchor renames
+    // mid-history, appends under the new logical name, and aggregates
+    // through the mapping; `mapped` asserts no data file was renamed.
+    "q175_column_mapping" -> ((s, dir) => {
+      val (wh, cat) = stagingWarehouse(s, "q175", dir)
+      val store = new TableStore(s, wh)
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      store.commit("t", ord.filter(col("o_orderkey") % 3 === 0), "create")
+      s.sql(s"ALTER TABLE $cat.ns.t RENAME COLUMN o_totalprice TO price")
+      store.append("t", ord.filter(col("o_orderkey") % 3 === 1)
+        .withColumnRenamed("o_totalprice", "price"))
+      val physStillOld = store.manifests("t").maxBy(_.version).files.forall {
+        fe =>
+          val cols = s.read.parquet(
+            new java.io.File(wh, s"t/${fe.path}").toString).columns.toSet
+          cols.contains("o_totalprice") && !cols.contains("price")
+      }
+      s.sql(
+        s"""SELECT o_orderpriority AS priority, count(*) AS n,
+           |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total
+           |FROM $cat.ns.t GROUP BY o_orderpriority""".stripMargin)
+        .withColumn("mapped", lit(physStillOld))
+        .orderBy(col("priority"))
     })
   )
 
@@ -7115,6 +7144,14 @@ object SparkEntry {
         |  true AS cut_consistent
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderkey % 4 <= 1 AND l_orderkey % 4 <= 1
+        |GROUP BY priority ORDER BY priority""".stripMargin,
+
+    // Pre- and post-rename rows aggregated under the renamed column.
+    "q175_column_mapping" ->
+      """SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  true AS mapped
+        |FROM orders WHERE o_orderkey % 3 <= 1
         |GROUP BY priority ORDER BY priority""".stripMargin
   )
 

@@ -184,11 +184,21 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
     loadTable(ident)
   }
 
-  /** ALTER TABLE ADD/DROP COLUMN as a metadata-only schema commit (data
-    * files untouched; name-based resolution nulls added columns in old
-    * files). RENAME is rejected: without field ids in the files a rename
-    * would silently null out existing data. */
+  /** ALTER TABLE ADD/DROP/RENAME COLUMN as metadata-only schema commits
+    * (data files untouched; name-based resolution nulls added columns in
+    * old files; RENAME pins the field's physical parquet name in the
+    * table's column map — see [[TableStore.renameColumn]]). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    changes.collect { case r: TableChange.RenameColumn => r } match {
+      case Seq(r) if changes.length == 1 =>
+        require(r.fieldNames.length == 1,
+          "nested RENAME COLUMN is not supported")
+        store.renameColumn(ident.name, r.fieldNames.head, r.newName)
+        return loadTable(ident)
+      case Seq() => // fall through to ADD/DROP handling
+      case _ => throw new UnsupportedOperationException(
+        "RENAME COLUMN must be the only change in an ALTER TABLE")
+    }
     val ms = store.manifests(ident.name)
     if (ms.isEmpty) throw new NoSuchTableException(ident)
     val current = ms.maxBy(_.version)
@@ -208,6 +218,13 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
           s"column ${add.fieldNames.head} was previously dropped; " +
             "re-adding it would resurrect stale values from old files — " +
             "add it under a new name instead")
+        // a new column identity-maps to its own physical name: colliding
+        // with another field's PINNED physical name would make two
+        // logical columns share one parquet field
+        require(!current.columnMap.exists(
+            _._2.equalsIgnoreCase(add.fieldNames.head)),
+          s"column ${add.fieldNames.head} is the pinned physical name of " +
+            "a renamed column; pick a different name")
         schema = schema.add(add.fieldNames.head, add.dataType, add.isNullable)
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1,

@@ -206,7 +206,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         writeDataFiles(new Path(versionDir(table, v), s"w-$wid"),
           s"v=$v/w-$wid",
           applyWriteOrder(table, enforceConstraints(table, df), partitionBy),
-          partitionBy, bloomColumns)
+          partitionBy, bloomColumns, columnMapCarry(table).toMap)
       case None => Seq.empty
     }
     val files = keptFiles ++ newEntries
@@ -221,7 +221,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       droppedColumnsCarry(table, keptFiles),
       deleteFilesCarry(table, keptFiles),
       constraints = constraintsCarry(table),
-      writeOrder = writeOrderCarry(table)))
+      writeOrder = writeOrderCarry(table),
+      columnMap = columnMapCarry(table)))
     swapPointer(table, v)
     v
   }
@@ -253,8 +254,21 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * entries (paths prefixed `relPrefix/…`, table-relative). Extracted from
     * [[commitFiles]] so staged (write-audit-publish) snapshots share the
     * exact write + footer-stat path of published ones. */
-  private def writeDataFiles(dataDir: Path, relPrefix: String, df: DataFrame,
-      partitionBy: Seq[String], bloomColumns: Seq[String]): Seq[FileEntry] = {
+  private def writeDataFiles(dataDir: Path, relPrefix: String, dfLogical: DataFrame,
+      partitionBy: Seq[String], bloomColumns: Seq[String],
+      colMap: Map[String, String] = Map.empty): Seq[FileEntry] = {
+    // Column mapping: files are ALWAYS written under the pinned PHYSICAL
+    // names, so every file of the table shares one name per field no
+    // matter how often the logical name changed. Footer stats come back
+    // physical and are re-keyed to the CURRENT logical names — manifests
+    // (and the whole pruning stack above them) speak logical only.
+    // Partition/transform-source columns are rename-protected, so
+    // `partitionBy` needs no translation.
+    val df =
+      if (colMap.isEmpty) dfLogical
+      else dfLogical.select(dfLogical.columns.toSeq.map(c =>
+        col(c).as(colMap.getOrElse(c, c))): _*)
+    val statRev: Map[String, String] = colMap.map(_.swap)
     // Write timestamps as TIMESTAMP_MICROS *for store files only*:
     // INT96 (Spark's session default) has no orderable footer stats.
     // Scoped set-and-restore so the session's own writes are untouched.
@@ -263,7 +277,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     spark.conf.set(key, "TIMESTAMP_MICROS")
     try {
       val bloomOpts = bloomColumns
-        .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+        .map(c => s"parquet.bloom.filter.enabled#${colMap.getOrElse(c, c)}" ->
+          "true").toMap
       if (partitionBy.isEmpty)
         df.write.mode("overwrite").options(bloomOpts).parquet(dataDir.toString)
       else {
@@ -294,7 +309,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     // fixed-width order-preserving strings the writer itself computed (the
     // path value IS the comparison-domain value), and a hidden-computed
     // bucket value is an exact long.
-    val kinds: Map[String, Option[String]] = statKindsOf(df.schema) ++
+    val kinds: Map[String, Option[String]] = statKindsOf(dfLogical.schema) ++
       partitionBy.filterNot(df.columns.contains).flatMap { c => c match {
         case TableStore.DaysRe(_) | TableStore.MonthsRe(_) |
              TableStore.HoursRe(_) | TableStore.YearsRe(_) |
@@ -309,7 +324,10 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       val rel = f.makeQualified(s.getPath).toString.stripPrefix(qualified)
         .stripPrefix("/")
       val pvals = partitionValuesOf(rel)
-      val (rows, stats) = footerStats(s.getPath)
+      val (rows, statsPhys) = footerStats(s.getPath)
+      val stats =
+        if (statRev.isEmpty) statsPhys
+        else statsPhys.map { case (k, v) => statRev.getOrElse(k, k) -> v }
       // partition value = exact min=max stat for every pruning path
       val pstats = pvals.flatMap {
         case (c, pv) if pv != "__HIVE_DEFAULT_PARTITION__" =>
@@ -382,6 +400,17 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * spec — dropping them on a rewrite would silently stop enforcement. */
   private def constraintsCarry(table: String): Seq[(String, String)] =
     manifests(table).lastOption.map(_.constraints).getOrElse(Seq.empty)
+
+  /** Column-mapping entries to carry into the next snapshot (logical name
+    * -> pinned physical name; identity entries are never stored). Like
+    * constraints, the map survives every commit shape — files written
+    * before AND after a rename share one physical name per field. */
+  private def columnMapCarry(table: String): Seq[(String, String)] =
+    manifests(table).lastOption.map(_.columnMap).getOrElse(Seq.empty)
+
+  /** logical -> physical column translation for `table`'s current map. */
+  def columnMapOf(table: String): Map[String, String] =
+    columnMapCarry(table).toMap
 
   /** Wrap `df` so every row is validated against the table's CHECK
     * constraints INSIDE the write job (one pass, no pre-scan): the filter
@@ -668,6 +697,74 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     v
   }
 
+  /** ALTER TABLE … RENAME COLUMN without rewriting a byte of data —
+    * Delta's column mapping (mode=name) / Iceberg's field-id rename,
+    * realized by PINNING each field's PHYSICAL parquet name at first
+    * write: a rename only updates the logical schema plus the
+    * logical→physical `columnMap` entry, and files written before AND
+    * after carry the same physical name forever. In-memory manifests
+    * (stats keys, pruning, metadata aggregates) speak logical names
+    * exclusively — the carried per-file stats are re-keyed here, once,
+    * metadata-only.
+    *
+    * Rename-protected columns (rejected, documented v1 restrictions):
+    * partition / transform-source / bucket columns (their names are baked
+    * into directory layouts and partition tuples), columns referenced by
+    * CHECK constraints or a write order (predicates store raw SQL text),
+    * and any rename while merge-on-read delete files are live (delete
+    * files pin key names; `CALL compact` first — the cloneTable rule). A
+    * new name may not collide with a live column, a previously dropped
+    * physical name, or an existing physical pin. */
+  def renameColumn(table: String, oldName: String, newName: String): Long = {
+    val m = manifests(table).maxBy(_.version)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(schema.fieldNames.contains(oldName),
+      s"renameColumn: no column $oldName in $table")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"renameColumn: $table already has a column $newName")
+    require(m.deleteFiles.isEmpty,
+      s"renameColumn: $table carries merge-on-read delete files; " +
+        "compact it first")
+    val transformSources = m.partitionBy.map {
+      case TableStore.BucketRe(_, c) => c
+      case TableStore.DaysRe(c) => c
+      case TableStore.MonthsRe(c) => c
+      case TableStore.HoursRe(c) => c
+      case TableStore.YearsRe(c) => c
+      case TableStore.TruncRe(_, c) => c
+      case c => c
+    }
+    require(!transformSources.contains(oldName),
+      s"renameColumn: $oldName is a partition/transform source column")
+    val word = s"\\b${java.util.regex.Pattern.quote(oldName)}\\b".r
+    require(!m.constraints.exists(c => word.findFirstIn(c._2).isDefined),
+      s"renameColumn: $oldName is referenced by a CHECK constraint")
+    require(!m.writeOrder.contains(oldName),
+      s"renameColumn: $oldName is part of the table's write order")
+    require(!m.droppedColumns.exists(_.equalsIgnoreCase(newName)),
+      s"renameColumn: $newName was previously dropped; reusing the name " +
+        "would shadow tombstoned physical data")
+    val cmap = m.columnMap.toMap
+    val phys = cmap.getOrElse(oldName, oldName)
+    val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
+      f => if (f.name == oldName) f.copy(name = newName) else f))
+    val newMap = ((cmap - oldName) +
+      (newName -> phys)).filter { case (l, ph) => l != ph }.toSeq.sortBy(_._1)
+    val rekeyed = m.files.map(fe =>
+      if (fe.stats.contains(oldName))
+        fe.copy(stats = fe.stats.map { case (k, vv) =>
+          (if (k == oldName) newName else k) -> vv })
+      else fe)
+    val v = m.version + 1
+    writeManifest(table, m.copy(version = v,
+      timestampMs = System.currentTimeMillis(),
+      operation = s"rename_column $oldName->$newName",
+      files = rekeyed, schemaJson = newSchema.json, columnMap = newMap))
+    swapPointer(table, v)
+    v
+  }
+
   /** Commit parquet files already written by an external writer (the DSv2
     * SQL write path): move them into the next version directory (same-FS
     * rename, no data copy), harvest footer stats, and commit
@@ -706,11 +803,16 @@ class TableStore(spark: SparkSession, val warehouse: String) {
           case TableStore.BucketRe(_, _) => Some(c -> Some("long"))
           case _ => None
         }}.toMap
+    val cmap = columnMapCarry(table).toMap
+    val statRev: Map[String, String] = cmap.map(_.swap)
     val newEntries = harvestInParallel(staged) { case (p, rel) =>
       val dest = new Path(dataDir, rel)
       f.mkdirs(dest.getParent)
       require(f.rename(p, dest), s"failed to move staged file $p")
-      val (rows, stats) = footerStats(dest)
+      val (rows, statsPhys) = footerStats(dest)
+      val stats =
+        if (statRev.isEmpty) statsPhys
+        else statsPhys.map { case (k, v) => statRev.getOrElse(k, k) -> v }
       val pvals = partitionValuesOf(rel)
       val pstats = pvals.flatMap {
         case (c, pv) if pv != "__HIVE_DEFAULT_PARTITION__" =>
@@ -731,9 +833,10 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     if (constraintsCarry(table).nonEmpty && newEntries.nonEmpty) {
       val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
-      enforceConstraints(table, spark.read.schema(schema).parquet(
-        newEntries.map(fe => new Path(tableDir(table), fe.path).toString): _*))
-        .count()
+      enforceConstraints(table, toLogical(
+        spark.read.schema(physSchemaOf(schema, cmap)).parquet(
+          newEntries.map(fe => new Path(tableDir(table), fe.path).toString): _*),
+        schema, cmap)).count()
     }
     writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
       files.map(_.rowCount).sum, files, schemaJson,
@@ -741,7 +844,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       droppedColumnsCarry(table, keptFiles),
       deleteFilesCarry(table, keptFiles), streamEpoch,
       constraints = constraintsCarry(table),
-      writeOrder = writeOrderCarry(table)))
+      writeOrder = writeOrderCarry(table),
+      columnMap = columnMapCarry(table)))
     swapPointer(table, v)
     v
   }
@@ -1198,6 +1302,9 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * (name-resolved, missing columns null — same rule as schema
     * evolution). */
   def addFiles(table: String, source: String): Long = {
+    require(columnMapCarry(table).isEmpty,
+      s"add_files: $table has renamed columns (pinned physical names); " +
+        "adopted foreign files cannot be name-mapped — clone or rewrite instead")
     val src = new Path(source)
     val f = fs(src)
     require(f.exists(src), s"add_files source not found: $source")
@@ -1254,14 +1361,34 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     readManifest(table, m)
   }
 
+  /** `schema` with every field renamed to its pinned PHYSICAL name (the
+    * name actually inside the parquet files) — identity when the table
+    * was never column-renamed. */
+  private def physSchemaOf(schema: org.apache.spark.sql.types.StructType,
+      cmap: Map[String, String]): org.apache.spark.sql.types.StructType =
+    if (cmap.isEmpty) schema
+    else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      f.copy(name = cmap.getOrElse(f.name, f.name))))
+
+  /** Rename a physically-named frame back to the LOGICAL schema (order
+    * preserved; extra helper columns must already be gone). */
+  private def toLogical(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      cmap: Map[String, String]): DataFrame =
+    if (cmap.isEmpty) df
+    else df.select(schema.fields.toSeq.map(f =>
+      col(cmap.getOrElse(f.name, f.name)).as(f.name)): _*)
+
   private def readManifest(table: String, m: Manifest): DataFrame = {
     val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val cmap = m.columnMap.toMap
+    val pSchema = physSchemaOf(schema, cmap)
     val plain =
-      if (m.files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-      else spark.read.schema(schema)
+      if (m.files.isEmpty) spark.createDataFrame(new java.util.ArrayList[Row](), pSchema)
+      else spark.read.schema(pSchema)
         .parquet(m.files.map(fe => new Path(tableDir(table), fe.path).toString): _*)
-    if (m.deleteFiles.isEmpty) plain
+    if (m.deleteFiles.isEmpty) toLogical(plain, schema, cmap)
     else {
       // Merge-on-read. Equality deletes: drop rows whose key appears in a
       // delete file with a LARGER sequence than the data file's own
@@ -1278,7 +1405,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       val qualBase = fs(root).makeQualified(root).toString.stripSuffix("/")
       val bySeq = m.files.groupBy(fe => TableStore.fileSeqOf(fe.path)).toSeq.sortBy(_._1)
       val tagged = bySeq.map { case (s, fes) =>
-        val base = spark.read.schema(schema)
+        val base = spark.read.schema(pSchema)
           .parquet(fes.map(fe => new Path(root, fe.path).toString): _*)
         val withPos =
           if (posDels.isEmpty) base
@@ -1288,7 +1415,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
             .withColumn("__pos", col("_metadata.row_index"))
         withPos.withColumn("__seq", functions.lit(s))
       }.reduceOption(_ unionByName _).getOrElse {
-        val empty = spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+        val empty = spark.createDataFrame(new java.util.ArrayList[Row](), pSchema)
           .withColumn("__seq", functions.lit(0L))
         if (posDels.isEmpty) empty
         else empty.withColumn("__file", functions.lit(""))
@@ -1298,6 +1425,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         if (eqDels.isEmpty) tagged
         else {
           val keyCols = eqDels.head.keyCols
+            .map(k => cmap.getOrElse(k, k))
           val dels = eqDels.map { d =>
             spark.read.parquet(new Path(root, d.path).toString)
               .withColumn("__dseq", functions.lit(d.seq))
@@ -1316,7 +1444,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
             .select(col("__file"), col("__pos"))
           afterEq.join(pd, Seq("__file", "__pos"), "left_anti")
         }
-      afterPos.select(schema.fields.toSeq.map(f => col(f.name)): _*)
+      afterPos.select(schema.fields.toSeq.map(f =>
+        col(cmap.getOrElse(f.name, f.name)).as(f.name)): _*)
     }
   }
 
@@ -1347,11 +1476,12 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val toManifest = ms.find(_.version == toVersion).get
     val schema = org.apache.spark.sql.types.DataType.fromJson(toManifest.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val cmap = toManifest.columnMap.toMap
     if (added.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-    else spark.read.schema(schema)
+    else toLogical(spark.read.schema(physSchemaOf(schema, cmap))
       .parquet(added.map(fe =>
-        new Path(tableDir(table), fe.path).toString): _*)
+        new Path(tableDir(table), fe.path).toString): _*), schema, cmap)
   }
 
   /** The data files first referenced in versions (`fromVersion`,
@@ -1582,8 +1712,16 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val v = m.version + 1 // pinned to the carried snapshot (CAS on rivals)
     val root = tableDir(table)
     val qualBase = fs(root).makeQualified(root).toString.stripSuffix("/")
-    val hits = spark.read.schema(schema)
+    val cmapD = m.columnMap.toMap
+    val physD = physSchemaOf(schema, cmapD)
+    // the predicate is written against LOGICAL names: rename the scan's
+    // output first (keeping _metadata reachable for the position columns)
+    val scanD = spark.read.schema(physD)
       .parquet(m.files.map(fe => new Path(root, fe.path).toString): _*)
+    val hits = (if (cmapD.isEmpty) scanD
+      else scanD.select(schema.fields.toSeq.map(f =>
+        col(cmapD.getOrElse(f.name, f.name)).as(f.name)) :+
+        col("_metadata"): _*))
       .filter(functions.expr(predicateSql))
       .select(
         functions.expr(
@@ -1602,7 +1740,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     writeManifest(table, Manifest(v, System.currentTimeMillis(),
       "delete_where_mor", m.files.map(_.rowCount).sum, m.files, m.schemaJson,
       m.partitionBy, m.droppedColumns, m.deleteFiles ++ delEntries, None,
-      m.constraints, m.writeOrder))
+      m.constraints, m.writeOrder, m.columnMap))
     swapPointer(table, v)
     v
   }
@@ -1676,7 +1814,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         writeDataFiles(new Path(versionDir(table, v), s"w-$wid"),
           s"v=$v/w-$wid",
           applyWriteOrder(table, enforceConstraints(table, aligned),
-            m.partitionBy), m.partitionBy, Seq.empty)
+            m.partitionBy), m.partitionBy, Seq.empty, m.columnMap.toMap)
     }
     // Distinct delete keys land under v=N/deletes-<writer>/ (their own
     // subdir so they can never be confused with the version's data files;
@@ -1691,10 +1829,12 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     // batch); the read-back is a column-pruned scan of exactly the key
     // columns. CDC batches keep the separate key source (it carries
     // delete markers the data files don't).
+    val cmapW = m.columnMap.toMap
     val keySrc = dataRows match {
       case Some(d) if (d eq keySource) && dataEntries.nonEmpty =>
-        spark.read.schema(existing).parquet(
-          dataEntries.map(fe => new Path(tableDir(table), fe.path).toString): _*)
+        toLogical(spark.read.schema(physSchemaOf(existing, cmapW)).parquet(
+          dataEntries.map(fe => new Path(tableDir(table), fe.path).toString): _*),
+          existing, cmapW)
       case _ => keySource
     }
     val keyTypes = keyCols.map(k => existing.fields(existing.fieldIndex(k)))
@@ -1719,7 +1859,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     // or pinned) tripled the sf10 p=0.99 cdc cell mid-grid (13 s → 36 s
     // / 55 s measured). A key dump is a narrow column-pruned scan +
     // write: zero shuffle, zero aggregation state, at any batch size.
-    keySrc.select(keyTypes.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    keySrc.select(keyTypes.map(f => col(f.name).cast(f.dataType)
+        .as(cmapW.getOrElse(f.name, f.name))): _*)
       .write.mode("overwrite").parquet(delDir.toString)
     val f = fs(delDir)
     val delEntries = listPartFiles(delDir, f).map { s =>
@@ -1730,7 +1871,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       (m.files ++ dataEntries).map(_.rowCount).sum, m.files ++ dataEntries,
       m.schemaJson, m.partitionBy, m.droppedColumns,
       m.deleteFiles ++ delEntries, streamEpoch, m.constraints,
-      m.writeOrder))
+      m.writeOrder, m.columnMap))
     swapPointer(table, v)
     v
   }
@@ -1765,15 +1906,19 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val keyCols = eqDelsAll.head.keyCols
     val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // delete files store PHYSICAL key names; rewrite them the same way
+    val cmapC = m.columnMap.toMap
+    val physKeyCols = keyCols.map(k => cmapC.getOrElse(k, k))
     val keySchema = org.apache.spark.sql.types.StructType(
-      keyCols.map(k => schema.fields(schema.fieldIndex(k))))
+      keyCols.map(k => schema.fields(schema.fieldIndex(k))
+        .copy(name = cmapC.getOrElse(k, k))))
     val root = tableDir(table)
     val all = eqDelsAll.groupBy(_.seq).toSeq.map { case (s, dels) =>
       spark.read.schema(keySchema)
         .parquet(dels.map(d => new Path(root, d.path).toString): _*)
         .withColumn("__seq", functions.lit(s))
     }.reduce(_.unionByName(_))
-    val maxed = all.groupBy(keyCols.map(col): _*)
+    val maxed = all.groupBy(physKeyCols.map(col): _*)
       .agg(functions.max(col("__seq")).as("__seq"))
     // canonical class seq: outermost branch tests the LARGEST data seq,
     // so the expression resolves to (greatest data seq < s) + 1
@@ -1793,7 +1938,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     if (classes.nonEmpty)
       // files must hold EXACTLY the key columns (readers schema-infer)
       keyed.repartition(classes.length, col("__c"))
-        .select(keyCols.map(col) :+ col("__c"): _*)
+        .select(physKeyCols.map(col) :+ col("__c"): _*)
         .write.partitionBy("__c").mode("overwrite").parquet(delDir.toString)
     val f = fs(delDir)
     val delEntries = classes.flatMap { c =>
@@ -1806,7 +1951,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     writeManifest(table, Manifest(v, System.currentTimeMillis(),
       "compact_deletes", m.files.map(_.rowCount).sum, m.files, m.schemaJson,
       m.partitionBy, m.droppedColumns, delEntries ++ posCarry, None,
-      m.constraints, m.writeOrder))
+      m.constraints, m.writeOrder, m.columnMap))
     swapPointer(table, v)
     v
   }
@@ -1846,7 +1991,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     writeManifest(table, Manifest(v, System.currentTimeMillis(),
       "rewrite_position_deletes", m.files.map(_.rowCount).sum, m.files,
       m.schemaJson, m.partitionBy, m.droppedColumns, eqCarry ++ delEntries,
-      None, m.constraints, m.writeOrder))
+      None, m.constraints, m.writeOrder, m.columnMap))
     swapPointer(table, v)
     v
   }
@@ -2115,7 +2260,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     }: _*)
     val id = java.util.UUID.randomUUID().toString.take(8)
     val entries = writeDataFiles(new Path(tableDir(table), s"stage-$id"),
-      s"stage-$id", aligned, m.partitionBy, Seq.empty)
+      s"stage-$id", aligned, m.partitionBy, Seq.empty, m.columnMap.toMap)
     // The staged manifest reuses the snapshot JSON shape (version 0 =
     // "not a version") and records ONLY the new entries: publish composes
     // them with whatever the table's files are AT PUBLISH time, so an
@@ -2124,7 +2269,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     writeManifestAt(stagedPath(table, id), Manifest(0L,
       System.currentTimeMillis(), "wap_stage",
       entries.map(_.rowCount).sum, entries, m.schemaJson, m.partitionBy,
-      Seq.empty))
+      Seq.empty, columnMap = m.columnMap))
     id
   }
 
@@ -2276,7 +2421,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       val k = ops.size
       val entries = writeDataFiles(new Path(tableDir(table), s"txn-$id-$k"),
         s"txn-$id-$k", applyWriteOrder(table, df, partitionBy),
-        partitionBy, Seq.empty)
+        partitionBy, Seq.empty, columnMapCarry(table).toMap)
       writeManifestAt(txnStagedPath(table, id, k),
         Manifest(0L, System.currentTimeMillis(), s"txn_$shape",
           entries.map(_.rowCount).sum, entries, schemaJson, partitionBy,
@@ -2396,7 +2541,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
               writeManifest(table, Manifest(v, System.currentTimeMillis(),
                 s"txn_append $marker", files.map(_.rowCount).sum, files,
                 m.schemaJson, m.partitionBy, m.droppedColumns, m.deleteFiles,
-                constraints = m.constraints, writeOrder = m.writeOrder))
+                constraints = m.constraints, writeOrder = m.writeOrder,
+                columnMap = m.columnMap))
             case "deletekeys" =>
               val m = manifests(table).maxBy(_.version)
               require(m.schemaJson == st.schemaJson,
@@ -2426,13 +2572,15 @@ class TableStore(spark: SparkSession, val warehouse: String) {
               writeManifest(table, Manifest(v, System.currentTimeMillis(),
                 s"txn_deletekeys $marker", m.files.map(_.rowCount).sum,
                 m.files, m.schemaJson, m.partitionBy, m.droppedColumns,
-                m.deleteFiles ++ dels, None, m.constraints, m.writeOrder))
+                m.deleteFiles ++ dels, None, m.constraints, m.writeOrder,
+                m.columnMap))
             case _ =>
               writeManifest(table, Manifest(v, System.currentTimeMillis(),
                 s"txn_overwrite $marker", st.rowCount, st.files,
                 st.schemaJson, st.partitionBy,
                 constraints = constraintsCarry(table),
-                writeOrder = writeOrderCarry(table)))
+                writeOrder = writeOrderCarry(table),
+                columnMap = columnMapCarry(table)))
           }
           swapPointer(table, v)
           out(table) = v
@@ -2521,7 +2669,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     }
     writeManifest(target, Manifest(1L, System.currentTimeMillis(), "clone",
       m.rowCount, files, m.schemaJson, m.partitionBy, m.droppedColumns,
-      Seq.empty, None, m.constraints, m.writeOrder))
+      Seq.empty, None, m.constraints, m.writeOrder, m.columnMap))
     swapPointer(target, 1L)
     1L
   }
@@ -2616,12 +2764,13 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val bwid = java.util.UUID.randomUUID().toString.take(8)
     val entries = writeDataFiles(
       new Path(tableDir(table), s"branch-$name/v=$k/w-$bwid"),
-      s"branch-$name/v=$k/w-$bwid", checked, head.partitionBy, Seq.empty)
+      s"branch-$name/v=$k/w-$bwid", checked, head.partitionBy, Seq.empty,
+      head.columnMap.toMap)
     writeManifestAt(branchManifestPath(table, name, k),
       Manifest(k, System.currentTimeMillis(), "append",
         (head.files ++ entries).map(_.rowCount).sum, head.files ++ entries,
         head.schemaJson, head.partitionBy, head.droppedColumns, Seq.empty,
-        None, head.constraints, head.writeOrder))
+        None, head.constraints, head.writeOrder, head.columnMap))
     k
   }
 
@@ -2881,10 +3030,14 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val worder = ArrayBuffer[String]()
     val wn = n.get("writeOrder")
     if (wn != null) wn.forEach(e => worder += e.asText())
+    val cmap = ArrayBuffer[(String, String)]()
+    val cmn = n.get("columnMap")
+    if (cmn != null) cmn.forEach(e =>
+      cmap += ((e.get("l").asText(), e.get("p").asText())))
     Manifest(n.get("version").asLong(), n.get("timestampMs").asLong(),
       n.get("operation").asText(), n.get("rowCount").asLong(), files.toSeq,
       n.get("schemaJson").asText(), spec.toSeq, dropped.toSeq, dels.toSeq,
-      epoch, cons.toSeq, worder.toSeq)
+      epoch, cons.toSeq, worder.toSeq, cmap.toSeq)
   }
 
   private def jsonStr(s: String): String =
@@ -3028,10 +3181,15 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     val orderJson =
       if (m.writeOrder.isEmpty) ""
       else m.writeOrder.map(jsonStr).mkString(""","writeOrder":[""", ",", "]")
+    val cmapJson =
+      if (m.columnMap.isEmpty) ""
+      else m.columnMap.map { case (l, ph) =>
+        s"""{"l":${jsonStr(l)},"p":${jsonStr(ph)}}"""
+      }.mkString(""","columnMap":[""", ",", "]")
     val json =
       s"""{"version":${m.version},"timestampMs":${m.timestampMs},
          |"operation":${jsonStr(m.operation)},"rowCount":${m.rowCount},
-         |$segsJson"files":$filesJson,"schemaJson":${jsonStr(m.schemaJson)}$specJson$droppedJson$deleteJson$epochJson$consJson$orderJson}""".stripMargin
+         |$segsJson"files":$filesJson,"schemaJson":${jsonStr(m.schemaJson)}$specJson$droppedJson$deleteJson$epochJson$consJson$orderJson$cmapJson}""".stripMargin
     atomicWriteExclusive(dest, json)
   }
 
@@ -3372,5 +3530,6 @@ object TableStore {
     deleteFiles: Seq[DeleteEntry] = Seq.empty,
     streamEpoch: Option[(String, Long)] = None,
     constraints: Seq[(String, String)] = Seq.empty,
-    writeOrder: Seq[String] = Seq.empty)
+    writeOrder: Seq[String] = Seq.empty,
+    columnMap: Seq[(String, String)] = Seq.empty)
 }

@@ -156,8 +156,12 @@ object MorScan {
       maxKeys: Long): Scan = {
     val (posDels, eqDels) = m.deleteFiles.partition(TableStore.isPositional)
     val keyCols = eqDels.headOption.map(_.keyCols).getOrElse(Seq.empty)
+    // delete files store PHYSICAL key names (column mapping pins them);
+    // ordinals below stay LOGICAL — positions match, names differ
+    val cmap = m.columnMap.toMap
     val keySchema = StructType(keyCols.map(k =>
-      tableSchema.fields(tableSchema.fieldIndex(k))))
+      tableSchema.fields(tableSchema.fieldIndex(k))
+        .copy(name = cmap.getOrElse(k, k))))
     val lookup =
       if (eqDels.isEmpty) Map.empty[Seq[Any], Long]
       else deleteLookup(spark, root, eqDels, keySchema, maxKeys)

@@ -37,6 +37,40 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
   private var keptFiles: Seq[TableStore.FileEntry] = m.files
   private var aggResult: Option[(StructType, Seq[org.apache.spark.sql.catalyst.InternalRow])] = None
 
+  // -------------------------------------------------------- column mapping
+  // The builder speaks LOGICAL names to Spark and to the manifest (whose
+  // in-memory stats are logical-keyed); only the INNER parquet builders
+  // see the pinned PHYSICAL names actually inside the files. Rows are
+  // positional, so translation is pure name bookkeeping: schemas rename
+  // on the way in, `readSchema` renames back on the way out, and pushed
+  // filter expressions rename their attribute references.
+  private val cmap: Map[String, String] = m.columnMap.toMap
+  private val cmapRev: Map[String, String] = cmap.map(_.swap)
+
+  private def physSchema(st: StructType): StructType =
+    if (cmap.isEmpty) st
+    else StructType(st.fields.map(f =>
+      f.copy(name = cmap.getOrElse(f.name, f.name))))
+
+  private[graft] def logiSchema(st: StructType): StructType =
+    if (cmap.isEmpty) st
+    else StructType(st.fields.map(f =>
+      f.copy(name = cmapRev.getOrElse(f.name, f.name))))
+
+  private def physExprs(es: Seq[Expression]): Seq[Expression] =
+    if (cmap.isEmpty) es
+    else es.map(_.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if cmap.contains(a.name) => a.withName(cmap(a.name))
+    })
+
+  private def logiExprs(es: Seq[Expression]): Seq[Expression] =
+    if (cmap.isEmpty) es
+    else es.map(_.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if cmapRev.contains(a.name) => a.withName(cmapRev(a.name))
+    })
+
   /** Metadata-only aggregates (Iceberg's `SELECT count(*)` answer): an
     * unfiltered COUNT(*)/MIN/MAX — ungrouped, or GROUPed BY identity
     * partition columns — is answered from the manifest alone: row counts
@@ -77,7 +111,7 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
     keptFiles = subset
     inner = parquetBuilderOver(subset)
     required.foreach(r => inner match {
-      case p: SupportsPushDownRequiredColumns => p.pruneColumns(r)
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(physSchema(r))
       case _ =>
     })
   }
@@ -129,7 +163,7 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
     val root = new org.apache.hadoop.fs.Path(warehouse, tableName)
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
       spark, new ManifestFileIndex(spark, root, files),
-      tableSchema, tableSchema, options)
+      physSchema(tableSchema), physSchema(tableSchema), options)
   }
 
   /** Fresh parquet scan over `files` with the builder's pushdown state
@@ -139,11 +173,12 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
     val b = parquetBuilderOver(files)
     b match {
       case p: SupportsPushDownCatalystFilters if lastFilters.nonEmpty =>
-        p.pushFilters(lastFilters)
+        p.pushFilters(physExprs(lastFilters))
       case _ =>
     }
     b match {
-      case p: SupportsPushDownRequiredColumns => required.foreach(p.pruneColumns)
+      case p: SupportsPushDownRequiredColumns =>
+        required.foreach(r => p.pruneColumns(physSchema(r)))
       case _ =>
     }
     b.build()
@@ -160,10 +195,10 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
     val b = parquetBuilderOver(files)
     b match {
       case p: SupportsPushDownCatalystFilters if lastFilters.nonEmpty =>
-        p.pushFilters(lastFilters)
+        p.pushFilters(physExprs(lastFilters))
       case _ =>
     }
-    val base = required.getOrElse(tableSchema)
+    val base = physSchema(required.getOrElse(tableSchema))
     val withIdx = StructType(base.fields :+
       org.apache.spark.sql.types.StructField(
         ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
@@ -195,11 +230,12 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
     lastV1 = v1
     inner = parquetBuilderOver(kept)
     required.foreach(r => inner match {
-      case p: SupportsPushDownRequiredColumns => p.pruneColumns(r)
+      case p: SupportsPushDownRequiredColumns => p.pruneColumns(physSchema(r))
       case _ =>
     })
     inner match {
-      case p: SupportsPushDownCatalystFilters => p.pushFilters(filters)
+      case p: SupportsPushDownCatalystFilters =>
+        logiExprs(p.pushFilters(physExprs(filters)))
       case _ => filters
     }
   }
@@ -212,7 +248,8 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
   override def pruneColumns(requiredSchema: StructType): Unit = {
     required = Some(requiredSchema)
     innerBuilder match {
-      case p: SupportsPushDownRequiredColumns => p.pruneColumns(requiredSchema)
+      case p: SupportsPushDownRequiredColumns =>
+        p.pruneColumns(physSchema(requiredSchema))
       case _ =>
     }
   }
@@ -224,7 +261,8 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
       innerBuilder.build(), keptFiles, tableSchema, scanOver,
       options.getBoolean("skipRewrites", false), m.partitionBy,
       options.getLong("maxVersionsPerTrigger", 0L),
-      pushedV1 = lastV1, totalRows = m.files.map(_.rowCount).sum)
+      pushedV1 = lastV1, totalRows = m.files.map(_.rowCount).sum,
+      toLogical = logiSchema)
   }
 
   /** Merge-on-read snapshot: pruned parquet scans + broadcast delete
@@ -487,7 +525,8 @@ class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
     partitionBy: Seq[String] = Seq.empty,
     maxVersionsPerTrigger: Long = 0L,
     pushedV1: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
-    totalRows: Long = 0L)
+    totalRows: Long = 0L,
+    toLogical: StructType => StructType = identity)
     extends Scan with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -548,7 +587,7 @@ class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
     }
 
-  override def readSchema(): StructType = innerScan.readSchema()
+  override def readSchema(): StructType = toLogical(innerScan.readSchema())
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     spjGroups match {
       case Some(groups) =>

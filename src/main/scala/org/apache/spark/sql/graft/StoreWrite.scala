@@ -187,11 +187,21 @@ private class GraftWrite(warehouse: String, table: String, schema: StructType,
 
   private def writerFactory: GraftWriterFactory = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
-    val factory = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, schema)
+    // Column mapping: executors write parquet under the table's pinned
+    // PHYSICAL field names (rows are positional — only the file schema
+    // changes); commitStaged re-keys the harvested stats back to logical.
+    // Partition columns are rename-protected, so `partitionBy` resolves
+    // identically in either naming.
+    val cmap = new TableStore(spark, warehouse).columnMapOf(table)
+    val pSchema =
+      if (cmap.isEmpty) schema
+      else StructType(schema.fields.map(f =>
+        f.copy(name = cmap.getOrElse(f.name, f.name))))
+    val factory = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, pSchema)
     // after prepareWrite: it stamps the session's timestamp type; store
     // files must be TIMESTAMP_MICROS for orderable footer stats
     job.getConfiguration.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    new GraftWriterFactory(factory, schema,
+    new GraftWriterFactory(factory, pSchema,
       new SerializableConfiguration(job.getConfiguration), stagingDir,
       partitionBy, spark.sessionState.conf.sessionLocalTimeZone)
   }

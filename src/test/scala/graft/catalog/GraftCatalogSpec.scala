@@ -194,8 +194,12 @@ class GraftCatalogSpec extends SparkSpec {
       // all original files still referenced — pure metadata ops
       val filesAfter = store.manifests("t").last.files.map(_.path).toSet
       assert(filesBefore.subsetOf(filesAfter))
-      // rename would lose data without field ids — rejected
-      intercept[Exception](spark.sql(s"ALTER TABLE $cat.ns.t RENAME COLUMN id TO id2"))
+      // RENAME is metadata-only too now (column mapping pins the physical
+      // name — ColumnMappingSpec owns the deep coverage)
+      spark.sql(s"ALTER TABLE $cat.ns.t RENAME COLUMN id TO id2")
+      assert(spark.sql(s"SELECT id2 FROM $cat.ns.t ORDER BY id2")
+        .as[Long].collect().toSeq == Seq(1L, 2L))
+      assert(store.manifests("t").last.files.map(_.path).toSet == filesAfter)
     }
   }
 
