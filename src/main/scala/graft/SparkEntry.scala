@@ -4340,6 +4340,21 @@ object SparkEntry {
            |FROM $cat.ns.t GROUP BY o_orderpriority""".stripMargin)
         .withColumn("mapped", lit(physStillOld))
         .orderBy(col("priority"))
+    }),
+
+    // Upsampled mixture (q176) — the other half of data mixing: domains
+    // whose token target exceeds their mass REPEAT across tagged epochs
+    // (floor(target/mass) full passes + the deterministic md5-prefix
+    // fractional epoch), while oversized domains downsample by the same
+    // exclusive-offset rule. Pure integer arithmetic; every copy
+    // decision replays in the oracle.
+    "q176_upsample_mixture" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.ext.Mixing.upsampleToBudget(docs, "doc_id", "source", "n_chars",
+          budgetTokens = 5000000L, parts = mixingParts)
+        .groupBy(col("source"), col("epoch"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("source"), col("epoch"))
     })
   )
 
@@ -7152,7 +7167,33 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  true AS mapped
         |FROM orders WHERE o_orderkey % 3 <= 1
-        |GROUP BY priority ORDER BY priority""".stripMargin
+        |GROUP BY priority ORDER BY priority""".stripMargin,
+
+    // Integer replay of the epoch rule: copies = target//mass extra-one
+    // when the exclusive md5-order offset < target mod mass.
+    "q176_upsample_mixture" -> {
+      val targetRows = mixingParts.toSeq.sortBy(_._1).map { case (d, p) =>
+        s"('$d', ${p * 100000L})"
+      }.mkString(", ")
+      s"""WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS tok
+         |    FROM documents),
+         |o AS (SELECT doc_id, source, tok,
+         |    SUM(tok) OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - tok AS off
+         |  FROM d),
+         |m AS (SELECT source, SUM(tok) AS mass FROM d GROUP BY source),
+         |t AS (SELECT * FROM (VALUES $targetRows) AS t(source, target)),
+         |c AS (SELECT o.source, o.tok,
+         |    (t.target // m.mass) + CASE WHEN o.off < (t.target % m.mass)
+         |      THEN 1 ELSE 0 END AS copies
+         |  FROM o JOIN m USING (source) JOIN t USING (source)
+         |  WHERE m.mass > 0),
+         |e AS (SELECT source, CAST(r.range AS BIGINT) AS epoch, tok
+         |  FROM c JOIN range(256) r ON r.range < c.copies)
+         |SELECT source, epoch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(tok) AS BIGINT) AS sum_tokens
+         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }
   )
 
   /** DuckDB replay of [[graft.ext.Perceptron.train]] + the q173 confusion

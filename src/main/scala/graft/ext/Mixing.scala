@@ -82,6 +82,77 @@ object Mixing {
     selected.groupBy(col(domainCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
 
+  /** Mixture with UPSAMPLING — the other half of data mixing: when a
+    * domain's token target EXCEEDS its mass, its documents repeat across
+    * training epochs (the standard small-domain/multilingual upweight;
+    * [[sampleToBudget]] instead caps at one pass). Each document of
+    * domain `d` is emitted `floor(target/mass)` times, plus once more if
+    * its exclusive md5-order token offset falls below
+    * `target mod mass` — so the fractional epoch is the SAME
+    * deterministic prefix the downsampler would select, every emitted
+    * copy is tagged with its epoch number, and the total selected tokens
+    * per domain is within one document of the exact target. Pure integer
+    * arithmetic end to end (one div, one mod per domain) — replayable on
+    * any engine.
+    *
+    * Scale: the offset machinery is [[sampleToBudget]]'s (one scan, one
+    * bucket-keyed shuffle); masses are a |domains|-row broadcast; the
+    * epoch expansion is a narrow `explode(sequence(...))` whose output
+    * size is the chosen budget, not the corpus. Domains with zero token
+    * mass are excluded (an upsample target over nothing is undefined).
+    *
+    * Output: (idCol, domainCol, n_tokens, epoch) — one row per emitted
+    * copy, `epoch` in [0, copies). */
+  def upsampleToBudget(df: DataFrame, idCol: String, domainCol: String,
+      tokenCountCol: String, budgetTokens: Long, parts: Map[String, Long],
+      bucketNibbles: Int = 3): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(parts.nonEmpty && parts.values.forall(_ > 0),
+      "parts must be non-empty positive integer weights")
+    require(bucketNibbles >= 1 && bucketNibbles <= 7,
+      "bucketNibbles must be in [1, 7]")
+    val sumParts = parts.values.map(BigInt(_)).sum
+    val targets: Map[String, Long] = parts.map { case (d, p) =>
+      d -> (BigInt(budgetTokens) * p / sumParts).toLong
+    }
+    val ord = md5(col(idCol).cast("string"))
+    val (keyed, _) = Materialize.checkpointTracked(
+      df.filter(col(domainCol).isin(parts.keys.toSeq.map(lit): _*))
+        .select(col(idCol), col(domainCol),
+          col(tokenCountCol).cast("long").as("__tok"), ord.as("__ord"))
+        .withColumn("__b",
+          conv(substring(col("__ord"), 1, bucketNibbles), 16, 10).cast("long")))
+    val intra = keyed.withColumn("__run",
+      sum(col("__tok")).over(Window.partitionBy(col(domainCol), col("__b"))
+        .orderBy(col("__ord"), col(idCol))))
+    val offsets = keyed.groupBy(col(domainCol), col("__b"))
+      .agg(sum(col("__tok")).as("__btot"))
+      .withColumn("__boff",
+        coalesce(sum(col("__btot")).over(
+          Window.partitionBy(col(domainCol)).orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(domainCol), col("__b"), col("__boff"))
+    val masses = keyed.groupBy(col(domainCol))
+      .agg(sum(col("__tok")).as("__mass"))
+    val target = targets.foldLeft(lit(0L)) { case (acc, (d, t)) =>
+      when(col(domainCol) === d, lit(t)).otherwise(acc)
+    }
+    // exact integer epoch count: the double divide is exact because the
+    // numerator is the remainder-stripped multiple and targets are capped
+    // below 2^53 (required above)
+    require(budgetTokens <= (1L << 53) - 1, "budgetTokens above 2^53")
+    val off = col("__boff") + col("__run") - col("__tok")
+    val fullEpochs = ((target - target % col("__mass")).cast("double") /
+      col("__mass").cast("double")).cast("long")
+    val copies = fullEpochs +
+      when(off < target % col("__mass"), 1L).otherwise(0L)
+    intra.join(broadcast(offsets), Seq(domainCol, "__b"))
+      .join(broadcast(masses), Seq(domainCol))
+      .filter(col("__mass") > 0L && copies > 0L)
+      .select(col(idCol), col(domainCol), col("__tok").as("n_tokens"),
+        explode(sequence(lit(0L), copies - 1L)).as("epoch"))
+  }
+
   /** Temperature-scaled mixture (α = 1/2): domain targets proportional to
     * `sqrt(domainTokens)` instead of hand-set weights — the standard
     * multilingual/multi-domain rebalance that upweights small domains

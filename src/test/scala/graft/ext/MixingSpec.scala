@@ -75,4 +75,44 @@ class MixingSpec extends SparkSpec {
       .collect().sorted.toSeq
     assert(again == sel.select("id").as[Long].collect().sorted.toSeq)
   }
+
+  test("upsampleToBudget replicates small domains across tagged epochs") {
+    // d0: 100 docs × 10 tokens = 1000 mass; d1: 10 docs × 10 = 100 mass
+    val df = ((1 to 100).map(i => (i.toLong, "d0", 10L)) ++
+      (101 to 110).map(i => (i.toLong, "d1", 10L))).toDF("id", "dom", "tok")
+    // equal parts of 1000: d0 target 500 (downsample), d1 target 500
+    // (5 full epochs of its 100-token mass)
+    val up = Mixing.upsampleToBudget(df, "id", "dom", "tok",
+      budgetTokens = 1000L, parts = Map("d0" -> 1L, "d1" -> 1L))
+    val byDom = up.groupBy("dom")
+      .agg(count(lit(1)).as("n"), sum("n_tokens").as("tok"),
+        max("epoch").as("maxe"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // d0: plain downsample prefix — 50 docs, epoch 0 only
+    assert(byDom("d0")._2 == 50L && byDom("d0")._4 == 0L)
+    // d1: every doc exactly 5 times, epochs 0..4, 500 tokens total
+    assert(byDom("d1")._2 == 50L && byDom("d1")._3 == 500L &&
+      byDom("d1")._4 == 4L)
+    assert(up.filter(col("dom") === "d1").groupBy("id").count()
+      .filter(col("count") =!= 5L).count() == 0L)
+    // fractional epoch: target 550 → 5 full + the md5-prefix half epoch
+    val frac = Mixing.upsampleToBudget(df, "id", "dom", "tok", 1100L,
+      Map("d0" -> 1L, "d1" -> 1L))
+      .filter(col("dom") === "d1")
+    assert(frac.count() == 55L)
+    assert(frac.groupBy("id").count().as[(Long, Long)].collect()
+      .forall { case (_, c) => c == 5L || c == 6L })
+    // the downsample half matches sampleToBudget's selection exactly
+    val down = Mixing.sampleToBudget(df, "id", "dom", "tok", 1000L,
+      Map("d0" -> 1L, "d1" -> 1L)).filter(col("dom") === "d0")
+      .select("id").as[Long].collect().sorted.toSeq
+    val upD0 = up.filter(col("dom") === "d0").select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(upD0 == down)
+    // partitioning independence
+    val again = Mixing.upsampleToBudget(df.repartition(13), "id", "dom",
+      "tok", 1000L, Map("d0" -> 1L, "d1" -> 1L), bucketNibbles = 1)
+    assert(again.select("id", "epoch").as[(Long, Long)].collect().sorted.toSeq
+      == up.select("id", "epoch").as[(Long, Long)].collect().sorted.toSeq)
+  }
 }
