@@ -4355,6 +4355,71 @@ object SparkEntry {
         .groupBy(col("source"), col("epoch"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
         .orderBy(col("source"), col("epoch"))
+    }),
+
+    // Streaming FULL OUTER interval join (q177) — both sides emit their
+    // unmatched rows once the watermark proves no match can still arrive
+    // (q158's left-outer generalized: state is watermark-bounded on BOTH
+    // sides, and the batch FULL JOIN is the oracle). Sentinel feeds push
+    // the watermark past the data so the bounded replay flushes both
+    // unmatched tails.
+    "q177_stream_full_outer_join" -> ((s, dir) => {
+      val store = tmpStore(s)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val left = ev.filter(col("event_id") % 10 === 0)
+      val right = ev.filter(col("event_id") % 30 === 5)
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      def sentinel(plusDays: Int) = {
+        import org.apache.spark.sql.Row
+        s.createDataFrame(
+          java.util.List.of(Row(-1L,
+            java.sql.Timestamp.from(maxTs.toInstant
+              .plus(java.time.Duration.ofDays(plusDays))),
+            -1L, "__wm", 0.0)),
+          left.schema)
+      }
+      val lr = new FileReplay(s, left.schema)
+      val rr = new FileReplay(s, right.schema)
+      val joined = graft.streaming.CdcStream.intervalJoin(
+        lr.source, rr.source, "user_id", "ts", "1 HOUR", "48 hours",
+        joinType = "fullOuter")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = joined.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              // sentinels carry key -1 on whichever side they fed
+              val out = b
+                .filter(coalesce(col("user_id"), col("r_user_id")) >= 0)
+                .select(col("event_id").as("l_event_id"),
+                  col("r_event_id"),
+                  coalesce(col("user_id"), col("r_user_id")).as("user_id"),
+                  col("r_event_type"))
+              if (!out.isEmpty) {
+                if (!store.exists("joined"))
+                  store.commit("joined", out, "create")
+                else store.append("joined", out)
+              }
+            }
+            ()
+          }
+          .start()
+        try {
+          val ls = timeSlices(left, "ts", 2)
+          val rs = timeSlices(right, "ts", 2)
+          (0 until 2).foreach { i => rr.feed(q, rs(i)); lr.feed(q, ls(i)) }
+          rr.feed(q, sentinel(10)); lr.feed(q, sentinel(10))
+          rr.feed(q, sentinel(20)); lr.feed(q, sentinel(20))
+        } finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      store.read("joined")
+        .orderBy(col("user_id"), col("l_event_id"), col("r_event_id"))
     })
   )
 
@@ -7193,7 +7258,18 @@ object SparkEntry {
          |SELECT source, epoch, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(tok) AS BIGINT) AS sum_tokens
          |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    }
+    },
+
+    // Batch FULL JOIN twin of the watermark-flushed streaming replay.
+    "q177_stream_full_outer_join" ->
+      """SELECT l.event_id AS l_event_id, r.event_id AS r_event_id,
+        |  COALESCE(l.user_id, r.user_id) AS user_id,
+        |  r.event_type AS r_event_type
+        |FROM (SELECT * FROM events WHERE event_id % 10 = 0) l
+        |FULL JOIN (SELECT * FROM events WHERE event_id % 30 = 5) r
+        |  ON l.user_id = r.user_id
+        |  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+        |ORDER BY user_id, l_event_id, r_event_id""".stripMargin
   )
 
   /** DuckDB replay of [[graft.ext.Perceptron.train]] + the q173 confusion

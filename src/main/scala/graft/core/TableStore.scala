@@ -1149,12 +1149,15 @@ class TableStore(spark: SparkSession, val warehouse: String) {
   private[graft] def bloomMayContain(table: String, fe: FileEntry, column: String,
       keyVals: Seq[Any]): Boolean = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    // footers carry the PINNED physical name — probe under it, or the
+    // bloom of a renamed column would silently stop refining
+    val physColumn = columnMapOf(table).getOrElse(column, column)
     val p = new Path(tableDir(table), fe.path)
     val in = HadoopInputFile.fromPath(p, spark.sparkContext.hadoopConfiguration)
     val reader = ParquetFileReader.open(in)
     try {
       reader.getFooter.getBlocks.asScala.exists { b =>
-        b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+        b.getColumns.asScala.find(_.getPath.toDotString == physColumn) match {
           case None => true
           case Some(c) =>
             val bf = reader.getBloomFilterDataReader(b).readBloomFilter(c)
