@@ -4420,6 +4420,31 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       store.read("joined")
         .orderBy(col("user_id"), col("l_event_id"), col("r_event_id"))
+    }),
+
+    // Incremental ANALYZE (q178) — O(delta) stats refresh: after an
+    // append, only the NEW files are read and merged into the stored
+    // statistics. Null/row counts add exactly; NDV merges EXACTLY (the
+    // bottom-k of two KMV register sets is the bottom-k of the union, so
+    // the estimate is bit-equal to a full recompute — the oracle just
+    // computes the full-table KMV); maxFreq merges to the safe upper
+    // bound base+delta, which the oracle replays by summing the two
+    // parts' maxima.
+    "q178_incremental_analyze" -> ((s, dir) => {
+      import s.implicits._
+      val store = tmpStore(s)
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 10 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")).as("lang_nullable"))
+      store.commit("d", docs.filter(col("doc_id") % 3 === 0), "create")
+      store.analyzeTable("d")
+      store.append("d", docs.filter(col("doc_id") % 3 =!= 0))
+      store.analyzeIncremental("d")
+      val (_, rc, cols) = store.columnStats("d").get
+      cols.sortBy(_._1).toDF("col_name", "n_nulls", "ndv", "max_freq")
+        .withColumn("n_rows", lit(rc))
+        .orderBy(col("col_name"))
     })
   )
 
@@ -7269,7 +7294,56 @@ object SparkEntry {
         |FULL JOIN (SELECT * FROM events WHERE event_id % 30 = 5) r
         |  ON l.user_id = r.user_id
         |  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
-        |ORDER BY user_id, l_event_id, r_event_id""".stripMargin
+        |ORDER BY user_id, l_event_id, r_event_id""".stripMargin,
+
+    // Merged stats replay: nulls/rows exact over the union, NDV = the
+    // full-table KMV (register merge is exact), max_freq = the sum of the
+    // base (doc_id%3=0) and delta (doc_id%3<>0) parts' maxima.
+    "q178_incremental_analyze" ->
+      """WITH base AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang_nullable
+        |  FROM documents),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS rc FROM base),
+        |dh AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        |  FROM base),
+        |dhk AS (SELECT MAX(h) AS hk FROM (
+        |    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM dh)
+        |  WHERE rn <= 256),
+        |stats AS (
+        |  SELECT 'doc_id' AS col_name, 0 AS n_nulls,
+        |    CASE WHEN (SELECT COUNT(*) FROM dh) < 256
+        |         THEN (SELECT COUNT(*) FROM dh)
+        |         ELSE (255 * 281474976710656)
+        |              // greatest((SELECT hk FROM dhk), 1) END AS ndv,
+        |    COALESCE((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM base
+        |       WHERE doc_id % 3 = 0 GROUP BY doc_id)), 0)
+        |    + COALESCE((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM base
+        |       WHERE doc_id % 3 <> 0 GROUP BY doc_id)), 0) AS max_freq
+        |  UNION ALL
+        |  SELECT 'lang_nullable',
+        |    SUM(CASE WHEN lang_nullable IS NULL THEN 1 ELSE 0 END),
+        |    COUNT(DISTINCT lang_nullable),
+        |    COALESCE((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM base
+        |       WHERE doc_id % 3 = 0 AND lang_nullable IS NOT NULL
+        |       GROUP BY lang_nullable)), 0)
+        |    + COALESCE((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM base
+        |       WHERE doc_id % 3 <> 0 AND lang_nullable IS NOT NULL
+        |       GROUP BY lang_nullable)), 0)
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'source', 0, COUNT(DISTINCT source),
+        |    COALESCE((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM base
+        |       WHERE doc_id % 3 = 0 AND source IS NOT NULL
+        |       GROUP BY source)), 0)
+        |    + COALESCE((SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM base
+        |       WHERE doc_id % 3 <> 0 AND source IS NOT NULL
+        |       GROUP BY source)), 0)
+        |  FROM base)
+        |SELECT col_name, CAST(n_nulls AS BIGINT) AS n_nulls,
+        |  CAST(ndv AS BIGINT) AS ndv, CAST(max_freq AS BIGINT) AS max_freq,
+        |  (SELECT rc FROM n) AS n_rows
+        |FROM stats ORDER BY col_name""".stripMargin
   )
 
   /** DuckDB replay of [[graft.ext.Perceptron.train]] + the q173 confusion

@@ -23,6 +23,7 @@ object GraftProcedures {
       case "expire_snapshots" => Some(expireSnapshots(store))
       case "rollback_to_version" => Some(rollbackToVersion(store))
       case "analyze_table" => Some(analyzeTable(store))
+      case "analyze_incremental" => Some(analyzeIncremental(store))
       case "refresh_index" => Some(refreshIndex(store))
       case "remove_orphan_files" => Some(removeOrphanFiles(store))
       case "rewrite_sorted" => Some(rewriteSorted(store))
@@ -50,7 +51,8 @@ object GraftProcedures {
       "rewrite_zorder", "publish_staged", "set_partition_spec",
       "add_files", "add_check_constraint", "drop_check_constraint",
       "set_write_order", "create_branch", "fast_forward", "drop_branch",
-      "create_view", "drop_view", "sync_views", "clone_table")
+      "create_view", "drop_view", "sync_views", "clone_table",
+      "analyze_table", "analyze_incremental")
 
   private def result(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
     java.util.Collections.singletonList[Scan](new LocalScan {
@@ -214,6 +216,34 @@ object GraftProcedures {
         val table = input.getUTF8String(0).toString
         val s = store
         val v = s.analyzeTable(table)
+        val n = s.columnStats(table).map(_._3.size).getOrElse(0)
+        result(
+          StructType(Seq(StructField("analyzed_version", LongType),
+            StructField("n_columns", LongType))),
+          new GenericInternalRow(Array[Any](v, n.toLong)))
+      }
+    }
+  }
+
+  /** `CALL g.system.analyze_incremental(table => 't')` — O(delta) stats
+    * refresh: merges the appended files' null counts, KMV registers and
+    * maxFreq bound into the stored statistics instead of rescanning the
+    * table; falls back to a full ANALYZE when the history was rewritten
+    * (see [[TableStore.analyzeIncremental]]). */
+  private def analyzeIncremental(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "analyze_incremental"
+    override def description(): String =
+      "merge appended files' statistics into t$stats without a full rescan"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "analyze_incremental"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("table", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val table = input.getUTF8String(0).toString
+        val s = store
+        val v = s.analyzeIncremental(table)
         val n = s.columnStats(table).map(_._3.size).getOrElse(0)
         result(
           StructType(Seq(StructField("analyzed_version", LongType),

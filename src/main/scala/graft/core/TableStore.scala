@@ -2171,30 +2171,164 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       count(one).as("__rows")
     val nr = df.agg(nullAggs.head, nullAggs.tail: _*).head()
     val rowCount = nr.getLong(cols.size)
-    val stats: Seq[(String, Long, Long, Long)] = cols.zipWithIndex.map { case (c, i) =>
-      val nulls = nr.getLong(i)
-      val (ndv, maxFreq) =
-        if (nulls == rowCount) (0L, 0L)
-        else {
-          val nd = graft.ext.Sketches.kmvDistinct(
-            df.filter(col(c).isNotNull).select(one.as("__g"), col(c)),
-            Seq("__g"), c, k = 256)
-            .collect().headOption.map(_.getLong(1)).getOrElse(0L)
-          val mf = df.filter(col(c).isNotNull).groupBy(col(c)).count()
-            .agg(functions.max(col("count"))).head().getLong(0)
-          (nd, mf)
-        }
-      (c, nulls, ndv, maxFreq)
-    }
-    val json = stats.map { case (c, nulls, ndv, maxFreq) =>
-      s"""${jstr(c)}:{"nulls":$nulls,"ndv":$ndv,"maxFreq":$maxFreq}"""
+    val stats: Seq[(String, Long, Long, Long, Seq[Long])] =
+      cols.zipWithIndex.map { case (c, i) =>
+        val nulls = nr.getLong(i)
+        val (ndv, maxFreq, regs) =
+          if (nulls == rowCount) (0L, 0L, Seq.empty[Long])
+          else {
+            // bottom-k KMV REGISTERS (distinct 48-bit md5-prefix hashes)
+            // — persisted so a later incremental ANALYZE can merge a
+            // delta's registers instead of rescanning history; the
+            // estimate formula is kmvDistinct's exactly
+            val rg = kmvRegisters(df.filter(col(c).isNotNull), c)
+            val mf = df.filter(col(c).isNotNull).groupBy(col(c)).count()
+              .agg(functions.max(col("count"))).head().getLong(0)
+            (kmvEstimate(rg), mf, rg)
+          }
+        (c, nulls, ndv, maxFreq, regs)
+      }
+    writeStats(table, m.version, rowCount, stats)
+    m.version
+  }
+
+  private val KmvK = 256
+
+  /** The ≤k smallest distinct 48-bit md5-prefix hashes of `c` — the
+    * mergeable KMV register set ([[graft.ext.Sketches.kmvDistinct]]'s
+    * hash exactly). */
+  private def kmvRegisters(df: DataFrame, c: String): Seq[Long] =
+    df.select(functions.conv(functions.substring(
+          functions.md5(col(c).cast("string")), 1, 12), 16, 10)
+        .cast("long").as("__h"))
+      .distinct().orderBy(col("__h")).limit(KmvK)
+      .collect().map(_.getLong(0)).toSeq
+
+  /** kmvDistinct's estimator over a register set: exact count below k,
+    * `(k-1)·2^48 div kthMin` at k. */
+  private def kmvEstimate(regs: Seq[Long]): Long =
+    if (regs.size < KmvK) regs.size.toLong
+    else (KmvK - 1).toLong * (1L << 48) / math.max(regs.max, 1L)
+
+  private def writeStats(table: String, version: Long, rowCount: Long,
+      stats: Seq[(String, Long, Long, Long, Seq[Long])]): Unit = {
+    val json = stats.map { case (c, nulls, ndv, maxFreq, regs) =>
+      val kmv = if (regs.isEmpty) ""
+        else regs.mkString(""","kmv":[""", ",", "]")
+      s"""${jstr(c)}:{"nulls":$nulls,"ndv":$ndv,"maxFreq":$maxFreq$kmv}"""
     }.mkString(
-      s"""{"version":${m.version},"timestampMs":${System.currentTimeMillis()},""" +
+      s"""{"version":$version,"timestampMs":${System.currentTimeMillis()},""" +
         s""""rowCount":$rowCount,"columns":{""", ",", "}}")
     val dir = new Path(tableDir(table), "_stats")
     fs(dir).mkdirs(dir)
-    atomicWrite(new Path(dir, s"${m.version}.json"), json)
-    m.version
+    atomicWrite(new Path(dir, s"$version.json"), json)
+  }
+
+  /** Incremental ANALYZE — O(delta) stats refresh after appends: reads
+    * ONLY the files added since the last analyzed snapshot and MERGES
+    * into the stored statistics. Sound merges per statistic: null counts
+    * and row counts add exactly; NDV merges exactly because KMV
+    * registers do — the bottom-k of (bottom-k(old) ∪ bottom-k(delta))
+    * IS the bottom-k of the union (any hash among the k smallest overall
+    * is among the k smallest of its side), so the estimate equals a full
+    * recompute's bit-for-bit; maxFreq merges to the SAFE upper bound
+    * old+delta (a value's true frequency is ≤ the sum of its per-part
+    * maxima — overestimating frequency can only make the planner more
+    * conservative, never a wrong broadcast). Falls back to a full
+    * [[analyzeTable]] whenever exactness is not provable: no prior
+    * stats, prior stats without registers or for a different column
+    * set, the analyzed snapshot's manifest expired, any base file
+    * REMOVED since (rewrite/compaction/CoW), or a changed merge-on-read
+    * delete overlay (masked rows shift every count). */
+  def analyzeIncremental(table: String, columns: Seq[String] = Seq.empty): Long = {
+    require(exists(table), s"analyzeIncremental: table $table does not exist")
+    val m = manifests(table).maxBy(_.version)
+    val prior = readStatsRaw(table)
+    val baseM = prior.flatMap(p => manifests(table).find(_.version == p._1))
+    (prior, baseM) match {
+      case (Some((pv, pRows, pCols)), Some(bm)) if pv <= m.version =>
+        val basePaths = bm.files.map(_.path).toSet
+        val curPaths = m.files.map(_.path).toSet
+        val requested = if (columns.isEmpty)
+          org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.toSeq
+          else columns
+        val mergeable =
+          basePaths.subsetOf(curPaths) &&
+          m.deleteFiles.map(d => (d.path, d.seq)).toSet ==
+            bm.deleteFiles.map(d => (d.path, d.seq)).toSet &&
+          requested.forall(c => pCols.contains(c)) &&
+          // all-null columns stored no registers; they merge fine (prior
+          // contributes nothing) — only a non-empty prior NDV without
+          // registers (a pre-register stats file) blocks merging
+          pCols.forall { case (_, (_, ndv, _, regs)) =>
+            regs.nonEmpty || ndv == 0L }
+        if (!mergeable) return analyzeTable(table, columns)
+        val delta = m.files.filterNot(f => basePaths.contains(f.path))
+        if (delta.isEmpty) {
+          writeStats(table, m.version, pRows,
+            requested.map { c =>
+              val (nulls, ndv, mf, regs) = pCols(c)
+              (c, nulls, ndv, mf, regs) })
+          return m.version
+        }
+        val ddf = readManifest(table,
+          m.copy(files = delta, deleteFiles = Seq.empty))
+        import org.apache.spark.sql.functions.{coalesce, count, sum, when}
+        val nullAggs = requested.map(c =>
+          coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), functions.lit(0L))
+            .as(s"__n_$c")) :+ count(functions.lit(1)).as("__rows")
+        val nr = ddf.agg(nullAggs.head, nullAggs.tail: _*).head()
+        val dRows = nr.getLong(requested.size)
+        val merged = requested.zipWithIndex.map { case (c, i) =>
+          val (pNulls, _, pMf, pRegs) = pCols(c)
+          val dNulls = nr.getLong(i)
+          val nonNull = ddf.filter(col(c).isNotNull)
+          val (dRegs, dMf) =
+            if (dNulls == dRows) (Seq.empty[Long], 0L)
+            else (kmvRegisters(nonNull, c),
+              nonNull.groupBy(col(c)).count()
+                .agg(functions.max(col("count"))).head().getLong(0))
+          val regs = (pRegs ++ dRegs).distinct.sorted.take(KmvK)
+          (c, pNulls + dNulls, kmvEstimate(regs), pMf + dMf, regs)
+        }
+        writeStats(table, m.version, pRows + dRows, merged)
+        m.version
+      case _ => analyzeTable(table, columns)
+    }
+  }
+
+  /** Raw stored stats incl. KMV registers:
+    * (version, rowCount, col -> (nulls, ndv, maxFreq, registers)). */
+  private def readStatsRaw(table: String)
+      : Option[(Long, Long, Map[String, (Long, Long, Long, Seq[Long])])] = {
+    val cur = currentVersion(table)
+    val dir = new Path(tableDir(table), "_stats")
+    val f = fs(dir)
+    if (!f.exists(dir)) return None
+    val versions = f.listStatus(dir)
+      .map(_.getPath.getName).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json")).flatMap(n => scala.util.Try(n.toLong).toOption)
+      .filter(_ <= cur)
+    if (versions.isEmpty) return None
+    val v = versions.max
+    val in = f.open(new Path(dir, s"$v.json"))
+    val txt = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val root = mapper.readTree(txt)
+    val out = scala.collection.mutable.Map.empty[String, (Long, Long, Long, Seq[Long])]
+    val it = root.get("columns").fields()
+    while (it.hasNext) {
+      val e = it.next()
+      val mf = Option(e.getValue.get("maxFreq")).map(_.asLong()).getOrElse(0L)
+      val regs = Option(e.getValue.get("kmv")).map { a =>
+        val b = ArrayBuffer.empty[Long]; a.forEach(x => b += x.asLong()); b.toSeq
+      }.getOrElse(Seq.empty)
+      out(e.getKey) = (e.getValue.get("nulls").asLong(),
+        e.getValue.get("ndv").asLong(), mf, regs)
+    }
+    Some((root.get("version").asLong(), root.get("rowCount").asLong(),
+      out.toMap))
   }
 
   /** The newest recorded stats at or below the current version, or None.

@@ -115,4 +115,58 @@ class AnalyzeSpec extends SparkSpec {
     assert(cols.forall { case (_, nulls, ndv, mf) =>
       nulls == 0L && ndv == 0L && mf == 0L })
   }
+
+  test("incremental ANALYZE after appends equals a full recompute's NDV") {
+    val store = newStore()
+    store.commit("t", df, "create")
+    store.analyzeTable("t")
+    // two append batches: new ids, overlapping grp values, extra nulls
+    store.append("t", (2000 until 2600).map { i =>
+      (i.toLong, s"g${i % 20}", if (i % 3 == 0) null else s"v${i % 55}")
+    }.toDF("id", "grp", "maybe"))
+    store.append("t", (2600 until 2800).map { i =>
+      (i.toLong, s"g${i % 20}", s"v${i % 55}")
+    }.toDF("id", "grp", "maybe"))
+    val v = store.analyzeIncremental("t")
+    assert(v == store.manifests("t").map(_.version).max)
+    val Some((_, rcInc, colsInc)) = store.columnStats("t")
+    // full recompute into a rival store for comparison
+    store.analyzeTable("t")
+    val Some((_, rcFull, colsFull)) = store.columnStats("t")
+    assert(rcInc == rcFull && rcInc == 2800L)
+    val incBy = colsInc.map(c => c._1 -> c).toMap
+    val fullBy = colsFull.map(c => c._1 -> c).toMap
+    for ((c, (_, nullsF, ndvF, mfF)) <- fullBy) {
+      val (_, nullsI, ndvI, mfI) = incBy(c)
+      assert(nullsI == nullsF, s"$c nulls")
+      // KMV registers merge exactly → identical estimate
+      assert(ndvI == ndvF, s"$c ndv: inc $ndvI vs full $ndvF")
+      // merged maxFreq is a safe UPPER bound on the exact one
+      assert(mfI >= mfF, s"$c maxFreq bound violated: $mfI < $mfF")
+    }
+  }
+
+  test("incremental ANALYZE falls back to full after a rewrite") {
+    val store = newStore()
+    store.commit("t", df.repartition(4), "create")
+    store.analyzeTable("t")
+    store.append("t", Seq((9999L, "gX", "vX")).toDF("id", "grp", "maybe"))
+    store.compact("t") // rewrites history: base files removed
+    val v = store.analyzeIncremental("t")
+    val Some((av, rc, cols)) = store.columnStats("t")
+    assert(av == v && rc == 2001L)
+    // full-recompute semantics: exact maxFreq, not a summed bound
+    store.analyzeTable("t")
+    val Some((_, _, colsFull)) = store.columnStats("t")
+    assert(cols.toSet == colsFull.toSet)
+  }
+
+  test("incremental ANALYZE with no delta just restamps the version") {
+    val store = newStore()
+    store.commit("t", df, "create")
+    store.analyzeTable("t")
+    val v = store.analyzeIncremental("t") // same snapshot: no delta
+    val Some((_, rc, _)) = store.columnStats("t")
+    assert(v == store.currentVersion("t") && rc == 2000L)
+  }
 }
