@@ -4445,6 +4445,33 @@ object SparkEntry {
       cols.sortBy(_._1).toDF("col_name", "n_nulls", "ndv", "max_freq")
         .withColumn("n_rows", lit(rc))
         .orderBy(col("col_name"))
+    }),
+
+    // Near-dup retention policy (q179) — collapse each near-dup cluster
+    // to its BEST member (longest doc, ties by id) instead of q65's
+    // min-id convention: the "keep the most complete copy" rule real
+    // curation pipelines apply. The argmax window partitions by
+    // component (cluster-sized, never corpus-sized); untouched documents
+    // pass through via one anti-join.
+    "q179_neardup_keep_best" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val comp = Dedup.nearDupComponents(docs, "doc_id", "text",
+        n = 3, threshold = 0.8)
+      val w = Window.partitionBy(col("component"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val winners = comp
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1).select(col("doc_id"))
+      val kept = docs
+        .join(comp.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .unionByName(docs.join(winners, Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("n_chars")))
+      kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars").cast("long")).as("kept_chars"))
+        .orderBy(col("source"))
     })
   )
 
@@ -7343,7 +7370,46 @@ object SparkEntry {
         |SELECT col_name, CAST(n_nulls AS BIGINT) AS n_nulls,
         |  CAST(ndv AS BIGINT) AS ndv, CAST(max_freq AS BIGINT) AS max_freq,
         |  (SELECT rc FROM n) AS n_rows
-        |FROM stats ORDER BY col_name""".stripMargin
+        |FROM stats ORDER BY col_name""".stripMargin,
+
+    // q65's component CTE, then one winner per component by
+    // (n_chars DESC, id); untouched docs pass through.
+    "q179_neardup_keep_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> array_to_string(t[i:i+2], ' ')))) AS s
+        |  FROM toks),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+        |          UNION SELECT id_b, id_a FROM prs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |win AS (SELECT id FROM (
+        |    SELECT c.id, row_number() OVER (PARTITION BY c.component
+        |      ORDER BY d.n_chars DESC, c.id) AS rk
+        |    FROM comp c JOIN documents d ON c.id = d.doc_id) t
+        |  WHERE rk = 1),
+        |kept AS (SELECT doc_id FROM documents
+        |    WHERE doc_id NOT IN (SELECT id FROM comp)
+        |  UNION ALL SELECT id FROM win)
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+        |FROM kept k JOIN documents d ON k.doc_id = d.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** DuckDB replay of [[graft.ext.Perceptron.train]] + the q173 confusion
