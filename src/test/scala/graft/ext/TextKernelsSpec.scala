@@ -64,9 +64,13 @@ class TextKernelsSpec extends SparkSpec {
   }
 
   test("dedup pipelines leave no persisted RDDs behind") {
+    // scoped to ids THESE pipelines create: other suites' checkpoint
+    // blocks are ContextCleaner-managed and may lawfully linger until GC
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val docs01 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     Dedup.jaccardPairs(docs01, "doc_id", "text", n = 3, threshold = 0.8).count()
     Dedup.minhashLshPairs(docs01, "doc_id", "text", portable = true).count()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.isEmpty, s"dedup left persisted RDDs: $leaked")
   }
 }
