@@ -24,6 +24,7 @@ object GraftProcedures {
       case "rollback_to_version" => Some(rollbackToVersion(store))
       case "analyze_table" => Some(analyzeTable(store))
       case "analyze_incremental" => Some(analyzeIncremental(store))
+      case "consistent_cut" => Some(consistentCut(store))
       case "refresh_index" => Some(refreshIndex(store))
       case "remove_orphan_files" => Some(removeOrphanFiles(store))
       case "rewrite_sorted" => Some(rewriteSorted(store))
@@ -52,12 +53,18 @@ object GraftProcedures {
       "add_files", "add_check_constraint", "drop_check_constraint",
       "set_write_order", "create_branch", "fast_forward", "drop_branch",
       "create_view", "drop_view", "sync_views", "clone_table",
-      "analyze_table", "analyze_incremental")
+      "analyze_table", "analyze_incremental", "consistent_cut")
 
   private def result(schema: StructType, row: InternalRow): java.util.Iterator[Scan] =
     java.util.Collections.singletonList[Scan](new LocalScan {
       override def readSchema(): StructType = schema
       override def rows(): Array[InternalRow] = Array(row)
+    }).iterator()
+
+  private def results(schema: StructType, rs: Seq[InternalRow]): java.util.Iterator[Scan] =
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = rs.toArray
     }).iterator()
 
   private def compact(store: => TableStore): UnboundProcedure = new UnboundProcedure {
@@ -249,6 +256,36 @@ object GraftProcedures {
           StructType(Seq(StructField("analyzed_version", LongType),
             StructField("n_columns", LongType))),
           new GenericInternalRow(Array[Any](v, n.toLong)))
+      }
+    }
+  }
+
+  /** `CALL g.system.consistent_cut(tables => 'fact,dim')` — the SQL face
+    * of [[TableStore.consistentVersions]]: one row per table with the
+    * pinned version of a snapshot-isolated cut (all-or-none of every
+    * transaction's ops); read the cut with `VERSION AS OF`. */
+  private def consistentCut(store: => TableStore): UnboundProcedure = new UnboundProcedure {
+    override def name(): String = "consistent_cut"
+    override def description(): String =
+      "pin a snapshot-isolated multi-table read cut (read via VERSION AS OF)"
+    override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+      override def name(): String = "consistent_cut"
+      override def description(): String = "graft maintenance procedure"
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("tables", StringType).build())
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val tables = input.getUTF8String(0).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val cut = store.consistentVersions(tables)
+        val schema = StructType(Seq(StructField("table_name", StringType),
+          StructField("version", LongType)))
+        val rows = cut.toSeq.sortBy(_._1).map { case (t, v) =>
+          new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(t), v))
+            : InternalRow
+        }
+        results(schema, rows)
       }
     }
   }

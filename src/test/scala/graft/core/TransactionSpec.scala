@@ -256,4 +256,20 @@ class TransactionSpec extends SparkSpec {
     val cut = store.consistentVersions(Seq("a", "b", "a"))
     assert(cut == Map("a" -> 2L, "b" -> 1L))
   }
+
+  test("CALL consistent_cut pins versions readable via VERSION AS OF") {
+    val store = newStore()
+    store.commit("a", dfA, "create")
+    store.commit("b", dfB, "create")
+    store.append("b", dfB)
+    val cat = s"gtxncut${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", store.warehouse)
+    val cut = spark.sql(s"CALL $cat.system.consistent_cut(tables => 'a,b')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cut == Map("a" -> 1L, "b" -> 2L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.b VERSION AS OF ${cut("b")}")
+      .head.getLong(0) == 10L)
+  }
 }
