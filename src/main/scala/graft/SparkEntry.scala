@@ -4472,6 +4472,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars").cast("long")).as("kept_chars"))
         .orderBy(col("source"))
+    }),
+
+    // Recursive CTE (q180) — Spark 4's WITH RECURSIVE (UnionLoop):
+    // iterative transitive descent of a synthesized reporting hierarchy
+    // (mgr = c_custkey div 10; roots are custkeys below 10), carrying
+    // each node's root and depth down the chain. Each recursion step is
+    // ONE distributed equi-join of the frontier against the base
+    // relation — the fixpoint lives in the plan (UnionLoop), not in a
+    // driver loop, and terminates in O(log10 |customer|) rounds because
+    // the synthetic hierarchy's depth is the custkey's digit count.
+    // DuckDB replays the identical fixpoint (integer division `//`).
+    "q180_recursive_cte" -> ((s, dir) => {
+      val view = s"q180_c_${System.nanoTime()}"
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .createOrReplaceTempView(view)
+      s.sql(
+        s"""WITH RECURSIVE chain (id, root, depth, bal) AS (
+           |  SELECT c_custkey, c_custkey, 0,
+           |         CAST(c_acctbal AS DECIMAL(18,2))
+           |  FROM $view WHERE c_custkey < 10
+           |  UNION ALL
+           |  SELECT e.c_custkey, ch.root, ch.depth + 1,
+           |         CAST(e.c_acctbal AS DECIMAL(18,2))
+           |  FROM $view e JOIN chain ch ON e.c_custkey DIV 10 = ch.id
+           |  WHERE e.c_custkey >= 10
+           |)
+           |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           |  CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+           |  CAST(SUM(bal) AS DOUBLE) AS total_bal
+           |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
     })
   )
 
@@ -7409,7 +7440,23 @@ object SparkEntry {
         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
         |  CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
         |FROM kept k JOIN documents d ON k.doc_id = d.doc_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The identical recursive fixpoint, DuckDB dialect (`//` = DIV).
+    "q180_recursive_cte" ->
+      """WITH RECURSIVE chain (id, root, depth, bal) AS (
+        |  SELECT c_custkey, c_custkey, 0, CAST(c_acctbal AS DECIMAL(18,2))
+        |  FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT e.c_custkey, ch.root, ch.depth + 1,
+        |         CAST(e.c_acctbal AS DECIMAL(18,2))
+        |  FROM customer e JOIN chain ch ON e.c_custkey // 10 = ch.id
+        |  WHERE e.c_custkey >= 10
+        |)
+        |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+        |  CAST(SUM(bal) AS DOUBLE) AS total_bal
+        |FROM chain GROUP BY depth ORDER BY depth""".stripMargin
   )
 
   /** DuckDB replay of [[graft.ext.Perceptron.train]] + the q173 confusion
