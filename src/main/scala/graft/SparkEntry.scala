@@ -4503,6 +4503,43 @@ object SparkEntry {
            |  CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
            |  CAST(SUM(bal) AS DOUBLE) AS total_bal
            |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
+    }),
+
+    // Type widening (q181) — ALTER COLUMN TYPE without data rewrite
+    // (Iceberg type promotion / Delta type widening): files written
+    // before the change keep int32/decimal(9,2) footers, files after
+    // carry int64/decimal(18,2), and ONE scan serves both (Spark 4's
+    // parquet readers widen in the vectorized path). Values past the
+    // old type's range land only post-widen; the `metadata_only` flag
+    // asserts the pre-widen files were never rewritten. Stats-based
+    // file skipping stays live because every allowed promotion keeps
+    // its stat kind (TypeWideningSpec gates the algebra + guards).
+    "q181_type_widening" -> ((s, dir) => {
+      val (wh, cat) = stagingWarehouse(s, "q181", dir)
+      val store = new TableStore(s, wh)
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").cast("int").as("okey"),
+          col("o_totalprice").cast(DecimalType(9, 2)).as("price"),
+          col("o_orderpriority").as("priority"))
+      store.commit("t", ord.filter(col("okey") % 3 === 0), "create")
+      s.sql(s"ALTER TABLE $cat.ns.t ALTER COLUMN okey TYPE BIGINT")
+      store.widenColumnType("t", "price", DecimalType(18, 2))
+      store.append("t", ord.filter(col("okey") % 3 === 1)
+        .select((col("okey").cast("long") + lit(5000000000L)).as("okey"),
+          col("price").cast(DecimalType(18, 2)), col("priority")))
+      val narrowStillNarrow = store.manifests("t").find(_.version == 1L)
+        .get.files.forall { fe =>
+          s.read.parquet(new java.io.File(wh, s"t/${fe.path}").toString)
+            .schema("okey").dataType ==
+            org.apache.spark.sql.types.IntegerType
+        }
+      s.sql(
+        s"""SELECT priority, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(okey) AS BIGINT) AS key_sum,
+           |  CAST(sum(price) AS DOUBLE) AS total
+           |FROM $cat.ns.t GROUP BY priority""".stripMargin)
+        .withColumn("metadata_only", lit(narrowStillNarrow))
+        .orderBy(col("priority"))
     })
   )
 
@@ -7456,7 +7493,26 @@ object SparkEntry {
         |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
         |  CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
         |  CAST(SUM(bal) AS DOUBLE) AS total_bal
-        |FROM chain GROUP BY depth ORDER BY depth""".stripMargin
+        |FROM chain GROUP BY depth ORDER BY depth""".stripMargin,
+
+    // Pre-widen rows as written plus post-widen rows offset past the
+    // int range, aggregated under the widened types.
+    "q181_type_widening" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS okey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 5000000000,
+        |    CAST(o_totalprice AS DECIMAL(18,2)),
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 3 = 1)
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(okey) AS BIGINT) AS key_sum,
+        |  CAST(sum(price) AS DOUBLE) AS total,
+        |  true AS metadata_only
+        |FROM t GROUP BY priority ORDER BY priority""".stripMargin
   )
 
   /** DuckDB replay of [[graft.ext.Perceptron.train]] + the q173 confusion

@@ -199,6 +199,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       case _ => throw new UnsupportedOperationException(
         "RENAME COLUMN must be the only change in an ALTER TABLE")
     }
+    changes.collect { case u: TableChange.UpdateColumnType => u } match {
+      case Seq(u) if changes.length == 1 =>
+        require(u.fieldNames.length == 1,
+          "nested ALTER COLUMN TYPE is not supported")
+        store.widenColumnType(ident.name, u.fieldNames.head, u.newDataType)
+        return loadTable(ident)
+      case Seq() => // fall through to ADD/DROP handling
+      case _ => throw new UnsupportedOperationException(
+        "ALTER COLUMN TYPE must be the only change in an ALTER TABLE")
+    }
     val ms = store.manifests(ident.name)
     if (ms.isEmpty) throw new NoSuchTableException(ident)
     val current = ms.maxBy(_.version)

@@ -697,6 +697,69 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     v
   }
 
+  /** ALTER TABLE … ALTER COLUMN TYPE without rewriting a byte of data —
+    * Iceberg's type-promotion rules (int→long, float→double,
+    * decimal(P,S)→decimal(P',S) with P'≥P, plus the byte/short integral
+    * ladder). Old files keep their narrower physical type; Spark 4's
+    * parquet readers widen at scan time (vectorized — the same promotion
+    * matrix Delta's type widening rides on), and files written after the
+    * change carry the wide type natively.
+    *
+    * The promotion set is chosen so FILE-SKIPPING STATS stay sound with
+    * zero re-keying: ColStats compare in a kind domain ("long", "double",
+    * "dec<scale>") and every allowed promotion stays inside its kind —
+    * int and long stats are both kind "long", float and double both
+    * "double", and a precision-only decimal change keeps "dec<scale>".
+    * A cross-kind promotion (int→double, long→decimal) would let a
+    * narrow-typed stat mis-compare against a wide literal, so
+    * [[safePromotion]] simply never admits one.
+    *
+    * V1 restrictions (rejected loudly): partition / transform-source
+    * columns (identity partition values and temporal/truncate transform
+    * values are rendered from the column's type — and a float→double
+    * bucket source would re-hash the same logical value into a different
+    * bucket), and any widening while merge-on-read delete files are live
+    * (delete files pin their key TYPE as written; `CALL compact` first —
+    * the renameColumn rule). */
+  def widenColumnType(table: String, column: String,
+      newType: org.apache.spark.sql.types.DataType): Long = {
+    val m = manifests(table).maxBy(_.version)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(m.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val field = schema.fields.find(_.name == column).getOrElse(
+      throw new IllegalArgumentException(
+        s"widenColumnType: no column $column in $table"))
+    require(safePromotion(field.dataType, newType),
+      s"widenColumnType: ${field.dataType.simpleString} -> " +
+        s"${newType.simpleString} is not a safe widening promotion " +
+        "(allowed: byte/short/int->long, float->double, " +
+        "decimal precision increase at the same scale)")
+    require(m.deleteFiles.isEmpty,
+      s"widenColumnType: $table carries merge-on-read delete files; " +
+        "compact it first")
+    val transformSources = m.partitionBy.map {
+      case TableStore.BucketRe(_, c) => c
+      case TableStore.DaysRe(c) => c
+      case TableStore.MonthsRe(c) => c
+      case TableStore.HoursRe(c) => c
+      case TableStore.YearsRe(c) => c
+      case TableStore.TruncRe(_, c) => c
+      case c => c
+    }
+    require(!transformSources.contains(column),
+      s"widenColumnType: $column is a partition/transform source column")
+    val newSchema = org.apache.spark.sql.types.StructType(schema.fields.map(
+      f => if (f.name == column) f.copy(dataType = newType) else f))
+    val v = m.version + 1
+    writeManifest(table, m.copy(version = v,
+      timestampMs = System.currentTimeMillis(),
+      operation = s"widen_column $column " +
+        s"${field.dataType.simpleString}->${newType.simpleString}",
+      schemaJson = newSchema.json))
+    swapPointer(table, v)
+    v
+  }
+
   /** ALTER TABLE … RENAME COLUMN without rewriting a byte of data —
     * Delta's column mapping (mode=name) / Iceberg's field-id rename,
     * realized by PINNING each field's PHYSICAL parquet name at first
