@@ -4540,6 +4540,41 @@ object SparkEntry {
            |FROM $cat.ns.t GROUP BY priority""".stripMargin)
         .withColumn("metadata_only", lit(narrowStillNarrow))
         .orderBy(col("priority"))
+    }),
+
+    // Column DEFAULT values (q182) — `ADD COLUMN … DEFAULT` is
+    // METADATA-ONLY (Delta/Iceberg-v3 default-value semantics): files
+    // written before the column existed are never rewritten; scans fill
+    // the pinned EXISTS_DEFAULT ('legacy') for their rows, while INSERTs
+    // that omit the column materialize CURRENT_DEFAULT — moved to
+    // 'online' by SET DEFAULT before the insert, proving the two halves
+    // are independent. The `metadata_only` flag asserts the pre-column
+    // files still physically lack the column. DefaultColumnsSpec gates
+    // the full lifecycle (DROP DEFAULT, filters, typed literals).
+    "q182_default_columns" -> ((s, dir) => {
+      val (wh, cat) = stagingWarehouse(s, "q182", dir)
+      val store = new TableStore(s, wh)
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+          col("o_orderpriority").as("priority"))
+      store.commit("t", ord.filter(col("okey") % 3 === 0), "create")
+      s.sql(s"ALTER TABLE $cat.ns.t ADD COLUMN chan STRING DEFAULT 'legacy'")
+      s.sql(s"ALTER TABLE $cat.ns.t ALTER COLUMN chan SET DEFAULT 'online'")
+      ord.filter(col("okey") % 3 === 1).createOrReplaceTempView("q182_src")
+      s.sql(s"INSERT INTO $cat.ns.t (okey, price, priority) " +
+        "SELECT * FROM q182_src")
+      val metadataOnly = store.manifests("t").find(_.version == 1L)
+        .get.files.forall { fe =>
+          !s.read.parquet(new java.io.File(wh, s"t/${fe.path}").toString)
+            .columns.contains("chan")
+        }
+      s.sql(
+        s"""SELECT chan, priority, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(price) AS DOUBLE) AS total
+           |FROM $cat.ns.t GROUP BY chan, priority""".stripMargin)
+        .withColumn("metadata_only", lit(metadataOnly))
+        .orderBy(col("chan"), col("priority"))
     })
   )
 
@@ -7512,7 +7547,23 @@ object SparkEntry {
         |  CAST(sum(okey) AS BIGINT) AS key_sum,
         |  CAST(sum(price) AS DOUBLE) AS total,
         |  true AS metadata_only
-        |FROM t GROUP BY priority ORDER BY priority""".stripMargin
+        |FROM t GROUP BY priority ORDER BY priority""".stripMargin,
+
+    // Pre-column rows carry the pinned EXISTS_DEFAULT 'legacy'; rows
+    // inserted after SET DEFAULT carry the moved CURRENT_DEFAULT 'online'.
+    "q182_default_columns" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS okey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderpriority AS priority, 'legacy' AS chan
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)),
+        |    o_orderpriority, 'online'
+        |  FROM orders WHERE o_orderkey % 3 = 1)
+        |SELECT chan, priority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price) AS DOUBLE) AS total, true AS metadata_only
+        |FROM t GROUP BY chan, priority ORDER BY chan, priority""".stripMargin
   )
 
   /** DuckDB replay of [[graft.ext.Perceptron.train]] + the q173 confusion

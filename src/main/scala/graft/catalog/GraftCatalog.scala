@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, Metadata, MetadataBuilder, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource-v2 `TableCatalog` over [[TableStore]] — the SQL face of the
@@ -56,6 +56,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   }
 
   override def name(): String = catalogName
+
+  /** Column DEFAULTs are supported (Delta/Iceberg-v3 style): CURRENT_DEFAULT
+    * feeds INSERTs that omit the column, EXISTS_DEFAULT is served for rows
+    * in files written BEFORE the column existed — filled by Spark's parquet
+    * readers from the read schema's metadata, so an ADD COLUMN … DEFAULT is
+    * metadata-only (no backfill rewrite). */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  /** SQL text of a connector literal — the EXISTS_DEFAULT form (always a
+    * folded literal, per the ColumnDefaultValue contract). */
+  private def literalSql(
+      l: org.apache.spark.sql.connector.expressions.Literal[_]): String =
+    org.apache.spark.sql.catalyst.expressions.Literal(l.value, l.dataType).sql
 
   /** The configured warehouse root — the view-DDL extension rule
     * ([[org.apache.spark.sql.graft.GraftViewDdlRule]]) stores views
@@ -235,7 +249,41 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
             _._2.equalsIgnoreCase(add.fieldNames.head)),
           s"column ${add.fieldNames.head} is the pinned physical name of " +
             "a renamed column; pick a different name")
-        schema = schema.add(add.fieldNames.head, add.dataType, add.isNullable)
+        // ADD COLUMN … DEFAULT v: metadata-only backfill. EXISTS_DEFAULT
+        // (the folded literal) is what scans substitute for the column in
+        // every file written before this commit; CURRENT_DEFAULT feeds
+        // future INSERTs that omit the column, and is the only half a
+        // later SET DEFAULT may change.
+        val meta = Option(add.defaultValue()) match {
+          case Some(dv) =>
+            val existsSql = literalSql(dv.getValue)
+            new MetadataBuilder()
+              .putString("CURRENT_DEFAULT",
+                Option(dv.getSql).filter(_.nonEmpty).getOrElse(existsSql))
+              .putString("EXISTS_DEFAULT", existsSql)
+              .build()
+          case None => Metadata.empty
+        }
+        schema = schema.add(StructField(add.fieldNames.head, add.dataType,
+          add.isNullable, meta))
+      case upd: TableChange.UpdateColumnDefaultValue =>
+        require(upd.fieldNames.length == 1,
+          "nested ALTER COLUMN DEFAULT is not supported")
+        val i = schema.fieldIndex(upd.fieldNames.head)
+        val f = schema.fields(i)
+        // SET DEFAULT only moves CURRENT_DEFAULT (future inserts);
+        // EXISTS_DEFAULT stays pinned to the value declared when the
+        // column was added — the SQL-standard split Delta implements.
+        // DROP DEFAULT arrives as an empty/null new default.
+        val newSql = Option(upd.newCurrentDefault()).map(_.getSql)
+          .filter(s => s != null && s.nonEmpty)
+        val mb = new MetadataBuilder().withMetadata(f.metadata)
+        val newMeta = newSql match {
+          case Some(sql) => mb.putString("CURRENT_DEFAULT", sql).build()
+          case None => mb.remove("CURRENT_DEFAULT").build()
+        }
+        schema = StructType(schema.fields.updated(i,
+          f.copy(metadata = newMeta)))
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1,
           "nested DROP COLUMN is not supported")
