@@ -4575,6 +4575,91 @@ object SparkEntry {
            |FROM $cat.ns.t GROUP BY chan, priority""".stripMargin)
         .withColumn("metadata_only", lit(metadataOnly))
         .orderBy(col("chan"), col("priority"))
+    }),
+
+    // Atomic REPLACE TABLE AS SELECT (q183) — StagingTableCatalog RTAS
+    // (Iceberg's atomic replace): the CTAS and its replacement each land
+    // as ONE manifest swap, the replace resets schema/spec/identity, and
+    // prior versions stay time-travelable — the result reads BOTH epochs
+    // (the replaced aggregate + a VERSION AS OF 1 rollup of the original
+    // rows) to prove the swap kept history. ReplaceTableSpec gates the
+    // lifecycle (abort-on-failure, partitioned RTAS, mapping reset).
+    "q183_replace_table" -> ((s, dir) => {
+      val (wh, cat) = stagingWarehouse(s, "q183", dir)
+      Tables.load(s, dir, "orders").createOrReplaceTempView("q183_orders")
+      s.sql(s"CREATE TABLE $cat.ns.t USING graft AS " +
+        "SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price " +
+        "FROM q183_orders")
+      s.sql(s"REPLACE TABLE $cat.ns.t USING graft AS " +
+        "SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) " +
+        "AS total FROM q183_orders GROUP BY o_orderpriority")
+      val opsOk = new TableStore(s, wh).manifests("t")
+        .map(_.operation) == Seq("create", "replace")
+      val v1 = s.sql(s"SELECT CAST(count(*) AS BIGINT) AS n_v1, " +
+        s"CAST(sum(price) AS DOUBLE) AS total_v1 FROM $cat.ns.t VERSION AS OF 1")
+      s.table(s"$cat.ns.t")
+        .select(col("priority"), col("n"),
+          col("total").cast("double").as("total"))
+        .crossJoin(v1)
+        .withColumn("atomic_ops", lit(opsOk))
+        .orderBy(col("priority"))
+    }),
+
+    // transformWithState (q184) — Spark 4's State API v2 over the RocksDB
+    // state store: per user a ValueState (running count + exact cents)
+    // AND a MapState (per-event-type counts) survive micro-batch
+    // boundaries; each batch emits an updated snapshot per key seen
+    // (Update mode). The deterministic 1/7 event slice replays in three
+    // event-time batches; the final snapshot per user (max-n — n is
+    // strictly monotone) must equal the batch aggregate, per user and
+    // per top event type. StatefulOpsSpec gates the operator.
+    "q184_transform_with_state" -> ((s, dir) => {
+      import s.implicits._
+      val store = tmpStore(s)
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") % 7 === 0)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      val replay = new FileReplay(s, ev.schema)
+      val profiles = graft.streaming.StatefulOps.runningProfiles(
+        replay.source.as[graft.streaming.Event])
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = profiles.toDF().writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty) {
+              if (!store.exists("prof")) store.commit("prof", b, "create")
+              else store.append("prof", b)
+            }
+            ()
+          }
+          .start()
+        try timeSlices(ev, "ts", 3).foreach(replay.feed(q, _))
+        finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        prevProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+      store.read("prof")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n"), col("cents"), col("top_type"),
+          col("top_n"))).as("s"))
+        .select(col("user_id"), col("s.n").as("n"),
+          (col("s.cents").cast(DecimalType(18, 0)) / 100)
+            .cast("double").as("total_value"),
+          col("s.top_type").as("top_type"), col("s.top_n").as("top_n"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -7563,7 +7648,44 @@ object SparkEntry {
         |  FROM orders WHERE o_orderkey % 3 = 1)
         |SELECT chan, priority, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(price) AS DOUBLE) AS total, true AS metadata_only
-        |FROM t GROUP BY chan, priority ORDER BY chan, priority""".stripMargin
+        |FROM t GROUP BY chan, priority ORDER BY chan, priority""".stripMargin,
+
+    // The replaced table's aggregate plus the pre-replace epoch's rollup
+    // (graft reads it via VERSION AS OF 1; the sources never changed).
+    "q183_replace_table" ->
+      """WITH v2 AS (
+        |  SELECT o_orderpriority AS priority, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1),
+        |v1 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_v1,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_v1
+        |  FROM orders)
+        |SELECT priority, n, total, n_v1, total_v1, true AS atomic_ops
+        |FROM v2 CROSS JOIN v1 ORDER BY priority""".stripMargin,
+
+    // Batch restatement of the per-user stateful profiles: running counts
+    // and exact-cents sums fold to plain aggregates; the MapState argmax
+    // is count DESC, type name ASC.
+    "q184_transform_with_state" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE event_id % 7 = 0),
+        |tot AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS DOUBLE) AS total_value
+        |  FROM ev GROUP BY 1),
+        |bt AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2),
+        |top AS (
+        |  SELECT user_id, event_type AS top_type, c AS top_n,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY c DESC, event_type ASC) AS rn
+        |  FROM bt)
+        |SELECT t.user_id, t.n, t.total_value, p.top_type, p.top_n
+        |FROM tot t JOIN top p ON t.user_id = p.user_id AND p.rn = 1
+        |ORDER BY t.user_id""".stripMargin
   )
 
   /** DuckDB replay of [[graft.ext.Perceptron.train]] + the q173 confusion

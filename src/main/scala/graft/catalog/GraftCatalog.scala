@@ -31,8 +31,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ours. Writes go through the [[TableStore]] API (atomic commit protocol);
   * SQL DDL/DML against the catalog is intentionally read-only this round.
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog
-    with FunctionCatalog {
+class GraftCatalog extends TableCatalog with StagingTableCatalog
+    with ProcedureCatalog with FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -138,15 +138,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
   /** SQL `CREATE TABLE` / the create half of CTAS (the reference's CTAS —
     * src/data_curation/glue_jobs/athena_functions.py:60-97). The data half
     * of CTAS arrives as a follow-up DSv2 append. */
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    // Identity columns (the reference's partitioned DDL —
-    // utils/metadata/store_sales.json "partitions",
-    // create_iceberg_tpcds.py:27-33) plus Iceberg's hidden-partitioning
-    // transforms: days/months/hours/years(ts), truncate(w, s),
-    // bucket(n, k). Transform values are derived at write time and prune
-    // via TransformPruning / bucket planning — the user only ever
-    // references the source column.
+  /** Parse a DDL partition spec into the store's name-encoded form.
+    * Identity columns (the reference's partitioned DDL —
+    * utils/metadata/store_sales.json "partitions",
+    * create_iceberg_tpcds.py:27-33) plus Iceberg's hidden-partitioning
+    * transforms: days/months/hours/years(ts), truncate(w, s),
+    * bucket(n, k). Transform values are derived at write time and prune
+    * via TransformPruning / bucket planning — the user only ever
+    * references the source column. */
+  private def parseSpec(partitions: Array[Transform],
+      schema: StructType): Seq[String] = {
     def intLit(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
       e match {
         case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
@@ -193,9 +194,51 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog
       require(schema.fieldNames.contains(src),
         s"partition column $src is not in the table schema")
     }
+    partCols
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val partCols = parseSpec(partitions, schema)
     require(!store.exists(ident.name), s"table ${ident.name} already exists")
     store.createEmpty(ident.name, schema.json, partCols)
     loadTable(ident)
+  }
+
+  // ------------------------------------------------ atomic CTAS / RTAS
+  // StagingTableCatalog: `CREATE / REPLACE / CREATE OR REPLACE TABLE …
+  // AS SELECT` write into the table's staging dir first and land as ONE
+  // manifest swap when Spark calls commitStagedChanges() — a reader
+  // never sees an empty or half-written table, a failed query leaves
+  // the old snapshot untouched, and (unlike DROP + CTAS) every prior
+  // version stays in the manifest log for time travel across the
+  // replace. Iceberg's Spark catalog implements RTAS the same way.
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    if (store.exists(ident.name))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          Array(catalogName) ++ ident.namespace() :+ ident.name())
+    stagedTable(ident, info, "create")
+  }
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    if (!store.exists(ident.name))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Array(catalogName) ++ ident.namespace() :+ ident.name())
+    stagedTable(ident, info, "replace")
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: TableInfo): StagedTable =
+    stagedTable(ident, info,
+      if (store.exists(ident.name)) "replace" else "create")
+
+  private def stagedTable(ident: Identifier, info: TableInfo,
+      operation: String): StagedTable = {
+    val schema = info.schema()
+    new GraftStagedTable(SparkSession.active, catalogName, warehouse,
+      ident.name, schema, parseSpec(info.partitions(), schema), operation)
   }
 
   /** ALTER TABLE ADD/DROP/RENAME COLUMN as metadata-only schema commits

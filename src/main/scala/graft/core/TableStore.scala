@@ -913,6 +913,56 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     v
   }
 
+  /** Commit externally-staged parquet files as a FRESH snapshot — the
+    * atomic `CREATE / REPLACE TABLE [AS SELECT]` commit behind
+    * [[graft.catalog.GraftCatalog]]'s StagingTableCatalog face (Iceberg's
+    * atomic RTAS; reference CTAS surface at athena_functions.py:60-97):
+    * the staged files become the table's ENTIRE content, schema and
+    * partition spec are the new DDL's, and none of the prior snapshot's
+    * identity (column mapping, tombstones, delete files, constraints,
+    * write order) carries over — but prior versions stay in the manifest
+    * log, so time travel still reads across the replace boundary and a
+    * failed write leaves the old snapshot untouched (the pointer swap at
+    * the end IS the commit). */
+  def commitStagedFresh(table: String, staged: Seq[(Path, String)],
+      operation: String, schemaJson: String,
+      partitionBy: Seq[String] = Seq.empty): Long = {
+    val v = latestCommittedVersion(table) + 1
+    val dataDir = versionDir(table, v)
+    val f = fs(dataDir)
+    f.mkdirs(dataDir)
+    val kinds: Map[String, Option[String]] =
+      (try statKindsOf(org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      catch { case _: Throwable => Map.empty[String, Option[String]] }) ++
+      partitionBy.flatMap { (c: String) => c match {
+        case TableStore.DaysRe(_) | TableStore.MonthsRe(_) |
+             TableStore.HoursRe(_) | TableStore.YearsRe(_) |
+             TableStore.TruncRe(_, _) =>
+          Some(c -> Some("string"))
+        case TableStore.BucketRe(_, _) => Some(c -> Some("long"))
+        case _ => None
+      }}.toMap
+    val newEntries = harvestInParallel(staged) { case (p, rel) =>
+      val dest = new Path(dataDir, rel)
+      f.mkdirs(dest.getParent)
+      require(f.rename(p, dest), s"failed to move staged file $p")
+      val (rows, stats) = footerStats(dest)
+      val pvals = partitionValuesOf(rel)
+      val pstats = pvals.flatMap {
+        case (c, pv) if pv != "__HIVE_DEFAULT_PARTITION__" =>
+          kinds.get(c).flatten.map(k => c -> ColStats(pv, pv, k, 0L))
+        case _ => None
+      }
+      FileEntry(s"v=$v/$rel", f.getFileStatus(dest).getLen, rows,
+        stats ++ pstats, pvals)
+    }
+    writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
+      newEntries.map(_.rowCount).sum, newEntries, schemaJson, partitionBy))
+    swapPointer(table, v)
+    v
+  }
+
   /** Highest streaming-sink epoch already committed by `queryId` — the
     * exactly-once check a restarted stream's replayed epoch consults.
     * Scans live manifests only: expiring every snapshot of an epoch while

@@ -67,6 +67,31 @@ object StoreWrite {
       operation: String, kept: () => Seq[TableStore.FileEntry]): WriteBuilder =
     new GraftWriteBuilder(warehouse, table, info.schema(), operation, kept,
       info.queryId())
+
+  /** WriteBuilder for a STAGED `CREATE / REPLACE TABLE AS SELECT`
+    * (StagingTableCatalog): rows stage under the table's `_staging` dir
+    * exactly like any other SQL write, but `commit(messages)` only hands
+    * the staged file list to `sink` — the StagedTable's
+    * `commitStagedChanges()` later turns them into ONE atomic manifest
+    * swap ([[TableStore.commitStagedFresh]]), so a reader never sees a
+    * half-replaced table and an abort leaves the old snapshot intact.
+    * `partitionBy` is the NEW table's spec (the current manifest's spec —
+    * what ordinary writes cluster by — is the one being replaced), and
+    * the writer uses fresh logical field names (a replace resets any
+    * column mapping). */
+  def stagedBuilder(warehouse: String, table: String, info: LogicalWriteInfo,
+      partitionBy: Seq[String],
+      sink: Seq[(String, String)] => Unit): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // RTAS plans the write as truncate-then-append on the staged table;
+      // a staged table has no committed content to truncate, so it's the
+      // same fresh write either way
+      override def truncate(): WriteBuilder = this
+      override def build(): Write =
+        new GraftWrite(warehouse, table, info.schema(), "staged-ctas",
+          () => Seq.empty, info.queryId(), KeepKept,
+          explicitSpec = Some(partitionBy), stagedSink = Some(sink))
+    }
 }
 
 private class GraftWriteBuilder(warehouse: String, table: String,
@@ -125,7 +150,9 @@ private case class PartitionFilter(preds: Seq[Predicate]) extends OverwriteMode
   * different epochs never collide. */
 private class GraftWrite(warehouse: String, table: String, schema: StructType,
     operation: String, kept: () => Seq[TableStore.FileEntry], queryId: String,
-    mode: OverwriteMode = KeepKept)
+    mode: OverwriteMode = KeepKept,
+    explicitSpec: Option[Seq[String]] = None,
+    stagedSink: Option[Seq[(String, String)] => Unit] = None)
     extends Write with BatchWrite with StreamingWrite
     with RequiresDistributionAndOrdering {
   override def toBatch: BatchWrite = this
@@ -141,7 +168,7 @@ private class GraftWrite(warehouse: String, table: String, schema: StructType,
     * columns present in the write schema, and name-encoded bucket
     * transforms whose BASE column is (the bucket value is derived, so the
     * bucket pseudo-column need not be written). Resolved once at build. */
-  private val partitionBy: Seq[String] = {
+  private val partitionBy: Seq[String] = explicitSpec.getOrElse {
     val store = new TableStore(spark, warehouse)
     if (store.exists(table))
       store.manifests(table).maxBy(_.version).partitionBy
@@ -192,7 +219,12 @@ private class GraftWrite(warehouse: String, table: String, schema: StructType,
     // changes); commitStaged re-keys the harvested stats back to logical.
     // Partition columns are rename-protected, so `partitionBy` resolves
     // identically in either naming.
-    val cmap = new TableStore(spark, warehouse).columnMapOf(table)
+    // staged CREATE/REPLACE defines a fresh schema identity: logical
+    // names ARE the physical names, whatever the snapshot being replaced
+    // had pinned
+    val cmap =
+      if (stagedSink.isDefined) Map.empty[String, String]
+      else new TableStore(spark, warehouse).columnMapOf(table)
     val pSchema =
       if (cmap.isEmpty) schema
       else StructType(schema.fields.map(f =>
@@ -274,13 +306,20 @@ private class GraftWrite(warehouse: String, table: String, schema: StructType,
     }
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val store = new TableStore(spark, warehouse)
-    val staged = stagedOf(messages)
-    store.commitStaged(table, resolveKept(store, staged), staged, operation,
-      resolvedSchemaJson(store))
-    cleanup(stagingDir)
-  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    stagedSink match {
+      case Some(sink) =>
+        // deferred: the StagedTable owns the atomic manifest commit; the
+        // staging dir must outlive this job (commitStagedFresh renames
+        // the files out; abortStagedChanges deletes the dir)
+        sink(stagedOf(messages).map { case (p, rel) => (p.toString, rel) })
+      case None =>
+        val store = new TableStore(spark, warehouse)
+        val staged = stagedOf(messages)
+        store.commitStaged(table, resolveKept(store, staged), staged,
+          operation, resolvedSchemaJson(store))
+        cleanup(stagingDir)
+    }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     cleanup(stagingDir)

@@ -81,9 +81,10 @@ class GraftCatalogSpec extends SparkSpec {
       assert(store.exists("t"))
       assert(spark.sql(s"SELECT id, s FROM $cat.ns.t ORDER BY id")
         .as[(Int, String)].collect().toSeq == Seq((1, "a"), (2, "b")))
-      // create (empty) + the CTAS data append = 2 snapshots
-      assert(store.history("t").select("operation").as[String].collect().toSet ==
-        Set("create", "append"))
+      // atomic CTAS (StagingTableCatalog): schema + data land as ONE
+      // create snapshot — no empty-table window
+      assert(store.history("t").select("operation").as[String].collect().toSeq ==
+        Seq("create"))
     }
   }
 
