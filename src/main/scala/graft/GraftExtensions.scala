@@ -29,5 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // would otherwise reject any non-session catalog in view DDL.
     ext.injectHintResolutionRule(session =>
       new org.apache.spark.sql.graft.GraftViewDdlRule(session))
+    // identity-column generation must also run pre-Resolution: once the
+    // built-in output resolver fills an omitted column with NULL there is
+    // no telling it apart from a user-written NULL
+    ext.injectHintResolutionRule(session =>
+      new org.apache.spark.sql.graft.GraftIdentityRule(session))
   }
 }

@@ -4660,6 +4660,55 @@ object SparkEntry {
             .cast("double").as("total_value"),
           col("s.top_type").as("top_type"), col("s.top_n").as("top_n"))
         .orderBy(col("user_id"))
+    }),
+
+    // Identity columns (q185) — GENERATED ALWAYS AS IDENTITY with
+    // connector-side generation (Delta-style sparse blocks over the
+    // stats-based watermark): two by-name INSERT ... SELECTs allocate
+    // ids that are unique, step-aligned, ≥ START, and DISJOINT across
+    // writes (write 2 strictly above write 1's max — the watermark is
+    // recomputed from file stats, metadata-only at any scale); explicit
+    // inserts into the ALWAYS column are refused. Ids are allocation-
+    // nondeterministic, so the row is the INVARIANTS plus deterministic
+    // counts; IdentityColumnsSpec gates per-value behavior (dense inline
+    // DEFAULT rows, BY DEFAULT pass-through, descending steps).
+    "q185_identity_columns" -> ((s, dir) => {
+      val (_, cat) = stagingWarehouse(s, "q185", dir)
+      s.sql(s"CREATE TABLE $cat.ns.t (id BIGINT GENERATED ALWAYS AS " +
+        "IDENTITY (START WITH 1000 INCREMENT BY 3), o_custkey BIGINT, " +
+        "price DECIMAL(18,2)) USING graft")
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+          col("o_orderkey"))
+        .createOrReplaceTempView("q185_src")
+      s.sql(s"INSERT INTO $cat.ns.t (o_custkey, price) " +
+        "SELECT o_custkey, price FROM q185_src WHERE o_orderkey % 5 = 0")
+      val w1 = s.table(s"$cat.ns.t")
+        .agg(count(lit(1)), countDistinct(col("id")), max(col("id"))).head()
+      val (n1, d1, max1) = (w1.getLong(0), w1.getLong(1), w1.getLong(2))
+      s.sql(s"INSERT INTO $cat.ns.t (o_custkey, price) " +
+        "SELECT o_custkey, price FROM q185_src WHERE o_orderkey % 5 = 1")
+      val alwaysRejected =
+        try { s.sql(s"INSERT INTO $cat.ns.t (id, o_custkey, price) " +
+          "VALUES (1, 1, 1.0)"); false }
+        catch { case _: Exception => true }
+      val inv = s.table(s"$cat.ns.t").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("id")).as("d"),
+        min(col("id")).as("mn"),
+        max(when((col("id") - 1000) % 3 =!= 0, 1L)
+          .otherwise(0L)).as("misaligned"),
+        sum(when(col("id") > max1, 1L).otherwise(0L)).as("above_w1")).head()
+      val n = inv.getLong(0)
+      s.range(1).select(
+        lit(n).as("n_rows"),
+        lit(inv.getLong(1)).as("n_ids"),
+        lit(n1 == d1 && inv.getLong(1) == n).as("ids_unique"),
+        lit(inv.getLong(2) >= 1000L).as("min_at_or_above_start"),
+        lit(inv.getLong(3) == 0L).as("step_aligned"),
+        lit(inv.getLong(4) == n - n1).as("batches_disjoint"),
+        lit(alwaysRejected).as("always_rejected"))
     })
   )
 
@@ -7685,7 +7734,17 @@ object SparkEntry {
         |  FROM bt)
         |SELECT t.user_id, t.n, t.total_value, p.top_type, p.top_n
         |FROM tot t JOIN top p ON t.user_id = p.user_id AND p.rn = 1
-        |ORDER BY t.user_id""".stripMargin
+        |ORDER BY t.user_id""".stripMargin,
+
+    // Identity allocation is invariant-checked Spark-side (values are
+    // allocation order); the oracle pins the deterministic counts.
+    "q185_identity_columns" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_ids,
+        |  true AS ids_unique, true AS min_at_or_above_start,
+        |  true AS step_aligned, true AS batches_disjoint,
+        |  true AS always_rejected
+        |FROM orders WHERE o_orderkey % 5 IN (0, 1)""".stripMargin
   )
 
   /** DuckDB replay of [[graft.ext.Perceptron.train]] + the q173 confusion

@@ -63,7 +63,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     * readers from the read schema's metadata, so an ADD COLUMN … DEFAULT is
     * metadata-only (no backfill rewrite). */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   /** SQL text of a connector literal — the EXISTS_DEFAULT form (always a
     * folded literal, per the ColumnDefaultValue contract). */
@@ -203,6 +204,49 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     require(!store.exists(ident.name), s"table ${ident.name} already exists")
     store.createEmpty(ident.name, schema.json, partCols)
     loadTable(ident)
+  }
+
+  /** Column-based CREATE TABLE: Spark's StructType bridge
+    * (CatalogV2Util.v2ColumnsToStructType) carries comments and DEFAULT
+    * metadata but DROPS identity specs — re-encode `GENERATED ALWAYS /
+    * BY DEFAULT AS IDENTITY` into the field metadata under Spark's own
+    * keys (catalyst/util/IdentityColumn.scala), where
+    * [[org.apache.spark.sql.graft.GraftIdentityRule]] finds them at
+    * INSERT time. */
+  override def createTable(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    // the StructType conversion CatalogV2Util does (it's private[sql]):
+    // carry the column metadata JSON, comment, and DEFAULT halves
+    val base = StructType(columns.map { c =>
+      val mb = new MetadataBuilder()
+      Option(c.metadataInJSON()).foreach(j =>
+        mb.withMetadata(Metadata.fromJson(j)))
+      Option(c.comment()).foreach(mb.putString("comment", _))
+      Option(c.defaultValue()).foreach { dv =>
+        val existsSql = literalSql(dv.getValue)
+        mb.putString("CURRENT_DEFAULT",
+          Option(dv.getSql).filter(_.nonEmpty).getOrElse(existsSql))
+        mb.putString("EXISTS_DEFAULT", existsSql)
+      }
+      StructField(c.name(), c.dataType(), c.nullable(), mb.build())
+    })
+    val schema = StructType(base.fields.zip(columns).map { case (f, c) =>
+      Option(c.identityColumnSpec()) match {
+        case Some(spec) =>
+          require(f.dataType == org.apache.spark.sql.types.LongType ||
+            f.dataType == org.apache.spark.sql.types.IntegerType,
+            s"identity column ${f.name} must be BIGINT or INT")
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("identity.start", spec.getStart)
+            .putLong("identity.step", spec.getStep)
+            .putBoolean("identity.allowExplicitInsert",
+              spec.isAllowExplicitInsert)
+            .build())
+        case None => f
+      }
+    })
+    createTable(ident, schema, partitions, properties)
   }
 
   // ------------------------------------------------ atomic CTAS / RTAS

@@ -963,6 +963,42 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     v
   }
 
+  /** The identity-allocation basis for `col`: the extreme committed value
+    * in the `step` direction (max for ascending, min for descending),
+    * read from per-file footer stats — METADATA ONLY at any table size —
+    * or `start - step` on an empty table, so the first allocation is
+    * exactly `start`. Stats are file-level (merge-on-read deletes do not
+    * lower them), so the watermark never regresses under row deletion;
+    * only a file with committed rows but no recorded stats for `col`
+    * (e.g. all-NULL explicit inserts into a BY DEFAULT column) forces a
+    * bounded data read of the column. */
+  def identityBasis(table: String, col: String, start: Long,
+      step: Long): Long = {
+    val m = manifests(table).maxBy(_.version)
+    val empty = start - step
+    if (m.files.isEmpty) return empty
+    val asc = step >= 0
+    def pick(vals: Seq[Long]): Option[Long] =
+      if (vals.isEmpty) None else Some(if (asc) vals.max else vals.min)
+    val statVals = m.files.flatMap(_.stats.get(col)).flatMap { cs =>
+      scala.util.Try(if (asc) cs.max.toLong else cs.min.toLong).toOption
+    }
+    val needScan = m.files.exists(f =>
+      f.rowCount != 0L && !f.stats.contains(col))
+    val scanned: Option[Long] =
+      if (!needScan) None
+      else {
+        import org.apache.spark.sql.functions.{col => c, max => mx, min => mn}
+        val r = read(table).agg(
+          (if (asc) mx(c(col)) else mn(c(col))).cast("long")).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+    pick(statVals ++ scanned) match {
+      case Some(v) => if (asc) math.max(v, empty) else math.min(v, empty)
+      case None => empty
+    }
+  }
+
   /** Highest streaming-sink epoch already committed by `queryId` — the
     * exactly-once check a restarted stream's replayed epoch consults.
     * Scans live manifests only: expiring every snapshot of an epoch while
