@@ -4709,6 +4709,41 @@ object SparkEntry {
         lit(inv.getLong(3) == 0L).as("step_aligned"),
         lit(inv.getLong(4) == n - n1).as("batches_disjoint"),
         lit(alwaysRejected).as("always_rejected"))
+    }),
+
+    // SQL CHECK constraints (q186) — the standard `ALTER TABLE … ADD /
+    // DROP CONSTRAINT` face (SUPPORT_TABLE_CONSTRAINT) over the store's
+    // Delta-style checks: ADD validates every existing row, a violating
+    // INSERT is refused INSIDE the write job (no pre-scan), DROP is
+    // metadata-only and re-opens the gate. The result folds the table
+    // after a refused insert, a passing insert, and a post-drop insert
+    // of the previously-refused row. SqlConstraintSpec gates the
+    // lifecycle (inline DDL checks, REPLACE TABLE, DESCRIBE surface).
+    "q186_sql_constraints" -> ((s, dir) => {
+      val (wh, cat) = stagingWarehouse(s, "q186", dir)
+      val store = new TableStore(s, wh)
+      val ord = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("price"),
+          col("o_orderpriority").as("priority"), col("o_orderkey"))
+      store.commit("t", ord.filter(col("o_orderkey") % 4 === 0)
+        .drop("o_orderkey"), "create")
+      s.sql(s"ALTER TABLE $cat.ns.t ADD CONSTRAINT price_pos " +
+        "CHECK (price > 0)")
+      val rejected =
+        try { s.sql(s"INSERT INTO $cat.ns.t VALUES (1, -1.00, 'X')"); false }
+        catch { case _: Exception => true }
+      ord.filter(col("o_orderkey") % 4 === 1).drop("o_orderkey")
+        .createOrReplaceTempView("q186_src")
+      s.sql(s"INSERT INTO $cat.ns.t SELECT * FROM q186_src")
+      s.sql(s"ALTER TABLE $cat.ns.t DROP CONSTRAINT price_pos")
+      s.sql(s"INSERT INTO $cat.ns.t VALUES (-7, -1.00, '0-NEG')")
+      s.sql(
+        s"""SELECT priority, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(price) AS DOUBLE) AS total
+           |FROM $cat.ns.t GROUP BY priority""".stripMargin)
+        .withColumn("rejected_mid_constraint", lit(rejected))
+        .orderBy(col("priority"))
     })
   )
 
@@ -7744,7 +7779,20 @@ object SparkEntry {
         |  true AS ids_unique, true AS min_at_or_above_start,
         |  true AS step_aligned, true AS batches_disjoint,
         |  true AS always_rejected
-        |FROM orders WHERE o_orderkey % 5 IN (0, 1)""".stripMargin
+        |FROM orders WHERE o_orderkey % 5 IN (0, 1)""".stripMargin,
+
+    // The refused insert never lands; the post-drop sentinel does.
+    "q186_sql_constraints" ->
+      """WITH t AS (
+        |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderpriority AS priority
+        |  FROM orders WHERE o_orderkey % 4 IN (0, 1)
+        |  UNION ALL
+        |  SELECT -7, CAST(-1.00 AS DECIMAL(18,2)), '0-NEG')
+        |SELECT priority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(price) AS DOUBLE) AS total,
+        |  true AS rejected_mid_constraint
+        |FROM t GROUP BY priority ORDER BY priority""".stripMargin
   )
 
   /** DuckDB replay of [[graft.ext.Perceptron.train]] + the q173 confusion

@@ -64,7 +64,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     * metadata-only (no backfill rewrite). */
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   /** SQL text of a connector literal — the EXISTS_DEFAULT form (always a
     * folded literal, per the ColumnDefaultValue contract). */
@@ -249,6 +250,26 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     createTable(ident, schema, partitions, properties)
   }
 
+  /** TableInfo CREATE TABLE — the entry point when the DDL carries
+    * inline CHECK constraints: create, then record each (the table is
+    * empty, so add-time validation is trivially satisfied). */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val t = createTable(ident, info.columns(), info.partitions(),
+      info.properties())
+    addDdlConstraints(ident.name, info.constraints())
+    if (info.constraints().nonEmpty) loadTable(ident) else t
+  }
+
+  private def addDdlConstraints(table: String,
+      cs: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint])
+      : Unit =
+    cs.foreach {
+      case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        store.addCheckConstraint(table, chk.name(), chk.predicateSql())
+      case other => throw new UnsupportedOperationException(
+        s"only CHECK constraints are enforced; got ${other.toDDL}")
+    }
+
   // ------------------------------------------------ atomic CTAS / RTAS
   // StagingTableCatalog: `CREATE / REPLACE / CREATE OR REPLACE TABLE …
   // AS SELECT` write into the table's staging dir first and land as ONE
@@ -282,7 +303,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       operation: String): StagedTable = {
     val schema = info.schema()
     new GraftStagedTable(SparkSession.active, catalogName, warehouse,
-      ident.name, schema, parseSpec(info.partitions(), schema), operation)
+      ident.name, schema, parseSpec(info.partitions(), schema), operation,
+      info.constraints())
   }
 
   /** ALTER TABLE ADD/DROP/RENAME COLUMN as metadata-only schema commits
@@ -309,6 +331,35 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       case Seq() => // fall through to ADD/DROP handling
       case _ => throw new UnsupportedOperationException(
         "ALTER COLUMN TYPE must be the only change in an ALTER TABLE")
+    }
+    // SQL `ALTER TABLE … ADD/DROP CONSTRAINT` (SUPPORT_TABLE_CONSTRAINT):
+    // the standard face of the store's Delta-style CHECK constraints —
+    // add validates every existing row first, both halves share the
+    // metadata-only commit with the `CALL (add|drop)_check_constraint`
+    // procedures. Only enforced CHECKs are accepted: UNIQUE/PK/FK would
+    // be unenforced hints, and refusing is safer than silently recording
+    // a promise the engine doesn't keep.
+    changes.collect {
+      case c: TableChange.AddConstraint => c
+      case c: TableChange.DropConstraint => c
+    } match {
+      case Seq(a: TableChange.AddConstraint) if changes.length == 1 =>
+        a.constraint() match {
+          case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            store.addCheckConstraint(ident.name, chk.name(),
+              chk.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"only CHECK constraints are enforced; got ${other.toDDL}")
+        }
+        return loadTable(ident)
+      case Seq(d: TableChange.DropConstraint) if changes.length == 1 =>
+        if (!d.ifExists() ||
+            store.checkConstraints(ident.name).exists(_._1 == d.name()))
+          store.dropCheckConstraint(ident.name, d.name())
+        return loadTable(ident)
+      case Seq() => // fall through to ADD/DROP COLUMN handling
+      case _ => throw new UnsupportedOperationException(
+        "a constraint change must be the only change in an ALTER TABLE")
     }
     val ms = store.manifests(ident.name)
     if (ms.isEmpty) throw new NoSuchTableException(ident)

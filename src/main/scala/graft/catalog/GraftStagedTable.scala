@@ -23,7 +23,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * write — the commit then lands an empty fresh snapshot. */
 private[catalog] class GraftStagedTable(spark: SparkSession,
     catalogName: String, warehouse: String, tableName: String,
-    tableSchema: StructType, partCols: Seq[String], operation: String)
+    tableSchema: StructType, partCols: Seq[String], operation: String,
+    ddlConstraints: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+      Array.empty)
     extends StagedTable with SupportsWrite {
 
   /** (absolute staged path, version-relative path) pairs handed over by
@@ -50,9 +52,15 @@ private[catalog] class GraftStagedTable(spark: SparkSession,
 
   override def commitStagedChanges(): Unit = {
     val store = new TableStore(spark, warehouse)
+    val checks = ddlConstraints.toSeq.map {
+      case chk: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        chk.name() -> chk.predicateSql()
+      case other => throw new UnsupportedOperationException(
+        s"only CHECK constraints are enforced; got ${other.toDDL}")
+    }
     store.commitStagedFresh(tableName,
       synchronized(staged).map { case (abs, rel) => (new Path(abs), rel) },
-      operation, tableSchema.json, partCols)
+      operation, tableSchema.json, partCols, checks)
     cleanupStaging()
   }
 

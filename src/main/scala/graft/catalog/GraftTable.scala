@@ -43,6 +43,19 @@ class GraftTable(spark: SparkSession, catalogName: String, warehouse: String,
       case c => org.apache.spark.sql.connector.expressions.Expressions.identity(c)
     }.toArray
   }
+  /** The manifest's CHECK constraints, in DSv2 form — DESCRIBE shows
+    * them, and the analyzer can rely on them. Marked VALID: add-time
+    * validated every existing row, and every write path enforces per
+    * row inside the write job (TableStore.enforceConstraints). */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    m.constraints.map { case (nm, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(nm).predicateSql(sql)
+        .validationStatus(org.apache.spark.sql.connector.catalog.constraints
+          .Constraint.ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,

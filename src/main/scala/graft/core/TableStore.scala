@@ -926,7 +926,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     * the end IS the commit). */
   def commitStagedFresh(table: String, staged: Seq[(Path, String)],
       operation: String, schemaJson: String,
-      partitionBy: Seq[String] = Seq.empty): Long = {
+      partitionBy: Seq[String] = Seq.empty,
+      constraints: Seq[(String, String)] = Seq.empty): Long = {
     val v = latestCommittedVersion(table) + 1
     val dataDir = versionDir(table, v)
     val f = fs(dataDir)
@@ -957,8 +958,24 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       FileEntry(s"v=$v/$rel", f.getFileStatus(dest).getLen, rows,
         stats ++ pstats, pvals)
     }
+    // inline DDL constraints commit ATOMICALLY with the data: the staged
+    // rows are validated here (one bounded read of the new files), so no
+    // snapshot ever pairs the constraint with violating rows — and a
+    // violation aborts before the pointer swap, leaving the old snapshot
+    if (constraints.nonEmpty && newEntries.nonEmpty) {
+      import org.apache.spark.sql.functions.{expr, raise_error, when}
+      import org.apache.spark.sql.functions.{lit => flit}
+      val df = spark.read.parquet(
+        newEntries.map(fe => new Path(tableDir(table), fe.path).toString): _*)
+      constraints.foldLeft(df) { case (d, (nm, pred)) =>
+        d.filter(when(expr(pred) <=> flit(false),
+          raise_error(flit(s"CTAS rows violate CHECK $nm ($pred)"))
+            .cast("boolean")).otherwise(flit(true)))
+      }.count()
+    }
     writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
-      newEntries.map(_.rowCount).sum, newEntries, schemaJson, partitionBy))
+      newEntries.map(_.rowCount).sum, newEntries, schemaJson, partitionBy,
+      constraints = constraints))
     swapPointer(table, v)
     v
   }
