@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // no telling it apart from a user-written NULL
     ext.injectHintResolutionRule(session =>
       new org.apache.spark.sql.graft.GraftIdentityRule(session))
+    // generated-column computation happens AFTER output resolution (the
+    // aligned write is where positions and names are knowable)
+    ext.injectResolutionRule(session =>
+      new org.apache.spark.sql.graft.GraftGeneratedRule(session))
   }
 }

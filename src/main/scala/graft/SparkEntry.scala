@@ -4744,6 +4744,43 @@ object SparkEntry {
            |FROM $cat.ns.t GROUP BY priority""".stripMargin)
         .withColumn("rejected_mid_constraint", lit(rejected))
         .orderBy(col("priority"))
+    }),
+
+    // Generated columns (q187) — `GENERATED ALWAYS AS (expr)` computed on
+    // write (SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS + the fill
+    // rule) and doubling as the PARTITION column: the classic "derive
+    // the date from the timestamp" layout users otherwise materialize by
+    // hand, here with explicit writes refused and partition-exact file
+    // pruning on the derived day (the boolean asserts the week's scan
+    // touched a strict subset of files). GeneratedColumnsSpec gates the
+    // lifecycle. At 100 TB this is the layout that turns a time-range
+    // query into a partition listing.
+    "q187_generated_columns" -> ((s, dir) => {
+      val (wh, cat) = stagingWarehouse(s, "q187", dir)
+      s.sql(s"CREATE TABLE $cat.ns.ev (ts TIMESTAMP, event_type STRING, " +
+        "value DECIMAL(18,2), d DATE GENERATED ALWAYS AS (CAST(ts AS DATE))" +
+        ") USING graft PARTITIONED BY (d)")
+      Tables.load(s, dir, "events")
+        .select(col("ts"), col("event_type"),
+          col("value").cast(DecimalType(18, 2)).as("value"))
+        .createOrReplaceTempView("q187_src")
+      s.sql(s"INSERT INTO $cat.ns.ev (ts, event_type, value) " +
+        "SELECT * FROM q187_src")
+      val m = new TableStore(s, wh).manifests("ev").maxBy(_.version)
+      val inWeek = m.files.count { fe =>
+        val d = fe.partitionValues.getOrElse("d", "")
+        d >= "2024-01-10" && d <= "2024-01-16"
+      }
+      val pruned = inWeek > 0 && inWeek < m.files.size &&
+        m.files.forall(_.partitionValues.contains("d"))
+      s.sql(
+        s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(value) AS DOUBLE) AS total
+           |FROM $cat.ns.ev
+           |WHERE d BETWEEN DATE'2024-01-10' AND DATE'2024-01-16'
+           |GROUP BY event_type""".stripMargin)
+        .withColumn("files_pruned", lit(pruned))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -7780,6 +7817,16 @@ object SparkEntry {
         |  true AS step_aligned, true AS batches_disjoint,
         |  true AS always_rejected
         |FROM orders WHERE o_orderkey % 5 IN (0, 1)""".stripMargin,
+
+    // The generated day column is CAST(ts AS DATE); the week filter
+    // restates it over the raw timestamps.
+    "q187_generated_columns" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  true AS files_pruned
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE'2024-01-10' AND DATE'2024-01-16'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // The refused insert never lands; the post-drop sentinel does.
     "q186_sql_constraints" ->

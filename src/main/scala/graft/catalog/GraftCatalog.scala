@@ -65,6 +65,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
       TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   /** SQL text of a connector literal — the EXISTS_DEFAULT form (always a
@@ -230,6 +231,12 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           Option(dv.getSql).filter(_.nonEmpty).getOrElse(existsSql))
         mb.putString("EXISTS_DEFAULT", existsSql)
       }
+      // GENERATED ALWAYS AS (expr) — under Spark's own catalyst key, so
+      // DESCRIBE and GeneratedColumn utilities agree; computed on write
+      // by GraftGeneratedRule, explicit writes refused by
+      // GraftIdentityRule
+      Option(c.generationExpression()).foreach(sql => mb.putString(
+        org.apache.spark.sql.graft.GraftGenerated.MetadataKey, sql))
       StructField(c.name(), c.dataType(), c.nullable(), mb.build())
     })
     val schema = StructType(base.fields.zip(columns).map { case (f, c) =>

@@ -105,20 +105,32 @@ class GraftIdentityRule(spark: SparkSession) extends Rule[LogicalPlan] {
               store.manifests(table).maxBy(_.version).schemaJson)
               .asInstanceOf[StructType]
             val ids = identityFields(schema)
-            if (ids.isEmpty) i
-            else if (userCols.nonEmpty) rewriteByList(i, wh, table, ids)
-            else if (!byName) rewritePositional(i, wh, table, schema, ids)
+            val gens = schema.fields.zipWithIndex.toSeq
+              .filter(fi => GraftGenerated.generation(fi._1).isDefined)
+            if (ids.isEmpty && gens.isEmpty) i
+            else if (userCols.nonEmpty) rewriteByList(i, wh, table, ids, gens)
+            else if (!byName)
+              rewritePositional(i, wh, table, schema, ids, gens)
             else i // INSERT BY NAME: names unknown until resolution; the
                    // resolved plan fills NULL like any nullable column
+                   // (GraftGeneratedRule then computes generated ones)
           }
       }
   }
 
   /** INSERT with an explicit column list: omitted identity columns are
-    * appended with generated values; listed GENERATED ALWAYS columns are
-    * refused. */
+    * appended with generated values; listed GENERATED ALWAYS columns
+    * (identity or expression-generated) are refused. */
   private def rewriteByList(i: InsertIntoStatement, wh: String, table: String,
-      ids: Seq[(StructField, Int)]): LogicalPlan = {
+      ids: Seq[(StructField, Int)],
+      gens: Seq[(StructField, Int)]): LogicalPlan = {
+    gens.collectFirst { case (f, _)
+        if i.userSpecifiedCols.exists(_.equalsIgnoreCase(f.name)) => f
+    }.foreach { f =>
+      throw new IllegalArgumentException(
+        s"cannot INSERT into GENERATED ALWAYS AS (...) column ${f.name} " +
+          s"of $table; omit it from the column list — it is computed")
+    }
     val listed = ids.filter { case (f, _) =>
       i.userSpecifiedCols.exists(_.equalsIgnoreCase(f.name)) }
     listed.collectFirst { case (f, _) if !allowExplicit(f) => f }.foreach { f =>
@@ -148,11 +160,30 @@ class GraftIdentityRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * GENERATED ALWAYS refuses them outright. */
   private def rewritePositional(i: InsertIntoStatement, wh: String,
       table: String, schema: StructType,
-      ids: Seq[(StructField, Int)]): LogicalPlan = i.query match {
+      ids: Seq[(StructField, Int)],
+      gens: Seq[(StructField, Int)]): LogicalPlan = i.query match {
     case t: UnresolvedInlineTable if t.rows.nonEmpty &&
         t.rows.head.length == schema.length =>
       var changed = false
       var rows = t.rows
+      // expression-generated columns: DEFAULT becomes a typed NULL
+      // placeholder (GraftGeneratedRule recomputes the position on the
+      // aligned write anyway); anything else is an explicit value — refused
+      gens.foreach { case (f, ord) =>
+        if (rows.forall(r => isDefaultKeyword(r(ord)))) {
+          // the Alias marker keeps the fixpoint idempotent (tagged());
+          // GraftGeneratedRule recomputes the position either way
+          rows = rows.map(r => r.updated(ord,
+            Alias(Cast(Literal(null), f.dataType), f.name)(
+              explicitMetadata = Some(markerMeta(f))): Expression))
+          changed = true
+        } else {
+          throw new IllegalArgumentException(
+            s"cannot INSERT into GENERATED ALWAYS AS (...) column " +
+              s"${f.name} of $table; write DEFAULT in its position or use " +
+              "a column list that omits it — it is computed")
+        }
+      }
       ids.foreach { case (f, ord) =>
         val allDefault = rows.forall(r => isDefaultKeyword(r(ord)))
         val anyDefault = rows.exists(r => isDefaultKeyword(r(ord)))
@@ -181,6 +212,12 @@ class GraftIdentityRule(spark: SparkSession) extends Rule[LogicalPlan] {
         throw new IllegalArgumentException(
           s"cannot INSERT positionally into $table: column ${f.name} is " +
             "GENERATED ALWAYS AS IDENTITY; use an insert column list that " +
+            "omits it")
+      }
+      gens.headOption.foreach { case (f, _) =>
+        throw new IllegalArgumentException(
+          s"cannot INSERT positionally into $table: column ${f.name} is " +
+            "GENERATED ALWAYS AS (...); use an insert column list that " +
             "omits it")
       }
       i
