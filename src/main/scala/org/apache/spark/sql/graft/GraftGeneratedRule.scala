@@ -56,17 +56,34 @@ class GraftGeneratedRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case w: V2WriteCommand if w.query.resolved && w.outputResolved &&
         !tagged(w.query) =>
-      w.table match {
-        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
-          val schema = r.table.schema()
+      // UPDATE/MERGE/DELETE arrive as row-level writes whose relation
+      // wraps the table in a RowLevelOperationTable — unwrap it, so the
+      // copy-on-write rewrite recomputes generated columns too (a SET on
+      // a sibling column must never leave the derived value stale)
+      val underlying = w.table match {
+        case r: DataSourceV2Relation => r.table match {
+          case rl: org.apache.spark.sql.connector.write.RowLevelOperationTable
+              => rl.table
+          case t => t
+        }
+        case _ => null
+      }
+      underlying match {
+        case g: GraftTable =>
+          val schema = g.schema()
           val gs = genCols(schema)
           if (gs.isEmpty) w
           else {
-            val byIdx = gs.map(g => g._1 -> g).toMap
+            // match by NAME, not position: row-level writes prepend
+            // operation-marker columns, and alignment already renamed
+            // the data columns to the table's names
+            val byName = gs.map { case (_, f, sql) =>
+              f.name.toLowerCase(java.util.Locale.ROOT) -> ((f, sql))
+            }.toMap
             val projected: Seq[NamedExpression] =
-              w.query.output.zipWithIndex.map { case (attr, i) =>
-                byIdx.get(i) match {
-                  case Some((_, f, sql)) =>
+              w.query.output.map { attr =>
+                byName.get(attr.name.toLowerCase(java.util.Locale.ROOT)) match {
+                  case Some((f, sql)) =>
                     Alias(Cast(
                       spark.sessionState.sqlParser.parseExpression(sql),
                       f.dataType), f.name)(explicitMetadata = Some(marker))

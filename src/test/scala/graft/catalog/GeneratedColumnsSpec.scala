@@ -85,4 +85,24 @@ class GeneratedColumnsSpec extends SparkSpec {
     val rows = spark.table(s"$cat.ns.t").as[(Int, Int)].collect().toSeq
     assert(rows == Seq((42, -42)))
   }
+
+  test("UPDATE and MERGE recompute the generated column (CoW rewrite)") {
+    val (_, cat, _) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.ns.t (a INT, " +
+      "dbl INT GENERATED ALWAYS AS (a * 2)) USING graft")
+    spark.sql(s"INSERT INTO $cat.ns.t (a) VALUES (1), (2), (3)")
+    spark.sql(s"UPDATE $cat.ns.t SET a = a + 10 WHERE a = 2")
+    val afterUpdate = spark.table(s"$cat.ns.t").as[(Int, Int)]
+      .collect().toSeq.sortBy(_._1)
+    assert(afterUpdate == Seq((1, 2), (3, 6), (12, 24)),
+      s"UPDATE must recompute dbl, got $afterUpdate")
+    Seq(3, 4).toDF("a").createOrReplaceTempView("gcm_src")
+    spark.sql(s"MERGE INTO $cat.ns.t t USING gcm_src s ON t.a = s.a " +
+      "WHEN MATCHED THEN UPDATE SET a = s.a + 100 " +
+      "WHEN NOT MATCHED THEN INSERT (a) VALUES (s.a)")
+    val afterMerge = spark.table(s"$cat.ns.t").as[(Int, Int)]
+      .collect().toSeq.sortBy(_._1)
+    assert(afterMerge == Seq((1, 2), (4, 8), (12, 24), (103, 206)),
+      s"MERGE must recompute dbl, got $afterMerge")
+  }
 }
