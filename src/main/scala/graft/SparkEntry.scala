@@ -4781,6 +4781,62 @@ object SparkEntry {
            |GROUP BY event_type""".stripMargin)
         .withColumn("files_pruned", lit(pruned))
         .orderBy(col("event_type"))
+    }),
+
+    // Event-time timers (q188) — State API v2 timers over the RocksDB
+    // store: each user's single timer re-arms at (latest event + 30 min);
+    // when the WATERMARK passes it, handleExpiredTimer emits the user's
+    // totals — inactivity detection driven by the stream's own clock.
+    // The deterministic 1/9 event slice replays in three event-time
+    // batches plus a far-future sentinel that flushes every live timer;
+    // intermediate fires depend on watermark progress, so the anchor
+    // folds to the FINAL max-(n, expire_ts) snapshot per user, which
+    // must equal the batch (count, max ts + 30 min) — microsecond-exact.
+    "q188_stream_timers" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") % 9 === 0)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      val replay = new FileReplay(s, ev.schema)
+      val expiries = graft.streaming.StatefulOps.inactivityExpiry(
+        replay.source.as[graft.streaming.Event], gapMinutes = 30,
+        watermarkDelay = "0 seconds")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val sinkName = "q188_sink"
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = expiries.toDF().writeStream.format("memory")
+          .queryName(sinkName)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .start()
+        try {
+          timeSlices(ev, "ts", 3).foreach(replay.feed(q, _))
+          // far-future sentinel: advances the watermark past every timer
+          val far = ev.agg(max(col("ts"))).head().getTimestamp(0)
+          replay.feed(q, Seq((-1L,
+            new java.sql.Timestamp(far.getTime + 36000000L), "x", 0.0))
+            .toDF("user_id", "ts", "event_type", "value"))
+        } finally q.stop()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        prevProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+      s.table(sinkName)
+        .filter(col("user_id") >= 0)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n"), col("expire_ts"))).as("f"))
+        .select(col("user_id"), col("f.n").as("n"),
+          unix_micros(col("f.expire_ts")).as("expire_us"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -7817,6 +7873,14 @@ object SparkEntry {
         |  true AS step_aligned, true AS batches_disjoint,
         |  true AS always_rejected
         |FROM orders WHERE o_orderkey % 5 IN (0, 1)""".stripMargin,
+
+    // The final inactivity expiry per user is (total events,
+    // last event + 30 min) — timers only change WHEN it's emitted.
+    "q188_stream_timers" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS expire_us
+        |FROM events WHERE event_id % 9 = 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // The generated day column is CAST(ts AS DATE); the week filter
     // restates it over the raw timestamps.

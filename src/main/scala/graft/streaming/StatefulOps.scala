@@ -62,6 +62,55 @@ class RunningProfileProcessor
   }
 }
 
+/** One inactivity-expiry emission: the user's running totals as of the
+  * event-time timer that fired `gap` after their latest event. A user
+  * who goes quiet and returns fires more than once; `expire_ts` and `n`
+  * are both monotone per user, so the FINAL expiry is the max-(n,
+  * expire_ts) row — (total events, last event time + gap). */
+case class ExpiryEvent(user_id: Long, n: Long,
+    expire_ts: java.sql.Timestamp)
+
+/** Event-time TIMERS through the State API v2: each input batch
+  * re-arms the key's single timer at (latest event time + gap); when
+  * the watermark passes it, [[handleExpiredTimer]] emits the user's
+  * snapshot — the "session went quiet" signal driven by the stream's
+  * own clock, not wall time. State is kept (not cleared) on expiry so
+  * a returning user's next expiry reports cumulative totals. */
+class InactivityExpiryProcessor(gapMs: Long)
+    extends StatefulProcessor[Long, Event, ExpiryEvent] {
+
+  @transient private var sess: ValueState[(Long, java.sql.Timestamp)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sess = getHandle.getValueState[(Long, java.sql.Timestamp)]("sess",
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[Event],
+      timers: TimerValues): Iterator[ExpiryEvent] = {
+    var (n, maxTs) = if (sess.exists()) sess.get()
+      else (0L, null: java.sql.Timestamp)
+    rows.foreach { e =>
+      n += 1
+      if (maxTs == null || e.ts.compareTo(maxTs) > 0) maxTs = e.ts
+    }
+    sess.update((n, maxTs))
+    // one live timer per key: re-arm at the new frontier
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    getHandle.registerTimer(maxTs.getTime + gapMs)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+      expired: ExpiredTimerInfo): Iterator[ExpiryEvent] = {
+    val (n, maxTs) = sess.get()
+    // microsecond-exact: gap rides on the Timestamp's millis, the
+    // sub-millisecond part is carried over unchanged
+    val t = new java.sql.Timestamp(maxTs.getTime + gapMs)
+    t.setNanos(maxTs.getNanos)
+    Iterator.single(ExpiryEvent(key, n, t))
+  }
+}
+
 object StatefulOps {
   /** Running per-user profiles over an event stream — the
     * transformWithState wiring ([[RunningProfileProcessor]]). Requires
@@ -73,5 +122,17 @@ object StatefulOps {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningProfileProcessor,
         TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Per-user inactivity expiry via event-time timers
+    * ([[InactivityExpiryProcessor]]). `watermarkDelay` bounds lateness;
+    * timers fire as the watermark passes (latest event + gap). */
+  def inactivityExpiry(events: Dataset[Event], gapMinutes: Int,
+      watermarkDelay: String): Dataset[ExpiryEvent] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new InactivityExpiryProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -82,4 +82,46 @@ class StatefulOpsSpec extends SparkSpec {
       assert(r == ("alpha", 1L))
     }
   }
+
+  test("event-time timers fire on inactivity; final expiry = max ts + gap") {
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Event]
+      val out = StatefulOps.inactivityExpiry(mem.toDS(), gapMinutes = 30,
+        watermarkDelay = "0 seconds")
+      val q = out.toDF().writeStream.format("memory")
+        .queryName("expiries")
+        .outputMode("append")
+        .option("checkpointLocation", tmpDir("sops_ckpt3"))
+        .start()
+      try {
+        mem.addData(
+          Event(1L, ts("2024-01-01 00:00:00"), "click", 1.0),
+          Event(1L, ts("2024-01-01 00:10:00"), "view", 1.0),
+          Event(2L, ts("2024-01-01 00:05:00"), "click", 1.0))
+        q.processAllAvailable()
+        // user 1 resumes AFTER a >30min gap: their earlier timer fires as
+        // the watermark advances past 00:40, then re-arms
+        mem.addData(Event(1L, ts("2024-01-01 02:00:00"), "click", 1.0))
+        q.processAllAvailable()
+        // sentinel advances the watermark past every live timer
+        mem.addData(Event(99L, ts("2024-01-01 09:00:00"), "x", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val fin = spark.table("expiries")
+        .filter(col("user_id") =!= 99)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n"), col("expire_ts"))).as("s"))
+        .select(col("user_id"), col("s.n"),
+          date_format(col("s.expire_ts"), "HH:mm").as("at"))
+        .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+      assert(fin == Seq((1L, 3L, "02:30"), (2L, 1L, "00:35")),
+        s"got $fin")
+      // whether user 1 ALSO fired mid-stream depends on how far the
+      // watermark had advanced when their 02:00 event re-armed the timer
+      // (new activity deletes an unfired timer — the inactivity
+      // semantic); only the FINAL max-(n, expire_ts) row is contractual
+      assert(spark.table("expiries").filter(col("user_id") === 1).count() >= 1)
+    }
+  }
 }
