@@ -4837,6 +4837,36 @@ object SparkEntry {
         .select(col("user_id"), col("f.n").as("n"),
           unix_micros(col("f.expire_ts")).as("expire_us"))
         .orderBy(col("user_id"))
+    }),
+
+    // Leakage-safe train/eval split (q189) — near-duplicate documents
+    // never straddle the split: q65's near-dup components move as ONE
+    // unit keyed by their min-id representative, singletons are their
+    // own unit, and the side is a deterministic md5 bucket of the unit
+    // id (reproducible, partitioning-independent, no stored assignment
+    // table). The `no_leakage` flag re-derives every near-dup pair and
+    // counts the pairs whose ends disagree — must be zero. The failure
+    // this prevents is the classic one: a training document's near-copy
+    // in the eval set inflating every metric it touches. SplitsSpec
+    // gates the unit semantics and the eval-share calibration.
+    "q189_leakage_safe_split" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val split = graft.ext.Splits.leakageSafeSplit(
+        docs, "doc_id", "text", n = 3, threshold = 0.8, evalOf256 = 51)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      val straddling = pairs
+        .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")),
+          Seq("id_a"))
+        .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")),
+          Seq("id_b"))
+        .filter(col("sa") =!= col("sb")).count()
+      docs.join(split, Seq("doc_id"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("total_chars"),
+          countDistinct(col("unit")).as("n_units"))
+        .withColumn("no_leakage", lit(straddling == 0L))
+        .orderBy(col("split"))
     })
   )
 
@@ -7873,6 +7903,53 @@ object SparkEntry {
         |  true AS step_aligned, true AS batches_disjoint,
         |  true AS always_rejected
         |FROM orders WHERE o_orderkey % 5 IN (0, 1)""".stripMargin,
+
+    // q65's recursive component replay, extended: units are
+    // COALESCE(component, doc_id), the side is the first md5 byte of the
+    // unit id (< 205 → train, the 51/256 eval share).
+    "q189_leakage_safe_split" -> {
+      def nib(i: Int) = {
+        val a = s"ascii(substr(md5(CAST(unit AS VARCHAR)), $i, 1))"
+        s"(CASE WHEN $a >= 97 THEN $a - 87 ELSE $a - 48 END)"
+      }
+      raw"""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 2, 1) + 1),
+        |    i -> array_to_string(t[i:i+2], ' ')))) AS s
+        |  FROM toks),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN sz x ON p.id_a = x.doc_id JOIN sz y ON p.id_b = y.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.8),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+        |          UNION SELECT id_b, id_a FROM prs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |units AS (
+        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS unit,
+        |    length(d.text) AS chars
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |sides AS (
+        |  SELECT doc_id, unit, chars,
+        |    CASE WHEN ${nib(1)} * 16 + ${nib(2)} < 205
+        |      THEN 'train' ELSE 'eval' END AS split
+        |  FROM units)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(chars) AS BIGINT) AS total_chars,
+        |  CAST(count(DISTINCT unit) AS BIGINT) AS n_units,
+        |  true AS no_leakage
+        |FROM sides GROUP BY split ORDER BY split""".stripMargin
+    },
 
     // The final inactivity expiry per user is (total events,
     // last event + 30 min) — timers only change WHEN it's emitted.
