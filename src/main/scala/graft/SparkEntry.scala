@@ -4867,6 +4867,55 @@ object SparkEntry {
           countDistinct(col("unit")).as("n_units"))
         .withColumn("no_leakage", lit(straddling == 0L))
         .orderBy(col("split"))
+    }),
+
+    // CLUSTER BY (q190) — liquid-clustering shape: the DDL's cluster
+    // keys become the store's write order, every SQL write range-
+    // clusters + sorts (RequiresDistributionAndOrdering), files carry
+    // narrow DISJOINT min/max ranges on the keys, and a key-range scan
+    // prunes files from stats alone — no directory partitioning, none
+    // of its small-file explosion, re-declarable with one metadata
+    // commit (`ALTER TABLE … CLUSTER BY`). The booleans assert the
+    // disjoint layout and the strict-subset file hit. ClusterBySpec
+    // gates the DDL lifecycle.
+    "q190_cluster_by" -> ((s, dir) => {
+      val (wh, cat) = stagingWarehouse(s, "q190", dir)
+      val store = new TableStore(s, wh)
+      s.sql(s"CREATE TABLE $cat.ns.t (okey BIGINT, qty DECIMAL(18,2), " +
+        "rf STRING) USING graft CLUSTER BY (okey)")
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("qty"),
+          col("l_returnflag").as("rf"))
+        .repartition(16) // scrambled input: the write must do the layout
+        .createOrReplaceTempView("q190_src")
+      // sf0.01 is small enough for AQE to coalesce the range shuffle to
+      // one partition; pin it so the multi-file layout is observable
+      // (at real scale the shuffle is many partitions regardless)
+      val coalKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val prevCoal = s.conf.get(coalKey, "true")
+      s.conf.set(coalKey, "false")
+      try s.sql(s"INSERT INTO $cat.ns.t SELECT * FROM q190_src")
+      finally s.conf.set(coalKey, prevCoal)
+      val m = store.manifests("t").maxBy(_.version)
+      val ranges = m.files.flatMap(_.stats.get("okey"))
+        .map(cs => (cs.min.toLong, cs.max.toLong)).sortBy(_._1)
+      val disjoint = ranges.size == m.files.size &&
+        ranges.sliding(2).forall {
+          case Seq((_, aMax), (bMin, _)) => aMax <= bMin
+          case _ => true
+        }
+      val hit = m.files.count(_.stats.get("okey").exists(cs =>
+        cs.min.toLong <= 20000L && 10000L <= cs.max.toLong))
+      val pruned = m.files.size > 1 && hit < m.files.size
+      s.sql(
+        s"""SELECT rf, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(qty) AS DOUBLE) AS total_qty
+           |FROM $cat.ns.t WHERE okey BETWEEN 10000 AND 20000
+           |GROUP BY rf""".stripMargin)
+        .withColumn("ranges_disjoint", lit(disjoint))
+        .withColumn("files_pruned", lit(pruned))
+        .orderBy(col("rf"))
     })
   )
 
@@ -7903,6 +7952,14 @@ object SparkEntry {
         |  true AS step_aligned, true AS batches_disjoint,
         |  true AS always_rejected
         |FROM orders WHERE o_orderkey % 5 IN (0, 1)""".stripMargin,
+
+    // The cluster-keyed range scan restated over raw lineitem.
+    "q190_cluster_by" ->
+      """SELECT l_returnflag AS rf, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |  true AS ranges_disjoint, true AS files_pruned
+        |FROM lineitem WHERE l_orderkey BETWEEN 10000 AND 20000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // q65's recursive component replay, extended: units are
     // COALESCE(component, doc_id), the side is the first md5 byte of the

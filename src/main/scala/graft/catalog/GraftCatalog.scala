@@ -149,6 +149,20 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     * bucket(n, k). Transform values are derived at write time and prune
     * via TransformPruning / bucket planning — the user only ever
     * references the source column. */
+  /** Split a DDL transform array into (partition transforms, CLUSTER BY
+    * columns). `CLUSTER BY (a, b)` arrives as one ClusterByTransform —
+    * it maps to the store's WRITE ORDER (range-clustered, sorted files
+    * whose min/max stats prune on the cluster keys: the liquid-
+    * clustering shape), not to directory partitioning. */
+  private def splitClusterBy(partitions: Array[Transform],
+      schema: StructType): (Array[Transform], Seq[String]) = {
+    val (cluster, parts) = partitions.partition(_.name == "cluster_by")
+    val cols = cluster.toSeq.flatMap(_.references.map(_.fieldNames.mkString(".")))
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"CLUSTER BY column $c is not in the table schema"))
+    (parts, cols)
+  }
+
   private def parseSpec(partitions: Array[Transform],
       schema: StructType): Seq[String] = {
     def intLit(e: org.apache.spark.sql.connector.expressions.Expression): Option[Int] =
@@ -202,9 +216,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    val partCols = parseSpec(partitions, schema)
+    val (parts, clusterCols) = splitClusterBy(partitions, schema)
+    val partCols = parseSpec(parts, schema)
     require(!store.exists(ident.name), s"table ${ident.name} already exists")
     store.createEmpty(ident.name, schema.json, partCols)
+    if (clusterCols.nonEmpty) store.setWriteOrder(ident.name, clusterCols)
     loadTable(ident)
   }
 
@@ -309,9 +325,10 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   private def stagedTable(ident: Identifier, info: TableInfo,
       operation: String): StagedTable = {
     val schema = info.schema()
+    val (parts, clusterCols) = splitClusterBy(info.partitions(), schema)
     new GraftStagedTable(SparkSession.active, catalogName, warehouse,
-      ident.name, schema, parseSpec(info.partitions(), schema), operation,
-      info.constraints())
+      ident.name, schema, parseSpec(parts, schema), operation,
+      info.constraints(), clusterCols)
   }
 
   /** ALTER TABLE ADD/DROP/RENAME COLUMN as metadata-only schema commits
@@ -338,6 +355,18 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       case Seq() => // fall through to ADD/DROP handling
       case _ => throw new UnsupportedOperationException(
         "ALTER COLUMN TYPE must be the only change in an ALTER TABLE")
+    }
+    // `ALTER TABLE … CLUSTER BY (…)` / `CLUSTER BY NONE`: redeclare the
+    // write order (metadata-only; every later data commit range-clusters
+    // + sorts on the keys)
+    changes.collect { case c: TableChange.ClusterBy => c } match {
+      case Seq(c) if changes.length == 1 =>
+        store.setWriteOrder(ident.name,
+          c.clusteringColumns().toSeq.map(_.fieldNames.mkString(".")))
+        return loadTable(ident)
+      case Seq() => // fall through
+      case _ => throw new UnsupportedOperationException(
+        "CLUSTER BY must be the only change in an ALTER TABLE")
     }
     // SQL `ALTER TABLE … ADD/DROP CONSTRAINT` (SUPPORT_TABLE_CONSTRAINT):
     // the standard face of the store's Delta-style CHECK constraints —

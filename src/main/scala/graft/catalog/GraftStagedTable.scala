@@ -25,7 +25,8 @@ private[catalog] class GraftStagedTable(spark: SparkSession,
     catalogName: String, warehouse: String, tableName: String,
     tableSchema: StructType, partCols: Seq[String], operation: String,
     ddlConstraints: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
-      Array.empty)
+      Array.empty,
+    clusterBy: Seq[String] = Seq.empty)
     extends StagedTable with SupportsWrite {
 
   /** (absolute staged path, version-relative path) pairs handed over by
@@ -47,7 +48,7 @@ private[catalog] class GraftStagedTable(spark: SparkSession,
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    StoreWrite.stagedBuilder(warehouse, tableName, info, partCols,
+    StoreWrite.stagedBuilder(warehouse, tableName, info, partCols, clusterBy,
       files => synchronized { staged = staged ++ files })
 
   override def commitStagedChanges(): Unit = {
@@ -60,7 +61,7 @@ private[catalog] class GraftStagedTable(spark: SparkSession,
     }
     store.commitStagedFresh(tableName,
       synchronized(staged).map { case (abs, rel) => (new Path(abs), rel) },
-      operation, tableSchema.json, partCols, checks)
+      operation, tableSchema.json, partCols, checks, clusterBy)
     cleanupStaging()
   }
 

@@ -927,7 +927,8 @@ class TableStore(spark: SparkSession, val warehouse: String) {
   def commitStagedFresh(table: String, staged: Seq[(Path, String)],
       operation: String, schemaJson: String,
       partitionBy: Seq[String] = Seq.empty,
-      constraints: Seq[(String, String)] = Seq.empty): Long = {
+      constraints: Seq[(String, String)] = Seq.empty,
+      writeOrder: Seq[String] = Seq.empty): Long = {
     val v = latestCommittedVersion(table) + 1
     val dataDir = versionDir(table, v)
     val f = fs(dataDir)
@@ -975,7 +976,7 @@ class TableStore(spark: SparkSession, val warehouse: String) {
     }
     writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
       newEntries.map(_.rowCount).sum, newEntries, schemaJson, partitionBy,
-      constraints = constraints))
+      constraints = constraints, writeOrder = writeOrder))
     swapPointer(table, v)
     v
   }

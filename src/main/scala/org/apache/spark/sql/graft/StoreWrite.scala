@@ -80,7 +80,7 @@ object StoreWrite {
     * the writer uses fresh logical field names (a replace resets any
     * column mapping). */
   def stagedBuilder(warehouse: String, table: String, info: LogicalWriteInfo,
-      partitionBy: Seq[String],
+      partitionBy: Seq[String], clusterBy: Seq[String],
       sink: Seq[(String, String)] => Unit): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       // RTAS plans the write as truncate-then-append on the staged table;
@@ -90,7 +90,8 @@ object StoreWrite {
       override def build(): Write =
         new GraftWrite(warehouse, table, info.schema(), "staged-ctas",
           () => Seq.empty, info.queryId(), KeepKept,
-          explicitSpec = Some(partitionBy), stagedSink = Some(sink))
+          explicitSpec = Some(partitionBy), explicitOrder = Some(clusterBy),
+          stagedSink = Some(sink))
     }
 }
 
@@ -152,6 +153,7 @@ private class GraftWrite(warehouse: String, table: String, schema: StructType,
     operation: String, kept: () => Seq[TableStore.FileEntry], queryId: String,
     mode: OverwriteMode = KeepKept,
     explicitSpec: Option[Seq[String]] = None,
+    explicitOrder: Option[Seq[String]] = None,
     stagedSink: Option[Seq[(String, String)] => Unit] = None)
     extends Write with BatchWrite with StreamingWrite
     with RequiresDistributionAndOrdering {
@@ -204,13 +206,32 @@ private class GraftWrite(warehouse: String, table: String, schema: StructType,
     case c => Expressions.identity(c)
   }
 
+  /** The table's declared write order (`CLUSTER BY` / WRITE ORDERED BY),
+    * restricted to columns this write carries. SQL writes request it
+    * through RequiresDistributionAndOrdering, so rows arrive range-
+    * clustered + sorted and the staged files' min/max footer stats prune
+    * on the cluster keys — the same layout the library write path's
+    * applyWriteOrder produces. */
+  private val writeOrder: Seq[String] = explicitOrder.getOrElse {
+    val store = new TableStore(spark, warehouse)
+    if (store.exists(table))
+      store.writeOrderOf(table).filter(schema.fieldNames.contains)
+    else Seq.empty
+  }
+
   override def requiredDistribution(): Distribution =
-    if (partitionBy.isEmpty) Distributions.unspecified()
-    else Distributions.clustered(partitionBy.map(specTransform).toArray)
+    if (partitionBy.nonEmpty)
+      Distributions.clustered(partitionBy.map(specTransform).toArray)
+    else if (writeOrder.nonEmpty)
+      Distributions.ordered(writeOrder.map(c =>
+        Expressions.sort(Expressions.column(c),
+          SortDirection.ASCENDING)).toArray)
+    else Distributions.unspecified()
 
   override def requiredOrdering(): Array[SortOrder] =
-    partitionBy.map(e =>
-      Expressions.sort(specTransform(e), SortDirection.ASCENDING)).toArray
+    (partitionBy.map(specTransform) ++
+      writeOrder.map(c => Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression))
+      .map(e => Expressions.sort(e, SortDirection.ASCENDING)).toArray
 
   private def writerFactory: GraftWriterFactory = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
