@@ -31,6 +31,11 @@ class GraftTable(spark: SparkSession, catalogName: String, warehouse: String,
   override def name(): String = s"$catalogName.$tableName"
   override def schema(): StructType = tableSchema
 
+  /** Store coordinates for rules that need the table's state at analysis
+    * time (identity allocation reads the committed watermark). */
+  def warehouseDir: String = warehouse
+  def storeTable: String = tableName
+
   /** Advertise the manifest's partition spec (identity columns, or bucket
     * transforms recovered from their name-encoded `__bucket<N>_<col>`
     * form) — the analyzer validates `INSERT OVERWRITE ... PARTITION (...)`

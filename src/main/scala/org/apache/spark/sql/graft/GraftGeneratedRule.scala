@@ -71,25 +71,49 @@ class GraftGeneratedRule(spark: SparkSession) extends Rule[LogicalPlan] {
       underlying match {
         case g: GraftTable =>
           val schema = g.schema()
-          val gs = genCols(schema)
-          if (gs.isEmpty) w
-          else {
-            // match by NAME, not position: row-level writes prepend
-            // operation-marker columns, and alignment already renamed
-            // the data columns to the table's names
-            val byName = gs.map { case (_, f, sql) =>
-              f.name.toLowerCase(java.util.Locale.ROOT) -> ((f, sql))
-            }.toMap
-            val projected: Seq[NamedExpression] =
-              w.query.output.map { attr =>
-                byName.get(attr.name.toLowerCase(java.util.Locale.ROOT)) match {
-                  case Some((f, sql)) =>
-                    Alias(Cast(
-                      spark.sessionState.sqlParser.parseExpression(sql),
-                      f.dataType), f.name)(explicitMetadata = Some(marker))
-                  case None => attr
-                }
+          // one replacement builder per computed column, keyed by name
+          // (row-level writes prepend operation-marker columns, and
+          // alignment already renamed the data columns to the table's):
+          //  - GENERATED ALWAYS AS (expr): recompute unconditionally
+          //  - GENERATED ALWAYS AS IDENTITY: COALESCE(col, allocate) —
+          //    an omitted column reaches an aligned write (MERGE's
+          //    INSERT branch, INSERT BY NAME) as NULL, and for ALWAYS
+          //    identity a NULL can never be a legal user value, so the
+          //    coalesce IS the fill; committed ids pass through. BY
+          //    DEFAULT columns stay as-is (their NULL is legal).
+          val builders: Map[String, org.apache.spark.sql.catalyst.expressions.Attribute => NamedExpression] =
+            schema.fields.flatMap { f =>
+              val key = f.name.toLowerCase(java.util.Locale.ROOT)
+              GraftGenerated.generation(f) match {
+                case Some(sql) => Some(key -> { (_: org.apache.spark.sql.catalyst.expressions.Attribute) =>
+                  Alias(Cast(
+                    spark.sessionState.sqlParser.parseExpression(sql),
+                    f.dataType), f.name)(explicitMetadata = Some(marker)) })
+                case None if f.metadata.contains("identity.start") &&
+                    !f.metadata.getBoolean("identity.allowExplicitInsert") =>
+                  Some(key -> { (attr: org.apache.spark.sql.catalyst.expressions.Attribute) =>
+                    import org.apache.spark.sql.catalyst.expressions.{Add, Coalesce, Literal, Multiply, MonotonicallyIncreasingID}
+                    val start = f.metadata.getLong("identity.start")
+                    val step = f.metadata.getLong("identity.step")
+                    val basis = new graft.core.TableStore(spark,
+                      g.warehouseDir).identityBasis(
+                      g.storeTable, f.name, start, step)
+                    val gen = Cast(Add(Literal(basis + step),
+                      Multiply(Literal(step), MonotonicallyIncreasingID())),
+                      f.dataType)
+                    Alias(Coalesce(Seq(attr, gen)), f.name)(
+                      explicitMetadata = Some(marker)) })
+                case None => None
               }
+            }.toMap
+          if (builders.isEmpty) w
+          else {
+            val projected: Seq[NamedExpression] = w.query.output.map { attr =>
+              builders.get(attr.name.toLowerCase(java.util.Locale.ROOT)) match {
+                case Some(mk) => mk(attr)
+                case None => attr
+              }
+            }
             w.withNewQuery(Project(projected, w.query))
           }
         case _ => w
