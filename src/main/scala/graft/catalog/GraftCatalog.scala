@@ -157,9 +157,14 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   private def splitClusterBy(partitions: Array[Transform],
       schema: StructType): (Array[Transform], Seq[String]) = {
     val (cluster, parts) = partitions.partition(_.name == "cluster_by")
+    // resolve case-insensitively (like the rest of the SQL surface) and
+    // canonicalize to the schema's spelling before storing the write order
     val cols = cluster.toSeq.flatMap(_.references.map(_.fieldNames.mkString(".")))
-    cols.foreach(c => require(schema.fieldNames.contains(c),
-      s"CLUSTER BY column $c is not in the table schema"))
+      .map { c =>
+        schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"CLUSTER BY column $c is not in the table schema"))
+      }
     (parts, cols)
   }
 
@@ -177,14 +182,21 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           Some(r.fieldNames.mkString("."))
         case _ => None
       }
+    // resolve transform source columns case-insensitively and
+    // canonicalize to the schema's spelling (the stored spec is matched
+    // by name at write/prune time)
+    def canon(c: String): String =
+      schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column $c is not in the table schema"))
     val partCols = partitions.map { t =>
       val refs = t.references
       t.name match {
         case "identity" if refs.length == 1 =>
-          refs.head.fieldNames.mkString(".")
+          canon(refs.head.fieldNames.mkString("."))
         case n @ ("days" | "months" | "hours" | "years" | "day" | "month" |
                   "hour" | "year") if refs.length == 1 =>
-          val c = refs.head.fieldNames.mkString(".")
+          val c = canon(refs.head.fieldNames.mkString("."))
           n.stripSuffix("s") match {
             case "day" => TableStore.daysColumn(c)
             case "month" => TableStore.monthsColumn(c)
@@ -195,22 +207,17 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           val w = t.arguments.flatMap(intLit(_)).headOption.getOrElse(
             throw new UnsupportedOperationException(
               s"truncate transform needs a literal width, got $t"))
-          TableStore.truncColumn(refs.head.fieldNames.mkString("."), w)
+          TableStore.truncColumn(canon(refs.head.fieldNames.mkString(".")), w)
         case "bucket" if refs.length == 1 =>
           val n = t.arguments.flatMap(intLit(_)).headOption.getOrElse(
             throw new UnsupportedOperationException(
               s"bucket transform needs a literal bucket count, got $t"))
-          TableStore.bucketColumn(refs.head.fieldNames.mkString("."), n)
+          TableStore.bucketColumn(canon(refs.head.fieldNames.mkString(".")), n)
         case _ => throw new UnsupportedOperationException(
           s"unsupported PARTITIONED BY transform $t " +
             s"(refs=${refs.map(r => refName(r)).mkString(",")})")
       }
     }.toSeq
-    partCols.foreach { c =>
-      val src = TableStore.transformSource(c).getOrElse(c)
-      require(schema.fieldNames.contains(src),
-        s"partition column $src is not in the table schema")
-    }
     partCols
   }
 
@@ -258,9 +265,12 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val schema = StructType(base.fields.zip(columns).map { case (f, c) =>
       Option(c.identityColumnSpec()) match {
         case Some(spec) =>
-          require(f.dataType == org.apache.spark.sql.types.LongType ||
-            f.dataType == org.apache.spark.sql.types.IntegerType,
-            s"identity column ${f.name} must be BIGINT or INT")
+          // BIGINT only (Delta's rule): allocation rides 33-bit
+          // per-partition monotonically_increasing_id blocks, so a
+          // multi-partition write into a narrower type would overflow
+          // the cast (ANSI error) or silently wrap into duplicates
+          require(f.dataType == org.apache.spark.sql.types.LongType,
+            s"identity column ${f.name} must be BIGINT")
           f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
             .putLong("identity.start", spec.getStart)
             .putLong("identity.step", spec.getStep)

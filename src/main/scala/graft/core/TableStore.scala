@@ -868,6 +868,20 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         }}.toMap
     val cmap = columnMapCarry(table).toMap
     val statRev: Map[String, String] = cmap.map(_.swap)
+    // staged files were written by the caller's job (DSv2 INSERT /
+    // streaming sink), so per-row enforcement couldn't ride the write —
+    // validate them with one bounded read of the STAGING paths, BEFORE
+    // the rename loop, so a violation aborts with the files still under
+    // staging and the v=N directory (which the next commit reuses) stays
+    // empty of orphans.
+    if (constraintsCarry(table).nonEmpty && staged.nonEmpty) {
+      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      enforceConstraints(table, toLogical(
+        spark.read.schema(physSchemaOf(schema, cmap)).parquet(
+          staged.map(_._1.toString): _*),
+        schema, cmap)).count()
+    }
     val newEntries = harvestInParallel(staged) { case (p, rel) =>
       val dest = new Path(dataDir, rel)
       f.mkdirs(dest.getParent)
@@ -888,19 +902,6 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         stats ++ pstats, pvals)
     }
     val files = keptFiles ++ newEntries
-    // staged files were written by the caller's job (DSv2 INSERT /
-    // streaming sink), so per-row enforcement couldn't ride the write —
-    // validate the NEW files with one bounded read before the manifest
-    // lands (a violation aborts pre-commit; the moved files become
-    // orphans, removable by remove_orphan_files like any failed commit).
-    if (constraintsCarry(table).nonEmpty && newEntries.nonEmpty) {
-      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      enforceConstraints(table, toLogical(
-        spark.read.schema(physSchemaOf(schema, cmap)).parquet(
-          newEntries.map(fe => new Path(tableDir(table), fe.path).toString): _*),
-        schema, cmap)).count()
-    }
     writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
       files.map(_.rowCount).sum, files, schemaJson,
       manifests(table).lastOption.map(_.partitionBy).getOrElse(Seq.empty),
@@ -945,6 +946,22 @@ class TableStore(spark: SparkSession, val warehouse: String) {
         case TableStore.BucketRe(_, _) => Some(c -> Some("long"))
         case _ => None
       }}.toMap
+    // inline DDL constraints commit ATOMICALLY with the data: the staged
+    // rows are validated BEFORE the rename loop (one bounded read of the
+    // STAGING paths), so no snapshot ever pairs the constraint with
+    // violating rows — and a violating CTAS/RTAS aborts while its files
+    // are still under staging, leaving nothing inside the v=N directory
+    // that the next commit (same latestCommittedVersion+1) will reuse
+    if (constraints.nonEmpty && staged.nonEmpty) {
+      import org.apache.spark.sql.functions.{expr, raise_error, when}
+      import org.apache.spark.sql.functions.{lit => flit}
+      val df = spark.read.parquet(staged.map(_._1.toString): _*)
+      constraints.foldLeft(df) { case (d, (nm, pred)) =>
+        d.filter(when(expr(pred) <=> flit(false),
+          raise_error(flit(s"CTAS rows violate CHECK $nm ($pred)"))
+            .cast("boolean")).otherwise(flit(true)))
+      }.count()
+    }
     val newEntries = harvestInParallel(staged) { case (p, rel) =>
       val dest = new Path(dataDir, rel)
       f.mkdirs(dest.getParent)
@@ -958,21 +975,6 @@ class TableStore(spark: SparkSession, val warehouse: String) {
       }
       FileEntry(s"v=$v/$rel", f.getFileStatus(dest).getLen, rows,
         stats ++ pstats, pvals)
-    }
-    // inline DDL constraints commit ATOMICALLY with the data: the staged
-    // rows are validated here (one bounded read of the new files), so no
-    // snapshot ever pairs the constraint with violating rows — and a
-    // violation aborts before the pointer swap, leaving the old snapshot
-    if (constraints.nonEmpty && newEntries.nonEmpty) {
-      import org.apache.spark.sql.functions.{expr, raise_error, when}
-      import org.apache.spark.sql.functions.{lit => flit}
-      val df = spark.read.parquet(
-        newEntries.map(fe => new Path(tableDir(table), fe.path).toString): _*)
-      constraints.foldLeft(df) { case (d, (nm, pred)) =>
-        d.filter(when(expr(pred) <=> flit(false),
-          raise_error(flit(s"CTAS rows violate CHECK $nm ($pred)"))
-            .cast("boolean")).otherwise(flit(true)))
-      }.count()
     }
     writeManifest(table, Manifest(v, System.currentTimeMillis(), operation,
       newEntries.map(_.rowCount).sum, newEntries, schemaJson, partitionBy,

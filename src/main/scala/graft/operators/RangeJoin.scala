@@ -29,14 +29,28 @@ object RangeJoin {
     * `[loCol, hiCol]` interval contains `pointCol` (inclusive ends).
     * All three columns must be integral (cast money/timestamps to
     * long units first). Output: point columns ++ range columns. */
+  /** Exact floorDiv on longs — codegen'd IntegralDivide plus a sign
+    * correction, never a double cast: `floor(x.cast(double)/w)` is only
+    * exact below 2^53, so a composite int64 key (cent-scaled money ++
+    * sequence) above that could floor into the wrong bucket and silently
+    * drop a qualifying pair. `div` truncates toward zero; for a positive
+    * width the quotient is one too high exactly when the remainder is
+    * negative — subtracting that case is floorDiv with no overflow
+    * (unlike `(c - pmod(c, w)) / w`, which underflows near Long.Min). */
+  private def floorDivBucket(c: org.apache.spark.sql.Column,
+      bucketWidth: Long): org.apache.spark.sql.Column = {
+    val v = c.cast("long")
+    val w = lit(bucketWidth)
+    call_function("div", v, w) -
+      when(v % w < 0, lit(1L)).otherwise(lit(0L))
+  }
+
   def pointInRange(points: DataFrame, pointCol: String,
       ranges: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val w = lit(bucketWidth)
-    // floorDiv semantics for negative domains: pmod-corrected quotient
     def bucketOf(c: org.apache.spark.sql.Column) =
-      floor(c.cast("double") / w).cast("long")
+      floorDivBucket(c, bucketWidth)
     val pb = points.withColumn("__rj_b", bucketOf(col(pointCol)))
     val rb = ranges
       .filter(col(loCol) <= col(hiCol))
@@ -63,9 +77,8 @@ object RangeJoin {
       right: DataFrame, rLo: String, rHi: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val w = lit(bucketWidth)
     def bucketOf(c: org.apache.spark.sql.Column) =
-      floor(c.cast("double") / w).cast("long")
+      floorDivBucket(c, bucketWidth)
     val lb = left.filter(col(lLo) <= col(lHi))
       .withColumn("__rj_b",
         explode(sequence(bucketOf(col(lLo)), bucketOf(col(lHi)))))

@@ -45,7 +45,14 @@ class RunningProfileProcessor
     var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
     rows.foreach { e =>
       n += 1
-      cents += math.round(e.value * 100)
+      // decimal HALF_UP on the value's shortest decimal rendering — the
+      // q184 oracle sums DECIMAL(18,2): math.round(v * 100) rounds
+      // half-toward-+inf on a binary double (wrong for negative
+      // midpoints like -0.125) and inherits representation error for
+      // >2-decimal inputs
+      cents += new java.math.BigDecimal(String.valueOf(e.value))
+        .movePointRight(2)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
       val c =
         if (byType.containsKey(e.event_type)) byType.getValue(e.event_type)
         else 0L

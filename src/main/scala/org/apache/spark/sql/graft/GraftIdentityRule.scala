@@ -40,16 +40,22 @@ class GraftIdentityRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private val MarkerKey = "graft.identity.generated"
 
-  private def graftWarehouse(parts: Seq[String]): Option[String] =
-    if (parts.size < 2) None
-    else {
-      val cm = spark.sessionState.catalogManager
-      if (!cm.isCatalogRegistered(parts.head)) None
-      else cm.catalog(parts.head) match {
-        case g: GraftCatalog => Some(g.warehouseDir)
-        case _ => None
-      }
+  /** The graft warehouse the identifier resolves against — through the
+    * leading catalog name when present, else the session's CURRENT
+    * catalog (after `USE <graft-catalog>` an unqualified or ns.table
+    * identifier must still hit the identity/generated guards; resolving
+    * only catalog-qualified names silently dropped them all). */
+  private def graftWarehouse(parts: Seq[String]): Option[String] = {
+    val cm = spark.sessionState.catalogManager
+    val cat =
+      if (parts.size >= 2 && cm.isCatalogRegistered(parts.head))
+        cm.catalog(parts.head)
+      else cm.currentCatalog
+    cat match {
+      case g: GraftCatalog => Some(g.warehouseDir)
+      case _ => None
     }
+  }
 
   private def identityFields(schema: StructType): Seq[(StructField, Int)] =
     schema.fields.zipWithIndex.toSeq.filter(_._1.metadata.contains("identity.start"))

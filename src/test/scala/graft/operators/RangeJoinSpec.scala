@@ -42,6 +42,34 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  // Past 2^53 a double can no longer represent every long (near 2^60 the
+  // grid steps by 128), so the old `floor(v.cast(double)/w)` bucketing
+  // collapses distinct keys and skews buckets vs exact integer division.
+  // The integer-floorDiv bucketing must keep the pair set exactly equal
+  // to the nested-loop oracle out there, including at widths that do not
+  // divide the double grid.
+  test("exact pair set above 2^53 (doubles can't represent the keys)") {
+    val base = 1L << 60
+    val bigPoints = Seq(base - 130L, base - 1L, base, base + 63L, base + 65L,
+      base + 70L, base + 127L, base + 128L, base + 129L, Long.MaxValue - 3L,
+      -(base + 65L), Long.MinValue + 2L)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("pid", "v")
+    val bigRanges = Seq(
+      (1L, base - 2L, base + 66L), (2L, base + 64L, base + 64L),
+      (3L, base + 65L, base + 130L), (4L, Long.MaxValue - 10L, Long.MaxValue),
+      (5L, -(base + 100L), -(base + 60L)), (6L, Long.MinValue, Long.MinValue + 5L)
+    ).toDF("rid", "lo", "hi")
+    val oracle = bigPoints.crossJoin(bigRanges)
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "rid").as[(Long, Long)].collect().toSet
+    Seq(1L, 3L, 64L, 127L).foreach { w =>
+      val rows = RangeJoin.pointInRange(bigPoints, "v", bigRanges, "lo", "hi", w)
+        .select("pid", "rid").as[(Long, Long)].collect().toSeq
+      assert(rows.size == rows.distinct.size, s"dup pairs at width $w")
+      assert(rows.toSet == oracle, s"wrong pairs at width $w")
+    }
+  }
+
   // ------------------------------------------------------- interval overlap
   // touching, nested, disjoint, negative-spanning, and inverted intervals
   private def leftIvals = Seq(
