@@ -16,6 +16,23 @@ import org.apache.spark.sql.SparkSession
   * query is timed twice at the target scale and the best time is reported
   * (the reference averaged warm Athena runs; min-of-2 is the single-node
   * analogue).
+  *
+  * DELIVERY DISCIPLINE (r6/r7 lessons — the official record was lost two
+  * rounds running, first to a shutdown race, then to the driver's
+  * ~60-minute wall clock):
+  *  - ALL logging is muted for the ENTIRE timed run, and progress goes to
+  *    a FILE (`SPARK_GRAFT_BENCH_LOG`, default bench_progress.log), so
+  *    the driver's captured ~2000-char output tail only ever contains
+  *    this harness's own JSON lines;
+  *  - a CUMULATIVE result line (headline + every completed section,
+  *    "partial":true) is printed after every section and every ~45 s of
+  *    the query loop — whatever instant the process dies, the last
+  *    stdout line is a parseable record of everything finished;
+  *  - the default deadline fits the driver's window (~49 min), and every
+  *    optional section is gated on the remaining budget SCALED by the
+  *    measured pace of this box vs the clean-box estimates (a co-tenant
+  *    that slows the headline 2x shrinks what the sections attempt,
+  *    instead of overrunning into a SIGKILL).
   */
 object Bench {
 
@@ -74,7 +91,7 @@ object Bench {
     * runs are safe — the age guard far exceeds any single section, and
     * concurrent fresh dirs are younger. (r7 lesson: ~40 GB of orphans
     * from killed sessions ENOSPC'd the sf100 curation cell.) */
-  private def sweepStaleScratch(): Unit = try {
+  private def sweepStaleScratch(log: String => Unit): Unit = try {
     val tmp = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir", "/tmp"))
     val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
@@ -83,18 +100,32 @@ object Bench {
     while (it.hasNext) {
       val p = it.next()
       val nm = p.getFileName.toString
-      if ((nm.startsWith("graft_") || nm.startsWith("tpcds-")) &&
+      if ((nm.startsWith("graft_") || nm.startsWith("tpcds-") ||
+          nm.startsWith("blockmgr-") || nm.startsWith("spark-")) &&
           java.nio.file.Files.isDirectory(p) &&
           java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
         try { graft.tools.TpcdsIngest.deleteRecursively(p); freed += 1 }
         catch { case _: Exception => }
       }
     }
-    if (freed > 0) System.err.println(s"[bench] swept $freed stale scratch dirs")
+    if (freed > 0) log(s"swept $freed stale scratch dirs")
   } catch { case _: Exception => }
 
   def main(args: Array[String]): Unit = {
-    sweepStaleScratch()
+    val benchT0 = System.nanoTime()
+    // ---- progress goes to a FILE, never the captured stream -----------
+    val progressPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOG",
+      "bench_progress.log")
+    val verbose = sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE")
+    val progressWriter = try {
+      new java.io.PrintWriter(new java.io.FileWriter(progressPath, false), true)
+    } catch { case _: Exception => null }
+    def progress(m: String): Unit = {
+      val line = f"[bench +${(System.nanoTime() - benchT0) / 1e9}%.0f] $m"
+      if (progressWriter != null) progressWriter.println(line)
+      if (verbose || progressWriter == null) System.err.println(line)
+    }
+    sweepStaleScratch(progress)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -122,22 +153,33 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_SPLIT_BYTES", "33554432"))
       .config("spark.sql.session.timeZone", "UTC")
+      // Shuffle files on local disk are reclaimed only when the driver
+      // GCs the shuffle objects; the 30-min default periodic GC let a
+      // full run accumulate 55 GB of /tmp/blockmgr-* (measured r8),
+      // which first starved the page cache (the sf10 CoW cells ran 3x
+      // slow) and then ENOSPC'd the sf100 block. 90 s keeps the
+      // high-water mark near one section's working set.
+      .config("spark.cleaner.periodicGC.interval", "90s")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // Mute ALL logging for the whole timed run (not only at exit): the
+    // driver's tail is a combined stream, and any log line emitted after
+    // the latest checkpoint print erodes the ~2000-char window the final
+    // record must survive in. Diagnostics live in the progress file.
+    try {
+      spark.sparkContext.setLogLevel("OFF")
+      org.apache.logging.log4j.core.config.Configurator.setAllLevels(
+        org.apache.logging.log4j.LogManager.getRootLogger.getName,
+        org.apache.logging.log4j.Level.OFF)
+    } catch { case _: Throwable => () }
 
-    // Wall-clock guard: the final JSON line only exists if this process
-    // reaches the end, so long optional sections (the curation scales)
-    // check the remaining budget and skip rather than risk the whole
-    // record to an external kill. Default is sized to the observed full
-    // surface (~55 min) plus margin.
-    // (7200 default: the r7 surface — 146 queries + three TPC-DS decades
-    // + the sf1/sf10/sf100 curation grid — needs ~105 min; an external
-    // kill before the deadline degrades gracefully, the shutdown hook
-    // prints the provisional line with every completed section.)
-    val benchT0 = System.nanoTime()
-    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "7200").toDouble
+    // Wall-clock guard: the driver kills the bench at ~60 min (measured
+    // r7: SIGKILL at +3605 s), so the DEFAULT deadline leaves margin for
+    // JVM/sbt startup and the final writes. Optional sections consult
+    // the remaining budget — scaled by this box's measured pace — and
+    // skip rather than risk the record.
+    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "2940").toDouble
     def remainingS(): Double = deadlineS - (System.nanoTime() - benchT0) / 1e9
 
     // SPARK_GRAFT_BENCH_ONLY: comma-separated query-name substrings for
@@ -149,11 +191,14 @@ object Bench {
 
     // Warmup at the smallest scale: pays JIT/codegen/parquet-footer costs
     // once so timed runs measure the plan, not the JVM.
+    val headlineT0 = System.nanoTime() // pace excludes JVM/session startup
+    progress(s"warmup over ${queries.size} queries at sf0.001")
     queries.foreach { name =>
       try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
       finally spark.catalog.clearCache()
     }
+    progress("warmup done")
 
     val listener = new BytesListener
     spark.sparkContext.addSparkListener(listener)
@@ -194,57 +239,13 @@ object Bench {
       def cpuFrac: Double =
         its.map(_.procCpuSec).sum / math.max(times.sum * cpus.toInt, 1e-9)
     }
-    val results = queries.map { name =>
-      System.err.println(s"[bench] timing $name")
-      listener.reset()
-      var failed = false
-      def once(): Iter = {
-        val c0 = osBean.getProcessCpuTime
-        val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          failed = true
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        }
-        val t = (System.nanoTime() - t0) / 1e9
-        // Cached blocks are never reused across fresh invocations — any
-        // query-internal caching would be pure storage-memory pressure on
-        // the next query (the r2 bench collapsed to 4-10× under exactly
-        // that), so drop them between iterations defensively.
-        spark.catalog.clearCache()
-        Iter(t, (osBean.getProcessCpuTime - c0) / 1e9, osBean.getSystemLoadAverage)
-      }
-      var its = Vector.tabulate(iters)(_ => once())
-      var extra = 0
-      while (extra < extraIters && !failed &&
-          its.map(_.sec).max > 2.0 * its.map(_.sec).min) {
-        System.err.println(f"[bench] $name spread ${its.map(_.sec).max}%.1f/" +
-          f"${its.map(_.sec).min}%.1f s — re-timing (exogenous-load suspect)")
-        its :+= once()
-        extra += 1
-      }
-      Thread.sleep(150) // let straggler task-end events drain (metrics are advisory)
-      name -> QStats(its, listener.input.get() / its.size,
-        listener.shuffleWrite.get() / its.size,
-        listener.cpuNs.get() / its.size / 1e9, failed)
-    }
 
-    val ok = results.filterNot(_._2.failed)
-    val failedNames = results.filter(_._2.failed).map(_._1)
-    csvPath.foreach { path =>
-      val rows = "query,iteration,seconds,proc_cpu_sec,sys_load,input_bytes,shuffle_bytes,cpu_sec" +:
-        results.flatMap { case (k, st) =>
-          st.its.zipWithIndex.map { case (it, i) =>
-            f"$k,${i + 1},${it.sec}%.4f,${it.procCpuSec}%.3f,${it.sysLoad}%.2f,${st.input},${st.shuffle},${st.cpuSec}%.3f" }
-        }
-      java.nio.file.Files.write(java.nio.file.Paths.get(path),
-        rows.mkString("\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] wrote $path")
-    }
-    // Per-query scan/shuffle byte detail and mean timings go on their own
-    // EARLIER lines (detail once pushed the headline JSON past the
-    // driver's captured-tail window and the whole bench went unscored).
-    // The LAST stdout line is the compact contract the driver parses.
+    // Results accumulate INCREMENTALLY so the checkpoint line mid-loop
+    // carries every query timed so far.
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, QStats)]
+    def okNow: Seq[(String, QStats)] = results.filterNot(_._2.failed).toSeq
+    def failedNames: Seq[String] = results.filter(_._2.failed).map(_._1).toSeq
+
     // A20 cost model, mirroring what the reference's collectors priced:
     // an Athena-style scan charge ($5/TB, 10 MB minimum per query) and a
     // Glue-style compute charge (DPU-hour ≈ 4 vCPU ⇒ $0.44/(4 cpu-hours)).
@@ -253,69 +254,16 @@ object Bench {
       val cpuUsd = st.cpuSec / 3600.0 / 4.0 * 0.44
       scanUsd + cpuUsd
     }
-    val bytes = ok.map { case (k, st) =>
-      "\"" + k +
-        f"""\":{"input":${st.input},"shuffle":${st.shuffle},"cpu_sec":${st.cpuSec}%.3f,"est_cost_usd":${estCost(st)}%.6f}""" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"bytes_detail","bytes":$bytes}""")
-    val means = ok.map { case (k, st) => "\"" + k + f"\":${st.mean}%.3f" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"mean_detail","iters":$iters,"queries":$means}""")
-    // Full per-query distribution + attribution: `cpu_frac` is this
-    // process's share of (wall × cores) over all iterations — a slow
-    // iteration with low cpu_frac means the box, not the plan, was busy.
-    val stats = ok.map { case (k, st) =>
-      "\"" + k + "\":{" +
-        f""""min":${st.min}%.3f,"median":${st.median}%.3f,"mean":${st.mean}%.3f,""" +
-        f""""max":${st.max}%.3f,"n":${st.its.size},"cpu_frac":${st.cpuFrac}%.3f,""" +
-        f""""max_load":${st.its.map(_.sysLoad).max}%.2f}"""
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"stats_detail","queries":$stats}""")
 
-    // FULL detail sidecar — every number the compact tail cannot carry
-    // (full query names, min/median/mean/max/n/cpu_frac, bytes + cost,
-    // per-iteration curation cells, tpcds failure names, overhead probe
-    // times). Written next to the repo so a regression invisible in the
-    // 2 kB tail is still one `cat` away (r5 verdict item #4).
-    // Written via temp file + ATOMIC_MOVE and length-asserted (the r6
-    // driver run left a 0-byte sidecar, silently erasing the round's only
-    // full perf record) — and REWRITTEN after every completed section, so
-    // even a killed bench leaves a valid sidecar carrying everything
-    // finished up to that point.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "bench_detail.json")
-    val sidecarStats = ok.map { case (k, st) =>
-      "\"" + k + "\":{" +
-        f""""min":${st.min}%.3f,"median":${st.median}%.3f,"mean":${st.mean}%.3f,""" +
-        f""""max":${st.max}%.3f,"n":${st.its.size},"cpu_frac":${st.cpuFrac}%.3f,""" +
-        f""""input":${st.input},"shuffle":${st.shuffle},"cpu_sec":${st.cpuSec}%.3f,""" +
-        f""""est_cost_usd":${estCost(st)}%.6f}"""
-    }.mkString("{", ",", "}")
-    var tpcdsFailedDetail = Map.empty[String, Seq[String]]
-    var curationDetail = ""
-    var morTaxNow = "{}"
-    var ovhNow = (0.0, 0.0)
-    var ovhLateNow = (0.0, 0.0)
-    // Section fragments for the final line, filled in as each section
-    // completes. AtomicReference, not var: the early-termination shutdown
-    // hook below reads them from its own thread, and a plain local var
-    // captured in a closure has no cross-thread visibility guarantee.
-    val tpcdsJsonRef = new java.util.concurrent.atomic.AtomicReference("")
-    val curationJsonRef = new java.util.concurrent.atomic.AtomicReference("")
-    val overheadJsonRef = new java.util.concurrent.atomic.AtomicReference("")
-    val provisionalLine = new java.util.concurrent.atomic.AtomicReference("")
-    val finalPrinted = new java.util.concurrent.atomic.AtomicBoolean(false)
-
-    // ---- final-line construction (defined here, ahead of the long
-    // sections, so the early-kill hook can emit a provisional line) ----
-    // The driver records only the LAST ~2000 chars of stdout, so the
-    // final line is built to FIT that window WHOLE (r5's tail cut 40 of
-    // 130 per-query times): query keys are the unique qNN prefix, times
-    // are trailing-zero-stripped with precision scaled to magnitude
-    // (0.14 / 3.4 / 124), sections use short keys (legends in the section
-    // builders + SURVEY §6), and everything else lives in the detail
-    // sidecar (iteration counts included). Stability: mx=worst mean/min,
-    // ov=queries over the 1.5x spread bound (empty = all stable).
+    // ---- final-line construction -------------------------------------
+    // The driver records only the LAST ~2000 chars of output, so the
+    // line is built to FIT that window WHOLE (r5's tail cut 40 of 130
+    // per-query times): query keys are the unique qNN prefix, times are
+    // trailing-zero-stripped with precision scaled to magnitude
+    // (0.14 / 3.4 / 124), sections use short keys (legends in the
+    // section builders + SURVEY §6), and everything else lives in the
+    // detail sidecar. Stability: mx=worst mean/min, ov=queries over the
+    // 1.5x spread bound (empty = all stable).
     def fmt(t: Double): String = {
       val s = if (t >= 10) f"$t%.0f" else if (t >= 1) f"$t%.1f" else f"$t%.2f"
       if (s.contains('.'))
@@ -323,25 +271,30 @@ object Bench {
       else s
     }
     def short(k: String): String = k.takeWhile(_ != '_')
-    val maxSpread = ok.map(st => st._2.mean / math.max(st._2.min, 1e-9))
-      .foldLeft(0.0)(math.max)
-    // capped at 2 names + a count so an unstable box can't push the line
-    // past the driver's 2000-char tail window (full list in the CSV/detail)
-    val violators = ok
-      .filter(st => st._2.mean / math.max(st._2.min, 1e-9) > 1.5)
-      .map(st => short(st._1))
-    val spreadViolators = (violators.take(2) ++
-      (if (violators.size > 2) Seq(s"+${violators.size - 2}") else Nil))
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val failedJson = failedNames.map("\"" + short(_) + "\"").mkString("[", ",", "]")
-    val total = ok.map(_._2.min).sum
     val sfShort = new java.io.File(sfDir).getName
-    // If the full per-query map would push the line past the window, the
-    // FASTEST queries are elided into "qf":{"n":count,"lt":threshold,
-    // "tot":sum} with the threshold stepped up until the line fits — the
-    // slow queries are the perf signal the tail must carry whole; every
-    // elided time is still in the detail sidecar and the CSV.
+    val tpcdsJsonRef = new java.util.concurrent.atomic.AtomicReference("")
+    val curationJsonRef = new java.util.concurrent.atomic.AtomicReference("")
+    val overheadJsonRef = new java.util.concurrent.atomic.AtomicReference("")
+    val provisionalLine = new java.util.concurrent.atomic.AtomicReference("")
+    val finalPrinted = new java.util.concurrent.atomic.AtomicBoolean(false)
     def buildLine(thresh: Double, partial: Boolean): String = {
+      val ok = okNow
+      val maxSpread = ok.map(st => st._2.mean / math.max(st._2.min, 1e-9))
+        .foldLeft(0.0)(math.max)
+      // capped at 2 names + a count so an unstable box can't push the
+      // line past the tail window (full list in the CSV/detail)
+      val violators = ok
+        .filter(st => st._2.mean / math.max(st._2.min, 1e-9) > 1.5)
+        .map(st => short(st._1))
+      val spreadViolators = (violators.take(2) ++
+        (if (violators.size > 2) Seq(s"+${violators.size - 2}") else Nil))
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val failedJson = failedNames.map("\"" + short(_) + "\"").mkString("[", ",", "]")
+      val total = ok.map(_._2.min).sum
+      // If the full per-query map would push the line past the window,
+      // the FASTEST queries are elided into "qf":{"n":count,"lt":thresh,
+      // "tot":sum} — the slow queries are the perf signal the tail must
+      // carry whole; every elided time is in the sidecar and the CSV.
       val (big, small) = ok.partition(_._2.min >= thresh)
       val qs = big.map { case (k, st) => "\"" + short(k) + "\":" + fmt(st.min) }
         .mkString("{", ",", "}")
@@ -353,28 +306,49 @@ object Bench {
         s"""${tpcdsJsonRef.get}${curationJsonRef.get}${overheadJsonRef.get}$part,""" +
         s""""sf":"$sfShort","failed":$failedJson}"""
     }
+    // 1750, not ~2000: when the driver's timeout kills the sbt wrapper,
+    // sbt appends two ~55-char "[error] Nonzero exit code" lines AFTER
+    // our last checkpoint — the line must fit the captured tail WITH
+    // that trailing noise (measured in the r8 kill rehearsal).
     def fitLine(partial: Boolean): String =
       Seq(0.0, 0.1, 0.25, 0.5, 1.0).view.map(buildLine(_, partial))
-        .find(_.length <= 1950).getOrElse(buildLine(2.0, partial))
+        .find(_.length <= 1750).getOrElse(buildLine(2.0, partial))
     def refreshProvisional(): Unit = provisionalLine.set(fitLine(partial = true))
-    refreshProvisional()
-    // Early-termination belt-and-braces: if the driver kills this process
-    // (timeout / SIGTERM) mid-section, print the provisional line —
-    // headline results plus every COMPLETED section, marked
-    // "partial":true — as the process's last output. Registered below
+    // Belt-and-braces for SIGTERM (the driver's soft kill): print the
+    // provisional line as the process's last output. Registered below
     // SparkContext's stop priority (50) so it runs after Spark's own
-    // teardown noise; logging is forced OFF first so nothing follows it.
+    // teardown; logging is already OFF for the whole run. A SIGKILL
+    // skips every hook — the periodic checkpoint prints cover that.
     org.apache.spark.sql.graft.GraftShutdownHooks.add(priority = 1) {
       if (!finalPrinted.get() && provisionalLine.get.nonEmpty) {
-        try org.apache.logging.log4j.core.config.Configurator.setAllLevels(
-          org.apache.logging.log4j.LogManager.getRootLogger.getName,
-          org.apache.logging.log4j.Level.OFF)
-        catch { case _: Throwable => () }
         println(provisionalLine.get)
         System.out.flush()
       }
     }
+    refreshProvisional()
+
+    // ---- detail sidecar ----------------------------------------------
+    // FULL detail — every number the compact tail cannot carry (full
+    // query names, min/median/mean/max/n/cpu_frac, bytes + cost,
+    // per-iteration curation cells, tpcds failure names, overhead probe
+    // times). Written via temp file + ATOMIC_MOVE and length-asserted,
+    // REWRITTEN after every completed section, so even a killed bench
+    // leaves a valid sidecar carrying everything finished so far.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "bench_detail.json")
+    var tpcdsFailedDetail = Map.empty[String, Seq[String]]
+    var curationDetail = ""
+    var morTaxNow = "{}"
+    var ovhNow = (0.0, 0.0)
+    var ovhLateNow = (0.0, 0.0)
     def writeDetailSidecar(): Unit = try {
+      val sidecarStats = okNow.map { case (k, st) =>
+        "\"" + k + "\":{" +
+          f""""min":${st.min}%.3f,"median":${st.median}%.3f,"mean":${st.mean}%.3f,""" +
+          f""""max":${st.max}%.3f,"n":${st.its.size},"cpu_frac":${st.cpuFrac}%.3f,""" +
+          f""""input":${st.input},"shuffle":${st.shuffle},"cpu_sec":${st.cpuSec}%.3f,""" +
+          f""""est_cost_usd":${estCost(st)}%.6f}"""
+      }.mkString("{", ",", "}")
       val tf = tpcdsFailedDetail.map { case (k, names) =>
         "\"" + k + "\":" + names.map("\"" + _ + "\"").mkString("[", ",", "]")
       }.mkString("{", ",", "}")
@@ -394,21 +368,138 @@ object Bench {
       val written = java.nio.file.Files.size(target)
       require(written == payload.length,
         s"detail sidecar $written bytes, expected ${payload.length}")
-      System.err.println(s"[bench] wrote $target ($written bytes)")
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+      progress(s"detail write failed: ${e.getMessage}")
     }
-    writeDetailSidecar()
+
+    // ---- checkpoint: the crash-survival primitive --------------------
+    // Refresh the provisional line, rewrite the sidecar, and PRINT the
+    // cumulative line to stdout. The driver's tail therefore always ends
+    // with the most complete record, no matter when the process dies.
+    def checkpoint(): Unit = {
+      refreshProvisional()
+      writeDetailSidecar()
+      println(provisionalLine.get)
+      System.out.flush()
+    }
+
+    // ---- headline loop -----------------------------------------------
+    var lastCkpt = System.nanoTime()
+    queries.foreach { name =>
+      progress(s"timing $name")
+      listener.reset()
+      var failed = false
+      def once(): Iter = {
+        val c0 = osBean.getProcessCpuTime
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          failed = true
+          progress(s"$name FAILED: ${e.getMessage}")
+        }
+        val t = (System.nanoTime() - t0) / 1e9
+        // Cached blocks are never reused across fresh invocations — any
+        // query-internal caching would be pure storage-memory pressure on
+        // the next query (the r2 bench collapsed to 4-10× under exactly
+        // that), so drop them between iterations defensively.
+        spark.catalog.clearCache()
+        Iter(t, (osBean.getProcessCpuTime - c0) / 1e9, osBean.getSystemLoadAverage)
+      }
+      var its = Vector.tabulate(iters)(_ => once())
+      var extra = 0
+      while (extra < extraIters && !failed &&
+          its.map(_.sec).max > 2.0 * its.map(_.sec).min) {
+        progress(f"$name spread ${its.map(_.sec).max}%.1f/" +
+          f"${its.map(_.sec).min}%.1f s — re-timing (exogenous-load suspect)")
+        its :+= once()
+        extra += 1
+      }
+      Thread.sleep(150) // let straggler task-end events drain (metrics are advisory)
+      results += (name -> QStats(its, listener.input.get() / its.size,
+        listener.shuffleWrite.get() / its.size,
+        listener.cpuNs.get() / its.size / 1e9, failed))
+      if ((System.nanoTime() - lastCkpt) / 1e9 > 45.0) {
+        checkpoint()
+        lastCkpt = System.nanoTime()
+      }
+    }
+    val headlineWallS = (System.nanoTime() - headlineT0) / 1e9
+    // Pace factor: how much slower this box+run is than the clean-box
+    // estimate for the same (warmup + headline) work. Every section
+    // estimate below is multiplied by it, so a loaded driver box
+    // attempts proportionally less and still finishes inside the
+    // deadline. Never below 1 — a fast box keeps conservative gates.
+    val expectHeadlineS = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_EXPECT_HEADLINE_S", "700").toDouble *
+      (queries.size.toDouble / math.max(headline.size, 1))
+    val slow = math.max(1.0, headlineWallS / math.max(expectHeadlineS, 1.0))
+    progress(f"headline done: ${results.size} queries in $headlineWallS%.0f s " +
+      f"(pace x$slow%.2f vs clean-box estimate)")
+
+    val ok = okNow
+    csvPath.foreach { path =>
+      val rows = "query,iteration,seconds,proc_cpu_sec,sys_load,input_bytes,shuffle_bytes,cpu_sec" +:
+        results.toSeq.flatMap { case (k, st) =>
+          st.its.zipWithIndex.map { case (it, i) =>
+            f"$k,${i + 1},${it.sec}%.4f,${it.procCpuSec}%.3f,${it.sysLoad}%.2f,${st.input},${st.shuffle},${st.cpuSec}%.3f" }
+        }
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        rows.mkString("\n").getBytes("UTF-8"))
+      progress(s"wrote $path")
+    }
+    // Per-query byte/mean/stat detail goes on its own EARLIER stdout
+    // lines (the last line stays the compact contract the driver parses;
+    // a checkpoint follows immediately so the tail ends compact).
+    val bytes = ok.map { case (k, st) =>
+      "\"" + k +
+        f"""\":{"input":${st.input},"shuffle":${st.shuffle},"cpu_sec":${st.cpuSec}%.3f,"est_cost_usd":${estCost(st)}%.6f}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"bytes_detail","bytes":$bytes}""")
+    val means = ok.map { case (k, st) => "\"" + k + f"\":${st.mean}%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"mean_detail","iters":$iters,"queries":$means}""")
+    val stats = ok.map { case (k, st) =>
+      "\"" + k + "\":{" +
+        f""""min":${st.min}%.3f,"median":${st.median}%.3f,"mean":${st.mean}%.3f,""" +
+        f""""max":${st.max}%.3f,"n":${st.its.size},"cpu_frac":${st.cpuFrac}%.3f,""" +
+        f""""max_load":${st.its.map(_.sysLoad).max}%.2f}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"stats_detail","queries":$stats}""")
+    checkpoint()
+
+    // ---- sections, in priority order, each budget-gated --------------
+    // Clean-box second estimates; a section runs only when
+    // est × pace × 1.2 + 90 s of final-write margin fits the remaining
+    // budget. Order encodes what the record must carry first: the
+    // snapshot-layer overhead probe, the reference's literal corpus at
+    // sf1, the curation axis (its scales gate internally), the MoR read
+    // tax, then the bigger decades.
+    def section(name: String, estCleanS: Double)(body: => Unit): Unit = {
+      val need = estCleanS * slow * 1.2 + 90
+      val rem = remainingS()
+      if (rem < need) {
+        progress(f"$name SKIPPED: $rem%.0f s left < $need%.0f s needed")
+      } else {
+        val t0 = System.nanoTime()
+        try body
+        catch { case e: Throwable =>
+          progress(s"$name section failed: ${e.getMessage}")
+        }
+        progress(f"$name done in ${(System.nanoTime() - t0) / 1e9}%.0f s")
+      }
+      checkpoint()
+    }
+
     // Snapshot-layer overhead vs raw parquet (BASELINE.md "Our BENCH
     // target": the snapshot layer should cost ≤~20% over raw Parquet
     // scans). Apples-to-apples by construction: the graft table ADOPTS
     // the same parquet file in place (add_files, zero copy), so both
     // sides read identical bytes — the delta is manifest planning + the
     // DSv2 scan path. The probe aggregates a non-pushable SUM so the
-    // metadata-aggregate shortcut cannot fake the graft side. Runs HERE,
-    // right after the headline queries, so it measures the layer — the
-    // same probe re-runs post-curation into the sidecar's overhead_late
-    // (see below for why the two can diverge).
+    // metadata-aggregate shortcut cannot fake the graft side. Runs
+    // right after the headline queries, so it measures the layer; the
+    // same probe re-runs post-curation into overhead_late (session-age
+    // entropy tracking — see SURVEY §6).
     def runOverheadProbe(): (Double, Double) = try {
       val li = s"$sfDir/lineitem.parquet"
       val wh = java.nio.file.Files.createTempDirectory("graft_ovh").toString
@@ -429,32 +520,29 @@ object Bench {
       val viaStore = probe(s"$cat.ns.li")
       (raw, viaStore)
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] overhead section failed: ${e.getMessage}")
+      progress(s"overhead probe failed: ${e.getMessage}")
       (0.0, 0.0)
     }
-    ovhNow = runOverheadProbe()
-    overheadJsonRef.set(if (ovhNow._1 <= 0) ""
-      else f""","ovh":${ovhNow._2 / ovhNow._1}%.2f""")
-    refreshProvisional()
-    writeDetailSidecar()
-    // TPC-DS corpus sections: the reference's literal 98 queries, timed in
-    // THIS artifact (one timed pass each). "tpcds" = sf1; "tpcds10" = the
-    // sf10 dsdgen decade (r5 verdict item #5 — exercises manifest planning
-    // at thousands of files on the workload it was built for) when that
-    // dir has been generated. Skipped when the dir is absent or the env
-    // kill-switch is set; failures never fail the bench. Key legend:
-    // n=queries ok, t=sum sec, m=median sec, w=wall incl ingest, f=failed
-    // count (names on stderr + detail file).
+    section("overhead", estCleanS = 15) {
+      ovhNow = runOverheadProbe()
+      overheadJsonRef.set(if (ovhNow._1 <= 0) ""
+        else f""","ovh":${ovhNow._2 / ovhNow._1}%.2f""")
+    }
+
+    // TPC-DS corpus sections: the reference's literal 98 queries, timed
+    // in THIS artifact (one timed pass each — the decade sum IS the
+    // iteration). Key legend: n=queries ok, t=sum sec, m=median sec,
+    // w=wall incl ingest, f=failed count (names in the detail file).
     def tpcdsSection(key: String, dirEnv: String, defaultDir: String,
-        skipEnv: String, minBudgetS: Double = 0.0): String = {
+        skipEnv: String): String = {
       val dir = java.nio.file.Paths.get(sys.env.getOrElse(dirEnv, defaultDir))
-      if (sys.env.contains(skipEnv) || !java.nio.file.Files.isDirectory(dir) ||
-          remainingS() < minBudgetS) ""
+      if (sys.env.contains(skipEnv) ||
+          !java.nio.file.Files.isDirectory(dir)) ""
       else try {
         val t0 = System.nanoTime()
         val (times, tFailed) = graft.tools.TpcdsTime.runCorpus(
           spark, dir, iters = 1, warmup = false,
-          log = m => System.err.println(s"[bench][$key] $m"))
+          log = m => progress(s"[$key] $m"))
         val tOk = times.filterNot { case (n, _) => tFailed.contains(n) }
         val secs = tOk.map(_._2).sorted
         val med = if (secs.isEmpty) 0.0
@@ -464,76 +552,52 @@ object Bench {
         f""","$key":{"n":${tOk.size},"t":${secs.sum}%.1f,"m":$med%.2f,""" +
           f""""w":${(System.nanoTime() - t0) / 1e9}%.0f,"f":${tFailed.size}}"""
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] $key section failed: ${e.getMessage}")
+        progress(s"$key section failed: ${e.getMessage}")
         ""
       }
     }
-    tpcdsJsonRef.set(
-      tpcdsSection("tpcds", "SPARK_GRAFT_TPCDS_DIR", "target/tpcds-sf1",
-        "SPARK_GRAFT_SKIP_TPCDS") +
-      tpcdsSection("tpcds10", "SPARK_GRAFT_TPCDS_DIR10", "target/tpcds-sf10",
-        "SPARK_GRAFT_SKIP_TPCDS10"))
-    // tpcds30 (the stretch decade, ~15 min sweep) runs LAST — after the
-    // curation grid and mor_tax — so the reference's primary axis can
-    // never be starved by it (r7 lesson: a pre-curation sf30 run left
-    // the sf100 cell 1382 s of a ~1600 s need).
-    refreshProvisional()
-    writeDetailSidecar()
+    section("tpcds", estCleanS = 330) {
+      tpcdsJsonRef.set(tpcdsJsonRef.get +
+        tpcdsSection("tpcds", "SPARK_GRAFT_TPCDS_DIR", "target/tpcds-sf1",
+          "SPARK_GRAFT_SKIP_TPCDS"))
+    }
+
     // Curation-axis section (the reference's PRIMARY evaluation —
     // BASELINE.md curation tables): bulk insert + SCD2 merges at update
-    // proportions 0.001-0.99 over store_sales-shaped sf1/sf10, plus the
-    // skewed-CDC cell. Every cell is now timed n>=2 times with outlier
-    // re-timing; the tail carries per-cell MEDIANS + the worst within-cell
-    // spread, the detail file carries every iteration (r5 verdict item #1).
-    curationJsonRef.set {
+    // proportions 0.001-0.99 over store_sales-shaped sf1/sf10, the
+    // skewed-CDC cell, and the sf100 block (MoR rows at every
+    // proportion + CoW cells at 0.001/0.01, disk-gated). Scales gate
+    // themselves on the remaining budget (normalized to clean-box
+    // seconds by the pace factor) and fold each completed scale into
+    // the checkpoint line.
+    val curationEstS = 240.0 // sf1 alone; later scales self-gate
+    section("curation", curationEstS) {
       val data = sys.env.getOrElse("SPARK_GRAFT_CURATION_DATA",
         "target/tpcds-sf1/store_sales.parquet")
-      // sf100 runs MoR-focused (see CurationBench.runScale): the
-      // reference's own smaller published scale, where its Athena failed
-      // at p=0.99 — our MoR rows must stay flat there. CoW cells at
-      // sf100 are excluded by the sandbox's disk ceiling, covered at
-      // sf1/sf10.
       val scales = graft.tools.CurationBench.parseScales(
         sys.env.getOrElse("SPARK_GRAFT_CURATION_SCALES",
-          "sf1:1,sf10:10,sf100:100:mor"))
+          "sf1:1,sf10:10,sf100:100:morcow"))
       val cIters = sys.env.getOrElse("SPARK_GRAFT_CURATION_ITERS", "2").toInt
       if (sys.env.contains("SPARK_GRAFT_SKIP_CURATION") ||
-          !java.nio.file.Files.exists(java.nio.file.Paths.get(data))) ""
-      else try {
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(data))) ()
+      else {
         val (compact, detail) = graft.tools.CurationBench.runAll(
           spark, data, scales, Seq(0.001, 0.01, 0.1, 0.99),
-          m => System.err.println(s"[bench][curation] $m"), iters = cIters,
-          remainingS = remainingS _,
-          // after each completed scale, fold what's done into the
-          // provisional tail line + sidecar so a mid-grid kill still
-          // delivers the finished scales
+          m => progress(s"[curation] $m"), iters = cIters,
+          // normalize the remaining wall budget to clean-box seconds,
+          // minus the final-write margin
+          remainingS = () => (remainingS() - 90) / slow,
           onPartial = (pc, pd) => {
             curationDetail = pd
             curationJsonRef.set("," + "\"cur\":" + pc)
-            refreshProvisional()
-            writeDetailSidecar()
+            checkpoint()
           })
-        curationDetail = detail
-        "," + "\"cur\":" + compact
-      } catch { case e: Throwable =>
-        // keep whatever onPartial already folded (finished scales) — a
-        // late-scale failure must not erase the section from the tail
-        // line (r7 lesson: an sf100 ENOSPC blanked sf1+sf10 too)
-        System.err.println(s"[bench] curation section failed: ${e.getMessage}")
-        curationJsonRef.get()
+        if (detail.nonEmpty && detail != "{}") {
+          curationDetail = detail
+          curationJsonRef.set("," + "\"cur\":" + compact)
+        }
       }
     }
-    refreshProvisional()
-    writeDetailSidecar()
-    // A second probe run at the OLD position (post-curation, ~2 h of
-    // session age): r8 observed the GRAFT side alone degrade 0.33 s →
-    // 4.0 s here while raw parquet stayed flat — session-age entropy in
-    // the DSv2 path, not scan-layer cost (the same probe in a fresh or
-    // early session reads 0.76-0.85×; synthetic catalog-conf bloat does
-    // NOT reproduce it). Kept in the sidecar as overhead_late to track;
-    // the tail's "ovh" is the early, layer-only measurement.
-    ovhLateNow = runOverheadProbe()
-    refreshProvisional()
 
     // MoR read-tax curve (the number a CDC user asks first): SELECT cost
     // over one table as equality-delete keys accumulate 0 → 1k → 10k →
@@ -541,9 +605,8 @@ object Bench {
     // aggregate through the SQL catalog read (broadcast delete filter on
     // the MoR path), min of 3. Detail-sidecar only; delete tiers are
     // capped at half the table so small fixtures stay meaningful.
-    val morTaxJson: String =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_MORTAX") || remainingS() < 240) "{}"
-      else try {
+    section("mor_tax", estCleanS = 150) {
+      if (!sys.env.contains("SPARK_GRAFT_SKIP_MORTAX")) {
         val wh = java.nio.file.Files.createTempDirectory("graft_mortax").toString
         val store = new graft.core.TableStore(spark, wh)
         val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -584,45 +647,45 @@ object Bench {
           store.compact("mt")
           f""""compacted":${probe()}%.3f"""
         }
-        val json = points.mkString("{", ",", "}")
-        System.err.println(s"[bench] mor_tax $json")
-        json
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] mor_tax section failed: ${e.getMessage}")
-        "{}"
+        morTaxNow = points.mkString("{", ",", "}")
+        progress(s"mor_tax $morTaxNow")
       }
+    }
 
-    morTaxNow = morTaxJson
-    writeDetailSidecar()
+    section("tpcds10", estCleanS = 520) {
+      tpcdsJsonRef.set(tpcdsJsonRef.get +
+        tpcdsSection("tpcds10", "SPARK_GRAFT_TPCDS_DIR10", "target/tpcds-sf10",
+          "SPARK_GRAFT_SKIP_TPCDS10"))
+    }
 
-    // Deferred stretch decade: whatever budget the primary sections left
-    // (the sweep itself is ~15 min; the gate keeps a kill margin).
-    tpcdsJsonRef.set(tpcdsJsonRef.get +
-      tpcdsSection("tpcds30", "SPARK_GRAFT_TPCDS_DIR30", "target/tpcds-sf30",
-        "SPARK_GRAFT_SKIP_TPCDS30", minBudgetS = 1000))
-    refreshProvisional()
-    writeDetailSidecar()
+    // Second overhead probe at the OLD position (post-curation session
+    // age): r8 observed the GRAFT side alone degrade here while raw
+    // parquet stayed flat — session-age entropy in the DSv2 path, not
+    // scan-layer cost. Kept in the sidecar as overhead_late to track.
+    section("overhead_late", estCleanS = 15) {
+      ovhLateNow = runOverheadProbe()
+    }
+
+    // Deferred stretch decade — strictly last, so the reference's
+    // primary axes can never be starved by it.
+    section("tpcds30", estCleanS = 950) {
+      tpcdsJsonRef.set(tpcdsJsonRef.get +
+        tpcdsSection("tpcds30", "SPARK_GRAFT_TPCDS_DIR30", "target/tpcds-sf30",
+          "SPARK_GRAFT_SKIP_TPCDS30"))
+    }
 
     val line = fitLine(partial = false)
-    System.err.println(s"[bench] final line ${line.length} chars" +
-      (if (line.length > 1950) " — OVER the ~2000-char tail budget!" else ""))
+    progress(s"final line ${line.length} chars" +
+      (if (line.length > 1750) " — OVER the tail budget!" else ""))
     // The final JSON line must be the LAST output this process ever
-    // emits: the r6 driver run lost the whole bench record when
-    // spark.stop() raced in-flight task-status updates and log4j printed
-    // >2000 chars of shutdown stack traces AFTER the line, flooding the
-    // driver's captured tail. Order is therefore: silence ALL logging
-    // (log4j2 root OFF — shutdown hooks log through it too), stop Spark,
-    // THEN print the line and flush.
-    try {
-      spark.sparkContext.setLogLevel("OFF")
-      org.apache.logging.log4j.core.config.Configurator.setAllLevels(
-        org.apache.logging.log4j.LogManager.getRootLogger.getName,
-        org.apache.logging.log4j.Level.OFF)
-    } catch { case _: Throwable => () }
+    // emits. Logging has been OFF since startup; stop Spark first (its
+    // teardown can still print to stderr through non-log4j channels),
+    // THEN print and flush.
     try spark.stop() catch { case _: Throwable => () }
     println(line)
     System.out.flush()
     finalPrinted.set(true)
+    if (progressWriter != null) progressWriter.close()
     if (failedNames.nonEmpty) sys.exit(1)
   }
 }

@@ -150,7 +150,8 @@ object CurationBench {
   def runScale(spark: SparkSession, storeSalesDir: String, copies: Int,
       proportions: Seq[Double], log: String => Unit,
       iters: Int = 2, extraIters: Int = 1,
-      morFocus: Boolean = false): (Double, Seq[Cell]) = {
+      morFocus: Boolean = false,
+      cowProps: Seq[Double] = Seq.empty): (Double, Seq[Cell]) = {
     val wh = Files.createTempDirectory("graft_curation").toString
     val store = new TableStore(spark, wh)
     val table = "store_sales_scd2"
@@ -255,9 +256,28 @@ object CurationBench {
     // SINGLE atomic O(churn) snapshot — the streaming upsert sink's
     // per-epoch shape). ~10% of each batch are deletes, the realistic
     // CDC mix; cost should track upsert_mor, flat across proportions.
-    val ucs = Seq("scd2_simple", "scd2_complex", "upsert_mor", "cdc_mor")
-      .filter(uc => !morFocus || uc == "upsert_mor" || uc == "cdc_mor")
+    // morFocus + cowProps: the CoW SCD2 cells ALSO run at the listed
+    // proportions (sf100's direct CoW comparison vs BASELINE's Glue
+    // numbers) — behind a live free-space gate, because a file-level
+    // CoW merge transiently holds base files + rewritten files until
+    // the post-cell rollback/expiry reclaims them. 1.6x the table plus
+    // the delta must fit, or the cell logs a skip instead of ENOSPCing
+    // the rest of the grid (the r7 failure mode).
+    def cowDiskOk(deltaBytes: Long): Boolean = {
+      val tableBytes = manifestsBytes(store, table)
+      val usable = Files.getFileStore(
+        Paths.get(System.getProperty("java.io.tmpdir", "/tmp"))).getUsableSpace
+      val need = (tableBytes * 1.6).toLong + deltaBytes
+      val ok = usable > need
+      if (!ok) log(f"CoW cells SKIPPED: ${usable / 1e9}%.1f GB usable < " +
+        f"${need / 1e9}%.1f GB needed (table ${tableBytes / 1e9}%.1f GB)")
+      ok
+    }
     val cells = proportions.flatMap { p =>
+      val cowHere = !morFocus ||
+        cowProps.exists(cp => math.abs(cp - p) < 1e-12)
+      val ucs = Seq("scd2_simple", "scd2_complex", "upsert_mor", "cdc_mor")
+        .filter(uc => cowHere || uc == "upsert_mor" || uc == "cdc_mor")
       // morFocus times the merge ONLY — the delta is materialized to
       // parquet first (zstd, deleted after the cell), mirroring the
       // reference's protocol where update tables are pre-generated
@@ -278,7 +298,12 @@ object CurationBench {
           (spark.read.parquet(d), Some(d))
         } else if (morFocus) (churnDelta(spark, storeSalesDir, copies, p), None)
         else (updatesAt(base, p), None)
-      val out = ucs.map { uc =>
+      val deltaBytes = deltaDir
+        .map(d => dirBytes(Paths.get(d))).getOrElse(0L)
+      val ucsGated =
+        if (!morFocus || !cowHere || cowDiskOk(deltaBytes)) ucs
+        else ucs.filter(uc => uc == "upsert_mor" || uc == "cdc_mor")
+      val out = ucsGated.map { uc =>
         timedCell(uc, p) {
           if (uc == "scd2_simple") Scd2.scd2Simple(store, table, delta)
           else if (uc == "upsert_mor") store.upsertMoR(table, delta, Seq("pk"))
@@ -310,6 +335,19 @@ object CurationBench {
   private def delete(p: java.nio.file.Path): Unit =
     TpcdsIngest.deleteRecursively(p)
 
+  private def manifestsBytes(store: TableStore, table: String): Long =
+    store.manifests(table).maxBy(_.version).files.map(_.sizeBytes).sum
+
+  private def dirBytes(p: java.nio.file.Path): Long =
+    if (!Files.exists(p)) 0L
+    else {
+      import scala.jdk.CollectionConverters._
+      val st = Files.walk(p)
+      try st.iterator().asScala
+        .filter(f => Files.isRegularFile(f)).map(f => Files.size(f)).sum
+      finally st.close()
+    }
+
   /** Run the grid at every scale. Returns (compact, detail) JSON
     * fragments. `compact` is tail-window-sized for the driver artifact:
     * cell values are MEDIANS over n iterations in proportion order
@@ -320,22 +358,31 @@ object CurationBench {
     * and lands in "fail").
     * `detail` carries every iteration of every cell verbatim (n per
     * cell included). */
-  /** Scale spec: (name, replication copies, morFocus). */
-  def parseScales(spec: String): Seq[(String, Int, Boolean)] =
+  /** Scale spec: (name, replication copies, morFocus, cowProps).
+    * Mode token: "" = full grid; "mor" = MoR rows only; "morcow" = MoR
+    * rows plus the CoW SCD2 cells at the low proportions (0.001/0.01) —
+    * the direct BASELINE.md comparison rows at the reference's own
+    * published sf100 scale (Glue CoW 360-1064 s there), disk-gated at
+    * run time because a CoW rewrite transiently doubles the table. */
+  def parseScales(spec: String): Seq[(String, Int, Boolean, Seq[Double])] =
     spec.split(",").toSeq.map { s =>
       val parts = s.split(":")
-      (parts(0), parts(1).toInt, parts.length > 2 && parts(2) == "mor")
+      val mode = parts.lift(2).getOrElse("")
+      (parts(0), parts(1).toInt, mode.startsWith("mor"),
+        if (mode == "morcow") Seq(0.001, 0.01) else Seq.empty[Double])
     }
 
   /** Crude per-scale wall estimate (seconds) for the deadline guard —
     * intentionally conservative (above observed medians on this box) so
     * a scale only starts when it can plausibly finish. */
-  def scaleEstimateS(copies: Int, morFocus: Boolean, iters: Int): Double =
-    if (morFocus) 200.0 + copies.toDouble * 14 * (iters / 2.0)
-    else 120.0 + copies.toDouble * 110 * (iters / 2.0)
+  def scaleEstimateS(copies: Int, morFocus: Boolean, iters: Int,
+      cowCells: Int = 0): Double =
+    (if (morFocus) 200.0 + copies.toDouble * 14 * (iters / 2.0)
+    else 120.0 + copies.toDouble * 110 * (iters / 2.0)) +
+      cowCells.toDouble * iters * 90.0
 
   def runAll(outerSpark: SparkSession, storeSalesDir: String,
-      scales: Seq[(String, Int, Boolean)], proportions: Seq[Double],
+      scales: Seq[(String, Int, Boolean, Seq[Double])], proportions: Seq[Double],
       log: String => Unit, iters: Int = 2,
       remainingS: () => Double = () => Double.MaxValue,
       onPartial: (String, String) => Unit = (_, _) => ()): (String, String) = {
@@ -401,8 +448,8 @@ object CurationBench {
     // scales in its shutdown-hook tail line and detail sidecar.
     val done = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double, Seq[Cell])]
-    scales.foreach { case (name, copies, morFocus) =>
-      val est = scaleEstimateS(copies, morFocus, iters)
+    scales.foreach { case (name, copies, morFocus, cowProps) =>
+      val est = scaleEstimateS(copies, morFocus, iters, cowProps.size * 2)
       val rem = remainingS()
       if (rem < est) {
         log(f"[$name] SKIPPED: ${rem}%.0f s of bench budget left, " +
@@ -410,7 +457,7 @@ object CurationBench {
       } else try {
         val (bulkSec, cells) = runScale(spark, storeSalesDir, copies,
           proportions, m => log(s"[$name] $m"), iters = iters,
-          morFocus = morFocus)
+          morFocus = morFocus, cowProps = cowProps)
         done += ((name, bulkSec, cells))
         onPartial(compactOf(done.toSeq), detailOf(done.toSeq))
       } catch { case e: Throwable =>
@@ -432,6 +479,7 @@ object CurationBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.cleaner.periodicGC.interval", "90s") // bound /tmp/blockmgr-*
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
