@@ -267,7 +267,14 @@ object CurationBench {
       val tableBytes = manifestsBytes(store, table)
       val usable = Files.getFileStore(
         Paths.get(System.getProperty("java.io.tmpdir", "/tmp"))).getUsableSpace
-      val need = (tableBytes * 1.6).toLong + deltaBytes
+      // CoW peak = rewritten files (~1x table, every file is touched by
+      // a uniform delta) + the merge join's shuffle files, live for the
+      // whole job — ~1x table under lz4 (the r8 ENOSPC at a 1.6x gate),
+      // roughly half that under zstd — + slack
+      val zstd = spark.conf.getOption("spark.io.compression.codec")
+        .exists(_.equalsIgnoreCase("zstd"))
+      val factor = if (zstd) 1.9 else 2.6
+      val need = (tableBytes * factor).toLong + deltaBytes
       val ok = usable > need
       if (!ok) log(f"CoW cells SKIPPED: ${usable / 1e9}%.1f GB usable < " +
         f"${need / 1e9}%.1f GB needed (table ${tableBytes / 1e9}%.1f GB)")
@@ -480,6 +487,11 @@ object CurationBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.cleaner.periodicGC.interval", "90s") // bound /tmp/blockmgr-*
+      // zstd shuffle: the sf100 CoW merge's shuffle files coexist with
+      // the rewritten table on local disk; zstd roughly halves them vs
+      // lz4 on the md5-pk-dominated rows, which is the difference
+      // between fitting this sandbox's disk and ENOSPC
+      .config("spark.io.compression.codec", "zstd")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
