@@ -66,6 +66,8 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
   private var schemaEvolution = false
   private var lineage: Option[(String, String)] = None
   private var retries = 3
+  private var smallSourceMaxRows = 5L * 1000 * 1000
+  private var smallSrcActive = false
 
   def using(source: DataFrame): this.type = { src = source; this }
 
@@ -142,6 +144,20 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
     fileRewrite = enabled; this
   }
 
+  /** Low-shuffle merge threshold (rows): a `full_outer` join can never
+    * broadcast, so the classic merge plan shuffles the WHOLE target even
+    * for a 0.1% delta. Sources at or under this row count take the
+    * low-shuffle path instead (Delta's low-shuffle-merge shape): the
+    * target is pre-split with BROADCAST semi/anti joins on the source
+    * keys, untouched rows bypass the join entirely as map-only carries,
+    * and the full_outer runs on the touched slice alone — the target is
+    * never shuffled. 5M rows of md5-sized keys is a few hundred MB of
+    * broadcast; tune down for wide multi-column keys. */
+  def withSmallSourceMaxRows(n: Long): this.type = {
+    require(n >= 0, "threshold must be non-negative")
+    smallSourceMaxRows = n; this
+  }
+
   /** Build the merged snapshot without committing (plan inspection/tests). */
   def plan(): DataFrame = planAgainst(evolve(store.read(table)),
     store.manifests(table).maxBy(_.version).version + 1)
@@ -200,12 +216,31 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
       t0.withColumn("__tid", monotonically_increasing_id()) else t0
     val joinCond = keys.map { case (tk, sk) => t(tk) === s(SrcPrefix + sk) }
       .reduce(_ && _) && extraOn.getOrElse(lit(true))
-    val joined0 = t.join(s, joinCond, "full_outer")
+    // Low-shuffle path (small sources only — runOnce sizes the source):
+    // pre-split the target on the source KEY SET with broadcast
+    // semi/anti joins. Rows whose keys appear nowhere in the source can
+    // never match under joinCond (extraOn only further restricts), so
+    // they are pure KEEP carries that skip the join; the full_outer
+    // then pairs the touched slice (≤ |source| matches) with the
+    // source — small × small, no target shuffle anywhere. Null source
+    // keys (the SCD2 staged legs) never equi-match on either plan.
+    val (joined0, keepRows) =
+      if (!smallSrcActive) (t.join(s, joinCond, "full_outer"), None)
+      else {
+        val sKeys = s
+          .select(keys.map { case (_, sk) => col(SrcPrefix + sk) }: _*)
+          .distinct()
+        val keyCond = keys.map { case (tk, sk) =>
+          t(tk) === sKeys(SrcPrefix + sk) }.reduce(_ && _)
+        val touched = t.join(broadcast(sKeys), keyCond, "left_semi")
+        val keep = t.join(broadcast(sKeys), keyCond, "left_anti")
+        (touched.join(s, joinCond, "full_outer"), Some(keep))
+      }
 
     val isMatched = col("__tgt_exists").isNotNull && col(SrcPrefix + "__exists").isNotNull
     val isSrcOnly = col("__tgt_exists").isNull && col(SrcPrefix + "__exists").isNotNull
 
-    val joined = if (cardinalityCheck) {
+    val joined1 = if (cardinalityCheck) {
       // Unmatched-source rows carry a null __tid; coalescing onto the
       // source key hash spreads them across window partitions instead of
       // one all-null straggler (their matched-count is 0 by definition,
@@ -222,6 +257,16 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
           .isNull)
         .drop("__nmatch", "__tid")
     } else joined0
+    // Union the carries AFTER the cardinality window, so the window's
+    // shuffle sees only the touched slice — a carried row has zero
+    // matches by construction. Missing source-side columns null-fill,
+    // which the action logic already reads as "unmatched".
+    val joined = keepRows match {
+      case Some(keep) =>
+        val k = if (cardinalityCheck) keep.drop("__tid") else keep
+        joined1.unionByName(k, allowMissingColumns = true)
+      case None => joined1
+    }
 
     // First-matching-clause-wins action column, in declaration order.
     val srcCols = src.columns.toSet
@@ -312,6 +357,15 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
     // replan loop re-reads the rival's snapshot) instead of being
     // silently dropped by an allocate-past-it commit.
     val base = store.manifests(table).maxBy(_.version)
+    // Size the source once to pick the join strategy; persist a small
+    // source so the low-shuffle plan's three references (key broadcast
+    // ×2, join side) evaluate it once instead of re-running a possibly
+    // table-scanning staging query.
+    val srcRows =
+      try src.count() catch { case _: Throwable => Long.MaxValue }
+    smallSrcActive = srcRows <= smallSourceMaxRows
+    if (smallSrcActive) { src.persist(); () }
+    try {
     val pruned =
       if (fileRewrite && keys.nonEmpty) {
         val (tk, sk) = keys.head
@@ -334,6 +388,12 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
         val merged = planAgainst(evolve(store.read(table)), base.version + 1)
         store.commitFiles(table, Seq.empty, Some(merged), "merge", spec,
           Seq.empty, baseVersion = base.version)
+    }
+    } finally {
+      if (smallSrcActive) {
+        try { src.unpersist(); () } catch { case _: Throwable => () }
+        smallSrcActive = false
+      }
     }
   }
 }

@@ -122,8 +122,54 @@ class MergeSpec extends SparkSpec {
     }
     val without = mergeExecs(false)
     val withCheck = mergeExecs(true)
-    assert(withCheck == without && withCheck == 1,
-      s"merge should be one query execution: with=$withCheck without=$without")
+    // 2 = the merge itself + the source-sizing probe (src.count, DELTA
+    // I/O only) that picks the low-shuffle vs classic join strategy.
+    // The invariant under test is that the CHECK adds nothing: the
+    // cardinality window rides the merge's own execution either way.
+    assert(withCheck == without && withCheck <= 2,
+      s"cardinality check must not add an execution: with=$withCheck without=$without")
+  }
+
+  test("low-shuffle small-source path matches the classic full_outer plan") {
+    // Same merge, both strategies: threshold 0 forces the classic
+    // full_outer join; the default takes the broadcast pre-split path
+    // (touched slice joins, untouched rows carry map-only). Result sets
+    // must be identical — updates, conditional delete, inserts, keeps.
+    val store = freshStore()
+    def result(maxRows: Long, tbl: String): Seq[(Int, String)] = {
+      store.commit(tbl,
+        (1 to 1000).map(i => (i, s"v$i")).toDF("id", "s"), "create")
+      Merge.into(store, tbl)
+        .using(Seq((3, "u3"), (500, "DEL"), (2000, "n2000")).toDF("id", "s"))
+        .on(Seq("id"))
+        .whenMatchedDelete(condition = Some(Merge.source("s") === "DEL"))
+        .whenMatchedUpdate()
+        .whenNotMatchedInsert()
+        .withSmallSourceMaxRows(maxRows)
+        .run()
+      store.read(tbl).as[(Int, String)].collect().sorted.toSeq
+    }
+    val classic = result(0L, "lsm_classic")
+    val fast = result(5000000L, "lsm_fast")
+    assert(fast == classic)
+    assert(fast.size == 1000) // 999 kept/updated + 1 delete + 1 insert
+    assert(fast.contains((3, "u3")) && fast.contains((2000, "n2000")) &&
+      !fast.exists(_._1 == 500))
+  }
+
+  test("low-shuffle path still enforces the cardinality check") {
+    val store = freshStore()
+    store.commit("lsm_card",
+      (1 to 50).map(i => (i, s"v$i")).toDF("id", "s"), "create")
+    val e = intercept[Exception] {
+      Merge.into(store, "lsm_card")
+        .using(Seq((7, "a"), (7, "b")).toDF("id", "s"))
+        .on(Seq("id"))
+        .whenMatchedUpdate()
+        .whenNotMatchedInsert()
+        .run()
+    }
+    assert(e.getMessage != null)
   }
 
   test("file-level copy-on-write: untouched files carry into the new snapshot unrewritten") {
