@@ -134,52 +134,60 @@ def rewrite_concat(text: str) -> str:
         i = k
     return "".join(out)
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/graft-tpcds-sf{SF}"
-META = "/root/reference/src/data_derivation/query_performance/utils/metadata"
-SQL = "/root/reference/src/data_derivation/query_performance/sql"
 
-os.makedirs(os.path.join(OUT, "expected"), exist_ok=True)
-con = duckdb.connect()
-# Align the null-ordering knob with Spark (ASC => NULLS FIRST). Several
-# corpus queries (q5/q14a/q27/q67) ORDER BY nullable rollup keys and LIMIT
-# 100: which rows survive the limit depends on where NULLs sort, and that
-# is presentation semantics, not query semantics — fix the knob so the
-# comparison is exact instead of tie-fuzzy.
-con.execute("SET default_null_order='nulls_first'")
-con.execute("LOAD tpcds")
-con.execute(f"CALL dsdgen(sf={SF})")
+if __name__ == "__main__":
+    SF = sys.argv[1] if len(sys.argv) > 1 else "0.01"
+    OUT = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/graft-tpcds-sf{SF}"
+    META = "/root/reference/src/data_derivation/query_performance/utils/metadata"
+    SQL = "/root/reference/src/data_derivation/query_performance/sql"
 
-tables = []
-for p in sorted(glob.glob(os.path.join(META, "*.json"))):
-    with open(p) as f:
-        tables.append(json.load(f)["name"])
-print(f"[tpcds] {len(tables)} tables from metadata", file=sys.stderr)
-for t in tables:
-    dst = os.path.join(OUT, f"{t}.parquet")
-    if not os.path.exists(dst):
-        con.execute(f"copy (select * from {t}) to '{dst}' (format parquet)")
-    n = con.execute(f"select count(*) from '{dst}'").fetchone()[0]
-    print(f"[tpcds] {t}: {n} rows", file=sys.stderr)
+    os.makedirs(os.path.join(OUT, "expected"), exist_ok=True)
+    con = duckdb.connect()
+    # Bound DuckDB's memory and give it a spill dir: in-memory dsdgen at sf30
+    # peaks ~90 GB RSS and a concurrent Spark JVM turns that into an OOM kill
+    # (observed r8) — with a limit it spills to disk instead.
+    con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '60GB')}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # Align the null-ordering knob with Spark (ASC => NULLS FIRST). Several
+    # corpus queries (q5/q14a/q27/q67) ORDER BY nullable rollup keys and LIMIT
+    # 100: which rows survive the limit depends on where NULLs sort, and that
+    # is presentation semantics, not query semantics — fix the knob so the
+    # comparison is exact instead of tie-fuzzy.
+    con.execute("SET default_null_order='nulls_first'")
+    con.execute("LOAD tpcds")
+    con.execute(f"CALL dsdgen(sf={SF})")
 
-manifest = {}
-for p in sorted(glob.glob(os.path.join(SQL, "q*.sql"))):
-    name = os.path.basename(p)[:-4]
-    with open(p) as f:
-        text = f.read()
-    dst = os.path.join(OUT, "expected", f"{name}.parquet")
-    try:
-        con.execute(
-            f"copy ({duck_dialect(text).rstrip().rstrip(';')}) to '{dst}' (format parquet)")
-        rows = con.execute(f"select count(*) from '{dst}'").fetchone()[0]
-        manifest[name] = {"status": "ok", "rows": rows}
-    except Exception as e:
-        manifest[name] = {"status": "error", "error": str(e).split("\n")[0][:300]}
-        print(f"[tpcds] {name} FAILED: {manifest[name]['error']}", file=sys.stderr)
+    tables = []
+    for p in sorted(glob.glob(os.path.join(META, "*.json"))):
+        with open(p) as f:
+            tables.append(json.load(f)["name"])
+    print(f"[tpcds] {len(tables)} tables from metadata", file=sys.stderr)
+    for t in tables:
+        dst = os.path.join(OUT, f"{t}.parquet")
+        if not os.path.exists(dst):
+            con.execute(f"copy (select * from {t}) to '{dst}' (format parquet)")
+        n = con.execute(f"select count(*) from '{dst}'").fetchone()[0]
+        print(f"[tpcds] {t}: {n} rows", file=sys.stderr)
 
-ok = sum(1 for v in manifest.values() if v["status"] == "ok")
-nonempty = sum(1 for v in manifest.values() if v.get("rows", 0) > 0)
-print(f"[tpcds] {ok}/{len(manifest)} queries ran in duckdb, "
-      f"{nonempty} with rows", file=sys.stderr)
-with open(os.path.join(OUT, "manifest.json"), "w") as f:
-    json.dump(manifest, f, indent=1, sort_keys=True)
+    manifest = {}
+    for p in sorted(glob.glob(os.path.join(SQL, "q*.sql"))):
+        name = os.path.basename(p)[:-4]
+        with open(p) as f:
+            text = f.read()
+        dst = os.path.join(OUT, "expected", f"{name}.parquet")
+        try:
+            con.execute(
+                f"copy ({duck_dialect(text).rstrip().rstrip(';')}) to '{dst}' (format parquet)")
+            rows = con.execute(f"select count(*) from '{dst}'").fetchone()[0]
+            manifest[name] = {"status": "ok", "rows": rows}
+        except Exception as e:
+            manifest[name] = {"status": "error", "error": str(e).split("\n")[0][:300]}
+            print(f"[tpcds] {name} FAILED: {manifest[name]['error']}", file=sys.stderr)
+
+    ok = sum(1 for v in manifest.values() if v["status"] == "ok")
+    nonempty = sum(1 for v in manifest.values() if v.get("rows", 0) > 0)
+    print(f"[tpcds] {ok}/{len(manifest)} queries ran in duckdb, "
+          f"{nonempty} with rows", file=sys.stderr)
+    with open(os.path.join(OUT, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+
