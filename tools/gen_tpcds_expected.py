@@ -27,10 +27,17 @@ con = duckdb.connect()
 con.execute(f"SET memory_limit='{MEM}'")
 con.execute("SET temp_directory='/tmp/duckdb_spill'")
 con.execute("SET default_null_order='nulls_first'")
+# Views re-scan parquet on every reference — q64's twice-referenced
+# 6-table CTE never finished at sf30 that way (>44 min, killed).
+# LOAD_TABLES=1 materializes every table in the buffer pool first
+# (the shape the in-memory dsdgen runs used), trading ~60 GB RAM for
+# table-speed scans; the memory limit + spill dir keep it bounded.
+load = os.environ.get("LOAD_TABLES", "") == "1"
 for p in sorted(glob.glob(os.path.join(DIR, "*.parquet"))):
     t = os.path.basename(p)[:-len(".parquet")]
-    con.execute(f"create view {t} as select * from '{p}'")
-    print(f"[expected] view {t}", file=sys.stderr)
+    kind = "table" if load else "view"
+    con.execute(f"create {kind} {t} as select * from '{p}'")
+    print(f"[expected] {kind} {t}", file=sys.stderr)
 
 manifest = {}
 for p in sorted(glob.glob(os.path.join(SQL, "q*.sql"))):
@@ -38,6 +45,11 @@ for p in sorted(glob.glob(os.path.join(SQL, "q*.sql"))):
     with open(p) as f:
         text = f.read()
     dst = os.path.join(DIR, "expected", f"{name}.parquet")
+    if os.path.exists(dst):  # restart-friendly; delete a suspect file first
+        rows = con.execute(f"select count(*) from '{dst}'").fetchone()[0]
+        manifest[name] = {"status": "ok", "rows": rows}
+        print(f"[expected] {name}: {rows} rows (kept)", file=sys.stderr)
+        continue
     try:
         con.execute(
             f"copy ({duck_dialect(text).rstrip().rstrip(';')}) to '{dst}' (format parquet)")
