@@ -66,7 +66,7 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
   private var schemaEvolution = false
   private var lineage: Option[(String, String)] = None
   private var retries = 3
-  private var smallSourceMaxRows = 5L * 1000 * 1000
+  private var smallSourceMaxRows = 0L
   private var smallSrcActive = false
 
   def using(source: DataFrame): this.type = { src = source; this }
@@ -151,8 +151,17 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
     * target is pre-split with BROADCAST semi/anti joins on the source
     * keys, untouched rows bypass the join entirely as map-only carries,
     * and the full_outer runs on the touched slice alone — the target is
-    * never shuffled. 5M rows of md5-sized keys is a few hundred MB of
-    * broadcast; tune down for wide multi-column keys. */
+    * never shuffled.
+    *
+    * DEFAULT 0 (off): measured END-TO-END the path LOSES at scale on
+    * this storage layout — scd2_simple at sf10 p=0.001 ran 41.7 s vs
+    * 23.4 s classic, and the sf100 cell's rewrite stage degenerated to
+    * hours (r8 A/B, target/tpcds dsdgen data) — the pre-split pays two
+    * full target scans plus a per-row probe where the classic plan's
+    * single shuffle is cheaper on md5-key tables whose every file is
+    * touched anyway. Opt in per-merge only with plan evidence
+    * (`.plan().explain`) that the pre-split wins for that layout —
+    * e.g. a clustered table where the anti join prunes whole files. */
   def withSmallSourceMaxRows(n: Long): this.type = {
     require(n >= 0, "threshold must be non-negative")
     smallSourceMaxRows = n; this
@@ -357,14 +366,22 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
     // replan loop re-reads the rival's snapshot) instead of being
     // silently dropped by an allocate-past-it commit.
     val base = store.manifests(table).maxBy(_.version)
-    // Size the source once to pick the join strategy; persist a small
-    // source so the low-shuffle plan's three references (key broadcast
-    // ×2, join side) evaluate it once instead of re-running a possibly
-    // table-scanning staging query.
+    // Opt-in low-shuffle only: size the source once to pick the join
+    // strategy. persist() BEFORE the count so the sizing pass fills the
+    // cache — the plan's three references (key broadcast ×2, join side)
+    // then reuse it instead of re-running a possibly table-scanning
+    // staging query. Threshold 0 (the default) skips the sizing pass
+    // entirely — the classic plan needs no count.
     val srcRows =
-      try src.count() catch { case _: Throwable => Long.MaxValue }
+      if (smallSourceMaxRows <= 0) Long.MaxValue
+      else {
+        src.persist()
+        try src.count() catch { case _: Throwable => Long.MaxValue }
+      }
     smallSrcActive = srcRows <= smallSourceMaxRows
-    if (smallSrcActive) { src.persist(); () }
+    if (smallSourceMaxRows > 0 && !smallSrcActive) {
+      try { src.unpersist(); () } catch { case _: Throwable => () }
+    }
     try {
     val pruned =
       if (fileRewrite && keys.nonEmpty) {

@@ -122,10 +122,10 @@ class MergeSpec extends SparkSpec {
     }
     val without = mergeExecs(false)
     val withCheck = mergeExecs(true)
-    // 2 = the merge itself + the source-sizing probe (src.count, DELTA
-    // I/O only) that picks the low-shuffle vs classic join strategy.
-    // The invariant under test is that the CHECK adds nothing: the
-    // cardinality window rides the merge's own execution either way.
+    // <= 2 tolerates the opt-in source-sizing probe (src.count); with the
+    // default classic plan the merge is a single execution. The invariant
+    // under test is that the CHECK adds nothing: the cardinality window
+    // rides the merge's own execution either way.
     assert(withCheck == without && withCheck <= 2,
       s"cardinality check must not add an execution: with=$withCheck without=$without")
   }
@@ -167,6 +167,7 @@ class MergeSpec extends SparkSpec {
         .on(Seq("id"))
         .whenMatchedUpdate()
         .whenNotMatchedInsert()
+        .withSmallSourceMaxRows(5000000L) // exercise the opt-in path
         .run()
     }
     assert(e.getMessage != null)
