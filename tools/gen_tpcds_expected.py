@@ -45,11 +45,19 @@ for p in sorted(glob.glob(os.path.join(SQL, "q*.sql"))):
     with open(p) as f:
         text = f.read()
     dst = os.path.join(DIR, "expected", f"{name}.parquet")
-    if os.path.exists(dst):  # restart-friendly; delete a suspect file first
-        rows = con.execute(f"select count(*) from '{dst}'").fetchone()[0]
-        manifest[name] = {"status": "ok", "rows": rows}
-        print(f"[expected] {name}: {rows} rows (kept)", file=sys.stderr)
-        continue
+    if os.path.exists(dst):  # restart-friendly
+        # A file truncated by a killed COPY fails the count — fall
+        # through to regeneration instead of aborting the whole rebuild.
+        try:
+            rows = con.execute(f"select count(*) from '{dst}'").fetchone()[0]
+            manifest[name] = {"status": "ok", "rows": rows}
+            print(f"[expected] {name}: {rows} rows (kept)", file=sys.stderr)
+            continue
+        except Exception as e:
+            print(f"[expected] {name}: kept file unreadable "
+                  f"({str(e).splitlines()[0][:120]}), regenerating",
+                  file=sys.stderr)
+            os.remove(dst)
     try:
         con.execute(
             f"copy ({duck_dialect(text).rstrip().rstrip(';')}) to '{dst}' (format parquet)")
