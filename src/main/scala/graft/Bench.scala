@@ -470,10 +470,12 @@ object Bench {
     // ---- sections, in priority order, each budget-gated --------------
     // Clean-box second estimates; a section runs only when
     // est × pace × 1.2 + 90 s of final-write margin fits the remaining
-    // budget. Order encodes what the record must carry first: the
-    // snapshot-layer overhead probe, the reference's literal corpus at
-    // sf1, the curation axis (its scales gate internally), the MoR read
-    // tax, then the bigger decades.
+    // budget. Order encodes what the record must carry first — the
+    // reference's own evaluation priority (docs/README.md: curation is
+    // the primary axis, the query corpus the secondary): the snapshot-
+    // layer overhead probe, the curation sf1 grid (slim fallback when
+    // tight), the literal corpus at sf1 (partially sheddable), the MoR
+    // read tax, the remaining curation scales, then the bigger decades.
     def section(name: String, estCleanS: Double)(body: => Unit): Unit = {
       val need = estCleanS * slow * 1.2 + 90
       val rem = remainingS()
@@ -529,82 +531,131 @@ object Bench {
         else f""","ovh":${ovhNow._2 / ovhNow._1}%.2f""")
     }
 
+    // Curation-axis sections (the reference's PRIMARY evaluation —
+    // BASELINE.md curation tables; reference/docs/README.md:90-104):
+    // bulk insert + SCD2 merges at update proportions 0.001-0.99 over
+    // store_sales-shaped data, the skewed-CDC cell, and the bigger
+    // scales' MoR/CoW blocks. Split in TWO: the FIRST spec'd scale
+    // (sf1) runs BEFORE the tpcds decade — r8 inverted this priority
+    // and a 1.9x-slow box spent the window on tpcds (the reference's
+    // SECONDARY axis) then shed curation entirely from the driver
+    // artifact — and the remaining scales run after mor_tax, each
+    // self-gating on the pace-normalized budget. Both calls fold into
+    // ONE merged "cur" fragment via runAll's `prior` carry.
+    val curationData = sys.env.getOrElse("SPARK_GRAFT_CURATION_DATA",
+      "target/tpcds-sf1/store_sales.parquet")
+    val curationScales = graft.tools.CurationBench.parseScales(
+      sys.env.getOrElse("SPARK_GRAFT_CURATION_SCALES",
+        "sf1:1,sf10:10,sf100:100:morcow"))
+    val cIters = sys.env.getOrElse("SPARK_GRAFT_CURATION_ITERS", "2").toInt
+    val curationOk = !sys.env.contains("SPARK_GRAFT_SKIP_CURATION") &&
+      java.nio.file.Files.exists(java.nio.file.Paths.get(curationData))
+    var curationDone =
+      Seq.empty[(String, Double, Seq[graft.tools.CurationBench.Cell])]
+    def runCuration(scales: Seq[(String, Int, Boolean, Seq[Double])],
+        props: Seq[Double], it: Int): Unit = {
+      val (compact, detail, ds) = graft.tools.CurationBench.runAll(
+        spark, curationData, scales, props,
+        m => progress(s"[curation] $m"), iters = it,
+        // normalize the remaining wall budget to clean-box seconds,
+        // minus the final-write margin
+        remainingS = () => (remainingS() - 90) / slow,
+        onPartial = (pc, pd) => {
+          curationDetail = pd
+          curationJsonRef.set("," + "\"cur\":" + pc)
+          checkpoint()
+        },
+        prior = curationDone)
+      if (ds.nonEmpty) {
+        curationDone = ds
+        curationDetail = detail
+        curationJsonRef.set("," + "\"cur\":" + compact)
+      }
+    }
+    // Gate on the SLIM grid's cost (n=1, proportions {0.01, 0.99}) and
+    // decide full-vs-slim INSIDE: at pace ~2x the full sf1 grid no
+    // longer fits the window after the headline, and a 2-point curve in
+    // the driver artifact beats the r8 hole.
+    section("curation", estCleanS = 175) {
+      if (curationOk && curationScales.nonEmpty) {
+        val fullNeed = 240 * slow * 1.2 + 90
+        if (remainingS() >= fullNeed)
+          runCuration(curationScales.take(1), Seq(0.001, 0.01, 0.1, 0.99), cIters)
+        else {
+          progress(f"curation SLIM mode (n=1, p={0.01,0.99}): " +
+            f"${remainingS()}%.0f s left < $fullNeed%.0f s for the full sf1 grid")
+          runCuration(curationScales.take(1), Seq(0.01, 0.99), 1)
+        }
+      }
+    }
+
     // TPC-DS corpus sections: the reference's literal 98 queries, timed
     // in THIS artifact (one timed pass each — the decade sum IS the
     // iteration). Key legend: n=queries ok, t=sum sec, m=median sec,
-    // w=wall incl ingest, f=failed count (names in the detail file).
+    // w=wall incl ingest, f=failed count (names in the detail file),
+    // sk=queries NOT attempted (present only when the budget truncated
+    // the decade — runCorpus sheds PARTIALLY, so a slow box leaves a
+    // prefix record instead of the r8 all-or-nothing SKIP; the section
+    // est below is therefore the minimum worth starting — ingest plus a
+    // dozen queries — not the full-decade cost). `reserveS` holds back
+    // wall budget for the sections that must still run after this one.
     def tpcdsSection(key: String, dirEnv: String, defaultDir: String,
-        skipEnv: String): String = {
+        skipEnv: String, reserveS: Double): Unit = {
       val dir = java.nio.file.Paths.get(sys.env.getOrElse(dirEnv, defaultDir))
       if (sys.env.contains(skipEnv) ||
-          !java.nio.file.Files.isDirectory(dir)) ""
+          !java.nio.file.Files.isDirectory(dir)) ()
       else try {
+        val base = tpcdsJsonRef.get
         val t0 = System.nanoTime()
-        val (times, tFailed) = graft.tools.TpcdsTime.runCorpus(
+        def frag(ts: Seq[(String, Double)], fl: List[String],
+            skipped: Int): String = {
+          val tOk = ts.filterNot { case (n, _) => fl.contains(n) }
+          val secs = tOk.map(_._2).sorted
+          val med = if (secs.isEmpty) 0.0
+            else if (secs.size % 2 == 1) secs(secs.size / 2)
+            else (secs(secs.size / 2 - 1) + secs(secs.size / 2)) / 2
+          f""","$key":{"n":${tOk.size},"t":${secs.sum}%.1f,"m":$med%.2f,""" +
+            f""""w":${(System.nanoTime() - t0) / 1e9}%.0f,"f":${fl.size}""" +
+            (if (skipped > 0) s""","sk":$skipped}""" else "}")
+        }
+        val (times, tFailed, skipped) = graft.tools.TpcdsTime.runCorpus(
           spark, dir, iters = 1, warmup = false,
-          log = m => progress(s"[$key] $m"))
-        val tOk = times.filterNot { case (n, _) => tFailed.contains(n) }
-        val secs = tOk.map(_._2).sorted
-        val med = if (secs.isEmpty) 0.0
-          else if (secs.size % 2 == 1) secs(secs.size / 2)
-          else (secs(secs.size / 2 - 1) + secs(secs.size / 2)) / 2
-        tpcdsFailedDetail += key -> tFailed
-        f""","$key":{"n":${tOk.size},"t":${secs.sum}%.1f,"m":$med%.2f,""" +
-          f""""w":${(System.nanoTime() - t0) / 1e9}%.0f,"f":${tFailed.size}}"""
-      } catch { case e: Throwable =>
-        progress(s"$key section failed: ${e.getMessage}")
-        ""
-      }
-    }
-    section("tpcds", estCleanS = 330) {
-      tpcdsJsonRef.set(tpcdsJsonRef.get +
-        tpcdsSection("tpcds", "SPARK_GRAFT_TPCDS_DIR", "target/tpcds-sf1",
-          "SPARK_GRAFT_SKIP_TPCDS"))
-    }
-
-    // Curation-axis section (the reference's PRIMARY evaluation —
-    // BASELINE.md curation tables): bulk insert + SCD2 merges at update
-    // proportions 0.001-0.99 over store_sales-shaped sf1/sf10, the
-    // skewed-CDC cell, and the sf100 block (MoR rows at every
-    // proportion + CoW cells at 0.001/0.01, disk-gated). Scales gate
-    // themselves on the remaining budget (normalized to clean-box
-    // seconds by the pace factor) and fold each completed scale into
-    // the checkpoint line.
-    val curationEstS = 240.0 // sf1 alone; later scales self-gate
-    section("curation", curationEstS) {
-      val data = sys.env.getOrElse("SPARK_GRAFT_CURATION_DATA",
-        "target/tpcds-sf1/store_sales.parquet")
-      val scales = graft.tools.CurationBench.parseScales(
-        sys.env.getOrElse("SPARK_GRAFT_CURATION_SCALES",
-          "sf1:1,sf10:10,sf100:100:morcow"))
-      val cIters = sys.env.getOrElse("SPARK_GRAFT_CURATION_ITERS", "2").toInt
-      if (sys.env.contains("SPARK_GRAFT_SKIP_CURATION") ||
-          !java.nio.file.Files.exists(java.nio.file.Paths.get(data))) ()
-      else {
-        val (compact, detail) = graft.tools.CurationBench.runAll(
-          spark, data, scales, Seq(0.001, 0.01, 0.1, 0.99),
-          m => progress(s"[curation] $m"), iters = cIters,
-          // normalize the remaining wall budget to clean-box seconds,
-          // minus the final-write margin
-          remainingS = () => (remainingS() - 90) / slow,
-          onPartial = (pc, pd) => {
-            curationDetail = pd
-            curationJsonRef.set("," + "\"cur\":" + pc)
+          log = m => progress(s"[$key] $m"),
+          remainingS = () => remainingS() - reserveS,
+          onCheckpoint = (ts, fl, sk) => {
+            tpcdsFailedDetail += key -> fl
+            tpcdsJsonRef.set(base + frag(ts, fl, sk))
             checkpoint()
           })
-        if (detail.nonEmpty && detail != "{}") {
-          curationDetail = detail
-          curationJsonRef.set("," + "\"cur\":" + compact)
-        }
+        tpcdsFailedDetail += key -> tFailed
+        tpcdsJsonRef.set(base + frag(times, tFailed, skipped))
+        if (skipped > 0)
+          progress(s"$key truncated: $skipped queries unattempted")
+      } catch { case e: Throwable =>
+        progress(s"$key section failed: ${e.getMessage}")
       }
+    }
+    // Min-entry estimates = the PARTITIONED INGEST's clean-box cost
+    // (r8 driver log: sf1 ingest alone was 387 s at pace 2.13, ~180 s
+    // clean) plus a first bite of queries — a section that can only
+    // afford its ingest must not start. Reserve the mor_tax section's
+    // cost while the sf1 decade runs — the read-tax curve is small,
+    // load-bearing, and must not be starved by a truncating decade on
+    // a slow box.
+    section("tpcds", estCleanS = 210) {
+      tpcdsSection("tpcds", "SPARK_GRAFT_TPCDS_DIR", "target/tpcds-sf1",
+        "SPARK_GRAFT_SKIP_TPCDS", reserveS = 150 * slow * 1.2 + 90)
     }
 
     // MoR read-tax curve (the number a CDC user asks first): SELECT cost
     // over one table as equality-delete keys accumulate 0 → 1k → 10k →
     // 100k, then after CALL compact — each probe is the same non-pushable
     // aggregate through the SQL catalog read (broadcast delete filter on
-    // the MoR path), min of 3. Detail-sidecar only; delete tiers are
-    // capped at half the table so small fixtures stay meaningful.
+    // the MoR path), min of 5 (r8: min-of-3 on the co-tenant driver box
+    // read the d1000/d10000 mid-curve 1.7x the clean record; two more
+    // probes cost ~2 s and buy reproducibility within 1.3x). Detail-
+    // sidecar only; delete tiers are capped at half the table so small
+    // fixtures stay meaningful.
     section("mor_tax", estCleanS = 150) {
       if (!sys.env.contains("SPARK_GRAFT_SKIP_MORTAX")) {
         val wh = java.nio.file.Files.createTempDirectory("graft_mortax").toString
@@ -622,7 +673,7 @@ object Bench {
         spark.conf.set(s"spark.sql.catalog.$cat",
           classOf[graft.catalog.GraftCatalog].getName)
         spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-        def probe(): Double = (1 to 3).map { _ =>
+        def probe(): Double = (1 to 5).map { _ =>
           val t0 = System.nanoTime()
           spark.sql("SELECT COUNT(*) AS n, SUM(CAST(l_quantity AS " +
             s"DECIMAL(18,2))) AS q FROM $cat.ns.mt").collect()
@@ -652,10 +703,17 @@ object Bench {
       }
     }
 
-    section("tpcds10", estCleanS = 520) {
-      tpcdsJsonRef.set(tpcdsJsonRef.get +
-        tpcdsSection("tpcds10", "SPARK_GRAFT_TPCDS_DIR10", "target/tpcds-sf10",
-          "SPARK_GRAFT_SKIP_TPCDS10"))
+    // The remaining curation scales (sf10 grid, sf100 MoR/CoW block) —
+    // the primary axis's decades outrank the tpcds ones; each scale
+    // self-gates inside runAll on the pace-normalized budget.
+    section("curation2", estCleanS = 200) {
+      if (curationOk && curationScales.size > 1)
+        runCuration(curationScales.drop(1), Seq(0.001, 0.01, 0.1, 0.99), cIters)
+    }
+
+    section("tpcds10", estCleanS = 350) {
+      tpcdsSection("tpcds10", "SPARK_GRAFT_TPCDS_DIR10", "target/tpcds-sf10",
+        "SPARK_GRAFT_SKIP_TPCDS10", reserveS = 150)
     }
 
     // Second overhead probe at the OLD position (post-curation session
@@ -668,10 +726,9 @@ object Bench {
 
     // Deferred stretch decade — strictly last, so the reference's
     // primary axes can never be starved by it.
-    section("tpcds30", estCleanS = 950) {
-      tpcdsJsonRef.set(tpcdsJsonRef.get +
-        tpcdsSection("tpcds30", "SPARK_GRAFT_TPCDS_DIR30", "target/tpcds-sf30",
-          "SPARK_GRAFT_SKIP_TPCDS30"))
+    section("tpcds30", estCleanS = 600) {
+      tpcdsSection("tpcds30", "SPARK_GRAFT_TPCDS_DIR30", "target/tpcds-sf30",
+        "SPARK_GRAFT_SKIP_TPCDS30", reserveS = 90)
     }
 
     val line = fitLine(partial = false)

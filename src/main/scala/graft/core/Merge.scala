@@ -153,23 +153,39 @@ final class MergeBuilder private[core] (store: TableStore, table: String) {
     * and the full_outer runs on the touched slice alone — the target is
     * never shuffled.
     *
-    * DEFAULT 0 (off): measured END-TO-END the path LOSES at scale on
-    * this storage layout — scd2_simple at sf10 p=0.001 ran 41.7 s vs
-    * 23.4 s classic, and the sf100 cell's rewrite stage degenerated to
-    * hours (r8 A/B, target/tpcds dsdgen data) — the pre-split pays two
-    * full target scans plus a per-row probe where the classic plan's
-    * single shuffle is cheaper on md5-key tables whose every file is
-    * touched anyway. Opt in per-merge only with plan evidence
-    * (`.plan().explain`) that the pre-split wins for that layout —
-    * e.g. a clustered table where the anti join prunes whole files. */
+    * DEFAULT 0 (off): the classic plan wins the common layouts.
+    * Measured A/B grid (`graft.tools.MergeAb`, 29M-row store_sales
+    * targets, ~112k-row deltas, plus the r8 end-to-end scd2 A/B):
+    *  - KEY-LOCALIZED delta: classic wins (6.6 vs 7.8 s) — file-level
+    *    `filesHitByKeys` pruning already shrinks the join for BOTH
+    *    plans, so the pre-split only adds its probe cost;
+    *  - staged SCD2 merges (multi-reference sources): classic wins
+    *    (23.4 vs 41.7 s at sf10 p=0.001) — the pre-split re-evaluates
+    *    the expensive staged source;
+    *  - SCATTERED small delta on a pk-clustered table: LOW-SHUFFLE
+    *    WINS decisively (see SURVEY §6 r9 record) — min/max pruning is
+    *    defeated, so classic shuffles the whole wide table for a
+    *    0.4% delta while the pre-split carries untouched rows map-only.
+    * Opt in for that last shape: a simple merge whose delta is small
+    * and key-scattered over a layout range pruning cannot help.
+    * `.plan()` runs the SAME sizing decision as `run()`, so
+    * `.plan().explain()` shows the join strategy the merge will use. */
   def withSmallSourceMaxRows(n: Long): this.type = {
     require(n >= 0, "threshold must be non-negative")
     smallSourceMaxRows = n; this
   }
 
-  /** Build the merged snapshot without committing (plan inspection/tests). */
-  def plan(): DataFrame = planAgainst(evolve(store.read(table)),
-    store.manifests(table).maxBy(_.version).version + 1)
+  /** Build the merged snapshot without committing (plan inspection/tests).
+    * Runs the same source-sizing decision as [[run]] (a `count` when the
+    * low-shuffle opt-in is armed) so the returned frame's plan is the one
+    * a real merge would execute — the documented `.plan().explain()`
+    * evidence workflow depends on it. */
+  def plan(): DataFrame = {
+    smallSrcActive = smallSourceMaxRows > 0 && src != null &&
+      (try src.count() <= smallSourceMaxRows catch { case _: Throwable => false })
+    planAgainst(evolve(store.read(table)),
+      store.manifests(table).maxBy(_.version).version + 1)
+  }
 
   /** Append source-only columns (nullable) to the target when schema
     * evolution is on; identity otherwise. */

@@ -279,13 +279,26 @@ object CurationBench {
       // box running ONLY this grid can spend the slack instead of
       // skipping the cells (r8: the gate missed by 4 GB on a 42 GB-free
       // box whose true peak was ~35 GB).
-      val factor = sys.env.get("SPARK_GRAFT_COW_FACTOR").map(_.toDouble)
+      val factor = sys.env.get("SPARK_GRAFT_COW_FACTOR")
+        .map(v => parseDoubleOr(v, "SPARK_GRAFT_COW_FACTOR"))
         .getOrElse(if (zstd) 1.9 else 2.6)
       val need = (tableBytes * factor).toLong + deltaBytes
       val ok = usable > need
       if (!ok) log(f"CoW cells SKIPPED: ${usable / 1e9}%.1f GB usable < " +
         f"${need / 1e9}%.1f GB needed (table ${tableBytes / 1e9}%.1f GB)")
       ok
+    }
+    // Warm the CoW merge path too when CoW cells will run under
+    // morFocus (the generic warmup above was MoR-only there): r8's sf30
+    // record had the FIRST CoW cell absorb the cold file-rewrite path
+    // and invert the proportion curve (p=0.001 median 138.6 s vs
+    // p=0.01's 84.2 s). One unrecorded merge at the smallest CoW
+    // proportion, behind the same disk gate as the recorded cells.
+    if (morFocus && cowProps.nonEmpty && cowDiskOk(0L)) {
+      val (cwSec, _) = timed(Scd2.scd2Simple(store, table,
+        churnDelta(spark, storeSalesDir, copies, cowProps.min)))
+      resetToBase()
+      log(f"warmup CoW merge ${cwSec}%.1f s (unrecorded)")
     }
     val cells = proportions.flatMap { p =>
       val cowHere = !morFocus ||
@@ -346,6 +359,16 @@ object CurationBench {
     }
   }
 
+  /** Fail FAST with the offending input named: a typo in an env var or
+    * CLI arg ("1,9", a trailing comma) must die before the SparkSession
+    * is built, not as an opaque NumberFormatException mid-bench. */
+  private[tools] def parseDoubleOr(v: String, what: String): Double =
+    try v.trim.toDouble
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"$what: cannot parse '$v' as a number (use e.g. 1.9)")
+    }
+
   private def delete(p: java.nio.file.Path): Unit =
     TpcdsIngest.deleteRecursively(p)
 
@@ -374,16 +397,26 @@ object CurationBench {
     * cell included). */
   /** Scale spec: (name, replication copies, morFocus, cowProps).
     * Mode token: "" = full grid; "mor" = MoR rows only; "morcow" = MoR
-    * rows plus the CoW SCD2 cells at the low proportions (0.001/0.01) —
-    * the direct BASELINE.md comparison rows at the reference's own
-    * published sf100 scale (Glue CoW 360-1064 s there), disk-gated at
-    * run time because a CoW rewrite transiently doubles the table. */
+    * rows plus the CoW SCD2 cells at the low proportions (0.001/0.01
+    * default; `morcow@p|p|p` picks the exact CoW proportions, e.g.
+    * `sf30:30:morcow@0.001|0.01|0.1`) — the direct BASELINE.md
+    * comparison rows at the reference's own published sf100 scale
+    * (Glue CoW 360-1064 s there), disk-gated at run time because a CoW
+    * rewrite transiently doubles the table. */
   def parseScales(spec: String): Seq[(String, Int, Boolean, Seq[Double])] =
     spec.split(",").toSeq.map { s =>
       val parts = s.split(":")
+      require(parts.length >= 2 && parts(1).forall(_.isDigit) && parts(1).nonEmpty,
+        s"scale spec '$s' (from '$spec') is not name:copies[:mode] — " +
+          "e.g. sf1:1 or sf30:30:morcow@0.001|0.01")
       val mode = parts.lift(2).getOrElse("")
-      (parts(0), parts(1).toInt, mode.startsWith("mor"),
-        if (mode == "morcow") Seq(0.001, 0.01) else Seq.empty[Double])
+      val cowProps =
+        if (!mode.startsWith("morcow")) Seq.empty[Double]
+        else mode.split("@").toSeq.lift(1)
+          .map(_.split("\\|").toSeq.filter(_.nonEmpty)
+            .map(parseDoubleOr(_, s"cow proportions in scale spec '$s'")))
+          .getOrElse(Seq(0.001, 0.01))
+      (parts(0), parts(1).toInt, mode.startsWith("mor"), cowProps)
     }
 
   /** Crude per-scale wall estimate (seconds) for the deadline guard —
@@ -395,11 +428,18 @@ object CurationBench {
     else 120.0 + copies.toDouble * 110 * (iters / 2.0)) +
       cowCells.toDouble * iters * 90.0
 
+  /** `prior`: scales completed by an EARLIER runAll call in the same
+    * process (Bench splits curation into an early sf1 section and a
+    * later bigger-scales section so the primary axis can never be shed
+    * by the decades) — folded into every compact/detail fragment this
+    * call emits, so the driver artifact carries ONE merged "cur" value. */
   def runAll(outerSpark: SparkSession, storeSalesDir: String,
       scales: Seq[(String, Int, Boolean, Seq[Double])], proportions: Seq[Double],
       log: String => Unit, iters: Int = 2,
       remainingS: () => Double = () => Double.MaxValue,
-      onPartial: (String, String) => Unit = (_, _) => ()): (String, String) = {
+      onPartial: (String, String) => Unit = (_, _) => (),
+      prior: Seq[(String, Double, Seq[Cell])] = Seq.empty)
+      : (String, String, Seq[(String, Double, Seq[Cell])]) = {
     // Isolated session: the wide-row sf10 merges want smaller tasks than
     // the caller's 32 shuffle partitions give (900k × 23-col rows per
     // sort otherwise); AQE coalesces the excess away at sf1, so the
@@ -462,6 +502,7 @@ object CurationBench {
     // scales in its shutdown-hook tail line and detail sidecar.
     val done = scala.collection.mutable.ArrayBuffer
       .empty[(String, Double, Seq[Cell])]
+    done ++= prior
     scales.foreach { case (name, copies, morFocus, cowProps) =>
       val est = scaleEstimateS(copies, morFocus, iters, cowProps.size * 2)
       val rem = remainingS()
@@ -482,12 +523,23 @@ object CurationBench {
           Option(e.getMessage).getOrElse(e.toString).take(200))
       }
     }
-    (compactOf(done.toSeq), detailOf(done.toSeq))
+    (compactOf(done.toSeq), detailOf(done.toSeq), done.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
     val storeSales = args.headOption.getOrElse("target/tpcds-sf1/store_sales.parquet")
     val scales = parseScales(args.lift(1).getOrElse("sf1:1,sf10:10"))
+    // Parse every numeric input BEFORE the SparkSession: a typo'd env
+    // var or arg must fail in milliseconds with its name, not as a bare
+    // NumberFormatException after JVM+session startup.
+    sys.env.get("SPARK_GRAFT_COW_FACTOR")
+      .foreach(parseDoubleOr(_, "SPARK_GRAFT_COW_FACTOR"))
+    val props = args.lift(2)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map(parseDoubleOr(_, "proportions arg (arg 3)")))
+      .getOrElse(Seq(0.001, 0.01, 0.1, 0.99))
+    require(props.nonEmpty && props.forall(p => p > 0 && p <= 1),
+      s"proportions must be in (0,1]: got ${props.mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -504,12 +556,7 @@ object CurationBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val iters = sys.env.getOrElse("SPARK_GRAFT_CURATION_ITERS", "2").toInt
-    // Optional arg 3: comma-separated proportions (default full axis) —
-    // lets a dedicated run re-time just the cells it is after.
-    val props = args.lift(2)
-      .map(_.split(",").toSeq.map(_.trim.toDouble))
-      .getOrElse(Seq(0.001, 0.01, 0.1, 0.99))
-    val (compact, detail) = runAll(spark, storeSales, scales,
+    val (compact, detail, _) = runAll(spark, storeSales, scales,
       props,
       m => System.err.println(s"[curation] $m"), iters = iters)
     println(s"""{"metric":"curation_detail","scales":$detail}""")

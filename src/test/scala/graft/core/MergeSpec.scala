@@ -157,6 +157,26 @@ class MergeSpec extends SparkSpec {
       !fast.exists(_._1 == 500))
   }
 
+  test("plan() runs the same sizing decision as run() for the low-shuffle opt-in") {
+    // The documented evidence workflow is .plan().explain() — so plan()
+    // must show the join strategy run() would pick, not always classic.
+    val store = freshStore()
+    store.commit("lsm_plan",
+      (1 to 500).map(i => (i, s"v$i")).toDF("id", "s"), "create")
+    def mb(thr: Long) = Merge.into(store, "lsm_plan")
+      .using(Seq((1, "x")).toDF("id", "s"))
+      .on(Seq("id"))
+      .whenMatchedUpdate()
+      .whenNotMatchedInsert()
+      .withSmallSourceMaxRows(thr)
+    val classic = mb(0L).plan().queryExecution.optimizedPlan.toString
+    val low = mb(5000000L).plan().queryExecution.optimizedPlan.toString
+    assert(!classic.contains("LeftSemi"),
+      "threshold 0 must plan the classic full_outer merge")
+    assert(low.contains("LeftSemi"),
+      "an armed threshold with a tiny source must plan the pre-split")
+  }
+
   test("low-shuffle path still enforces the cardinality check") {
     val store = freshStore()
     store.commit("lsm_card",

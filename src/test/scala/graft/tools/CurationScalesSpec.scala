@@ -18,6 +18,22 @@ class CurationScalesSpec extends AnyFunSuite {
     assert(morOnly == Seq(("sf100", 100, true, Seq.empty[Double])))
   }
 
+  test("parseScales: morcow@p|p picks explicit CoW proportions") {
+    val parsed = CurationBench.parseScales("sf30:30:morcow@0.001|0.01|0.1")
+    assert(parsed == Seq(("sf30", 30, true, Seq(0.001, 0.01, 0.1))))
+    // typos name themselves instead of a bare NumberFormat/IndexOOB:
+    // a comma inside the props list fractures the scale spec itself...
+    val e = intercept[IllegalArgumentException] {
+      CurationBench.parseScales("sf30:30:morcow@0,001")
+    }
+    assert(e.getMessage.contains("001"))
+    // ...and a non-numeric proportion is named with its spec
+    val e2 = intercept[IllegalArgumentException] {
+      CurationBench.parseScales("sf30:30:morcow@x")
+    }
+    assert(e2.getMessage.contains("sf30:30:morcow@x"))
+  }
+
   test("scaleEstimateS grows with copies and with CoW cells") {
     val base = CurationBench.scaleEstimateS(100, morFocus = true, iters = 2)
     val withCow =
