@@ -295,10 +295,27 @@ object CurationBench {
     // p=0.01's 84.2 s). One unrecorded merge at the smallest CoW
     // proportion, behind the same disk gate as the recorded cells.
     if (morFocus && cowProps.nonEmpty && cowDiskOk(0L)) {
+      // Materialize the warmup delta exactly like the recorded cells do:
+      // the staged SCD2 source is referenced multiple times by the merge
+      // plan, and a lazy O(table) generator re-evaluates per reference
+      // (measured: 470 s lazy vs ~90 s materialized at sf30 p=0.001).
+      val wd = Files.createTempDirectory("graft_curation_wdelta").toString
+      scratch += wd
+      churnDelta(spark, storeSalesDir, copies, cowProps.min)
+        .write.mode("overwrite").option("compression", "zstd").parquet(wd)
+      // BOTH CoW paths: scd2_simple (classic merge) and scd2_complex
+      // (windowed rewrite) have distinct codegen shapes — warming one
+      // leaves the other's first recorded cell carrying its cold cost
+      // (r9: s2c@0.001 read 88 s first-in-order vs 59 s one cell later
+      // with 1.0x spreads — systematic run-age, not noise).
       val (cwSec, _) = timed(Scd2.scd2Simple(store, table,
-        churnDelta(spark, storeSalesDir, copies, cowProps.min)))
+        spark.read.parquet(wd)))
       resetToBase()
-      log(f"warmup CoW merge ${cwSec}%.1f s (unrecorded)")
+      val (ccSec, _) = timed(Scd2.scd2Complex(store, table,
+        spark.read.parquet(wd)))
+      resetToBase()
+      delete(Paths.get(wd))
+      log(f"warmup CoW merges ${cwSec}%.1f + ${ccSec}%.1f s (unrecorded)")
     }
     val cells = proportions.flatMap { p =>
       val cowHere = !morFocus ||
