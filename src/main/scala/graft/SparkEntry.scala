@@ -123,12 +123,47 @@ object SparkEntry {
       java.nio.file.Files.createTempDirectory("graft_replay").toString
     /** The streaming source frame to hand to the operator under test. */
     def source: DataFrame = s.readStream.schema(schema).parquet(dir)
+    /** Land one fixture batch WITHOUT waiting: lets a two-source replay
+      * land both sides of a time slice and process them as ONE
+      * micro-batch (feed = land + wait forced one batch per side —
+      * doubling the per-batch fixed cost: offset/commit-log fsyncs,
+      * incremental re-planning, state-store commits — for an identical
+      * appended result set; opt guide §1.2 "remove unnecessary passes"). */
+    def land(batch: DataFrame): Unit =
+      batch.coalesce(1).write.mode("append").parquet(dir)
     /** Land one fixture batch and wait for it to be fully processed. */
     def feed(q: org.apache.spark.sql.streaming.StreamingQuery,
         batch: DataFrame): Unit = {
-      batch.write.mode("append").parquet(dir)
+      land(batch)
       q.processAllAvailable()
     }
+  }
+
+  /** Run a foreachBatch body against a PERSISTED micro-batch frame.
+    * foreachBatch hands over a LAZY frame: every action on it re-executes
+    * the batch's incremental plan — state-store reads included — so the
+    * usual isEmpty-guard + write pattern paid (parts of) each batch two
+    * or three times. Standard remedy from the Structured Streaming guide;
+    * the cache is bounded by one micro-batch and dropped before the next. */
+  private def withBatch(b0: DataFrame)(body: DataFrame => Unit): Unit = {
+    val b = b0.persist()
+    try body(b) finally { b.unpersist(); () }
+  }
+
+  /** Run a streaming replay with no-data micro-batches disabled. A
+    * watermark-only trigger pays the full per-trigger fixed cost
+    * (incremental re-plan, offset/commit-log writes, one state-store
+    * commit per partition per stateful op) and roughly DOUBLES the
+    * trigger count of a bounded replay. Only used where the final table
+    * provably does not depend on a trailing no-data flush: double-
+    * sentinel outer joins (the second sentinel's DATA batch flushes
+    * everything the first sentinel's watermark proved unmatched), inner
+    * interval joins and first-seen dedup (emit on data batches only). */
+  private def withoutNoDataBatches[T](s: SparkSession)(body: => T): T = {
+    val k = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.get(k, "true")
+    s.conf.set(k, "false")
+    try body finally s.conf.set(k, prev)
   }
 
   /** Split a fixture frame into `n` contiguous event-time slices (replay
@@ -359,12 +394,13 @@ object SparkEntry {
         val q = agg.writeStream
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
           .option("checkpointLocation", ckpt)
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            if (!b.isEmpty) {
-              if (!store.exists("win")) store.commit("win", b, "create")
-              else store.append("win", b)
+          .foreachBatch { (b0: DataFrame, _: Long) =>
+            withBatch(b0) { b =>
+              if (!b.isEmpty) {
+                if (!store.exists("win")) store.commit("win", b, "create")
+                else store.append("win", b)
+              }
             }
-            ()
           }
           .start()
         try {
@@ -1470,17 +1506,18 @@ object SparkEntry {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      try withoutNoDataBatches(s) {
         val q = uniq.writeStream
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
           .option("checkpointLocation", ckpt)
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            if (!b.isEmpty) {
-              val out = b.select(col("user_id"), col("event_type"), col("day"))
-              if (!store.exists("uniq")) store.commit("uniq", out, "create")
-              else store.append("uniq", out)
+          .foreachBatch { (b0: DataFrame, _: Long) =>
+            withBatch(b0) { b =>
+              if (!b.isEmpty) {
+                val out = b.select(col("user_id"), col("event_type"), col("day"))
+                if (!store.exists("uniq")) store.commit("uniq", out, "create")
+                else store.append("uniq", out)
+              }
             }
-            ()
           }
           .start()
         try timeSlices(ev, "ts", 3).foreach(b => replay.feed(q, b))
@@ -1680,23 +1717,25 @@ object SparkEntry {
       // per micro-batch (each feed = one batch × partitions × 2 sides),
       // not data volume — see the q68 note.
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      try withoutNoDataBatches(s) {
         val q = joined.writeStream
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
           .option("checkpointLocation", ckpt)
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            if (!b.isEmpty) {
-              val out = b.select(col("r_event_type"), col("value"))
-              if (!store.exists("pairs")) store.commit("pairs", out, "create")
-              else store.append("pairs", out)
+          .foreachBatch { (b0: DataFrame, _: Long) =>
+            withBatch(b0) { b =>
+              if (!b.isEmpty) {
+                val out = b.select(col("r_event_type"), col("value"))
+                if (!store.exists("pairs")) store.commit("pairs", out, "create")
+                else store.append("pairs", out)
+              }
             }
-            ()
           }
           .start()
         try {
           val ls = timeSlices(left, "ts", 2)
           val rs = timeSlices(right, "ts", 2)
-          (0 until 2).foreach { i => rr.feed(q, rs(i)); lr.feed(q, ls(i)) }
+          // both sides of a slice land together and process as ONE batch
+          (0 until 2).foreach { i => rr.land(rs(i)); lr.feed(q, ls(i)) }
         } finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       store.read("pairs")
@@ -1729,13 +1768,14 @@ object SparkEntry {
         val q = sessions.toDF().writeStream
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
           .option("checkpointLocation", ckpt)
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            if (!b.isEmpty) {
-              val out = b.select(col("user_id"), col("n_events"))
-              if (!store.exists("sess")) store.commit("sess", out, "create")
-              else store.append("sess", out)
+          .foreachBatch { (b0: DataFrame, _: Long) =>
+            withBatch(b0) { b =>
+              if (!b.isEmpty) {
+                val out = b.select(col("user_id"), col("n_events"))
+                if (!store.exists("sess")) store.commit("sess", out, "create")
+                else store.append("sess", out)
+              }
             }
-            ()
           }
           .start()
         try {
@@ -2610,13 +2650,14 @@ object SparkEntry {
           .table(s"$cat.ns.ev")
           .writeStream
           .option("checkpointLocation", ckpt)
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            if (!b.isEmpty) {
-              nBatches.incrementAndGet()
-              if (!sink.exists("out")) sink.commit("out", b, "create")
-              else sink.append("out", b)
+          .foreachBatch { (b0: DataFrame, _: Long) =>
+            withBatch(b0) { b =>
+              if (!b.isEmpty) {
+                nBatches.incrementAndGet()
+                if (!sink.exists("out")) sink.commit("out", b, "create")
+                else sink.append("out", b)
+              }
             }
-            ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
@@ -3459,7 +3500,7 @@ object SparkEntry {
     // Scale: one hash-agg quantile over the bounded grid + one
     // broadcast-join filter pass; no corpus shuffle.
     "q139_adaptive_quality_cutoff" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents")
       val scored = TextAnalysis.qualityFeatures(docs)
         .select(col("doc_id"), col("source"), col("n_tokens"),
           floor(col("quality_score") * lit(1048576.0)).cast("long")
@@ -3599,7 +3640,7 @@ object SparkEntry {
     // ≤1024-row bucket shuffle, weights applied as a codegen'd literal
     // projection), then per-source exact-quantile top-25% selection.
     "q145_dsir_selection" -> ((s, dir) =>
-      Dsir.select(Tables.load(s, dir, "documents"), "text", "source",
+      Dsir.select(Tables.loadSpread(s, dir, "documents"), "text", "source",
           isTarget = col("lang") === "en", num = 3L, den = 4L)
         .select(col("doc_id"), col("source"), col("dsir_score"),
           col("threshold"), col("group_rows"))
@@ -3713,7 +3754,7 @@ object SparkEntry {
     // Join-per-round distributed propagation with lineage cut each round;
     // bit-replayable: every step is int64 multiply + floor division.
     "q151_link_authority" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
+      val li = Tables.loadSpread(s, dir, "lineitem")
       val ord = Tables.load(s, dir, "orders")
       val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .groupBy(
@@ -3734,7 +3775,7 @@ object SparkEntry {
     // per-batch sketches merge (bottom-k of union = bottom-k of merged
     // bottom-ks).
     "q152_sample_quantiles" -> ((s, dir) => {
-      val ev = Tables.load(s, dir, "events")
+      val ev = Tables.loadSpread(s, dir, "events")
       graft.ext.Quantiles.sampleQuantiles(ev, "event_type", "event_id",
           "value", k = 200,
           pcts = Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
@@ -3899,12 +3940,12 @@ object SparkEntry {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      try withoutNoDataBatches(s) {
         val q = joined.writeStream
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
           .option("checkpointLocation", ckpt)
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            if (!b.isEmpty) {
+          .foreachBatch { (b0: DataFrame, _: Long) =>
+            withBatch(b0) { b =>
               val out = b.filter(col("user_id") >= 0)
                 .select(col("event_id"), col("user_id"),
                   col("r_event_type"), col("r_value"))
@@ -3914,16 +3955,16 @@ object SparkEntry {
                 else store.append("enriched", out)
               }
             }
-            ()
           }
           .start()
         try {
           val ls = timeSlices(left, "ts", 2)
           val rs = timeSlices(right, "ts", 2)
-          (0 until 2).foreach { i => rr.feed(q, rs(i)); lr.feed(q, ls(i)) }
+          // both sides of a slice land together and process as ONE batch
+          (0 until 2).foreach { i => rr.land(rs(i)); lr.feed(q, ls(i)) }
           // watermark push + one more batch to flush unmatched lefts
-          rr.feed(q, sentinel(10)); lr.feed(q, sentinel(10))
-          rr.feed(q, sentinel(20)); lr.feed(q, sentinel(20))
+          rr.land(sentinel(10)); lr.feed(q, sentinel(10))
+          rr.land(sentinel(20)); lr.feed(q, sentinel(20))
         } finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       store.read("enriched").orderBy(col("event_id"), col("r_event_type"))
@@ -4074,7 +4115,7 @@ object SparkEntry {
     // authority flows FROM seeds and unreachable spam starves to zero.
     // Same int64 fixed-point grid as q151.
     "q165_personalized_pagerank" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
+      val li = Tables.loadSpread(s, dir, "lineitem")
       val ord = Tables.load(s, dir, "orders")
       val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .groupBy(
@@ -4095,7 +4136,7 @@ object SparkEntry {
     // bidirectional trade graph; a pure function of the graph, so the
     // community assignment replays bit-for-bit on any engine.
     "q166_label_propagation" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
+      val li = Tables.loadSpread(s, dir, "lineitem")
       val ord = Tables.load(s, dir, "orders")
       val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .groupBy(
@@ -4176,13 +4217,14 @@ object SparkEntry {
       val q = joined.writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          if (!b.isEmpty) {
-            val out = b.select(col("event_id"), col("segment"))
-            if (!store.exists("enriched")) store.commit("enriched", out, "create")
-            else store.append("enriched", out)
+        .foreachBatch { (b0: DataFrame, _: Long) =>
+          withBatch(b0) { b =>
+            if (!b.isEmpty) {
+              val out = b.select(col("event_id"), col("segment"))
+              if (!store.exists("enriched")) store.commit("enriched", out, "create")
+              else store.append("enriched", out)
+            }
           }
-          ()
         }
         .start()
       try {
@@ -4242,7 +4284,7 @@ object SparkEntry {
     // once via the intersection-left-edge bucket rule, exact overlap
     // residual inside the hash equi-join.
     "q172_interval_overlap_join" -> ((s, dir) => {
-      val li = Tables.load(s, dir, "lineitem")
+      val li = Tables.loadSpread(s, dir, "lineitem")
         .select((col("l_extendedprice").cast("decimal(12,2)") * 100)
           .cast("long").as("llo"), col("l_quantity"))
         .withColumn("lhi", col("llo") + 25000L)
@@ -4267,11 +4309,17 @@ object SparkEntry {
     // projection against the literal trained weights; the confusion
     // matrix with per-cell margin sums is sensitive to every weight.
     "q173_trained_classifier" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents")
+      val docs = Tables.loadSpread(s, dir, "documents")
       val isEn = coalesce(col("lang") === "en", lit(false))
-      val w = graft.ext.Perceptron.train(docs, "text", isEn, iterations = 3)
-      val (score, pred) = graft.ext.Perceptron.predict(col("text"), w)
-      docs.select(isEn.as("is_en"), score.as("__m"), pred.as("predicted"))
+      // tokenize+md5+bucket ONCE; 3 training rounds and the final scoring
+      // pass all read the checkpointed integer arrays (previously 7 full
+      // tokenize+hash passes over the corpus text)
+      val feat = graft.ext.Perceptron.featurize(docs, "text", isEn)
+        .localCheckpoint()
+      val w = graft.ext.Perceptron.trainOnFeatures(feat, iterations = 3)
+      val score = graft.ext.Perceptron.marginOnFeatures(w)
+      feat.select((col("__y") === 1L).as("is_en"), score.as("__m"),
+          (score > 0L).as("predicted"))
         .groupBy(col("is_en"), col("predicted"))
         .agg(count(lit(1)).as("n"), sum(col("__m")).as("sum_margin"))
         .orderBy(col("is_en"), col("predicted"))
@@ -4388,12 +4436,12 @@ object SparkEntry {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
+      try withoutNoDataBatches(s) {
         val q = joined.writeStream
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
           .option("checkpointLocation", ckpt)
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            if (!b.isEmpty) {
+          .foreachBatch { (b0: DataFrame, _: Long) =>
+            withBatch(b0) { b =>
               // sentinels carry key -1 on whichever side they fed
               val out = b
                 .filter(coalesce(col("user_id"), col("r_user_id")) >= 0)
@@ -4407,15 +4455,15 @@ object SparkEntry {
                 else store.append("joined", out)
               }
             }
-            ()
           }
           .start()
         try {
           val ls = timeSlices(left, "ts", 2)
           val rs = timeSlices(right, "ts", 2)
-          (0 until 2).foreach { i => rr.feed(q, rs(i)); lr.feed(q, ls(i)) }
-          rr.feed(q, sentinel(10)); lr.feed(q, sentinel(10))
-          rr.feed(q, sentinel(20)); lr.feed(q, sentinel(20))
+          // both sides of a slice land together and process as ONE batch
+          (0 until 2).foreach { i => rr.land(rs(i)); lr.feed(q, ls(i)) }
+          rr.land(sentinel(10)); lr.feed(q, sentinel(10))
+          rr.land(sentinel(20)); lr.feed(q, sentinel(20))
         } finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       store.read("joined")
@@ -4634,12 +4682,13 @@ object SparkEntry {
         val q = profiles.toDF().writeStream
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
           .option("checkpointLocation", ckpt)
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            if (!b.isEmpty) {
-              if (!store.exists("prof")) store.commit("prof", b, "create")
-              else store.append("prof", b)
+          .foreachBatch { (b0: DataFrame, _: Long) =>
+            withBatch(b0) { b =>
+              if (!b.isEmpty) {
+                if (!store.exists("prof")) store.commit("prof", b, "create")
+                else store.append("prof", b)
+              }
             }
-            ()
           }
           .start()
         try timeSlices(ev, "ts", 3).foreach(replay.feed(q, _))
@@ -4851,9 +4900,14 @@ object SparkEntry {
     // gates the unit semantics and the eval-share calibration.
     "q189_leakage_safe_split" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-      val split = graft.ext.Splits.leakageSafeSplit(
-        docs, "doc_id", "text", n = 3, threshold = 0.8, evalOf256 = 51)
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      // one shared candidate/verify pass for the split AND its audit
+      // (pairs and components previously each re-ran the whole Jaccard
+      // machinery); the split table (one narrow row per doc) feeds two
+      // consumers — checkpoint it
+      val (pairs, comp) = Dedup.jaccardPairsAndComponents(
+        docs, "doc_id", "text", n = 3, threshold = 0.8)
+      val split = graft.ext.Splits.leakageSafeSplitFromComponents(
+        docs, "doc_id", comp, evalOf256 = 51).localCheckpoint()
       val straddling = pairs
         .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")),
           Seq("id_a"))

@@ -18,6 +18,51 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Spread an unsplittable fixture scan across the box (opt guide §2.5:
+    * "input skew: one huge unsplittable file → repartition immediately
+    * after the read"). The driver fixtures are single-row-group parquet
+    * files, so a bare scan — and every narrow map FUSED into it:
+    * tokenize/shingle/md5 kernels, join probes — runs as ONE task no
+    * matter the split size, leaving 31 of 32 cores idle for the whole
+    * first stage. When the file set plans fewer splits than the session's
+    * parallelism, redistribute once right after the read; the round-robin
+    * exchange moves only the table's few MB. On a real many-file layout
+    * (any production scale) `splits >= cores`, the condition is false and
+    * this is the identity — no shuffle is ever added at scale.
+    *
+    * OPT-IN ([[loadSpread]]), not the default: a full-bench A/B of the
+    * blanket version measured two systematic losses. (1) Queries that
+    * COMMIT a loaded (or lightly derived) frame into the table store
+    * inherited 32-way fragmentation — 32 tiny files per commit, paid
+    * again by every footer harvest, MoR overlay and rewrite downstream
+    * (q88 1.2→13 s, q94 1.1→6.6 s, q101 2.1→6.5 s). (2) Allocation-heavy
+    * JVM kernels (imageio decode, k-means over int8 codes, PQ) burned up
+    * to 10× the PROCESS CPU when run 32-wide (q140 10.8→110 cpu-s, q98
+    * 2→23 cpu-s — GC/alloc contention, not more work). Spread is applied
+    * only where the A/B showed a win: cheap-per-row, compute-bound
+    * projections and join probes that never feed a store commit. */
+  private def spread(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val f = new java.io.File(path)
+    val bytes =
+      if (f.isDirectory)
+        Option(f.listFiles).map(_.filter(_.isFile).map(_.length).sum)
+          .getOrElse(0L)
+      else f.length
+    val cores = spark.sparkContext.defaultParallelism
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes",
+        (128L * 1024 * 1024).toString))
+    val splits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    if (bytes >= 256L * 1024 && splits < cores) df.repartition(cores) else df
+  }
+
+  /** [[load]] + [[spread]]: for compute-bound consumers of an otherwise
+    * single-task fixture scan. Never use when the frame (or a near-
+    * projection of it) is committed to a table store — the 32-way
+    * layout fragments every downstream snapshot. */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    spread(spark, load(spark, dir, name), s"$dir/$name.parquet")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) in the driver fixtures, which

@@ -50,10 +50,12 @@ object Clustering {
       pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst")))
     // Symmetric closure, deduplicated and materialized once: every round
-    // joins against it.
+    // joins against it ON dst, so it is hash-partitioned by dst BEFORE
+    // the checkpoint (LogicalRDD keeps the partitioning — rounds never
+    // re-shuffle the edge list; only the |V|-sized label side moves).
     val (edges, edgeIds) = checkpointTracked(
       half.union(half.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct())
+        .distinct().repartition(col("dst")))
     free(sc, halfIds) // folded into edges; not referenced again
     try {
       // Round 0: component = min(self, direct neighbors). The symmetric
@@ -66,8 +68,11 @@ object Clustering {
       var round = 0
       while (!converged && round < maxRounds) {
         // Neighbor-min: the smallest label among each node's neighbors.
+        // SHUFFLE_HASH on the label side: per-partition hash build of the
+        // small table, edges stream — no per-round sort of the edge list.
         val nbrMin = edges
-          .join(labels.select(col("id").as("dst"), col("component")), Seq("dst"))
+          .join(labels.select(col("id").as("dst"), col("component"))
+            .hint("shuffle_hash"), Seq("dst"))
           .groupBy(col("src").as("id")).agg(min(col("component")).as("__nbr"))
         val propagated = labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"),

@@ -238,6 +238,40 @@ object Dedup {
       .select(col("__id").as(idCol), col("component"))
   }
 
+  /** Member-level Jaccard pairs AND per-doc components from ONE candidate
+    * pass. `jaccardPairs` and `nearDupComponents` share their entire
+    * expensive machinery (content collapse → prefix-filtered candidate
+    * self-join → exact verify on the unique texts); a consumer needing
+    * both — the leakage-safe split plus its no-straddle audit (q189) —
+    * previously ran that machinery once per call. Here the rep-level
+    * verified pair set is computed once and localCheckpoint'ed (it is
+    * output-sized: verified near-dup pairs of UNIQUE texts, tiny next to
+    * the corpus — nothing corpus-sized is ever pinned), then expanded to
+    * member pairs and closed into components. Returns exactly
+    * (`jaccardPairs(df,...)`, `nearDupComponents(df,...)`). */
+  def jaccardPairsAndComponents(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): (DataFrame, DataFrame) = {
+    val (groups, members) = contentGroups(df, idCol, textCol)
+    val uniq = groups.select(col("__rid").as(idCol), col("__text").as(textCol))
+    val repPairs = jaccardPairsDirect(uniq, idCol, textCol, n, threshold,
+      Long.MaxValue).localCheckpoint()
+    val eligible = groups.filter(col("__n") > 1)
+      .filter(size(shingles(col("__text"), n)) > 0)
+    val pairs = expandMemberPairs(repPairs, groups, members, Seq("jaccard"),
+      eligible, Seq(lit(1.0)))
+    val repComp = Clustering.connectedComponents(
+        repPairs.select(col("id_a"), col("id_b")), "id_a", "id_b")
+      .select(col("id").as("__rid"), col("component"))
+    val selfOnly = eligible.select(col("__rid"))
+      .join(repComp.select(col("__rid")), Seq("__rid"), "left_anti")
+      .select(col("__rid"), col("__rid").as("component"))
+    val allComp = repComp.unionByName(selfOnly)
+    val comp = members.join(groups.select(col("__k"), col("__rid")), Seq("__k"))
+      .join(allComp, Seq("__rid"))
+      .select(col("__id").as(idCol), col("component"))
+    (pairs, comp)
+  }
+
   private[ext] def jaccardPairsDirect(df: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxShingleDf: Long): DataFrame = {
     // Persist-free by design: the tokenize+shingle projection is narrow

@@ -27,17 +27,33 @@ import org.apache.spark.sql.functions._
   * stays inside int64 for edge weights to ~9·10^6; pre-scale heavier
   * weights (ranks read only ratios).
   *
-  * Scale shape per iteration: one equi-join of the rank table (1 row per
-  * node, partitioned by node) against the out-weighted edge list
-  * (partitioned by src), one hash aggregate on dst — the standard
-  * distributed PageRank round. Lineage is cut every round with the
-  * tracked localCheckpoint (see [[Materialize]]), so the plan does not
-  * grow with iterations and shuffle blocks are freed on GC. Dangling
-  * nodes (no out-edges) keep only their teleport share — acceptable for
-  * an authority PRIOR (mass conservation is not required), and exactly
-  * mirrored by the oracle.
+  * Scale/plan shape (re-derived in the r9 optimization round — guide
+  * §§2.4, 3.1): the edge projection is materialized ONCE (its upstream
+  * plan previously recomputed for out-weights, the join, and the node
+  * set), the out-weighted edge list is localCheckpoint'ed so its hash
+  * partitioning on `src` survives into every round (LogicalRDD carries
+  * outputPartitioning — the corpus-scale edge list is never re-shuffled
+  * or re-sorted after setup), and each round's rank join carries a
+  * SHUFFLE_HASH hint on the RANK side: the per-partition hash build is
+  * one small table (1 row/node), the edges stream through it — no
+  * per-round sort of the edge list, which is what sort-merge was paying.
+  * `N` (and the seed count) is collected once as a single long — the
+  * bounded-collect class already used by KMeans centroids — instead of a
+  * per-round broadcast-subtree job. Lineage is cut with the tracked
+  * localCheckpoint every [[CutEvery]] rounds (not every round): a
+  * 3-5-round query runs as ONE lazy plan with the checkpointed inputs as
+  * leaves, while long runs still get bounded plans and freed shuffle
+  * blocks. Dangling nodes (no out-edges) keep only their teleport share —
+  * acceptable for an authority PRIOR (mass conservation is not
+  * required), and exactly mirrored by the oracle.
   */
 object LinkAnalysis {
+
+  /** Lineage-cut cadence for the iterative fixpoints: materialize the
+    * rank/label table every this-many rounds so plan depth and live
+    * shuffle files stay bounded at any iteration count, while short runs
+    * pay no per-round copy. */
+  val CutEvery = 5
 
   /** Weighted fixed-point PageRank over `(srcCol, dstCol, wCol)` edges.
     * Returns one row per distinct node: (`node`, `rank`) with `rank` on
@@ -49,44 +65,48 @@ object LinkAnalysis {
     require(dampingNum >= 0 && dampingNum <= 100, "dampingNum in [0,100]")
     val sc = edges.sparkSession.sparkContext
     import Materialize.{checkpointTracked, free}
-    val e = edges.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst"), col(wCol).cast("long").as("w"))
+    // one materialization of the upstream edge plan; out-weights, the
+    // out-weighted join and the node set all read it instead of
+    // recomputing the caller's edge derivation three times
+    val (e, eIds) = checkpointTracked(
+      edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"), col(wCol).cast("long").as("w")))
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     // out-weight folded onto each edge once; every round joins against it
-    val (outw, outwIds) = checkpointTracked(
-      e.groupBy(col("src")).agg(sum(col("w")).as("outw")))
+    // (hash-partitioned by src via the setup join, captured by the
+    // checkpoint — rounds never re-shuffle or re-sort the edge list)
     val (e2, e2Ids) = checkpointTracked(e.join(outw, Seq("src")))
     val (nodes, nodeIds) = checkpointTracked(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
-    free(sc, outwIds)
+    free(sc, eIds)
     try {
-      // N and the uniform floor ride as a broadcast 1-row frame so the
-      // whole computation stays one lazy plan (and the oracle's CTE
-      // computes N the same way).
-      val nFrame = nodes.agg(count(lit(1)).as("__n"))
-      var (ranks, rankIds) = checkpointTracked(
-        nodes.crossJoin(broadcast(nFrame))
-          .select(col("node"), expr("1000000000000L div __n").as("rank")))
-      for (_ <- 1 to iterations) {
+      // N once, as a bounded single-long collect (the oracle's CTE
+      // computes the same count); SQL `div` on positives == Long division
+      val n = math.max(1L, nodes.count())
+      val floorRank = 1000000000000L / n
+      var ranks = nodes.select(col("node"), lit(floorRank).as("rank"))
+      var rankIds = Set.empty[Int]
+      for (i <- 1 to iterations) {
         val contrib = e2.join(
-            ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+            ranks.select(col("node").as("src"), col("rank"))
+              .hint("shuffle_hash"), Seq("src"))
           .groupBy(col("dst").as("node"))
           .agg(sum(expr("(rank * w) div outw")).as("__in"))
-        val next = nodes.join(contrib, Seq("node"), "left")
-          .crossJoin(broadcast(nFrame))
+        val next = nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
           .select(col("node"),
             expr(s"($dampingNum * coalesce(__in, 0L) + " +
-              s"${100 - dampingNum} * (1000000000000L div __n)) div 100")
-              .as("rank"))
-        val (nextM, nextIds) = checkpointTracked(next)
-        free(sc, rankIds)
-        ranks = nextM; rankIds = nextIds
+              s"${(100 - dampingNum) * floorRank}L) div 100").as("rank"))
+        if (i % CutEvery == 0 || i == iterations) {
+          val (nextM, nextIds) = checkpointTracked(next)
+          free(sc, rankIds)
+          ranks = nextM; rankIds = nextIds
+        } else ranks = next
       }
       ranks
     } finally {
-      // edge/node blocks stay alive for the returned frame's lineage?
-      // No: ranks is materialized (localCheckpoint), so its lineage no
-      // longer references e2/nodes — safe to free eagerly.
+      // ranks is materialized (localCheckpoint) at loop exit, so its
+      // lineage no longer references e2/nodes — safe to free eagerly.
       free(sc, e2Ids); free(sc, nodeIds)
     }
   }
@@ -96,16 +116,16 @@ object LinkAnalysis {
     * spam clusters far from any seed starve). Same fixed-point grid as
     * [[pageRank]]; `seeds` is one `node` column, `r0 = SCALE // |S|`
     * on seeds and 0 elsewhere, and only seeds receive the teleport
-    * share each round. Seeds are a normal (small) frame joined per
-    * round — broadcast-grade, never collected. */
+    * share each round. Same setup/round plan shape as [[pageRank]]. */
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, seeds: DataFrame, iterations: Int,
       dampingNum: Int = 85): DataFrame = {
     require(iterations >= 1 && iterations <= 50, "iterations in [1,50]")
     val sc = edges.sparkSession.sparkContext
     import Materialize.{checkpointTracked, free}
-    val e = edges.select(col(srcCol).cast("string").as("src"),
-      col(dstCol).cast("string").as("dst"), col(wCol).cast("long").as("w"))
+    val (e, eIds) = checkpointTracked(
+      edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"), col(wCol).cast("long").as("w")))
     val (e2, e2Ids) = checkpointTracked(
       e.join(e.groupBy(col("src")).agg(sum(col("w")).as("outw")), Seq("src")))
     val sd = seeds.select(col(seeds.columns.head).cast("string").as("node"))
@@ -115,27 +135,30 @@ object LinkAnalysis {
         .union(e.select(col("dst").as("node"))).distinct()
         .join(sd.withColumn("__seed", lit(1)), Seq("node"), "left")
         .select(col("node"), coalesce(col("__seed"), lit(0)).as("seed")))
+    free(sc, eIds)
     try {
-      val sFrame = nodes.agg(sum(col("seed")).cast("long").as("__s"))
-      var (ranks, rankIds) = checkpointTracked(
-        nodes.crossJoin(broadcast(sFrame))
-          .select(col("node"), col("seed"),
-            expr("CASE WHEN seed = 1 THEN 1000000000000L div __s " +
-              "ELSE 0L END").as("rank")))
-      for (_ <- 1 to iterations) {
+      val sCount = math.max(1L,
+        nodes.agg(sum(col("seed")).cast("long")).head().getLong(0))
+      val seedRank = 1000000000000L / sCount
+      val teleport = s"(CASE WHEN seed = 1 THEN ${seedRank}L ELSE 0L END)"
+      var ranks = nodes.select(col("node"), col("seed"),
+        expr(s"CAST($teleport AS LONG)").as("rank"))
+      var rankIds = Set.empty[Int]
+      for (i <- 1 to iterations) {
         val contrib = e2.join(
-            ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+            ranks.select(col("node").as("src"), col("rank"))
+              .hint("shuffle_hash"), Seq("src"))
           .groupBy(col("dst").as("node"))
           .agg(sum(expr("(rank * w) div outw")).as("__in"))
-        val next = nodes.join(contrib, Seq("node"), "left")
-          .crossJoin(broadcast(sFrame))
+        val next = nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
           .select(col("node"), col("seed"),
             expr(s"($dampingNum * coalesce(__in, 0L) + " +
-              s"${100 - dampingNum} * (CASE WHEN seed = 1 THEN " +
-              "1000000000000L div __s ELSE 0L END)) div 100").as("rank"))
-        val (nextM, nextIds) = checkpointTracked(next)
-        free(sc, rankIds)
-        ranks = nextM; rankIds = nextIds
+              s"${100 - dampingNum} * $teleport) div 100").as("rank"))
+        if (i % CutEvery == 0 || i == iterations) {
+          val (nextM, nextIds) = checkpointTracked(next)
+          free(sc, rankIds)
+          ranks = nextM; rankIds = nextIds
+        } else ranks = next
       }
       ranks.select(col("node"), col("rank"))
     } finally {
@@ -185,42 +208,50 @@ object LinkAnalysis {
     * is run-order-dependent; this one is a pure function of the graph).
     * Initial label = the node's own id. Fixed iteration count.
     *
-    * Scale shape per round: one join of the label table against the
-    * edge list, one (dst, label) hash agg, one per-node top-1 window —
-    * all key-partitioned; lineage cut per round like [[pageRank]]. */
+    * Scale shape per round: one SHUFFLE_HASH join of the edge list
+    * against the label table (edges stream, labels build — no edge
+    * sort), one (dst, label) hash agg, then the per-node top-1 as a
+    * `min(struct(-wsum, label))` AGGREGATE — the (weight DESC, label
+    * ASC) tie-break as one lexicographic struct-min, replacing the r8
+    * row_number window (which paid an extra full sort of the candidate
+    * set per round). Lineage cut every [[CutEvery]] rounds. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, iterations: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 20, "iterations in [1,20]")
     val sc = edges.sparkSession.sparkContext
     import Materialize.{checkpointTracked, free}
-    import org.apache.spark.sql.expressions.Window
     val e = edges.select(col(srcCol).cast("string").as("src"),
       col(dstCol).cast("string").as("dst"), col(wCol).cast("long").as("w"))
-    val (e2, e2Ids) = checkpointTracked(e)
+    // hash-partition the edge list by src ONCE; the checkpoint captures
+    // the partitioning, so no round re-shuffles the corpus-scale side
+    val (e2, e2Ids) = checkpointTracked(e.repartition(col("src")))
     val (nodes, nodeIds) = checkpointTracked(
       e.select(col("src").as("node"))
         .union(e.select(col("dst").as("node"))).distinct())
     try {
-      var (labels, labelIds) = checkpointTracked(
-        nodes.select(col("node"), col("node").as("label")))
-      for (_ <- 1 to iterations) {
-        val w1 = Window.partitionBy(col("node"))
-          .orderBy(col("__wsum").desc, col("label"))
+      var labels = nodes.select(col("node"), col("node").as("label"))
+      var labelIds = Set.empty[Int]
+      for (i <- 1 to iterations) {
         val winners = e2
-          .join(labels.select(col("node").as("src"), col("label")),
-            Seq("src"))
+          .join(labels.select(col("node").as("src"), col("label"))
+            .hint("shuffle_hash"), Seq("src"))
           .groupBy(col("dst").as("node"), col("label"))
           .agg(sum(col("w")).as("__wsum"))
-          .withColumn("__rn", row_number().over(w1))
-          .filter(col("__rn") === 1)
-          .select(col("node"), col("label").as("__nl"))
+          // top-1 by (wsum DESC, label ASC) == lexicographic min of
+          // (-wsum, label); one hash agg, no per-round sort
+          .groupBy(col("node"))
+          .agg(min(struct((-col("__wsum")).as("nw"), col("label").as("l")))
+            .as("__m"))
+          .select(col("node"), col("__m.l").as("__nl"))
         // a node with no incoming edges keeps its current label
-        val next = labels.join(winners, Seq("node"), "left")
+        val next = labels.join(winners.hint("shuffle_hash"), Seq("node"), "left")
           .select(col("node"),
             coalesce(col("__nl"), col("label")).as("label"))
-        val (nextM, nextIds) = checkpointTracked(next)
-        free(sc, labelIds)
-        labels = nextM; labelIds = nextIds
+        if (i % CutEvery == 0 || i == iterations) {
+          val (nextM, nextIds) = checkpointTracked(next)
+          free(sc, labelIds)
+          labels = nextM; labelIds = nextIds
+        } else labels = next
       }
       labels
     } finally {

@@ -51,30 +51,55 @@ object Perceptron {
         (Dedup.md5Key28FromHex(h) % Buckets).cast("int") + 1))
   }
 
-  /** Train `iterations` full-batch rounds from w = 0. `label` is the
-    * positive-class boolean. Returns the B+1 weights (bias last). */
-  def train(docs: DataFrame, textCol: String, label: Column,
-      iterations: Int): Array[Long] = {
+  /** Featurized corpus: one row per document with `__y` (the ±1 label)
+    * and `__bk` — the bucket-id array of its tokens PLUS the bias index.
+    * Tokenize + md5 + bucket is the expensive per-document kernel; a
+    * T-iteration training run re-derived it 2T times (margin filter +
+    * update explode per round). Computing it once and training on the
+    * integer arrays leaves each round a pure array pass (opt guide §1.2:
+    * "don't compute things twice"); callers that keep the frame across
+    * rounds should `localCheckpoint()` it. */
+  def featurize(docs: DataFrame, textCol: String, label: Column): DataFrame =
+    docs.select(when(label, 1L).otherwise(-1L).as("__y"),
+      concat(
+        transform(hexes(col(textCol)), h => Dedup.md5Key28FromHex(h) % Buckets),
+        array(lit(Bias))).as("__bk"))
+
+  /** w·x + bias over a [[featurize]]d row (the bias index rides in
+    * `__bk`, so the fold starts at 0). */
+  def marginOnFeatures(w: Array[Long]): Column = {
+    require(w.length == Buckets.toInt + 1, s"need ${Buckets + 1} weights")
+    val wLit = typedLit(w.toSeq)
+    aggregate(col("__bk"), lit(0L),
+      (acc, b) => acc + element_at(wLit, b.cast("int") + 1))
+  }
+
+  /** Train `iterations` full-batch rounds from w = 0 over a
+    * [[featurize]]d frame. Identical arithmetic to training on raw text:
+    * the bias index inside `__bk` contributes w(Bias) to every margin
+    * and 1 to every update, exactly as the explicit bias term did. */
+  def trainOnFeatures(feat: DataFrame, iterations: Int): Array[Long] = {
     require(iterations >= 1, "at least one iteration")
     val w = Array.fill(Buckets.toInt + 1)(0L)
     for (_ <- 1 to iterations) {
-      val m = margin(col(textCol), w)
-      val y = when(label, 1L).otherwise(-1L)
+      val m = marginOnFeatures(w)
       // y·margin ≤ 0 — the batch perceptron's misclassified set (margin
       // 0 counts as wrong for BOTH classes, so the first round updates
       // on every document: w1 = Σ y·x, the class-difference direction)
-      val mis = docs.filter(y * m <= 0L)
-        .select(y.as("__y"),
-          explode(concat(
-            transform(hexes(col(textCol)),
-              h => Dedup.md5Key28FromHex(h) % Buckets),
-            array(lit(Bias)))).as("__b"))
+      val mis = feat.filter(col("__y") * m <= 0L)
+        .select(col("__y"), explode(col("__bk")).as("__b"))
         .groupBy(col("__b")).agg(sum(col("__y")).as("__d"))
         .collect()
       mis.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
     }
     w
   }
+
+  /** Train `iterations` full-batch rounds from w = 0. `label` is the
+    * positive-class boolean. Returns the B+1 weights (bias last). */
+  def train(docs: DataFrame, textCol: String, label: Column,
+      iterations: Int): Array[Long] =
+    trainOnFeatures(featurize(docs, textCol, label), iterations)
 
   /** Score + prediction columns for trained weights. */
   def predict(textCol: Column, w: Array[Long]): (Column, Column) = {

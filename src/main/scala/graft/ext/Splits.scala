@@ -28,9 +28,17 @@ object Splits {
     * `evalOf256` is the eval share in 1/256ths (51 ≈ 20%). */
   def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      evalOf256: Int = 51): DataFrame = {
+      evalOf256: Int = 51): DataFrame =
+    leakageSafeSplitFromComponents(df, idCol,
+      Dedup.nearDupComponents(df, idCol, textCol, n, threshold), evalOf256)
+
+  /** [[leakageSafeSplit]] over PRE-COMPUTED components — for callers that
+    * already hold the near-dup component table (e.g. because they also
+    * need the pair list, [[Dedup.jaccardPairsAndComponents]]), so the
+    * component machinery is never run twice for one query. */
+  def leakageSafeSplitFromComponents(df: DataFrame, idCol: String,
+      comp: DataFrame, evalOf256: Int = 51): DataFrame = {
     require(evalOf256 > 0 && evalOf256 < 256, "evalOf256 must be in 1..255")
-    val comp = Dedup.nearDupComponents(df, idCol, textCol, n, threshold)
     val unit = coalesce(col("component"), col(idCol)).as("unit")
     val bucket = conv(substring(md5(col("unit").cast("string")), 1, 2),
       16, 10).cast("int")

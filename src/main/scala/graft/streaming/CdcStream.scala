@@ -78,22 +78,28 @@ object CdcStream {
     deltas.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          if (!store.exists(table)) {
-            // A first batch may already carry several versions of a key
-            // (CDC replay/backfill): bulk-insert only each key's EARLIEST
-            // row (anything else would stamp multiple open current rows),
-            // then run the regular SCD2 merge on the remainder.
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(col(pkCol)).orderBy(col(tsCol))
-            val withRn = batch.withColumn("__rn", row_number().over(w))
-            Scd2.bulkInsert(store, table,
-              withRn.filter(col("__rn") === 1).drop("__rn"), tsCol)
-            val rest = withRn.filter(col("__rn") > 1).drop("__rn")
-            if (!rest.isEmpty) Scd2.scd2Complex(store, table, rest, pkCol, tsCol)
-          } else Scd2.scd2Complex(store, table, batch, pkCol, tsCol)
-        }
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // foreachBatch frames are lazy — every action re-executes the
+        // incremental plan, and this body takes several (isEmpty, the
+        // bulk insert, the merge). Persist for the batch's lifetime.
+        val batch = batch0.persist()
+        try {
+          if (!batch.isEmpty) {
+            if (!store.exists(table)) {
+              // A first batch may already carry several versions of a key
+              // (CDC replay/backfill): bulk-insert only each key's EARLIEST
+              // row (anything else would stamp multiple open current rows),
+              // then run the regular SCD2 merge on the remainder.
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col(pkCol)).orderBy(col(tsCol))
+              val withRn = batch.withColumn("__rn", row_number().over(w))
+              Scd2.bulkInsert(store, table,
+                withRn.filter(col("__rn") === 1).drop("__rn"), tsCol)
+              val rest = withRn.filter(col("__rn") > 1).drop("__rn")
+              if (!rest.isEmpty) Scd2.scd2Complex(store, table, rest, pkCol, tsCol)
+            } else Scd2.scd2Complex(store, table, batch, pkCol, tsCol)
+          }
+        } finally { batch.unpersist(); () }
         ()
       }
       .start()
@@ -115,17 +121,22 @@ object CdcStream {
     cdc.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          // The stream execution thread tags itself with the query id
-          // (StreamExecution.QUERY_ID_KEY) — stable across restarts, it
-          // lives in checkpoint metadata, unlike the per-run runId.
-          val qid = Option(batch.sparkSession.sparkContext
-            .getLocalProperty("sql.streaming.queryId"))
-          store.applyCdcMoR(table, batch, keyCols, deleteCol,
-            qid.map((_, batchId)))
-          ()
-        }
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // persist: isEmpty + the CDC apply would otherwise each re-run
+        // the incremental plan (see streamScd2).
+        val batch = batch0.persist()
+        try {
+          if (!batch.isEmpty) {
+            // The stream execution thread tags itself with the query id
+            // (StreamExecution.QUERY_ID_KEY) — stable across restarts, it
+            // lives in checkpoint metadata, unlike the per-run runId.
+            val qid = Option(batch.sparkSession.sparkContext
+              .getLocalProperty("sql.streaming.queryId"))
+            store.applyCdcMoR(table, batch, keyCols, deleteCol,
+              qid.map((_, batchId)))
+            ()
+          }
+        } finally { batch.unpersist(); () }
         ()
       }
       .start()
