@@ -4858,7 +4858,7 @@ object SparkEntry {
       s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
         "state.RocksDBStateStoreProvider")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      try withoutNoDataBatches(s) {
         val q = expiries.toDF().writeStream.format("memory")
           .queryName(sinkName)
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
@@ -4866,11 +4866,16 @@ object SparkEntry {
           .start()
         try {
           timeSlices(ev, "ts", 3).foreach(replay.feed(q, _))
-          // far-future sentinel: advances the watermark past every timer
+          // double far-future sentinel (RocksDB opens+commits one store
+          // per partition per TRIGGER — no-data flush batches are the
+          // expensive path here): the first advances the watermark past
+          // every timer, the second's data batch fires them
           val far = ev.agg(max(col("ts"))).head().getTimestamp(0)
-          replay.feed(q, Seq((-1L,
-            new java.sql.Timestamp(far.getTime + 36000000L), "x", 0.0))
-            .toDF("user_id", "ts", "event_type", "value"))
+          Seq(36000000L, 72000000L).foreach { off =>
+            replay.feed(q, Seq((-1L,
+              new java.sql.Timestamp(far.getTime + off), "x", 0.0))
+              .toDF("user_id", "ts", "event_type", "value"))
+          }
         } finally q.stop()
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevShuffle)

@@ -282,22 +282,29 @@ object Dedup {
     // embarrassingly parallel map that AQE/exchange-reuse already
     // deduplicates where plans share a shuffle. It also keeps the API
     // leak-free: no hidden cached blocks survive the call.
-    val post = postings(df, idCol, textCol, n)
+    // Postings carry the per-doc set size from the shingle array itself
+    // (docSets computes it per row BEFORE the explode), so the exact path
+    // needs no per-document count window — one less sort of the posting
+    // list (opt guide §1.2). Only the df-capped approximate path, where
+    // filtering invalidates the carried size, recounts with a window.
+    val post = docSets(df, idCol, textCol, n)
+      .select(col("__id"), col("__sz"), explode(col("__set")).as("__sh"))
+    val byDoc = Window.partitionBy(col("__id"))
     val filtered =
-      if (maxShingleDf == Long.MaxValue) post
+      if (maxShingleDf == Long.MaxValue) post.withColumnRenamed("__sz", "__psz")
       else {
         val hot = post.groupBy(col("__sh")).count()
           .filter(col("count") > maxShingleDf).select(col("__sh"))
         post.join(hot, Seq("__sh"), "left_anti")
+          .drop("__sz")
+          .withColumn("__psz", count(lit(1)).over(byDoc))
       }
     // Document frequency via a window over __sh instead of a groupBy +
     // join-back: one pass over the postings feeds straight into the
-    // per-document windows (shuffle __sh → shuffle __id), so the posting
+    // per-document window (shuffle __sh → shuffle __id), so the posting
     // projection has a single consumer chain and nothing needs caching.
-    val byDoc = Window.partitionBy(col("__id"))
     val prefix = filtered
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__sh"))))
-      .withColumn("__psz", count(lit(1)).over(byDoc))
       .withColumn("__rn", row_number().over(
         byDoc.orderBy(col("__df"), col("__sh"))))
       .filter(col("__rn") <=
