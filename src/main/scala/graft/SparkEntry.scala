@@ -123,20 +123,48 @@ object SparkEntry {
       java.nio.file.Files.createTempDirectory("graft_replay").toString
     /** The streaming source frame to hand to the operator under test. */
     def source: DataFrame = s.readStream.schema(schema).parquet(dir)
-    /** Land one fixture batch WITHOUT waiting: lets a two-source replay
-      * land both sides of a time slice and process them as ONE
-      * micro-batch (feed = land + wait forced one batch per side —
-      * doubling the per-batch fixed cost: offset/commit-log fsyncs,
-      * incremental re-planning, state-store commits — for an identical
-      * appended result set; opt guide §1.2 "remove unnecessary passes"). */
+    /** Write one fixture batch into a private staging directory; it
+      * becomes visible to the stream only when [[FileReplay.landTogether]]
+      * renames it into the watched directory. Two-source replays stage
+      * BOTH sides of a time slice first and then land them back-to-back
+      * (two bare rename syscalls), so the running query's next directory
+      * listing sees the whole slice as ONE micro-batch. The previous
+      * direct-append `land` raced the stream's idle polling: the first
+      * side's write completed, the query immediately opened a trigger on
+      * it alone, and the second side became its own trigger — measured 8
+      * triggers instead of 4 on q158/q177 (each extra trigger pays the
+      * full foreachBatch body + offset/commit-log fsyncs + state-store
+      * commits; opt guide §1.2 "remove unnecessary passes"). */
+    def stage(batch: DataFrame): Seq[(java.nio.file.Path, java.nio.file.Path)] = {
+      val st = java.nio.file.Files.createTempDirectory("graft_stage")
+      batch.coalesce(1).write.mode("overwrite").parquet(st.toString)
+      st.toFile.listFiles.toSeq
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(f => (f.toPath, java.nio.file.Paths.get(dir, f.getName)))
+    }
+    /** Land one fixture batch WITHOUT waiting (single-source replays). */
     def land(batch: DataFrame): Unit =
-      batch.coalesce(1).write.mode("append").parquet(dir)
+      FileReplay.landTogether(Seq(stage(batch)))
     /** Land one fixture batch and wait for it to be fully processed. */
     def feed(q: org.apache.spark.sql.streaming.StreamingQuery,
         batch: DataFrame): Unit = {
       land(batch)
       q.processAllAvailable()
     }
+  }
+
+  private object FileReplay {
+    /** Make every staged file visible in its watched directory
+      * back-to-back: atomic same-filesystem renames with no Spark job in
+      * between, closing the one-trigger-per-side race (see
+      * [[FileReplay.stage]]). */
+    def landTogether(
+        staged: Seq[Seq[(java.nio.file.Path, java.nio.file.Path)]]): Unit =
+      staged.flatten.foreach { case (src, dst) =>
+        java.nio.file.Files.move(src, dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      }
   }
 
   /** Run a foreachBatch body against a PERSISTED micro-batch frame.
@@ -1735,7 +1763,10 @@ object SparkEntry {
           val ls = timeSlices(left, "ts", 2)
           val rs = timeSlices(right, "ts", 2)
           // both sides of a slice land together and process as ONE batch
-          (0 until 2).foreach { i => rr.land(rs(i)); lr.feed(q, ls(i)) }
+          (0 until 2).foreach { i =>
+            FileReplay.landTogether(Seq(rr.stage(rs(i)), lr.stage(ls(i))))
+            q.processAllAvailable()
+          }
         } finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       store.read("pairs")
@@ -3961,10 +3992,17 @@ object SparkEntry {
           val ls = timeSlices(left, "ts", 2)
           val rs = timeSlices(right, "ts", 2)
           // both sides of a slice land together and process as ONE batch
-          (0 until 2).foreach { i => rr.land(rs(i)); lr.feed(q, ls(i)) }
+          (0 until 2).foreach { i =>
+            FileReplay.landTogether(Seq(rr.stage(rs(i)), lr.stage(ls(i))))
+            q.processAllAvailable()
+          }
           // watermark push + one more batch to flush unmatched lefts
-          rr.land(sentinel(10)); lr.feed(q, sentinel(10))
-          rr.land(sentinel(20)); lr.feed(q, sentinel(20))
+          FileReplay.landTogether(
+            Seq(rr.stage(sentinel(10)), lr.stage(sentinel(10))))
+          q.processAllAvailable()
+          FileReplay.landTogether(
+            Seq(rr.stage(sentinel(20)), lr.stage(sentinel(20))))
+          q.processAllAvailable()
         } finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       store.read("enriched").orderBy(col("event_id"), col("r_event_type"))
@@ -4461,9 +4499,16 @@ object SparkEntry {
           val ls = timeSlices(left, "ts", 2)
           val rs = timeSlices(right, "ts", 2)
           // both sides of a slice land together and process as ONE batch
-          (0 until 2).foreach { i => rr.land(rs(i)); lr.feed(q, ls(i)) }
-          rr.land(sentinel(10)); lr.feed(q, sentinel(10))
-          rr.land(sentinel(20)); lr.feed(q, sentinel(20))
+          (0 until 2).foreach { i =>
+            FileReplay.landTogether(Seq(rr.stage(rs(i)), lr.stage(ls(i))))
+            q.processAllAvailable()
+          }
+          FileReplay.landTogether(
+            Seq(rr.stage(sentinel(10)), lr.stage(sentinel(10))))
+          q.processAllAvailable()
+          FileReplay.landTogether(
+            Seq(rr.stage(sentinel(20)), lr.stage(sentinel(20))))
+          q.processAllAvailable()
         } finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       store.read("joined")
