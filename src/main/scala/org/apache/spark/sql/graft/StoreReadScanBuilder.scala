@@ -284,51 +284,81 @@ class StoreReadScanBuilder(spark: SparkSession, name: String,
   }
 }
 
-/** Bucket-grouped batch for storage-partitioned joins: every inner
-  * parquet partition is tagged with its bucket id ([[HasPartitionKey]]),
-  * so Spark groups both join sides by key and plans the join with NO
-  * exchange. Reader creation (row AND columnar — vectorized parquet is
-  * preserved) delegates to each bucket scan's own factory. */
+/** Bucket-grouped batch for storage-partitioned joins: every parquet
+  * partition is tagged with its bucket id ([[HasPartitionKey]]), so Spark
+  * groups both join sides by key and plans the join with NO exchange.
+  *
+  * ONE inner parquet scan serves every bucket. The previous shape built a
+  * full DSv2 scan PER BUCKET (ScanBuilder + ManifestFileIndex + pushdown
+  * replay + planInputPartitions, then one reader factory — and one
+  * broadcast hadoop conf — per bucket); Spark resolves
+  * KeyGroupedPartitioning by calling `planInputPartitions()` during
+  * PLANNING, so a 32-bucket join side paid 32 scan constructions of pure
+  * driver time before the first task (q97 measured ~2 s of `executedPlan`
+  * with no job running — opt guide §7.3). Here the bucket→file grouping
+  * is already in the manifest, so the per-bucket partitions are built
+  * directly: one [[PartitionedFile]] per data file, keyed by its bucket
+  * value. Reader creation (row AND columnar — vectorized parquet is
+  * preserved) delegates to the single inner scan's factory; a file is one
+  * partition (never byte-range split), which is the Iceberg SPJ contract
+  * anyway — a bucket's files must stay in that bucket's task group. */
 private final class BucketGroupedBatch(
-    groups: Seq[(Int, Scan)])
+    spark: SparkSession, root: org.apache.hadoop.fs.Path,
+    groups: Seq[(Int, Seq[TableStore.FileEntry])],
+    rebuildAll: Seq[TableStore.FileEntry] => Scan)
     extends org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
 
-  private lazy val inner = groups.map(_._2.toBatch)
+  private lazy val whole: org.apache.spark.sql.connector.read.Batch =
+    rebuildAll(groups.flatMap(_._2)).toBatch
 
-  override def planInputPartitions(): Array[InputPartition] =
-    inner.zipWithIndex.flatMap { case (b, gi) =>
+  override def planInputPartitions(): Array[InputPartition] = {
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qroot = f.makeQualified(root)
+    var idx = -1
+    groups.flatMap { case (b, fes) =>
       val key = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](groups(gi)._1))
-      b.planInputPartitions().map(p =>
-        BucketKeyedPartition(gi, key, p): InputPartition)
+        Array[Any](b))
+      fes.map { fe =>
+        idx += 1
+        val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
+          org.apache.spark.sql.catalyst.InternalRow.empty,
+          org.apache.spark.paths.SparkPath.fromPath(
+            new org.apache.hadoop.fs.Path(qroot, fe.path)),
+          0L, fe.sizeBytes, Array.empty[String], 0L, fe.sizeBytes)
+        BucketKeyedPartition(key,
+          org.apache.spark.sql.execution.datasources.FilePartition(
+            idx, Array(pf))): InputPartition
+      }
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new BucketDelegatingFactory(inner.map(_.createReaderFactory()).toArray)
+    new BucketDelegatingFactory(whole.createReaderFactory())
 }
 
-private case class BucketKeyedPartition(group: Int,
+private case class BucketKeyedPartition(
     key: org.apache.spark.sql.catalyst.expressions.GenericInternalRow,
-    inner: org.apache.spark.sql.connector.read.InputPartition)
+    inner: org.apache.spark.sql.execution.datasources.FilePartition)
     extends org.apache.spark.sql.connector.read.InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
 private class BucketDelegatingFactory(
-    inner: Array[org.apache.spark.sql.connector.read.PartitionReaderFactory])
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
   private def un(p: InputPartition) = p.asInstanceOf[BucketKeyedPartition]
   override def supportColumnarReads(p: InputPartition): Boolean =
-    inner(un(p).group).supportColumnarReads(un(p).inner)
+    inner.supportColumnarReads(un(p).inner)
   override def createReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
-    inner(un(p).group).createReader(un(p).inner)
+    inner.createReader(un(p).inner)
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    inner(un(p).group).createColumnarReader(un(p).inner)
+    inner.createColumnarReader(un(p).inner)
 }
 
 /** Pre-computed aggregate rows (one per group) served driver-locally —
@@ -591,7 +621,8 @@ class GraftStatsScan(spark: SparkSession, warehouse: String, tableName: String,
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     spjGroups match {
       case Some(groups) =>
-        new BucketGroupedBatch(groups.map { case (b, fs) => (b, rebuild(fs)) })
+        new BucketGroupedBatch(spark,
+          new org.apache.hadoop.fs.Path(warehouse, tableName), groups, rebuild)
       case None => innerScan.toBatch
     }
 
