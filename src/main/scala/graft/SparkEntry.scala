@@ -418,7 +418,7 @@ object SparkEntry {
       // conf stays set for the whole feed and is restored after stop().
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      try withoutNoDataBatches(s) {
         val q = agg.writeStream
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
           .option("checkpointLocation", ckpt)
@@ -433,12 +433,19 @@ object SparkEntry {
           .start()
         try {
           timeSlices(ev, "ts", 3).foreach(b => replay.feed(q, b))
-          val flushTs = new java.sql.Timestamp(
-            ev.agg(max(col("ts"))).head.getTimestamp(0).getTime +
-              48L * 3600 * 1000)
-          replay.feed(q,
-            Seq((-1L, flushTs, "__sentinel", 0.0))
-              .toDF("event_id", "ts", "event_type", "value"))
+          // double sentinel, no-data batches off: sentinel 1 pushes the
+          // watermark past every real window, sentinel 2's DATA batch
+          // emits them all (closed windows flush in the batch AFTER the
+          // watermark advance). Replaces ~4 watermark-only no-data
+          // triggers with one data trigger; sentinel windows never emit
+          // and are filtered at read regardless.
+          val maxMs = ev.agg(max(col("ts"))).head.getTimestamp(0).getTime
+          Seq(48L, 96L).foreach { h =>
+            replay.feed(q,
+              Seq((-1L, new java.sql.Timestamp(maxMs + h * 3600 * 1000),
+                "__sentinel", 0.0))
+                .toDF("event_id", "ts", "event_type", "value"))
+          }
         } finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       store.read("win")
@@ -1795,7 +1802,7 @@ object SparkEntry {
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      try withoutNoDataBatches(s) {
         val q = sessions.toDF().writeStream
           .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
           .option("checkpointLocation", ckpt)
@@ -1811,12 +1818,18 @@ object SparkEntry {
           .start()
         try {
           timeSlices(ev, "ts", 3).foreach(b => replay.feed(q, b))
-          val flushTs = new java.sql.Timestamp(
-            ev.agg(max(col("ts"))).head.getTimestamp(0).getTime +
-              72L * 3600 * 1000)
-          replay.feed(q,
-            Seq((-1L, flushTs, "__sentinel", 0.0))
-              .toDF("user_id", "ts", "event_type", "value"))
+          // double sentinel, no-data batches off (see q68): sentinel 1
+          // pushes the watermark past every session timeout, sentinel 2's
+          // DATA batch fires the expired timers and emits the sessions.
+          // The sentinel user's own sessions carry user_id = -1 and are
+          // filtered at read, exactly as before.
+          val maxMs = ev.agg(max(col("ts"))).head.getTimestamp(0).getTime
+          Seq(72L, 144L).foreach { h =>
+            replay.feed(q,
+              Seq((-1L, new java.sql.Timestamp(maxMs + h * 3600 * 1000),
+                "__sentinel", 0.0))
+                .toDF("user_id", "ts", "event_type", "value"))
+          }
         } finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       store.read("sess")
