@@ -142,6 +142,52 @@ object SparkEntry {
         .filter(f => f.isFile && f.getName.startsWith("part-"))
         .map(f => (f.toPath, java.nio.file.Paths.get(dir, f.getName)))
     }
+    /** Stage `n` contiguous event-time slices of `rows` — replay order =
+      * event-time order, same bucketing as `timeSlices` — plus one
+      * trailing group per `extras` frame (sentinels), all in ONE
+      * partitioned write job: the per-slice `stage` calls each re-scanned
+      * the source and paid their own job+commit (3 slices + 2 sentinels =
+      * 5 sequential jobs per source per replay; opt guide §1.2 "remove
+      * unnecessary passes"). Returns one landable group per slice then
+      * per extra, in replay order; a group is empty iff its slice got no
+      * rows (nothing lands, no trigger — same appended result set). */
+    def stageSlices(rows: DataFrame, tsCol: String, n: Int,
+        extras: Seq[DataFrame] = Seq.empty)
+        : Seq[Seq[(java.nio.file.Path, java.nio.file.Path)]] = {
+      val st = java.nio.file.Files.createTempDirectory("graft_stage")
+      val mm = rows.agg(min(col(tsCol)).cast("double"),
+        max(col(tsCol)).cast("double")).head
+      val lo = mm.getDouble(0)
+      val span = math.max(mm.getDouble(1) - lo, 1e-9)
+      val bucket = least(lit(n - 1),
+        floor((col(tsCol).cast("double") - lit(lo)) / lit(span) * n))
+        .cast("int")
+      val all = extras.zipWithIndex.foldLeft(
+        rows.withColumn("__slice", bucket)) { case (acc, (ex, i)) =>
+          acc.unionByName(ex.withColumn("__slice", lit(n + i)))
+      }
+      // one task writes every slice directory; __slice lives only in the
+      // directory names, so landed files carry exactly the source schema
+      all.coalesce(1).write.mode("overwrite")
+        .partitionBy("__slice").parquet(st.toString)
+      (0 until n + extras.size).map { i =>
+        val d = new java.io.File(st.toFile, s"__slice=$i")
+        Option(d.listFiles).map(_.toSeq).getOrElse(Seq.empty)
+          .filter(f => f.isFile && f.getName.startsWith("part-"))
+          // prefix with the slice: one job reuses file names across dirs
+          .map(f => (f.toPath, java.nio.file.Paths.get(dir, s"s$i-${f.getName}")))
+      }
+    }
+    /** [[stageSlices]] + land-and-wait per group: the single-source
+      * replay loop (one write job stages everything, each group then
+      * lands as one micro-batch). */
+    def feedSlices(q: org.apache.spark.sql.streaming.StreamingQuery,
+        rows: DataFrame, tsCol: String, n: Int,
+        extras: Seq[DataFrame] = Seq.empty): Unit =
+      stageSlices(rows, tsCol, n, extras).foreach { g =>
+        FileReplay.landTogether(Seq(g))
+        q.processAllAvailable()
+      }
     /** Land one fixture batch WITHOUT waiting (single-source replays). */
     def land(batch: DataFrame): Unit =
       FileReplay.landTogether(Seq(stage(batch)))
@@ -342,7 +388,7 @@ object SparkEntry {
       val q = graft.streaming.CdcStream.streamScd2(replay.source, store, "ev",
         pkCol = "user_id", tsCol = "ts",
         java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
-      try timeSlices(ev, "ts", 3).foreach(b => replay.feed(q, b))
+      try replay.feedSlices(q, ev, "ts", 3)
       finally q.stop()
       store.read("ev")
         .select(col("user_id"), col("event_id"), col("event_type"),
@@ -432,7 +478,6 @@ object SparkEntry {
           }
           .start()
         try {
-          timeSlices(ev, "ts", 3).foreach(b => replay.feed(q, b))
           // double sentinel, no-data batches off: sentinel 1 pushes the
           // watermark past every real window, sentinel 2's DATA batch
           // emits them all (closed windows flush in the batch AFTER the
@@ -440,12 +485,10 @@ object SparkEntry {
           // triggers with one data trigger; sentinel windows never emit
           // and are filtered at read regardless.
           val maxMs = ev.agg(max(col("ts"))).head.getTimestamp(0).getTime
-          Seq(48L, 96L).foreach { h =>
-            replay.feed(q,
-              Seq((-1L, new java.sql.Timestamp(maxMs + h * 3600 * 1000),
-                "__sentinel", 0.0))
-                .toDF("event_id", "ts", "event_type", "value"))
-          }
+          replay.feedSlices(q, ev, "ts", 3, Seq(48L, 96L).map(h =>
+            Seq((-1L, new java.sql.Timestamp(maxMs + h * 3600 * 1000),
+              "__sentinel", 0.0))
+              .toDF("event_id", "ts", "event_type", "value")))
         } finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       store.read("win")
@@ -1555,7 +1598,7 @@ object SparkEntry {
             }
           }
           .start()
-        try timeSlices(ev, "ts", 3).foreach(b => replay.feed(q, b))
+        try replay.feedSlices(q, ev, "ts", 3)
         finally q.stop()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       store.read("uniq")
@@ -1982,7 +2025,7 @@ object SparkEntry {
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("graft_ck").toString)
         .toTable(s"$cat.ns.sink")
-      try timeSlices(ev, "ts", 3).foreach(b => replay.feed(q, b))
+      try replay.feedSlices(q, ev, "ts", 3)
       finally q.stop()
       val store = new TableStore(s, wh)
       val epochs = store.manifests("sink")
@@ -2023,7 +2066,7 @@ object SparkEntry {
       val q = graft.streaming.CdcStream.upsertMoRSink(
         replay.source, store, "state", Seq("event_id"), "_deleted",
         java.nio.file.Files.createTempDirectory("graft_ck").toString)
-      try timeSlices(cdc, "ts", 3).foreach(b => replay.feed(q, b))
+      try replay.feedSlices(q, cdc, "ts", 3)
       finally q.stop()
       val ms = store.manifests("state")
       val epochs = ms.filter(_.operation == "cdc_mor").flatMap(_.streamEpoch)
